@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The real surface lives in :mod:`nginx_analytics_spark.registry`; this file
+only adapts it to the driver contract.
 """
 
 from __future__ import annotations
@@ -13,26 +15,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nginx_analytics_spark import registry
+from nginx_analytics_spark.operators.aggregates import key_stats
+from nginx_analytics_spark.operators.logview import events_as_nginx_jsonl
+from nginx_analytics_spark.operators.parse import parse_enrich_validated
+from nginx_analytics_spark.sources import load_table
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship smoke: drive the REAL nginx pipeline end-to-end.
+
+    Synthesizes 39-field nginx JSON events from the sf0.001 fixture,
+    runs the canonical parse_enrich chain (P1-P8 + producer validation,
+    reference ingestor/main.py:66-81), then the per-IP stats aggregation
+    (A1, reference predictions/anomaly_detection.py:25-29).
+    """
+    events = load_table(spark, SMOKE_SF_DIR, "events")
+    raw = events_as_nginx_jsonl(events)
+    enriched = parse_enrich_validated(raw)
+    return key_stats(enriched, "remote_addr", "request_time_seconds")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI-SQL twins (omitted for non-SQL-expressible ops,
+    which get the driver's rows-only check)."""
+    return registry.oracle_sql()

@@ -1,0 +1,105 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All are stock hash aggregations: Spark plans them as partial (map-side)
++ final (post-shuffle) HashAggregate, so at 100 TB the shuffle moves only
+one row per (key, partition) — the canonical scalable shape. No driver-side
+collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def global_count(df: DataFrame, alias: str = "n_rows") -> DataFrame:
+    """A3: COUNT(*) as a one-row frame (reference README.md:35).
+
+    Parquet count(*) is answered from footer row-counts when the
+    aggregate-pushdown rule applies — no data scan.
+    """
+    return df.agg(F.count(F.lit(1)).alias(alias))
+
+
+def key_stats(
+    df: DataFrame,
+    key: str | Column,
+    value: str | Column,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """A1: per-key request count + mean of a measure.
+
+    Reference: detect_anomalies' per-IP batch stats
+    (predictions/anomaly_detection.py:25-29) —
+    groupBy(remote_addr).agg(count(*) request_count, avg(rt) avg_request_time).
+    ``round_to`` exists for oracle comparability of float means; pass None
+    for raw doubles in production.
+    """
+    mean = F.avg(value)
+    if round_to is not None:
+        mean = F.round(mean, round_to)
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("request_count"),
+        mean.alias("avg_request_time"),
+    )
+
+
+def hourly_reagg(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    as_of: str,
+    lookback_days: int = 7,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """A2: two-level re-aggregation — the anomaly history profile.
+
+    Reference (predictions/anomaly_detection.py:36-49, SQL pushed to
+    Postgres): inner GROUP BY (key, hour-truncated ts) -> COUNT(*);
+    outer GROUP BY key -> AVG + STDDEV of the hourly counts, over a
+    trailing window. ``NOW()`` is parameterized as ``as_of`` for
+    determinism (SURVEY.md §7 hard-point (a)). STDDEV is sample stddev
+    in both Postgres and Spark (stddev = stddev_samp); single-bucket keys
+    yield NULL stddev — preserved, the z-score rule branches on it.
+
+    Scale note: both levels aggregate on key-prefixed groupings, so
+    Catalyst reuses one shuffle on ``key`` for the outer level; the inner
+    hour bucketing is computed map-side. The trailing-window filter is a
+    partition-pruning predicate when the fact table is date-partitioned.
+    """
+    lower = F.lit(as_of).cast("timestamp") - F.expr(f"INTERVAL {lookback_days} DAYS")
+    hourly = (
+        df.filter((F.col(ts) > lower) & (F.col(ts) <= F.lit(as_of).cast("timestamp")))
+        .groupBy(F.col(key), F.date_trunc("hour", F.col(ts)).alias("hour_bucket"))
+        .agg(F.count(F.lit(1)).alias("request_count"))
+    )
+    avg_c, std_c = F.avg("request_count"), F.stddev("request_count")
+    if round_to is not None:
+        avg_c, std_c = F.round(avg_c, round_to), F.round(std_c, round_to)
+    return hourly.groupBy(key).agg(
+        avg_c.alias("avg_requests"),
+        std_c.alias("stddev_requests"),
+    )
+
+
+def distinct_counts(df: DataFrame, group: str, key: str) -> DataFrame:
+    """Exact per-group COUNT(DISTINCT key) — the unique-visitors query
+    implied by the reference's data model (SURVEY.md §2.4 note).
+
+    Spark plans distinct-agg as a two-stage expand/aggregate; exact but
+    shuffle-heavy at scale — prefer :func:`approx_distinct_counts` at
+    100 TB unless exactness is required.
+    """
+    return df.groupBy(group).agg(
+        F.count_distinct(F.col(key)).alias("distinct_keys"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def approx_distinct_counts(df: DataFrame, group: str, key: str, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB-scale path: one pass,
+    constant memory per group, no expand."""
+    return df.groupBy(group).agg(
+        F.approx_count_distinct(key, rsd).alias("approx_distinct_keys"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

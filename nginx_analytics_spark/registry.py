@@ -1,0 +1,401 @@
+"""Query registry — the engine's public query surface.
+
+Every implemented operator from SURVEY.md §2 is exposed here as a named
+query ``(spark, sf_dir) -> DataFrame`` together with (where SQL-expressible)
+an ANSI-SQL oracle that DuckDB runs over the same parquet tables. The
+``__spark_entry__.py`` driver contract re-exports these dicts.
+
+Conventions (driver hash-compare is exact):
+  * every computed column is aliased identically in Spark and SQL;
+  * float aggregates are rounded (6 dp; money sums 2 dp) on BOTH sides;
+  * ns-precision fixture timestamps are truncated to microseconds on both
+    sides (Spark reader does it natively; oracles CAST(ts AS TIMESTAMP));
+  * NOW()-relative predicates use the fixed AS_OF constant;
+  * every LIMIT is ordered by a unique key;
+  * derived integer outputs are BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nginx_analytics_spark.operators import aggregates, anomaly, features, ranking
+from nginx_analytics_spark.operators.logview import EVENTS_PARSED_SQL, events_parsed
+from nginx_analytics_spark.sources import load_table
+
+# Fixed "now" for NOW()-relative predicates: just past the fixture's last
+# event (events span 2024-01-01 .. 2024-01-30; TESTDATA.md, seed=42).
+AS_OF = "2024-01-31 00:00:00"
+BATCH_START = "2024-01-30 00:00:00"  # current "micro-batch" = trailing 1 day
+HISTORY_START = "2024-01-23 00:00:00"  # 7-day hourly history before the batch
+
+# Fixture-scaled anomaly thresholds (reference defaults are |z|>3, count>100
+# — anomaly.Z_THRESHOLD/NEW_KEY_COUNT_THRESHOLD; the synthetic fixture's
+# 15-50 users need tighter bounds to exercise both rule branches).
+FIXTURE_Z = 1.5
+FIXTURE_NEW_KEY_COUNT = 10
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# --------------------------------------------------------------------------
+# M1 — counts, parse/enrich, per-key stats
+# --------------------------------------------------------------------------
+
+
+@query("count_raw", "SELECT count(*) AS n_rows FROM lineitem")
+def count_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 global count (reference README.md:35)."""
+    return aggregates.global_count(load_table(spark, sf_dir, "lineitem"))
+
+
+@query("parse_enrich", EVENTS_PARSED_SQL)
+def parse_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P4/P6-P8 over the events fixture (reference ingestor/main.py:66-81)."""
+    return events_parsed(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "batch_ip_stats",
+    """
+    SELECT user_id,
+           count(*) AS request_count,
+           round(avg(value), 6) AS avg_request_time
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def batch_ip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 per-key count+avg (reference anomaly_detection.py:25-29)."""
+    return aggregates.key_stats(
+        load_table(spark, sf_dir, "events"), "user_id", "value"
+    )
+
+
+# --------------------------------------------------------------------------
+# M2 — history reagg, z-score anomaly chain, features, rankings
+# --------------------------------------------------------------------------
+
+_HOURLY_SQL = f"""
+    SELECT user_id,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket,
+           count(*) AS request_count
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '{{lo}}'
+      AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '{{hi}}'
+    GROUP BY 1, 2
+"""
+
+_HISTORY_SQL = f"""
+    SELECT user_id,
+           round(avg(request_count), 6) AS avg_requests,
+           round(stddev(request_count), 6) AS stddev_requests
+    FROM ({_HOURLY_SQL.format(lo=HISTORY_START, hi=BATCH_START)}) hourly
+    GROUP BY user_id
+"""
+
+
+@query(
+    "hourly_reagg",
+    f"""
+    SELECT user_id,
+           round(avg(request_count), 6) AS avg_requests,
+           round(stddev(request_count), 6) AS stddev_requests
+    FROM ({_HOURLY_SQL.format(lo=HISTORY_START, hi=AS_OF)}) hourly
+    GROUP BY user_id
+    """,
+)
+def hourly_reagg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 two-level reagg with parameterized as_of
+    (reference anomaly_detection.py:36-49)."""
+    return aggregates.hourly_reagg(
+        load_table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        as_of=AS_OF,
+        lookback_days=8,
+    )
+
+
+_ZSCORE_SQL = f"""
+    WITH batch AS (
+        SELECT * FROM events
+        WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '{BATCH_START}'
+          AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '{AS_OF}'
+    ),
+    batch_stats AS (
+        SELECT user_id,
+               count(*) AS request_count,
+               round(avg(value), 6) AS avg_request_time
+        FROM batch GROUP BY user_id
+    ),
+    history AS ({_HISTORY_SQL}),
+    scored AS (
+        SELECT b.user_id, b.request_count, b.avg_request_time,
+               h.avg_requests, h.stddev_requests,
+               round((b.request_count - h.avg_requests)
+                     / nullif(h.stddev_requests, 0), 6) AS z_score
+        FROM batch_stats b LEFT JOIN history h USING (user_id)
+    )
+    SELECT user_id, request_count, avg_request_time, avg_requests,
+           stddev_requests, z_score,
+           ((z_score IS NOT NULL AND abs(z_score) > {FIXTURE_Z})
+            OR (avg_requests IS NULL AND request_count > {FIXTURE_NEW_KEY_COUNT}))
+               AS is_anomaly,
+           CASE WHEN z_score > {FIXTURE_Z} THEN 'Traffic spike detected'
+                WHEN z_score < -{FIXTURE_Z} THEN 'Traffic drop detected'
+                WHEN avg_requests IS NULL
+                     AND request_count > {FIXTURE_NEW_KEY_COUNT}
+                     THEN 'New high-volume source'
+                ELSE NULL END AS anomaly_reason
+    FROM scored
+"""
+
+
+def _zscore_frames(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = F.lit(BATCH_START).cast("timestamp"), F.lit(AS_OF).cast("timestamp")
+    batch = ev.filter((F.col("ts") > lo) & (F.col("ts") <= hi))
+    history = aggregates.hourly_reagg(
+        ev, key="user_id", ts="ts", as_of=BATCH_START, lookback_days=7
+    )
+    stats = aggregates.key_stats(batch, "user_id", "value")
+    scored = anomaly.score_keys(
+        stats,
+        history,
+        "user_id",
+        z_threshold=FIXTURE_Z,
+        new_key_count=FIXTURE_NEW_KEY_COUNT,
+    )
+    return batch, scored
+
+
+@query("zscore_anomaly", _ZSCORE_SQL)
+def zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + P9/P11-P15: per-key z-score scoring of the trailing-day batch
+    against the prior 7-day hourly history (reference
+    anomaly_detection.py:56-75)."""
+    _, scored = _zscore_frames(spark, sf_dir)
+    return scored
+
+
+@query(
+    "anomaly_detail",
+    f"""
+    WITH scored AS ({_ZSCORE_SQL}),
+    anomalies AS (
+        SELECT user_id,
+               round(abs(z_score), 6) AS anomaly_score,
+               is_anomaly, anomaly_reason
+        FROM scored WHERE is_anomaly
+    )
+    SELECT CAST(e.ts AS TIMESTAMP) AS "timestamp",
+           e.user_id,
+           '/api/' || e.event_type || '/u' || e.user_id AS request_uri,
+           a.anomaly_score, a.is_anomaly, a.anomaly_reason
+    FROM events e
+    JOIN anomalies a USING (user_id)
+    WHERE CAST(e.ts AS TIMESTAMP) > TIMESTAMP '{BATCH_START}'
+      AND CAST(e.ts AS TIMESTAMP) <= TIMESTAMP '{AS_OF}'
+    """,
+)
+def anomaly_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 + P11/P21: sample requests for anomalous keys
+    (reference anomaly_detection.py:80-98)."""
+    batch, scored = _zscore_frames(spark, sf_dir)
+    anomalies = scored.filter(F.col("is_anomaly"))
+    batch_uri = batch.withColumn(
+        "request_uri",
+        F.concat(
+            F.lit("/api/"),
+            F.col("event_type"),
+            F.lit("/u"),
+            F.col("user_id").cast("string"),
+        ),
+    )
+    return anomaly.detail(batch_uri, anomalies, "user_id", "ts", "request_uri")
+
+
+_FEATURES_INPUT_SQL = f"""
+    SELECT endpoint,
+           CASE CAST(prop_k % 3 AS BIGINT) WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+                ELSE 'PUT' END AS request_method,
+           CAST(100 + prop_k * 10 AS BIGINT) AS request_length,
+           ts AS "timestamp",
+           CASE WHEN prop_k % 7 = 0 THEN ''
+                ELSE 'C' || CAST(prop_k % 7 AS VARCHAR) END
+               AS geoip2_country_code,
+           CAST(200 + (prop_k % 5) * 100 AS BIGINT) AS status_code,
+           value_seconds AS request_time_seconds,
+           event_id
+    FROM ({EVENTS_PARSED_SQL}) parsed
+"""
+
+_FEATURES_SQL_TMPL = f"""
+    SELECT endpoint, request_method,
+           CAST(request_length AS FLOAT) AS request_length,
+           CAST(EXTRACT(HOUR FROM "timestamp") AS BIGINT) AS hour_of_day,
+           CASE WHEN geoip2_country_code IS NULL OR geoip2_country_code = ''
+                THEN 'UNKNOWN' ELSE geoip2_country_code END AS country,
+           status_code, request_time_seconds
+    FROM ({_FEATURES_INPUT_SQL}) fi
+    WHERE request_time_seconds IS NOT NULL
+      AND request_time_seconds > 0
+      AND endpoint <> ''
+    {{tail}}
+"""
+
+_FEATURES_SQL = _FEATURES_SQL_TMPL.format(tail="")
+
+
+def _features_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = events_parsed(load_table(spark, sf_dir, "events"))
+    k = F.col("prop_k")
+    return parsed.select(
+        "endpoint",
+        F.when(k % 3 == 0, "GET").when(k % 3 == 1, "POST").otherwise("PUT").alias(
+            "request_method"
+        ),
+        (F.lit(100) + k * 10).cast("bigint").alias("request_length"),
+        F.col("ts").alias("timestamp"),
+        F.when(k % 7 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("C"), (k % 7).cast("string"))
+        ).alias("geoip2_country_code"),
+        (F.lit(200) + (k % 5) * 100).cast("bigint").alias("status_code"),
+        F.col("value_seconds").alias("request_time_seconds"),
+        "event_id",
+    )
+
+
+@query(
+    "training_features",
+    _FEATURES_SQL_TMPL.format(
+        tail=f"ORDER BY fi.event_id LIMIT {features.TRAINING_CAP}"
+    ),
+)
+def training_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/P16/P17/P20 + ordered cap (reference
+    response_time_prediction.py:71-87)."""
+    return features.training_features(
+        _features_input(spark, sf_dir), order_key="event_id"
+    )
+
+
+@query("predict_features", _FEATURES_SQL)
+def predict_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF twin of the training projection, intent-correct conjunction
+    (reference response_time_prediction.py:161-174; bug note SURVEY §2.2²)."""
+    return features.feature_projection(_features_input(spark, sf_dir))
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over lineitem — the engine's headline batch-agg
+    benchmark (sum/avg/count the reference never exposes, SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_endpoints",
+    """
+    SELECT event_type, event_id, value, rn
+    FROM (
+        SELECT event_type, event_id, value,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
+        FROM events
+    ) ranked
+    WHERE rn <= 5
+    """,
+)
+def top_endpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k per key (SURVEY §2.5 gap-fill / M6)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ranking.topk_per_key(ev, "event_type", "value", "event_id", 5)
+        .select(
+            "event_type", "event_id", "value", F.col("rn").cast("bigint").alias("rn")
+        )
+    )
+
+
+@query(
+    "distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS distinct_keys,
+           count(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (SURVEY §2.4 note)."""
+    return aggregates.distinct_counts(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+@query("approx_distinct_users")  # estimate — rows-only check, no SQL oracle
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct estimate — the 100 TB-scale variant."""
+    return aggregates.approx_distinct_counts(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    )

@@ -1,0 +1,97 @@
+"""Batch sources.
+
+The reference's sources are Kafka (streaming, reference ingestor/main.py:57-63)
+and a JDBC-subquery back-channel to Postgres (reference
+predictions/anomaly_detection.py:33-53). In this engine every batch source is
+a columnar scan that Catalyst can push filters/projections into:
+
+  * Parquet fixture tables (the TPC-H-ish star + events/documents/embeddings).
+  * JSONL nginx access-log files parsed against the canonical 39-field schema
+    (no schema inference — fixed StructType, like the reference's from_json).
+
+Nanosecond-timestamp parquet: Spark has no TIMESTAMP(NANOS) type, so columns
+written as ns (e.g. events.ts) are read as epoch-nano longs
+(``spark.sql.legacy.parquet.nanosAsLong``) and normalized to microsecond
+TIMESTAMP with integer division — bit-identical to DuckDB's
+``CAST(ts_ns AS TIMESTAMP)`` truncation, which keeps oracle comparisons
+exact. Detection uses a single parquet footer (driver-side metadata read,
+O(1) regardless of table size).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nginx_analytics_spark.schema import NGINX_LOG_SCHEMA
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ns_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — from one file footer."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked into the image
+        return []
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return []
+        path = files[0]
+    schema = pq.read_schema(path)
+    out = []
+    for field in schema:
+        if str(field.type).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with ns-timestamp normalization."""
+    ns_cols = _ns_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # div (integer division) keeps full precision on epoch-nanos;
+        # a float division would round at the 2^53 mantissa boundary.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from ``{sf_dir}/{name}.parquet``."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register every fixture table as a temp view (the catalog surface the
+    reference exposed through Superset datasets, reference
+    superset/setup_dashboards.py:54-59)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_nginx_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read nginx access-log JSONL with the fixed wire schema.
+
+    Equivalent of the reference's Kafka-value ``from_json`` path
+    (reference ingestor/main.py:66-67) for file-backed input: PERMISSIVE
+    mode, malformed rows -> all-NULL, no inference.
+    """
+    return spark.read.schema(NGINX_LOG_SCHEMA).json(path)

@@ -1,0 +1,113 @@
+"""Warehouse — the engine's Parquet-backed store.
+
+Replaces the reference's Postgres warehouse (reference postgres/init.sql):
+
+  raw_logs                   -> Parquet partitioned by log_date (daily)
+  anomalies                  -> Parquet append
+  response_time_predictions  -> Parquet append
+  traffic_forecasts          -> Parquet append (dead schema in the reference,
+                                init.sql:71-77 — implemented as a real sink)
+
+Index translation (SURVEY.md §1.3): the reference's btree indexes on
+timestamp/endpoint/remote_addr become (a) daily partition pruning on
+log_date for every trailing-window predicate, and (b) Parquet min/max
+row-group stats — we sort within partitions by remote_addr so point/IP
+predicates prune row groups. ``DEFAULT CURRENT_TIMESTAMP`` columns
+(init.sql:57, :67, :76) are stamped at write.
+
+Scale notes: daily partitions at 100 TB/year ≈ 280 GB/day — healthy
+partition size for pruning without small-file explosion; within a day the
+writer targets file sizes via the session's maxRecordsPerFile/AQE coalesce
+rather than a fixed repartition count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RAW_LOGS = "raw_logs"
+ANOMALIES = "anomalies"
+RESPONSE_TIME_PREDICTIONS = "response_time_predictions"
+TRAFFIC_FORECASTS = "traffic_forecasts"
+
+RESULT_TABLES = (ANOMALIES, RESPONSE_TIME_PREDICTIONS, TRAFFIC_FORECASTS)
+
+
+class Warehouse:
+    """A directory of Parquet tables + session-catalog views."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    # -- writers ----------------------------------------------------------
+
+    def append_raw_logs(self, enriched: DataFrame, sort_by: str = "remote_addr") -> None:
+        """Append enriched events, partitioned by log_date.
+
+        ``sortWithinPartitions`` clusters each file by the hottest point-
+        lookup key so Parquet min/max stats act as the btree replacement.
+        """
+        (
+            enriched.withColumn("log_date", F.to_date("timestamp"))
+            .sortWithinPartitions(sort_by)
+            .write.mode("append")
+            .partitionBy("log_date")
+            .parquet(self.path(RAW_LOGS))
+        )
+
+    def append(self, table: str, df: DataFrame, stamp: str | None = None) -> None:
+        """Append a result frame; ``stamp`` adds the DEFAULT
+        CURRENT_TIMESTAMP column of the reference DDL."""
+        if stamp:
+            df = df.withColumn(stamp, F.current_timestamp())
+        df.write.mode("append").parquet(self.path(table))
+
+    def append_anomalies(self, df: DataFrame) -> None:
+        self.append(ANOMALIES, df, stamp="detection_time")
+
+    def append_predictions(self, df: DataFrame) -> None:
+        self.append(RESPONSE_TIME_PREDICTIONS, df, stamp="prediction_timestamp")
+
+    def append_forecasts(self, df: DataFrame) -> None:
+        self.append(TRAFFIC_FORECASTS, df, stamp="prediction_timestamp")
+
+    # -- readers / catalog ------------------------------------------------
+
+    def table(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return False
+        for _, _, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def register_views(self) -> None:
+        """The Superset-dataset equivalent: every table as a SELECT * view
+        (reference superset/setup_dashboards.py:54-59)."""
+        for t in (RAW_LOGS, *RESULT_TABLES):
+            if self.exists(t):
+                self.table(t).createOrReplaceTempView(t)
+
+    def raw_logs_window(self, as_of: str, days: int) -> DataFrame:
+        """Trailing-window scan of raw_logs with partition pruning: the
+        log_date predicate prunes daily partitions before any file is
+        opened — the 100 TB replacement for the reference's
+        ``timestamp > NOW() - INTERVAL '7 days'`` btree scan."""
+        hi = F.lit(as_of).cast("timestamp")
+        lo = hi - F.expr(f"INTERVAL {days} DAYS")
+        return self.table(RAW_LOGS).filter(
+            (F.col("log_date") >= F.to_date(lo))
+            & (F.col("timestamp") > lo)
+            & (F.col("timestamp") <= hi)
+        )

@@ -1,0 +1,91 @@
+"""Streaming ingest job — the reference's ingestor re-expressed.
+
+Reference (ingestor/main.py): Kafka -> CAST value -> from_json(39 cols) ->
+UA scrub -> typed derivations -> foreachBatch JDBC append to Postgres,
+with THREE separate actions per batch (isEmpty, write, count — each
+recomputing the parse, SURVEY.md §3.1). Here:
+
+  * source is pluggable: any streaming DataFrame with a string ``value``
+    column (file-stream of JSONL in tests — S3/Kafka in production carry
+    the same contract);
+  * the batch function runs ONE computation: persist -> write -> count
+    from the persisted frame -> unpersist;
+  * sink is the partitioned Parquet warehouse (date partition pruning at
+    read time replaces the btree indexes).
+
+Streaming config parity (SURVEY.md §2.6): checkpointing (T5), pluggable
+trigger (T3), append output mode (T4), awaitTermination (T7). Offset
+policy (T6) belongs to the Kafka source options when that source is used.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from nginx_analytics_spark.operators.parse import parse_enrich_validated
+from nginx_analytics_spark.schema import NGINX_LOG_SCHEMA
+from nginx_analytics_spark.sources.warehouse import Warehouse
+
+
+def jsonl_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-backed stand-in for the Kafka value stream: each line one JSON
+    event, exposed as a single ``value: string`` column (the Kafka value
+    contract, reference ingestor/main.py:66)."""
+    return spark.readStream.text(path).withColumnRenamed("value", "value")
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """The production source (reference ingestor/main.py:57-63). Requires
+    the spark-sql-kafka package on the classpath; not available in the
+    test image, so this is exercised only by its option contract."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+
+
+def start_ingest(
+    raw_stream: DataFrame,
+    warehouse: Warehouse,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """parse_enrich the stream and append to raw_logs, one action per batch.
+
+    ``trigger``: kwargs for DataStreamWriter.trigger (e.g.
+    ``{"availableNow": True}`` in tests, ``{"processingTime": "1 minute"}``
+    for the reference cadence).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = parse_enrich_validated(batch_df)
+        enriched.persist()
+        try:
+            warehouse.append_raw_logs(enriched)
+            n = enriched.count()  # served from cache — no recompute
+            if on_batch is not None:
+                on_batch(batch_id, n)
+        finally:
+            enriched.unpersist()
+
+    writer = (
+        raw_stream.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
