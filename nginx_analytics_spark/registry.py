@@ -399,3 +399,110 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.approx_distinct_counts(
         load_table(spark, sf_dir, "events"), "event_type", "user_id"
     )
+
+
+# --------------------------------------------------------------------------
+# M4 — streaming (T1/T2/T3/T4 exercised through a real StreamingQuery)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "windowed_events",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    m AS (SELECT max(ts) - INTERVAL '1 minute' AS wm FROM e),
+    b AS (
+        SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+               event_type, count(*) AS n_events
+        FROM e GROUP BY 1, 2
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 minute' AS window_end,
+           event_type, n_events
+    FROM b, m
+    WHERE window_start + INTERVAL '1 minute' <= m.wm
+    """,
+)
+def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2+A5 as a REAL streaming query: watermark 1 min, tumbling 1-min
+    window, append mode, Trigger.AvailableNow (reference
+    anomaly_detection.py:179-185). The oracle replicates append-mode
+    emission: only windows whose end <= max(event_time) - delay are out."""
+    from nginx_analytics_spark.sources.readers import events_stream
+    from nginx_analytics_spark.streaming.windows import (
+        run_windowed_counts_available_now,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    return run_windowed_counts_available_now(
+        stream, ts="ts", delay="1 minute", window="1 minute", keys=("event_type",)
+    )
+
+
+@query("streaming_ingest_roundtrip")  # rows-only: multi-sink side effects
+def streaming_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/T3/T5 end-to-end: synthesize nginx JSONL from the fixture, stream
+    it through the real parse_enrich ingest (foreachBatch -> partitioned
+    Parquet warehouse), read the warehouse back and return per-date counts.
+    """
+    import shutil
+    import tempfile
+
+    from nginx_analytics_spark.operators.logview import events_as_nginx_jsonl
+    from nginx_analytics_spark.sources.warehouse import Warehouse
+    from nginx_analytics_spark.streaming.ingest import jsonl_stream, start_ingest
+
+    work = tempfile.mkdtemp(prefix="nas_ingest_")
+    jsonl_dir, wh_dir, ckpt = (
+        f"{work}/jsonl",
+        f"{work}/warehouse",
+        f"{work}/ckpt",
+    )
+    events_as_nginx_jsonl(load_table(spark, sf_dir, "events")).coalesce(
+        4
+    ).write.mode("overwrite").text(jsonl_dir)
+    wh = Warehouse(spark, wh_dir)
+    q = start_ingest(
+        jsonl_stream(spark, jsonl_dir), wh, ckpt, trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+    out = (
+        wh.table("raw_logs")
+        .groupBy("log_date")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("log_date")
+    )
+    rows = out.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+# --------------------------------------------------------------------------
+# M5 — ML (not SQL-expressible: rows-only checks)
+# --------------------------------------------------------------------------
+
+
+@query("rt_model_predictions")  # MLlib — rows-only check
+def rt_model_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2-U7: train the response-time pipeline on the training projection,
+    score the predict projection, return the predictions shape
+    (reference response_time_prediction.py:99-144, :194-203)."""
+    import tempfile
+
+    from nginx_analytics_spark.ml import response_time
+
+    feats = features.training_features(
+        _features_input(spark, sf_dir), order_key="event_id"
+    )
+    model_path = tempfile.mkdtemp(prefix="nas_model_") + "/response_time_model"
+    model = response_time.train(feats, model_path=model_path)
+    if model is None:  # below the 100-row reference gate
+        return spark.createDataFrame(
+            [], "endpoint string, request_method string, "
+            "predicted_time double, actual_time double"
+        )
+    loaded = response_time.load(model_path)  # exercise S10 save/load
+    preds = response_time.predict(
+        loaded, features.feature_projection(_features_input(spark, sf_dir))
+    )
+    return preds

@@ -87,6 +87,40 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a file-backed STREAMING source.
+
+    Spark's file stream source requires a directory, so the single fixture
+    file is staged via symlink under /tmp (testdata itself is read-only).
+    The ns-timestamp column arrives as epoch-nano long (same shim as the
+    batch reader) and is normalized to a µs TIMESTAMP named ``ts``.
+    """
+    from pyspark.sql import types as T
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        "/tmp",
+        "nas_stream_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(stage)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def read_nginx_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """Read nginx access-log JSONL with the fixed wire schema.
 

@@ -48,6 +48,37 @@ def windowed_counts(
     )
 
 
+def run_windowed_counts_available_now(
+    stream: DataFrame,
+    ts: str = "timestamp",
+    delay: str = "1 minute",
+    window: str = "1 minute",
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Drive a watermarked windowed count to completion with
+    Trigger.AvailableNow and return the emitted (append-mode) result.
+
+    Emission semantics (verified empirically against the batch equivalent):
+    after the final no-data micro-batch, append mode has emitted exactly the
+    windows with window_end <= max(event_time) - delay; later windows stay
+    in state and are withheld — the oracle for this operator replicates
+    that predicate in SQL.
+    """
+    import uuid
+
+    agg = windowed_counts(stream, ts=ts, delay=delay, window=window, keys=keys)
+    sink = "windowed_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(sink)
+
+
 def start_anomaly_job(
     enriched_stream: DataFrame,
     warehouse: Warehouse,
