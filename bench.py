@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark — the driver's per-round BENCH_r{N}.json feed.
+
+Runs the engine's representative query set at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Methodology:
+  * Each query executes end-to-end into a ``noop`` sink — full computation,
+    no driver collection and no disk-write cost in the measurement.
+  * One untimed warmup query first amortizes JVM/codegen startup so the
+    numbers reflect steady-state engine throughput, not boot cost.
+  * The set spans the reference surface (parse/enrich, aggregations, the
+    z-score anomaly chain, feature projections, top-k windows) plus the
+    corpus operators (MinHash dedup, ANN, text stats) — the shapes that
+    dominate at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = [
+    # reference-surface shapes
+    "count_raw",
+    "parse_enrich",
+    "batch_ip_stats",
+    "hourly_reagg",
+    "zscore_anomaly",
+    "anomaly_detail",
+    "training_features",
+    "pricing_summary",
+    "top_endpoints",
+    "distinct_users",
+    "approx_distinct_users",
+    # corpus / data-pipeline shapes (M6)
+    "exact_dedup_events",
+    "minhash_dedup_pairs",
+    "simhash_near_dup",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "token_stats",
+    "language_id",
+    "doc_quality",
+    "doc_fingerprint",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from nginx_analytics_spark import registry
+    from nginx_analytics_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="nginx_analytics_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    queries = registry.queries()
+
+    def run(name: str) -> float:
+        t0 = time.monotonic()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    run("count_raw")  # warmup (untimed)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run(name), 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

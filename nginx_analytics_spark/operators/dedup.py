@@ -1,0 +1,329 @@
+"""Deduplication operators — the LLM-training-data extension (SURVEY.md §7 M6).
+
+The reference stops at ``dropDuplicates`` being *implied* by its at-least-once
+upstream (SURVEY.md §2.5, producer/main.py:85-101); a 100 TB corpus pipeline
+needs the full ladder:
+
+  * exact dedup           — hash-groupBy on a (normalized) key; one shuffle.
+  * MinHash + LSH         — shingle -> k minhashes -> banded bucket join;
+                            near-linear candidate generation, exact Jaccard
+                            verification only on candidates.
+  * SimHash               — 64-bit bitwise fingerprint, hamming-banded.
+  * n-gram Jaccard        — the exact similarity metric (verification stage).
+  * embedding cosine      — near-dup by vector similarity (see similarity.py
+                            for the LSH-bucketed scale path).
+
+Everything below is pure ``pyspark.sql.functions`` — no Python UDFs, no
+driver-side collection; all hashing is JVM-side ``xxhash64`` inside
+higher-order functions, so the hot path stays in whole-stage codegen.
+
+Scale notes (100 TB):
+  * LSH banding turns the O(n²) pair problem into |bands| shuffles keyed by
+    (band_idx, band_hash); bucket sizes are bounded by real collision rates,
+    and AQE skew-join splitting handles a hot bucket.
+  * The candidate self-join carries only (id, band keys); shingle sets are
+    re-joined per side afterwards so the wide text column never rides
+    through the bucket shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# MinHash defaults: 32 permutations banded 16x2. Candidate probability at
+# similarity s is 1-(1-s^2)^16: ~0.1% miss rate at the 0.6 output threshold,
+# effectively 0 above 0.8 — while pairs at background similarity (s~0.01)
+# collide with P~2e-3, keeping the candidate set near-linear even when the
+# corpus shares a small vocabulary (r=1 banding degrades to ~s per band and
+# blows up quadratically on such corpora).
+NUM_HASHES = 32
+ROWS_PER_BAND = 2
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 x 16-bit chunks: catches all pairs with hamming <= 3
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text key for exact dedup: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Exact dedup: keep the first row per key, ordered by ``order_col``.
+
+    ``row_number`` over a hash-partitioned window — one shuffle on the dedup
+    key, deterministic survivor choice (unlike ``dropDuplicates``, which
+    keeps an arbitrary row and is therefore not oracle-comparable).
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles of a whitespace-tokenized text.
+
+    Documents with fewer than ``n`` tokens contribute their whole text as a
+    single shingle (so they can still be exact-duplicate-matched).
+
+    The token array is bound ONCE per row via a single-element ``transform``
+    lambda (a let-binding): naively inlining ``split(text)`` into every
+    ``element_at`` re-tokenizes the row ~3x per shingle — hundreds of array
+    allocations per row — which measured ~50x slower on the 5k-doc fixture.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+
+    def build(w: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        )
+        return F.array_distinct(
+            F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(F.array(t))
+        )
+
+    return F.element_at(F.transform(F.array(F.split(t, " ")), build), 1)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """k-permutation MinHash signature as an array<long>.
+
+    Each "permutation" is ``xxhash64(shingle, seed_i)``; the signature entry
+    is the minimum over the shingle set. k linear passes over the shingle
+    array, all JVM-side.
+
+    The seed must be bound through a factory, NOT a ``lambda s, i=i:``
+    default arg — pyspark counts Python lambda parameters to decide the HOF
+    arity, so a defaulted second arg silently becomes transform's
+    *element-index* variable (making every "permutation" identical and
+    position-dependent — a 0.99-Jaccard pair with one shingle inserted
+    early then shares no signature positions at all).
+    """
+
+    def perm(i: int) -> Column:
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+
+    return F.array(*[perm(i) for i in range(num_hashes)])
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str = "signature",
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: ids sharing ≥1 band of their signature.
+
+    posexplode the signature into (band_idx, band_hash) keys and self-join on
+    them — the standard near-linear LSH plan. Returns distinct (id_a, id_b)
+    with id_a < id_b. Only (id, band) rides the shuffle.
+    """
+    n = rows_per_band
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                # band b = hash of signature rows [b*n, (b+1)*n)
+                F.sequence(F.lit(0), (F.size(sig_col) / n).cast("int") - 1),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",", F.slice(F.col(sig_col), b * n + 1, n).cast("array<string>")
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return inter.cast("double") / union
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash-LSH candidates + exact Jaccard verify.
+
+    Output: (id_a, id_b, jaccard) for every pair with shingle-set Jaccard
+    >= threshold. The LSH stage only prunes the pair space; the reported
+    similarity is exact, so (modulo the ~(1-t)^k missed-candidate odds
+    documented above) this equals the brute-force O(n²) answer — which is
+    exactly what the DuckDB oracle computes.
+    """
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    sigs = sh.select(
+        id_col, minhash_signature(F.col("shingles"), num_hashes).alias("signature")
+    )
+    cands = lsh_candidate_pairs(sigs, id_col)
+    j = jaccard(F.col("sa.shingles"), F.col("sb.shingles"))
+    if round_to is not None:
+        j = F.round(j, round_to)
+    return (
+        cands.join(sh.alias("sa"), cands.id_a == F.col(f"sa.{id_col}"))
+        .join(sh.alias("sb"), cands.id_b == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """64-bit SimHash of the whitespace token stream (as a signed long).
+
+    Per token: xxhash64 -> each bit votes +1/-1; fingerprint bit b is set
+    iff the summed vote at b is positive. Implemented as a single
+    ``aggregate`` over the token array with an array<int> vote accumulator —
+    all JVM expressions.
+    """
+    # Two performance-critical shapes here:
+    #   * bit positions unrolled as Python ints (pyspark shift functions
+    #     take literal bit counts, not Columns);
+    #   * the token-hash array is let-bound once via a single-element
+    #     transform, and votes are 64 allocation-free integer folds over it
+    #     — a per-token 64-element vote-array zip_with allocates two arrays
+    #     per token per row and measured ~30x slower.
+    hashes = F.transform(F.split(text, " "), lambda t: F.xxhash64(t))
+
+    def fingerprint_of(h: Column) -> Column:
+        # factory, not `b=b` lambda defaults: pyspark derives the number of
+        # HOF lambda variables from the Python signature, so a default arg
+        # becomes a third (Column) parameter.
+        def vote(b: int) -> Column:
+            return F.aggregate(
+                h,
+                F.lit(0),
+                lambda acc, hh: acc
+                + F.shiftright(hh, b).bitwiseAND(F.lit(1)).cast("int") * 2
+                - 1,
+            )
+
+        votes = [vote(b) for b in range(bits)]
+        fp = F.lit(0).cast("bigint")
+        for b in range(bits):
+            fp = fp.bitwiseOR(
+                F.when(
+                    votes[b] > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
+        return fp
+
+    return F.element_at(F.transform(F.array(hashes), fingerprint_of), 1)
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: hamming(fp_a, fp_b) <= max_hamming.
+
+    Candidate generation by chunk-banding (pigeonhole: any pair within
+    hamming <= bands-1 shares at least one identical 64/bands-bit chunk),
+    then exact hamming verification via bit_count(xor). Requires
+    ``max_hamming < bands`` for exact recall.
+    """
+    if max_hamming >= bands:
+        raise ValueError("exact recall needs max_hamming < bands")
+    chunk = SIMHASH_BITS // bands
+    fp = docs.select(F.col(id_col), simhash(text_col).alias("fp"))
+    banded = fp.select(
+        id_col,
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("fp"), b * chunk).bitwiseAND(
+                        F.lit((1 << chunk) - 1)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_dedup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Near-dup pairs by exact embedding cosine >= threshold.
+
+    This is the *correctness baseline*: an exact all-pairs self-join (the
+    DuckDB oracle computes the same thing). It is O(n²) and meant for
+    verification scale; at corpus scale use
+    :func:`similarity.hyperplane_lsh_pairs`, which buckets by
+    random-hyperplane signature first and verifies with this same exact
+    cosine only inside buckets.
+    """
+    from nginx_analytics_spark.operators.similarity import cosine
+
+    v = emb.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    c = cosine(F.col("a.v"), F.col("b.v"))
+    if round_to is not None:
+        c = F.round(c, round_to)
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            c.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (SURVEY.md §7 M6).
+
+An ``array<float>`` embedding column is searched two ways:
+
+  * :func:`brute_force_topk` — exact cosine top-k. The query side is tiny
+    (broadcast); the corpus side streams through one codegen'd stage of
+    ``zip_with``/``aggregate`` arithmetic. Exact, and at 100 TB still the
+    right *verification* path and the right plan for small query batches
+    (cost = one corpus scan per batch, no index build).
+  * :func:`hyperplane_lsh_*` — random-hyperplane (SRP) signatures bucket the
+    corpus so candidate generation is a hash join instead of a cross
+    product; exact cosine re-ranks only candidates. This is the scale path:
+    signature build is one scan, bucket join shuffles only (id, bucket).
+
+No Python UDFs: the dot product is ``aggregate(zip_with(a, b, *), +)`` —
+JVM higher-order functions inside whole-stage codegen. Hyperplanes are a
+deterministic seeded constant (array literal broadcast with the plan), so
+results are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec: Column | str) -> Column:
+    """float[] -> double[] so all arithmetic folds in float64."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic, oracle-bit-exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k corpus neighbors for each query vector.
+
+    ``queries`` is broadcast (a query batch is small by construction), so
+    the join is a broadcast nested loop over one corpus scan — no corpus
+    shuffle. Ranking rounds the cosine first and tie-breaks on neighbor id,
+    making the top-k set deterministic and oracle-comparable.
+    """
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
+    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv"))
+    scored = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            "cosine",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side constant).
+
+    Generated once per plan from a fixed seed; shipped to executors as an
+    array literal, so signatures are stable across runs and cluster sizes.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection signature: bit i = 1 iff dot(v, plane_i) > 0.
+
+    Returned as one long (n_planes <= 64)."""
+    plane_lits = [
+        F.array(*[F.lit(float(x)) for x in p]) for p in planes
+    ]
+    bits = [
+        F.when(dot(vec, pl) > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for i, pl in enumerate(plane_lits)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: SRP-signature band join, exact cosine re-rank.
+
+    Corpus and queries are signed against the same hyperplanes; a pair is a
+    candidate if any band (n_planes/bands consecutive bits) matches.
+    Candidates get the exact cosine; top-k per query by the same
+    deterministic ordering as :func:`brute_force_topk`. Recall depends on
+    (n_planes, bands) — the test suite measures it against brute force.
+
+    Scale shape: candidate rows carry ONLY (query_id, id) through the band
+    join and the distinct — vectors are re-joined afterwards (distinct over
+    rows carrying two 64-double arrays measured ~5x slower). The double
+    vector and signature are each materialized once per frame in separate
+    projections; Catalyst's CollapseProject keeps non-cheap aliases
+    referenced more than once un-inlined, so they are computed once per row.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    chunk = n_planes // bands
+    mask = (1 << chunk) - 1
+
+    def vectors(df: DataFrame, idc: str, vname: str) -> DataFrame:
+        return df.select(F.col(idc), as_double(vec_col).alias(vname))
+
+    def banded(vecs: DataFrame, idc: str, vname: str) -> DataFrame:
+        return vecs.select(
+            F.col(idc), srp_signature(F.col(vname), planes).alias("sig")
+        ).select(
+            idc,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("sig"), b * chunk).bitwiseAND(
+                            F.lit(mask)
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_val"),
+        )
+
+    cv = vectors(corpus, id_col, "cv")
+    qv = vectors(queries, query_id_col, "qv")
+    cb = banded(cv, id_col, "cv")
+    qb = banded(qv, query_id_col, "qv")
+    cands = (
+        cb.join(
+            F.broadcast(qb),
+            (cb.band_idx == qb.band_idx)
+            & (cb.band_val == qb.band_val)
+            & (F.col(id_col) != F.col(query_id_col)),
+        )
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    scored = (
+        cands.join(cv, id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            "cosine",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )

@@ -1,0 +1,168 @@
+"""Text analysis operators over the ``documents`` table (SURVEY.md §7 M6).
+
+Corpus-pipeline primitives the reference's log-only surface lacks:
+
+  * :func:`token_stats`    — whitespace + BPE-ish regex token counting.
+  * :func:`language_id`    — stopword-profile n-gram heuristic language ID.
+  * :func:`quality_score`  — length / punctuation / diversity scoring.
+  * :func:`fingerprint`    — polynomial rolling-hash document fingerprints.
+
+All pure ``pyspark.sql.functions`` column expressions — whole-stage
+codegen, no Python. Each operator is written to be *oracle-expressible*:
+the same arithmetic exists in ANSI-SQL form in the registry, and the
+deterministic integer/regex primitives were parity-checked between Spark
+(Java regex, sequential folds) and DuckDB (RE2, list_reduce).
+
+Scale: every operator is a narrow map over one text column — no shuffle,
+no state; they pipeline into the scan stage at any data size. The
+production fingerprint for dedup keys is ``xxhash64`` (one JVM call); the
+polynomial hash here exists for cross-engine verifiability and rolling
+(prefix) use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single punctuation.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Tiny per-language stopword profiles (top function words). The classifier
+# scores each profile by token hits; argmax with a fixed tie-break order.
+STOPWORD_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu", "auf"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "se", "por"),
+    "fr": ("le", "la", "les", "des", "et", "est", "un", "une", "du", "que"),
+    "zh": ("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "zhe"),
+}
+LANG_ORDER = ("en", "de", "es", "fr", "zh")  # deterministic tie-break
+
+POLY_BASE = 131
+POLY_MOD = 1_000_000_007
+
+
+def tokens(text: Column | str) -> Column:
+    return F.split(text, " ")
+
+
+def profile_hits(text_tokens: Column, profile: tuple[str, ...]) -> Column:
+    """Number of tokens (with multiplicity) found in a stopword profile."""
+    lit_profile = F.array(*[F.lit(w) for w in profile])
+    return F.size(F.filter(text_tokens, lambda t: F.array_contains(lit_profile, t)))
+
+
+def token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens, char count."""
+    t = tokens(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(t).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(text_col, F.lit(BPE_TOKEN_RE), F.lit(0))
+        ).alias("bpe_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.size(F.array_distinct(t)).alias("distinct_tokens"),
+    )
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic language ID: argmax of stopword-profile hit counts.
+
+    Emits the per-profile scores and the predicted language; ties resolve
+    in LANG_ORDER (an ordered CASE — same arithmetic as the SQL oracle).
+    Documents hitting no profile at all predict 'und' (undetermined).
+    """
+    t = tokens(text_col)
+    scores = {lang: profile_hits(t, STOPWORD_PROFILES[lang]) for lang in LANG_ORDER}
+    out = docs.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
+    )
+    pred = F.when(
+        sum(F.col(f"score_{lang}") for lang in LANG_ORDER) == 0, F.lit("und")
+    )
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = pred.when(cond, F.lit(lang))
+    return out.withColumn("predicted_lang", pred)
+
+
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Document quality heuristics: length, diversity, punctuation, stopwords.
+
+    quality = 0.4*min(1, ws_tokens/100) + 0.3*type_token_ratio
+            + 0.2*(1 - punct_ratio) + 0.1*min(1, 4*stopword_ratio)
+    — a transparent linear rubric of the classic corpus-filtering signals
+    (Gopher/C4-style length & symbol heuristics), deterministic and
+    SQL-twinned for the oracle.
+    """
+    t = tokens(text_col)
+    n_tokens = F.size(t)
+    n_chars = F.length(text_col)
+    ttr = F.size(F.array_distinct(t)).cast("double") / n_tokens
+    punct = F.length(
+        F.regexp_replace(text_col, "[A-Za-z0-9 ]", "")
+    ).cast("double") / n_chars
+    stop = profile_hits(t, STOPWORD_PROFILES["en"]).cast("double") / n_tokens
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + 0.3 * ttr
+        + 0.2 * (1 - punct)
+        + 0.1 * F.least(F.lit(1.0), 4 * stop)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("ws_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(ttr, round_to).alias("type_token_ratio"),
+        F.round(punct, round_to).alias("punct_ratio"),
+        F.round(stop, round_to).alias("stopword_ratio"),
+        F.round(quality, round_to).alias("quality"),
+    )
+
+
+def poly_hash(text: Column | str, length: int | None = None) -> Column:
+    """Polynomial rolling hash over character codes (mod 1e9+7).
+
+    ``length`` limits to a prefix (the rolling-window use). O(len) lambda
+    folds — for production dedup keys prefer ``xxhash64``; this variant is
+    the cross-engine-verifiable fingerprint.
+    """
+    src = F.substring(text, 1, length) if length else (
+        F.col(text) if isinstance(text, str) else text
+    )
+    return F.aggregate(
+        F.transform(F.split(src, ""), lambda c: F.ascii(c).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * POLY_BASE + x) % POLY_MOD,
+    )
+
+
+def fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document fingerprints: 128-char-prefix and full-text rolling hashes,
+    plus the production xxhash64 content key (not oracle-compared — engine
+    hash seeds differ across systems by design)."""
+    return docs.select(
+        F.col(id_col),
+        poly_hash(text_col, 128).alias("prefix_fp"),
+        poly_hash(text_col).alias("full_fp"),
+        F.xxhash64(text_col).alias("content_key"),
+    )

@@ -506,3 +506,8 @@ def rt_model_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         loaded, features.feature_projection(_features_input(spark, sf_dir))
     )
     return preds
+
+
+# M6 (dedup / similarity / text / multimodal) queries register themselves on
+# import — must stay the last statement so the decorator above is defined.
+from nginx_analytics_spark import registry_dataops  # noqa: E402,F401

@@ -1,0 +1,380 @@
+"""M6 registry: training-data-pipeline queries over documents/embeddings.
+
+Dedup, similarity search, text analysis, and multimodal plumbing
+(SURVEY.md §7 M6; BASELINE.json north_star). Registered via the same
+``@query`` decorator as the core surface — importing this module populates
+:mod:`nginx_analytics_spark.registry`.
+
+Float convention for THIS module: ``floor(x*1e6 + 0.5)/1e6`` on both the
+Spark and SQL side instead of ``round`` — Spark's ``round`` rounds the
+shortest-decimal representation while DuckDB rounds the binary value, and
+they disagree on values like 1/640 whose decimal expansion terminates at
+the tie digit. The floor formula is the same IEEE op sequence in both
+engines, so parity is structural, not probabilistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nginx_analytics_spark.operators import dedup, multimodal, similarity, text
+from nginx_analytics_spark.registry import query
+from nginx_analytics_spark.sources import load_table
+
+JACCARD_THRESHOLD = 0.6
+COSINE_DUP_THRESHOLD = 0.4
+ANN_K = 5
+ANN_QUERY_COUNT = 10  # queries = vec_id < 10
+
+
+def r6(col: Column) -> Column:
+    """Engine-portable 6-dp half-up rounding (see module docstring)."""
+    return F.floor(col * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+
+R6_SQL = "floor(({x}) * 1000000 + 0.5) / 1000000"
+
+# Shared SQL fragments -----------------------------------------------------
+
+_SHINGLES_SQL = """
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(w) >= 3
+                    THEN [array_to_string(w[i:i+2], ' ')
+                          for i in range(1, len(w) - 1)]
+                    ELSE [text] END) AS sh
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+"""
+
+_COSINE_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup_events",
+    """
+    SELECT event_id, user_id, event_type
+    FROM (
+        SELECT event_id, user_id, event_type,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id) AS rn
+        FROM events
+    ) t
+    WHERE rn = 1
+    """,
+)
+def exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic survivor choice: first event per
+    (user_id, event_type). One shuffle on the dedup key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return dedup.exact_dedup(ev, keys=["user_id", "event_type"], order_col="event_id")
+
+
+@query(
+    "minhash_dedup_pairs",
+    f"""
+    WITH s AS ({_SHINGLES_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {R6_SQL.format(x="len(list_intersect(a.sh, b.sh))::DOUBLE"
+                            " / len(list_distinct(list_concat(a.sh, b.sh)))")}
+               AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def minhash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified. The oracle is
+    the brute-force O(n²) Jaccard — candidate recall at the 0.6 threshold
+    is 1 - (1-s)^16 ≈ 1 (see operators.dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, threshold=0.0, round_to=None  # threshold applied on r6 below
+    )
+    return pairs.select(
+        "id_a", "id_b", r6(F.col("jaccard")).alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@query("simhash_near_dup")  # engine-hash fingerprints — rows-only check
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 over 64-bit fingerprints,
+    4-chunk pigeonhole banding). xxhash64-based — not SQL-replicable by
+    design; property-tested in tests/test_dataops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs)
+
+
+@query(
+    "embedding_dedup_pairs",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {R6_SQL.format(x=_COSINE_SQL.format(a="a.v", b="b.v"))} AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE cosine >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def embedding_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by exact cosine (correctness baseline; the
+    LSH-bucketed scale path is ann_lsh_topk / hyperplane_lsh)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_dedup_pairs(emb, threshold=-2.0, round_to=None)
+    return pairs.select(
+        "id_a", "id_b", r6(F.col("cosine")).alias("cosine")
+    ).filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v
+          WHERE vec_id < {ANN_QUERY_COUNT}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {R6_SQL.format(x=_COSINE_SQL.format(a="q.qv", b="c.v"))} AS cosine
+        FROM v c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rn
+        FROM scored
+    ) t
+    WHERE rn <= {ANN_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k — the ANN correctness baseline.
+    Broadcast query batch, one corpus scan, rank on 6-dp-rounded cosine
+    with neighbor-id tie-break (deterministic)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_COUNT).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # round_to handled via r6 for engine parity: recompute rank on r6 value
+    c = emb.select("vec_id", similarity.as_double("embedding").alias("cv"))
+    q = queries.select("query_id", similarity.as_double("embedding").alias("qv"))
+    scored = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        r6(similarity.cosine(F.col("qv"), F.col("cv"))).alias("cosine"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_K)
+        .select("query_id", "neighbor_id", "cosine", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+@query("ann_lsh_topk")  # approximate — recall-tested, not oracle-matched
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN — the 100 TB path: signature band join
+    instead of cross product, exact cosine re-rank of candidates only.
+    Recall vs brute force asserted in tests/test_dataops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_COUNT).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.hyperplane_lsh_topk(emb, queries, k=ANN_K)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+               AS bpe_tokens,
+           length(text) AS n_chars,
+           len(list_distinct(string_split(text, ' '))) AS distinct_tokens
+    FROM documents
+    """,
+)
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting (narrow map, no shuffle)."""
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_scores_sql() -> str:
+    cols = []
+    for lang in text.LANG_ORDER:
+        words = ", ".join(f"'{w}'" for w in text.STOPWORD_PROFILES[lang])
+        cols.append(
+            f"len(list_filter(w, x -> list_contains([{words}], x))) AS score_{lang}"
+        )
+    return ",\n           ".join(cols)
+
+
+def _lang_case_sql() -> str:
+    total = " + ".join(f"score_{lg}" for lg in text.LANG_ORDER)
+    arms = [f"WHEN {total} = 0 THEN 'und'"]
+    for lang in text.LANG_ORDER:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}"
+            for other in text.LANG_ORDER
+            if other != lang
+        )
+        arms.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(arms) + " END"
+
+
+@query(
+    "language_id",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (
+        SELECT doc_id,
+           {_lang_scores_sql()}
+        FROM t
+    )
+    SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+           {_lang_case_sql()} AS predicted_lang
+    FROM s
+    """,
+)
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (argmax with fixed tie order)."""
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS w,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(w) AS ws_tokens,
+               n_chars,
+               len(list_distinct(w))::DOUBLE / len(w) AS ttr,
+               n_punct::DOUBLE / n_chars AS punct,
+               len(list_filter(w, x -> list_contains(
+                   [{", ".join(f"'{w}'" for w in text.STOPWORD_PROFILES["en"])}],
+                   x)))::DOUBLE / len(w) AS stop
+        FROM t
+    )
+    SELECT doc_id, ws_tokens, n_chars,
+           {R6_SQL.format(x="ttr")} AS type_token_ratio,
+           {R6_SQL.format(x="punct")} AS punct_ratio,
+           {R6_SQL.format(x="stop")} AS stopword_ratio,
+           {R6_SQL.format(
+               x="0.4 * least(1.0, ws_tokens / 100.0) + 0.3 * ttr"
+                 " + 0.2 * (1 - punct) + 0.1 * least(1.0, 4 * stop)")}
+               AS quality
+    FROM m
+    """,
+)
+def doc_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/diversity/punctuation/stopword quality rubric."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = text.tokens("text")
+    n_tokens = F.size(t)
+    n_chars = F.length("text")
+    ttr = F.size(F.array_distinct(t)).cast("double") / n_tokens
+    punct = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast(
+        "double"
+    ) / n_chars
+    stop = text.profile_hits(t, text.STOPWORD_PROFILES["en"]).cast("double") / n_tokens
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + 0.3 * ttr
+        + 0.2 * (1 - punct)
+        + 0.1 * F.least(F.lit(1.0), 4 * stop)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("ws_tokens"),
+        n_chars.alias("n_chars"),
+        r6(ttr).alias("type_token_ratio"),
+        r6(punct).alias("punct_ratio"),
+        r6(stop).alias("stopword_ratio"),
+        r6(quality).alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0, [ord(c)::BIGINT for c in split(text[1:128], '')]),
+               (acc, x) -> (acc * 131 + x) % 1000000007) AS prefix_fp,
+           list_reduce(
+               list_prepend(0, [ord(c)::BIGINT for c in split(text, '')]),
+               (acc, x) -> (acc * 131 + x) % 1000000007) AS full_fp
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprints (128-char prefix + full text). The
+    production content key is xxhash64 (see operators.text.fingerprint) —
+    excluded here because engine hash seeds differ by design."""
+    return text.fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "prefix_fp", "full_fp"
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               length(text)::BIGINT AS n_bytes,
+               list_reduce(
+                   list_prepend(0, [ord(c)::BIGINT for c in split(text, '')]),
+                   (acc, x) -> acc + x) AS bytesum
+        FROM documents
+    )
+    SELECT doc_id, n_bytes,
+           bytesum % 2147483648 AS checksum,
+           floor(bytesum::DOUBLE / n_bytes * 1000000 + 0.5) / 1000000
+               AS mean_byte
+    FROM s
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing end-to-end: text -> binary payload + typed
+    media metadata -> Arrow-batched mapInPandas featurizer. The payload is
+    ASCII text bytes, so the byte checksum is SQL-replicable (ord == byte);
+    a real image decoder drops into the same mapInPandas slot
+    (operators.multimodal.decode_image_stub)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_payload(docs)
+    return multimodal.byte_features(payloads)

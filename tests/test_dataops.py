@@ -1,0 +1,146 @@
+"""Unit + property tests for the M6 data-pipeline operators (dedup,
+similarity, text, multimodal) — the rows-only queries' correctness story,
+plus edge semantics the oracle diff can't see."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nginx_analytics_spark.operators import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_keeps_first_by_order(spark):
+    df = spark.createDataFrame(
+        [(3, "a", "x"), (1, "a", "x"), (2, "a", "y"), (5, "b", "x")],
+        "event_id long, user_id string, event_type string",
+    )
+    out = dedup.exact_dedup(df, keys=["user_id", "event_type"], order_col="event_id")
+    rows = {(r.user_id, r.event_type): r.event_id for r in out.collect()}
+    assert rows == {("a", "x"): 1, ("a", "y"): 2, ("b", "x"): 5}
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",)], "text string")
+    out = df.select(dedup.word_shingles("text").alias("sh")).collect()
+    assert out[0].sh == ["one two"]  # <3 tokens: whole text is the shingle
+    assert out[1].sh == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_full_recall_on_fixture(spark):
+    """LSH candidates must contain every brute-force pair >= threshold."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = docs.select("doc_id", dedup.word_shingles("text").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dedup.jaccard(F.col("a.sh"), F.col("b.sh")).alias("j"),
+        )
+        .filter(F.col("j") >= 0.6)
+    )
+    expected = {(r.id_a, r.id_b) for r in brute.collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.6).collect()
+    }
+    assert expected, "fixture should contain planted near-dups"
+    assert got == expected
+
+
+def test_simhash_order_insensitive_and_selective(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    reordered = " ".join(reversed(base.split(" ")))  # same bag of tokens
+    unrelated = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, reordered), (3, unrelated)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # bag-of-tokens fingerprint
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_finds_planted_fixture_neardups(spark):
+    """The fixture's planted near-dups (Jaccard >= 0.9) are also SimHash
+    near-dups — the two detectors agree on the strong-duplicate core."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    strong = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.9).collect()
+    }
+    sim = {
+        (r.id_a, r.id_b) for r in dedup.simhash_near_dup_pairs(docs).collect()
+    }
+    assert strong, "fixture should contain strong near-dups"
+    overlap = len(strong & sim) / len(strong)
+    # hamming<=3 on 64-bit simhash is calibrated for long documents; on the
+    # fixture's short (~50-400 token) docs a few-token edit can flip >3 bits,
+    # so the detectors agree on most-but-not-all of the strong-dup core.
+    assert overlap >= 0.7, f"simhash missed too many strong dups: {overlap:.2f}"
+
+
+def test_simhash_banding_requires_pigeonhole(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dup_pairs(df, max_hamming=4, bands=4)
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.hyperplane_lsh_topk(emb, queries, k=5).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} too low vs brute force"
+
+
+def test_language_id_on_real_phrases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is warm"),
+            (2, "der hund und die katze sind nicht da"),
+            (3, "el perro y la casa de los amigos"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.predicted_lang for r in text.language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_multimodal_byte_features_deterministic(spark):
+    docs = spark.createDataFrame([(7, "AB")], "doc_id long, text string")
+    out = multimodal.byte_features(multimodal.attach_payload(docs)).collect()[0]
+    assert out.n_bytes == 2
+    assert out.checksum == ord("A") + ord("B")
+    assert out.mean_byte == (ord("A") + ord("B")) / 2
+
+
+def test_multimodal_metadata_and_payload_shape(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    out = multimodal.attach_payload(docs)
+    assert dict(out.dtypes)["payload"] == "binary"
+    row = out.filter(F.col("doc_id") == 4).collect()[0]
+    assert row.media.keyframe is True and row.media.width == 16 + 4 % 64
+
+
+def test_decode_stub_is_loud(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(multimodal.attach_payload(docs))
