@@ -114,6 +114,73 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def hyperplane_lsh_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus self near-dup pairs by SRP-LSH buckets + exact cosine verify —
+    the scale path for :func:`dedup.embedding_dedup_pairs`.
+
+    Same banding as :func:`hyperplane_lsh_topk` but corpus-vs-itself:
+    candidates are id-ordered pairs sharing >= 1 signature band; only those
+    get the exact cosine. Approximate in recall (SRP collision odds), exact
+    in reported similarity. One (band_idx, band_val) shuffle instead of an
+    O(n²) cross join.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    chunk = n_planes // bands
+    mask = (1 << chunk) - 1
+
+    v = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    banded = v.select(
+        F.col(id_col), srp_signature(F.col("v"), planes).alias("sig")
+    ).select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), b * chunk).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

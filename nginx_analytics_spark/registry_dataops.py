@@ -188,6 +188,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_lsh_pairs")  # approximate — recall-tested, not oracle-matched
+def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed near-dup pairs — the 100 TB path for
+    embedding_dedup_pairs: one band-key shuffle instead of an O(n²) cross
+    join, exact cosine only on bucket collisions. Recall vs the exact pair
+    set asserted in tests/test_dataops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_lsh_pairs(emb, threshold=COSINE_DUP_THRESHOLD)
+
+
 @query("ann_lsh_topk")  # approximate — recall-tested, not oracle-matched
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN — the 100 TB path: signature band join

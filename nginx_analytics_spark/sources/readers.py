@@ -62,7 +62,14 @@ def _ns_timestamp_columns(path: str) -> list[str]:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet scan with ns-timestamp normalization."""
+    """Parquet scan with ns-timestamp normalization.
+
+    Scale note: range predicates on a normalized ns column cannot reach the
+    parquet scan (the filter targets the *computed* µs column), so row-group
+    pruning is lost — acceptable for the fixtures only. Production tables
+    written by this engine store TIMESTAMP(MICROS) (see sources.warehouse),
+    where timestamp pushdown and date-partition pruning work natively.
+    """
     ns_cols = _ns_timestamp_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

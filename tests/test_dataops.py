@@ -110,6 +110,21 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"LSH recall {recall:.2f} too low vs brute force"
 
 
+def test_embedding_lsh_pairs_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dedup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in similarity.hyperplane_lsh_pairs(emb, threshold=0.4).collect()
+    }
+    assert approx <= exact  # verification stage is exact: no false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"SRP bucket recall {recall:.2f} too low"
+
+
 def test_language_id_on_real_phrases(spark):
     df = spark.createDataFrame(
         [
