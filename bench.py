@@ -34,15 +34,19 @@ BENCH_QUERIES = [
     "anomaly_detail",
     "training_features",
     "pricing_summary",
+    "shipping_priority",
     "top_endpoints",
     "distinct_users",
     "approx_distinct_users",
+    "salted_ip_stats",
+    "stateful_key_profiles",
     # corpus / data-pipeline shapes (M6)
     "exact_dedup_events",
     "minhash_dedup_pairs",
     "simhash_near_dup",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "embedding_lsh_pairs",
     "token_stats",
     "language_id",
     "doc_quality",

@@ -134,6 +134,66 @@ def embedding_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
 
 
+@query(
+    "salted_ip_stats",
+    f"""
+    SELECT user_id,
+           count(*) AS request_count,
+           {R6_SQL.format(
+               x="sum(CAST(floor(value * 1000) AS BIGINT))"
+                 " / count(*)")} AS avg_request_millis
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def salted_ip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the hot-key scale pattern. The oracle
+    is the PLAIN per-key count+avg: salting is an execution strategy, not a
+    semantics change, and the match proves it. The measure is floor(value
+    * 1000) (an exact integer) so the two-phase recomposition is
+    bit-deterministic — a double measure would only agree up to float
+    summation order, like any distributed sum."""
+    from nginx_analytics_spark.operators.skew import salted_key_stats
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_millis", F.floor(F.col("value") * 1000).cast("bigint")
+    )
+    out = salted_key_stats(ev, "user_id", "value_millis", round_to=None)
+    return out.select(
+        "user_id",
+        "request_count",
+        r6(F.col("avg_request_time")).alias("avg_request_millis"),
+    )
+
+
+@query(
+    "stateful_key_profiles",
+    f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           last(value ORDER BY ts, event_id) AS last_value,
+           {R6_SQL.format(
+               x="list_reduce(list(value ORDER BY ts, event_id),"
+                 " (acc, x) -> 0.3 * x + 0.7 * acc)")} AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stateful_key_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState): per-key
+    running (count, last, EWMA) profiles driven to completion with
+    Trigger.AvailableNow. The oracle replicates the event-time-ordered fold
+    with DuckDB's ordered list_reduce — the identical IEEE op sequence, so
+    the match is exact, not approximate."""
+    from nginx_analytics_spark.sources.readers import events_stream
+    from nginx_analytics_spark.streaming.stateful import (
+        run_key_profiles_available_now,
+    )
+
+    out = run_key_profiles_available_now(events_stream(spark, sf_dir))
+    return out.select("user_id", "n_events", "last_value", r6(F.col("ewma")).alias("ewma"))
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

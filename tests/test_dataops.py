@@ -139,6 +139,68 @@ def test_language_id_on_real_phrases(spark):
     assert out == {1: "en", 2: "de", 3: "es", 4: "und"}
 
 
+def test_salted_equals_plain_groupby(spark):
+    from nginx_analytics_spark.operators.skew import salted_key_stats
+    from nginx_analytics_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "value_millis", F.floor(F.col("value") * 1000).cast("bigint")
+    )
+    plain = {
+        (r.user_id, r.request_count, r.avg_request_time)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("request_count"),
+            (F.sum("value_millis") / F.count(F.lit(1))).alias("avg_request_time"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.user_id, r.request_count, r.avg_request_time)
+        for r in salted_key_stats(
+            ev, "user_id", "value_millis", round_to=None
+        ).collect()
+    }
+    assert salted == plain  # bit-identical on an integral measure
+
+
+def test_stateful_profiles_carry_state_across_batches(spark, tmp_path):
+    """Two files delivered as two micro-batches (maxFilesPerTrigger=1):
+    the GroupState must fold across both."""
+    import pandas as pd
+
+    from nginx_analytics_spark.streaming.stateful import (
+        run_key_profiles_available_now,
+    )
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    def write(path, ids, days, vals):
+        pd.DataFrame(
+            {"event_id": ids,
+             "ts": pd.to_datetime(days).astype("datetime64[us]"),  # not ns:
+             # Spark has no TIMESTAMP(NANOS) parquet type
+             "user_id": [7] * len(ids), "value": vals}
+        ).to_parquet(path)
+
+    write(d / "a.parquet", [1, 2], ["2024-01-01", "2024-01-02"], [10.0, 20.0])
+    write(d / "b.parquet", [3], ["2024-01-03"], [30.0])
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    rows = run_key_profiles_available_now(stream).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # fold: e=10 -> .3*20+.7*10=13 -> .3*30+.7*13=18.1 (order by ts across batches
+    # holds because file order == event-time order here)
+    assert r.n_events == 3 and r.last_value == 30.0
+    assert abs(r.ewma - 18.1) < 1e-12
+
+
 def test_multimodal_byte_features_deterministic(spark):
     docs = spark.createDataFrame([(7, "AB")], "doc_id long, text string")
     out = multimodal.byte_features(multimodal.attach_payload(docs)).collect()[0]
