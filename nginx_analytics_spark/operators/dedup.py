@@ -177,12 +177,18 @@ def minhash_dedup_pairs(
     documented above) this equals the brute-force O(n²) answer — which is
     exactly what the DuckDB oracle computes.
     """
+    # localCheckpoint: shingles/signatures are consumed by BOTH sides of
+    # the candidate self-join and again by the verify joins — without
+    # materialization each branch re-tokenizes and re-hashes the corpus
+    # (4x the dominant cost). Blocks are executor-local and reclaimed by
+    # the ContextCleaner when the frame is dropped; on a cluster where
+    # executor loss must be survivable, swap for a temp-table write.
     sh = docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
-    )
+    ).localCheckpoint(eager=False)
     sigs = sh.select(
         id_col, minhash_signature(F.col("shingles"), num_hashes).alias("signature")
-    )
+    ).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sigs, id_col)
     j = jaccard(F.col("sa.shingles"), F.col("sb.shingles"))
     if round_to is not None:
@@ -255,7 +261,11 @@ def simhash_near_dup_pairs(
     if max_hamming >= bands:
         raise ValueError("exact recall needs max_hamming < bands")
     chunk = SIMHASH_BITS // bands
-    fp = docs.select(F.col(id_col), simhash(text_col).alias("fp"))
+    # materialized once: both self-join sides reuse the fingerprints
+    # (see the localCheckpoint note in minhash_dedup_pairs).
+    fp = docs.select(F.col(id_col), simhash(text_col).alias("fp")).localCheckpoint(
+        eager=False
+    )
     banded = fp.select(
         id_col,
         "fp",

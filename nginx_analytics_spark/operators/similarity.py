@@ -138,7 +138,9 @@ def hyperplane_lsh_pairs(
     chunk = n_planes // bands
     mask = (1 << chunk) - 1
 
-    v = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    v = corpus.select(F.col(id_col), as_double(vec_col).alias("v")).localCheckpoint(
+        eager=False
+    )
     banded = v.select(
         F.col(id_col), srp_signature(F.col("v"), planes).alias("sig")
     ).select(

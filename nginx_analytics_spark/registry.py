@@ -489,6 +489,91 @@ def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sliding_windowed_events",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    m AS (SELECT max(ts) - INTERVAL '1 minute' AS wm FROM e),
+    b AS (
+        SELECT time_bucket(INTERVAL '1 minute', e.ts)
+                   - (o.i * INTERVAL '1 minute') AS window_start,
+               event_type, count(*) AS n_events
+        FROM e CROSS JOIN (SELECT unnest([0, 1]) AS i) o
+        GROUP BY 1, 2
+    )
+    SELECT window_start,
+           window_start + INTERVAL '2 minutes' AS window_end,
+           event_type, n_events
+    FROM b, m
+    WHERE window_start + INTERVAL '2 minutes' <= m.wm
+    """,
+)
+def sliding_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding/hopping windows (2-min width, 1-min slide) as a real
+    streaming query — each event lands in 2 overlapping windows; append
+    emission once the watermark passes a window's end. Extends the
+    reference's tumbling-only surface (SURVEY.md §2.6)."""
+    from nginx_analytics_spark.sources.readers import events_stream
+    from nginx_analytics_spark.streaming.windows import (
+        run_sliding_counts_available_now,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    return run_sliding_counts_available_now(
+        stream, ts="ts", delay="1 minute", window="2 minutes", slide="1 minute",
+        keys=("event_type",),
+    )
+
+
+@query(
+    "session_windows",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+    m AS (SELECT max(ts) - INTERVAL '1 minute' AS wm FROM e),
+    s AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '12 hours'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    ),
+    agg AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '12 hours' AS session_end,
+               count(*) AS n_events
+        FROM g GROUP BY user_id, sid
+    )
+    SELECT session_start, session_end, user_id, n_events
+    FROM agg, m
+    WHERE session_end <= m.wm
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (F.session_window, 12 h gap) as a real
+    streaming query. The oracle replicates sessionization with lag/sum
+    window functions; the boundary matches Spark's half-open session
+    interval (an event at exactly last+gap merges, beyond it starts a new
+    session — verified empirically). Sessions are emitted once the
+    watermark passes last_event + gap."""
+    from nginx_analytics_spark.sources.readers import events_stream
+    from nginx_analytics_spark.streaming.windows import (
+        run_session_counts_available_now,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    return run_session_counts_available_now(
+        stream, ts="ts", delay="1 minute", gap="12 hours", keys=("user_id",)
+    )
+
+
 @query("streaming_ingest_roundtrip")  # rows-only: multi-sink side effects
 def streaming_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/T3/T5 end-to-end: synthesize nginx JSONL from the fixture, stream

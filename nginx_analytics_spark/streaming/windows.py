@@ -25,16 +25,23 @@ def windowed_counts(
     delay: str = "1 minute",
     window: str = "1 minute",
     keys: tuple[str, ...] = (),
+    slide: str | None = None,
 ) -> DataFrame:
-    """T1+T2+A5: watermarked tumbling-window counts.
+    """T1+T2+A5: watermarked tumbling (or, with ``slide``, sliding/hopping)
+    window counts.
 
     In append mode a window is emitted only once the watermark
     (max event time - ``delay``) passes its end — late rows beyond the
     delay are dropped from state. State size is bounded by
-    (#keys x windows-in-delay), independent of stream length — the
-    100 TB/day-safe shape.
+    (#keys x windows-in-delay x window/slide), independent of stream
+    length — the 100 TB/day-safe shape.
     """
-    grouping = [F.window(F.col(ts), window).alias("w"), *[F.col(k) for k in keys]]
+    w = (
+        F.window(F.col(ts), window, slide)
+        if slide
+        else F.window(F.col(ts), window)
+    )
+    grouping = [w.alias("w"), *[F.col(k) for k in keys]]
     return (
         stream.withWatermark(ts, delay)
         .groupBy(*grouping)
@@ -42,6 +49,39 @@ def windowed_counts(
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
+            *[F.col(k) for k in keys],
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    stream: DataFrame,
+    ts: str = "timestamp",
+    delay: str = "1 minute",
+    gap: str = "12 hours",
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Gap-based session windows (``F.session_window``): a key's events
+    within ``gap`` of each other merge into one session; the session's end
+    is last_event + gap. The capability beyond the reference's fixed
+    tumbling window (SURVEY.md §2.6 "no session windows").
+
+    Append-mode emission: a session is final (and emitted) once the
+    watermark passes its end — no future event can merge into it. State is
+    one open session per key, merged incrementally at scale.
+    """
+    grouping = [
+        F.session_window(F.col(ts), gap).alias("w"),
+        *[F.col(k) for k in keys],
+    ]
+    return (
+        stream.withWatermark(ts, delay)
+        .groupBy(*grouping)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
             *[F.col(k) for k in keys],
             "n_events",
         )
@@ -64,9 +104,43 @@ def run_windowed_counts_available_now(
     in state and are withheld — the oracle for this operator replicates
     that predicate in SQL.
     """
+    agg = windowed_counts(stream, ts=ts, delay=delay, window=window, keys=keys)
+    return _run_append_available_now(agg)
+
+
+def run_sliding_counts_available_now(
+    stream: DataFrame,
+    ts: str = "timestamp",
+    delay: str = "1 minute",
+    window: str = "2 minutes",
+    slide: str = "1 minute",
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sliding-window variant of :func:`run_windowed_counts_available_now`
+    (same append-emission semantics; each event lands in window/slide
+    overlapping windows)."""
+    agg = windowed_counts(
+        stream, ts=ts, delay=delay, window=window, keys=keys, slide=slide
+    )
+    return _run_append_available_now(agg)
+
+
+def run_session_counts_available_now(
+    stream: DataFrame,
+    ts: str = "timestamp",
+    delay: str = "1 minute",
+    gap: str = "12 hours",
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Drive :func:`session_counts` to completion; emitted sessions are
+    those whose end (last event + gap) the final watermark passed."""
+    agg = session_counts(stream, ts=ts, delay=delay, gap=gap, keys=keys)
+    return _run_append_available_now(agg)
+
+
+def _run_append_available_now(agg: DataFrame) -> DataFrame:
     import uuid
 
-    agg = windowed_counts(stream, ts=ts, delay=delay, window=window, keys=keys)
     sink = "windowed_" + uuid.uuid4().hex[:12]
     q = (
         agg.writeStream.format("memory")
