@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "approx_distinct_users",
     "salted_ip_stats",
     "stateful_key_profiles",
+    "traffic_forecast",
     # corpus / data-pipeline shapes (M6)
     "exact_dedup_events",
     "minhash_dedup_pairs",

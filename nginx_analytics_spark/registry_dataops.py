@@ -194,6 +194,52 @@ def stateful_key_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "n_events", "last_value", r6(F.col("ewma")).alias("ewma"))
 
 
+@query(
+    "traffic_forecast",
+    f"""
+    WITH c AS (
+        SELECT event_type,
+               sum(CASE WHEN CAST(ts AS TIMESTAMP)
+                             > TIMESTAMP '2024-01-31 00:00:00'
+                               - INTERVAL '24 hours'
+                        THEN 1 ELSE 0 END) AS n_24h,
+               sum(CASE WHEN EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) = 0
+                        THEN 1 ELSE 0 END) AS n_seasonal
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP)
+                  > TIMESTAMP '2024-01-31 00:00:00' - INTERVAL '7 days'
+          AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-31 00:00:00'
+        GROUP BY event_type
+    )
+    SELECT event_type AS endpoint,
+           TIMESTAMP '2024-01-31 00:00:00' AS forecast_time,
+           {R6_SQL.format(x="0.5 * (n_24h / 24.0) + 0.5 * (n_seasonal / 7.0)")}
+               AS predicted_requests,
+           {R6_SQL.format(
+               x="CASE WHEN greatest(n_24h / 24.0, n_seasonal / 7.0) > 0"
+                 " THEN 1 - abs(n_24h / 24.0 - n_seasonal / 7.0)"
+                 " / greatest(n_24h / 24.0, n_seasonal / 7.0)"
+                 " ELSE 0.0 END")} AS confidence_score,
+           'sma24+seasonal7-v1' AS model_version
+    FROM c
+    """,
+)
+def traffic_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """traffic_forecasts made real (reference postgres/init.sql:71-77
+    declares the table; no reference job ever writes it): next-hour per-key
+    forecast from a mean-hourly-rate + seasonal-naive blend, all integer
+    counts over one partition-prunable trailing window."""
+    from nginx_analytics_spark.operators.forecast import traffic_forecast
+
+    # AS_OF (2024-01-31 00:00) is on the hour; target hour-of-day is 0.
+    from nginx_analytics_spark.registry import AS_OF
+
+    return traffic_forecast(
+        load_table(spark, sf_dir, "events"), key="event_type", ts="ts",
+        as_of=AS_OF, round6=r6,
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
