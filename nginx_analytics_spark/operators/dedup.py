@@ -89,27 +89,6 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(F.split(t, " ")), build), 1)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
-    """k-permutation MinHash signature as an array<long>.
-
-    Each "permutation" is ``xxhash64(shingle, seed_i)``; the signature entry
-    is the minimum over the shingle set. k linear passes over the shingle
-    array, all JVM-side.
-
-    The seed must be bound through a factory, NOT a ``lambda s, i=i:``
-    default arg — pyspark counts Python lambda parameters to decide the HOF
-    arity, so a defaulted second arg silently becomes transform's
-    *element-index* variable (making every "permutation" identical and
-    position-dependent — a 0.99-Jaccard pair with one shingle inserted
-    early then shares no signature positions at all).
-    """
-
-    def perm(i: int) -> Column:
-        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-
-    return F.array(*[perm(i) for i in range(num_hashes)])
-
-
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -186,9 +165,27 @@ def minhash_dedup_pairs(
     sh = docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
     ).localCheckpoint(eager=False)
-    sigs = sh.select(
-        id_col, minhash_signature(F.col("shingles"), num_hashes).alias("signature")
-    ).localCheckpoint(eager=False)
+    # Signature via explode + k min-aggregates, NOT k array_min(transform)
+    # HOF passes: higher-order functions always run on the interpreted
+    # expression path (no codegen), whose JIT inlining degrades sharply in
+    # long sessions as expression call sites go megamorphic — observed as
+    # 5-25x run-to-run variance. The hash-agg formulation is fully
+    # codegen'd and combines map-side (one row per doc per partition).
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
+    sigs = (
+        exploded.groupBy(id_col)
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select(
+            id_col,
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+        )
+        .localCheckpoint(eager=False)
+    )
     cands = lsh_candidate_pairs(sigs, id_col)
     j = jaccard(F.col("sa.shingles"), F.col("sb.shingles"))
     if round_to is not None:
@@ -201,47 +198,50 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
-    """64-bit SimHash of the whitespace token stream (as a signed long).
+def simhash_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """64-bit SimHash per document (as a signed long): (id, fp).
 
     Per token: xxhash64 -> each bit votes +1/-1; fingerprint bit b is set
-    iff the summed vote at b is positive. Implemented as a single
-    ``aggregate`` over the token array with an array<int> vote accumulator —
-    all JVM expressions.
+    iff the summed vote at b is positive.
+
+    Shape: explode token hashes, then ONE hash aggregate with 64 simple
+    per-bit vote sums, then assemble the fingerprint from the vote columns.
+    An equivalent single-expression formulation (64 ``aggregate`` folds
+    inside a higher-order function) generates a codegen unit so large that
+    Janino compilation dominated and varied 4s-60s run to run; this
+    explode+agg plan compiles small per-column expressions, combines
+    map-side, and is stable. The shuffle moves one 64-int row per
+    (doc, partition) — scale-safe.
     """
-    # Two performance-critical shapes here:
-    #   * bit positions unrolled as Python ints (pyspark shift functions
-    #     take literal bit counts, not Columns);
-    #   * the token-hash array is let-bound once via a single-element
-    #     transform, and votes are 64 allocation-free integer folds over it
-    #     — a per-token 64-element vote-array zip_with allocates two arrays
-    #     per token per row and measured ~30x slower.
-    hashes = F.transform(F.split(text, " "), lambda t: F.xxhash64(t))
-
-    def fingerprint_of(h: Column) -> Column:
-        # factory, not `b=b` lambda defaults: pyspark derives the number of
-        # HOF lambda variables from the Python signature, so a default arg
-        # becomes a third (Column) parameter.
-        def vote(b: int) -> Column:
-            return F.aggregate(
-                h,
-                F.lit(0),
-                lambda acc, hh: acc
-                + F.shiftright(hh, b).bitwiseAND(F.lit(1)).cast("int") * 2
-                - 1,
-            )
-
-        votes = [vote(b) for b in range(bits)]
-        fp = F.lit(0).cast("bigint")
-        for b in range(bits):
-            fp = fp.bitwiseOR(
-                F.when(
-                    votes[b] > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
-                ).otherwise(F.lit(0).cast("bigint"))
-            )
-        return fp
-
-    return F.element_at(F.transform(F.array(hashes), fingerprint_of), 1)
+    hashes = docs.select(
+        F.col(id_col),
+        F.explode(F.transform(F.split(text_col, " "), lambda t: F.xxhash64(t))).alias(
+            "h"
+        ),
+    )
+    # bit positions are Python ints: pyspark shift functions take literal
+    # bit counts, not Columns.
+    votes = hashes.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("bigint")
+    for b in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return votes.select(F.col(id_col), fp.alias("fp"))
 
 
 def simhash_near_dup_pairs(
@@ -263,9 +263,7 @@ def simhash_near_dup_pairs(
     chunk = SIMHASH_BITS // bands
     # materialized once: both self-join sides reuse the fingerprints
     # (see the localCheckpoint note in minhash_dedup_pairs).
-    fp = docs.select(F.col(id_col), simhash(text_col).alias("fp")).localCheckpoint(
-        eager=False
-    )
+    fp = simhash_fingerprints(docs, id_col, text_col).localCheckpoint(eager=False)
     banded = fp.select(
         id_col,
         "fp",

@@ -159,10 +159,51 @@ def fingerprint(
 ) -> DataFrame:
     """Document fingerprints: 128-char-prefix and full-text rolling hashes,
     plus the production xxhash64 content key (not oracle-compared — engine
-    hash seeds differ across systems by design)."""
-    return docs.select(
-        F.col(id_col),
-        poly_hash(text_col, 128).alias("prefix_fp"),
-        poly_hash(text_col).alias("full_fp"),
-        F.xxhash64(text_col).alias("content_key"),
+    hash seeds differ across systems by design).
+
+    The rolling hashes run as an Arrow-batched pandas kernel, not the
+    :func:`poly_hash` column expression: a sequential per-character fold is
+    the genuinely non-columnar case (higher-order functions always evaluate
+    on Spark's interpreted expression path, whose long-session JIT behavior
+    is 5-25x bimodal), and Python integers reproduce the same modular
+    arithmetic exactly, so oracle parity is unchanged.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("prefix_fp", T.LongType()),
+            T.StructField("full_fp", T.LongType()),
+            T.StructField("content_key", T.LongType()),
+        ]
     )
+
+    def roll(s: str | None, limit: int | None = None) -> int | None:
+        if s is None:
+            return None
+        acc = 0
+        for ch in s[:limit] if limit else s:
+            acc = (acc * POLY_BASE + ord(ch)) % POLY_MOD
+        return acc
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "prefix_fp": pdf[text_col].map(lambda s: roll(s, 128)),
+                    "full_fp": pdf[text_col].map(roll),
+                    "content_key": pdf["content_key"],
+                }
+            )
+
+    # content_key computed JVM-side before the kernel and passed through —
+    # one narrow map stage, no join, no shuffle at any scale.
+    return docs.select(
+        F.col(id_col), F.col(text_col), F.xxhash64(text_col).alias("content_key")
+    ).mapInPandas(kernel, schema)

@@ -33,6 +33,14 @@ _BASE_CONF = {
     "spark.sql.parquet.aggregatePushdown": "true",
     # Read timestamps the way they were written (no rebase surprises).
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    # Wide query suites generate hundreds of codegen classes; the JVM's
+    # default 240 MB code cache fills, HotSpot disables the compiler, and
+    # random queries drop to interpreted mode (observed as 10-60x
+    # slowdowns landing on a different query each run). Reserve 1 GB and
+    # let the sweeper reclaim cold compiled code.
+    "spark.driver.extraJavaOptions": (
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+    ),
     "spark.ui.enabled": "false",
 }
 
