@@ -7,7 +7,7 @@ as a single-engine, Parquet-backed, Catalyst-optimized Spark application.
 Design tenets (SURVEY.md §7):
   * One engine, one store: everything the reference pushed down to Postgres
     is native Spark SQL over partitioned Parquet.
-  * Parse once: one canonical 39-field schema + parse_enrich transform.
+  * Parse once: one canonical 38-field schema + parse_enrich transform.
   * Declarative first: DataFrame/SQL so Catalyst does pushdown, pruning,
     broadcast selection; Pandas UDFs only where built-ins can't express
     the semantics (multimodal decode, grouped custom state).

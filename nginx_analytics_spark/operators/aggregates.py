@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nginx_analytics_spark.functions.rounding import half_up
+
 
 def global_count(df: DataFrame, alias: str = "n_rows") -> DataFrame:
     """A3: COUNT(*) as a one-row frame (reference README.md:35).
@@ -37,7 +39,7 @@ def key_stats(
     """
     mean = F.avg(value)
     if round_to is not None:
-        mean = F.round(mean, round_to)
+        mean = half_up(mean, round_to)
     return df.groupBy(key).agg(
         F.count(F.lit(1)).alias("request_count"),
         mean.alias("avg_request_time"),
@@ -62,10 +64,13 @@ def hourly_reagg(
     in both Postgres and Spark (stddev = stddev_samp); single-bucket keys
     yield NULL stddev — preserved, the z-score rule branches on it.
 
-    Scale note: both levels aggregate on key-prefixed groupings, so
-    Catalyst reuses one shuffle on ``key`` for the outer level; the inner
-    hour bucketing is computed map-side. The trailing-window filter is a
-    partition-pruning predicate when the fact table is date-partitioned.
+    Scale note: the plan has two exchanges — hash(key, hour_bucket) for the
+    inner level, hash(key) for the outer (the finer distribution does not
+    satisfy the coarser one, so no shuffle reuse). The inner level already
+    collapses the fact volume to one row per (key, hour), so the second
+    exchange moves #keys x #hours rows — negligible at any scale. The
+    trailing-window filter is a partition-pruning predicate when the fact
+    table is date-partitioned.
     """
     lower = F.lit(as_of).cast("timestamp") - F.expr(f"INTERVAL {lookback_days} DAYS")
     hourly = (
@@ -75,7 +80,7 @@ def hourly_reagg(
     )
     avg_c, std_c = F.avg("request_count"), F.stddev("request_count")
     if round_to is not None:
-        avg_c, std_c = F.round(avg_c, round_to), F.round(std_c, round_to)
+        avg_c, std_c = half_up(avg_c, round_to), half_up(std_c, round_to)
     return hourly.groupBy(key).agg(
         avg_c.alias("avg_requests"),
         std_c.alias("stddev_requests"),

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nginx_analytics_spark.functions.rounding import half_up
 from nginx_analytics_spark.operators.aggregates import key_stats
 
 # Reference thresholds (predictions/anomaly_detection.py:65-68).
@@ -52,7 +53,7 @@ def score_keys(
     z_raw = (F.col("request_count") - F.col("avg_requests")) / F.nullif(
         F.col("stddev_requests"), F.lit(0.0)
     )
-    z = F.round(z_raw, round_to) if round_to is not None else z_raw
+    z = half_up(z_raw, round_to) if round_to is not None else z_raw
     scored = joined.withColumn("z_score", z)
     zc = F.col("z_score")
     is_anom = (zc.isNotNull() & (F.abs(zc) > z_threshold)) | (
@@ -104,7 +105,7 @@ def detail(
     """
     attrs = anomalies.select(
         key,
-        F.round(F.abs(F.col("z_score")), 6).alias("anomaly_score"),
+        half_up(F.abs(F.col("z_score")), 6).alias("anomaly_score"),
         "is_anomaly",
         "anomaly_reason",
     )

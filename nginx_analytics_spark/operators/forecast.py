@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nginx_analytics_spark.functions.rounding import half_up
+
 MODEL_VERSION = "sma24+seasonal7-v1"
 
 
@@ -65,7 +67,7 @@ def traffic_forecast(
         F.greatest(sma, season) > 0,
         1 - F.abs(sma - season) / F.greatest(sma, season),
     ).otherwise(F.lit(0.0))
-    r = round6 if round6 is not None else (lambda c: F.round(c, 6))
+    r = round6 if round6 is not None else half_up
     return counts.select(
         F.col(key).alias("endpoint"),
         hi.alias("forecast_time"),

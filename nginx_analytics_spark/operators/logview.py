@@ -7,7 +7,7 @@ value≈request_time_seconds, props≈JSON payload. Two adapters:
   * :func:`events_parsed` — the declarative analog of parse_enrich used by
     the oracle-checked queries (pure column expressions, SQL-expressible).
   * :func:`events_as_nginx_jsonl` — a deterministic synthesis of REAL
-    39-field nginx JSON events from fixture rows, so the smoke path and
+    38-field nginx JSON events from fixture rows, so the smoke path and
     streaming tests exercise the actual from_json -> enrich chain
     (reference ingestor/main.py:66-81) end-to-end.
 """
@@ -58,7 +58,7 @@ WHERE event_type <> '{SCRUBBED_EVENT_TYPE}'
 
 
 def events_as_nginx_jsonl(events: DataFrame) -> DataFrame:
-    """Deterministically synthesize the reference's 39-field wire format.
+    """Deterministically synthesize the reference's 38-field wire format.
 
     Returns a single-column frame ``value: string`` of nginx JSON events —
     the same shape the Kafka value stream has — so the real

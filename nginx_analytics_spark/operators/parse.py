@@ -3,7 +3,7 @@
 Reference semantics (reference ingestor/main.py:66-81), declared once:
 
   P1  CAST(value AS STRING)            (Kafka value -> JSON text)
-  P2  from_json(value, 39-field all-string schema)   PERMISSIVE
+  P2  from_json(value, 38-field all-string schema)   PERMISSIVE
   P3  select("data.*")                 (struct flatten)
   P4  filter(http_user_agent != 'promtail/2.2.1')    — SQL 3VL: NULL UA rows
       are dropped too; that is the reference behavior and is kept.
@@ -39,7 +39,7 @@ def endpoint_expr(uri: Column | str) -> Column:
 
 
 def decode_json_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
-    """P1-P3: binary/string JSON payload -> flattened 39 string columns."""
+    """P1-P3: binary/string JSON payload -> flattened 38 string columns."""
     return (
         raw.select(F.col(value_col).cast(T.StringType()).alias("value"))
         .select(F.from_json("value", NGINX_LOG_SCHEMA).alias("data"))
@@ -59,7 +59,7 @@ def producer_key_filter(df: DataFrame) -> Column:
 
 
 def enrich(df: DataFrame) -> DataFrame:
-    """P4-P8 over a flattened 39-string-column frame."""
+    """P4-P8 over a flattened 38-string-column frame."""
     # try_* variants pin the reference's PERMISSIVE semantics (malformed
     # input -> NULL, Spark 3.4 non-ANSI default) regardless of the host
     # session's spark.sql.ansi.enabled — Spark 4 defaults it to true, where

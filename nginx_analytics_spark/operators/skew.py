@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nginx_analytics_spark.functions.rounding import half_up
+
 SALT_BUCKETS = 16
 
 
@@ -54,7 +56,7 @@ def salted_key_stats(
     )
     mean = F.sum("_sum") / F.sum("_cnt")
     if round_to is not None:
-        mean = F.round(mean, round_to)
+        mean = half_up(mean, round_to)
     return partial.groupBy(key).agg(
         F.sum("_cnt").alias("request_count"),
         mean.alias("avg_request_time"),

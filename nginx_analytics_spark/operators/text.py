@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nginx_analytics_spark.functions.rounding import half_up
+
 # BPE-ish pre-tokenization: letter runs | digit runs | single punctuation.
 BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
@@ -130,10 +132,10 @@ def quality_score(
         F.col(id_col),
         n_tokens.alias("ws_tokens"),
         n_chars.alias("n_chars"),
-        F.round(ttr, round_to).alias("type_token_ratio"),
-        F.round(punct, round_to).alias("punct_ratio"),
-        F.round(stop, round_to).alias("stopword_ratio"),
-        F.round(quality, round_to).alias("quality"),
+        half_up(ttr, round_to).alias("type_token_ratio"),
+        half_up(punct, round_to).alias("punct_ratio"),
+        half_up(stop, round_to).alias("stopword_ratio"),
+        half_up(quality, round_to).alias("quality"),
     )
 
 

@@ -7,7 +7,9 @@ an ANSI-SQL oracle that DuckDB runs over the same parquet tables. The
 
 Conventions (driver hash-compare is exact):
   * every computed column is aliased identically in Spark and SQL;
-  * float aggregates are rounded (6 dp; money sums 2 dp) on BOTH sides;
+  * float aggregates are rounded (6 dp; money sums 2 dp) on BOTH sides with
+    the engine-portable half-up formula (functions.rounding) — Spark's and
+    DuckDB's ``round()`` diverge on decimal-tie doubles;
   * ns-precision fixture timestamps are truncated to microseconds on both
     sides (Spark reader does it natively; oracles CAST(ts AS TIMESTAMP));
   * NOW()-relative predicates use the fixed AS_OF constant;
@@ -22,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nginx_analytics_spark.functions.rounding import half_up, half_up_sql
 from nginx_analytics_spark.operators import aggregates, anomaly, features, ranking
 from nginx_analytics_spark.operators.logview import EVENTS_PARSED_SQL, events_parsed
 from nginx_analytics_spark.sources import load_table
@@ -81,10 +84,10 @@ def parse_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "batch_ip_stats",
-    """
+    f"""
     SELECT user_id,
            count(*) AS request_count,
-           round(avg(value), 6) AS avg_request_time
+           {half_up_sql("avg(value)")} AS avg_request_time
     FROM events
     GROUP BY user_id
     """,
@@ -112,8 +115,8 @@ _HOURLY_SQL = f"""
 
 _HISTORY_SQL = f"""
     SELECT user_id,
-           round(avg(request_count), 6) AS avg_requests,
-           round(stddev(request_count), 6) AS stddev_requests
+           {half_up_sql("avg(request_count)")} AS avg_requests,
+           {half_up_sql("stddev(request_count)")} AS stddev_requests
     FROM ({_HOURLY_SQL.format(lo=HISTORY_START, hi=BATCH_START)}) hourly
     GROUP BY user_id
 """
@@ -123,8 +126,8 @@ _HISTORY_SQL = f"""
     "hourly_reagg",
     f"""
     SELECT user_id,
-           round(avg(request_count), 6) AS avg_requests,
-           round(stddev(request_count), 6) AS stddev_requests
+           {half_up_sql("avg(request_count)")} AS avg_requests,
+           {half_up_sql("stddev(request_count)")} AS stddev_requests
     FROM ({_HOURLY_SQL.format(lo=HISTORY_START, hi=AS_OF)}) hourly
     GROUP BY user_id
     """,
@@ -150,15 +153,15 @@ _ZSCORE_SQL = f"""
     batch_stats AS (
         SELECT user_id,
                count(*) AS request_count,
-               round(avg(value), 6) AS avg_request_time
+               {half_up_sql("avg(value)")} AS avg_request_time
         FROM batch GROUP BY user_id
     ),
     history AS ({_HISTORY_SQL}),
     scored AS (
         SELECT b.user_id, b.request_count, b.avg_request_time,
                h.avg_requests, h.stddev_requests,
-               round((b.request_count - h.avg_requests)
-                     / nullif(h.stddev_requests, 0), 6) AS z_score
+               {half_up_sql('''(b.request_count - h.avg_requests)
+                     / nullif(h.stddev_requests, 0)''')} AS z_score
         FROM batch_stats b LEFT JOIN history h USING (user_id)
     )
     SELECT user_id, request_count, avg_request_time, avg_requests,
@@ -209,7 +212,7 @@ def zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS ({_ZSCORE_SQL}),
     anomalies AS (
         SELECT user_id,
-               round(abs(z_score), 6) AS anomaly_score,
+               {half_up_sql("abs(z_score)")} AS anomaly_score,
                is_anomaly, anomaly_reason
         FROM scored WHERE is_anomaly
     )
@@ -314,16 +317,17 @@ def predict_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           {half_up_sql("sum(l_quantity)", 2)} AS sum_qty,
+           {half_up_sql("sum(l_extendedprice)", 2)} AS sum_base_price,
+           {half_up_sql("sum(l_extendedprice * (1 - l_discount))", 2)}
+               AS sum_disc_price,
+           {half_up_sql("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)}
                AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           {half_up_sql("avg(l_quantity)")} AS avg_qty,
+           {half_up_sql("avg(l_extendedprice)")} AS avg_price,
+           {half_up_sql("avg(l_discount)")} AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -339,13 +343,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            half_up(F.sum(disc_price), 2).alias("sum_disc_price"),
+            half_up(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            half_up(F.avg("l_quantity")).alias("avg_qty"),
+            half_up(F.avg("l_extendedprice")).alias("avg_price"),
+            half_up(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -353,9 +357,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "shipping_priority",
-    """
+    f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {half_up_sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
            CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
            o_orderpriority
     FROM customer
@@ -391,7 +395,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
+            half_up(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nginx_analytics_spark.functions.rounding import half_up
 from nginx_analytics_spark.operators import dedup, multimodal, similarity, text
 from nginx_analytics_spark.registry import query
 from nginx_analytics_spark.sources import load_table
@@ -29,8 +30,8 @@ ANN_QUERY_COUNT = 10  # queries = vec_id < 10
 
 
 def r6(col: Column) -> Column:
-    """Engine-portable 6-dp half-up rounding (see module docstring)."""
-    return F.floor(col * 1_000_000 + F.lit(0.5)) / 1_000_000
+    """Engine-portable 6-dp half-up rounding (functions.rounding.half_up)."""
+    return half_up(col, 6)
 
 
 R6_SQL = "floor(({x}) * 1000000 + 0.5) / 1000000"
@@ -95,7 +96,16 @@ def exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified. The oracle is
     the brute-force O(n²) Jaccard — candidate recall at the 0.6 threshold
-    is 1 - (1-s)^16 ≈ 1 (see operators.dedup)."""
+    is 1 - (1-s)^16 ≈ 1 (see operators.dedup).
+
+    Gate dependency (documented, accepted): this entry exact-hash-compares
+    a *probabilistic* candidate set against an exhaustive oracle. With the
+    16-band/2-row scheme the per-pair miss odds at s=0.6 are ~1e-3 and the
+    fixture (seed=42) is deterministic, so the comparison is stable for any
+    given fixture — but a REGENERATED fixture containing a just-above-
+    threshold pair the bands happen to miss would fail the driver gate.
+    The full-recall property test (tests/test_dataops.py) covers the
+    mechanism independently of the fixture."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(
         docs, threshold=0.0, round_to=None  # threshold applied on r6 below

@@ -1,6 +1,6 @@
 """Canonical schemas.
 
-The reference declares the 39-field all-string nginx access-log wire schema
+The reference declares the 38-field all-string nginx access-log wire schema
 three times (reference ingestor/main.py:7-45, predictions/
 anomaly_detection.py:130-168, predictions/response_time_prediction.py:22-60
 — copy-pasted). Here it is declared ONCE and shared by every job

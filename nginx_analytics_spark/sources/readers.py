@@ -6,7 +6,7 @@ predictions/anomaly_detection.py:33-53). In this engine every batch source is
 a columnar scan that Catalyst can push filters/projections into:
 
   * Parquet fixture tables (the TPC-H-ish star + events/documents/embeddings).
-  * JSONL nginx access-log files parsed against the canonical 39-field schema
+  * JSONL nginx access-log files parsed against the canonical 38-field schema
     (no schema inference — fixed StructType, like the reference's from_json).
 
 Nanosecond-timestamp parquet: Spark has no TIMESTAMP(NANOS) type, so columns
@@ -111,7 +111,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
+    # lexists: a broken symlink must be replaced, not tripped over; and a
+    # live link pointing at a different fixture must be re-created, or a
+    # stale stage dir would silently stream old data.
+    if os.path.lexists(link):
+        if os.path.islink(link) and os.readlink(link) == src:
+            pass  # already staged correctly
+        else:
+            os.remove(link)
+            os.symlink(src, link)
+    else:
         os.symlink(src, link)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = T.StructType(

@@ -1,6 +1,6 @@
 """Streaming ingest job — the reference's ingestor re-expressed.
 
-Reference (ingestor/main.py): Kafka -> CAST value -> from_json(39 cols) ->
+Reference (ingestor/main.py): Kafka -> CAST value -> from_json(38 cols) ->
 UA scrub -> typed derivations -> foreachBatch JDBC append to Postgres,
 with THREE separate actions per batch (isEmpty, write, count — each
 recomputing the parse, SURVEY.md §3.1). Here:
@@ -30,11 +30,18 @@ from nginx_analytics_spark.schema import NGINX_LOG_SCHEMA
 from nginx_analytics_spark.sources.warehouse import Warehouse
 
 
-def jsonl_stream(spark: SparkSession, path: str) -> DataFrame:
+def jsonl_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-backed stand-in for the Kafka value stream: each line one JSON
     event, exposed as a single ``value: string`` column (the Kafka value
-    contract, reference ingestor/main.py:66)."""
-    return spark.readStream.text(path).withColumnRenamed("value", "value")
+    contract, reference ingestor/main.py:66). ``max_files_per_trigger``
+    bounds each micro-batch to N files (deterministic batch boundaries in
+    tests; backpressure in production file-fed deployments)."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.text(path)
 
 
 def kafka_stream(
