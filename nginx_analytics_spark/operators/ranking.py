@@ -4,14 +4,21 @@ The reference has no ranking window functions; these are the natural
 next queries over a log fact table (top URIs per endpoint, heaviest IPs).
 Window row_number with a deterministic tiebreak keeps results stable.
 
-Scale note: row_number over (partition by k order by v) shuffles once on k
-and sorts within partitions — for top-k with small k over huge groups,
-prefer :func:`topk_per_key_agg` which computes a bounded per-group heap via
-partial aggregation (max_by/slice), avoiding the full in-group sort.
+Scale note: row_number over (partition by k order by v) shuffles the WHOLE
+table once on k and sorts within partitions. For top-k with small k over
+huge/skewed groups, :func:`topk_per_key_bounded` truncates to k rows per
+(key, input-partition) BEFORE the exchange, so the shuffle moves at most
+k x n_partitions rows per key regardless of group size. (A collect_list +
+slice aggregation does NOT achieve this: Spark's partial aggregation
+accumulates the entire per-partition group into the array and the slice
+runs only after the final merge, so the full group rides the shuffle.)
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,31 +45,54 @@ def topk_per_key(
     )
 
 
-def topk_per_key_agg(
-    df: DataFrame, key: str, order_col: str, tiebreak: str, k: int
+def partition_topk(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+    k: int,
+    descending: bool = True,
 ) -> DataFrame:
-    """Shuffle-light top-k (descending): collect a bounded sorted slice per
-    group via aggregation. Partial aggregation truncates to k map-side, so
-    the shuffle carries at most k rows per (key, partition) instead of the
-    whole group — the shape that survives 100 TB groups.
+    """Truncate each input partition to its local top-k rows per key,
+    BEFORE any exchange (an Arrow-batched mapInPandas narrow map).
 
-    Returns (key, rn, order_col, tiebreak) exploded back to rows.
+    Correctness invariant: every row in the global top-k of a key is in the
+    top-k of whatever partition (and Arrow batch) it sits in, so per-batch
+    truncation keeps a superset of the answer. Arrow may split a partition
+    into multiple batches (spark.sql.execution.arrow.maxRecordsPerBatch),
+    which only loosens the bound: the survivor count per key is at most
+    k x n_batches, never fewer than the true top-k.
     """
-    pair = F.struct(
-        F.col(order_col).alias("v"), F.col(tiebreak).alias("t")
-    )
-    # sort_array on (desc v, asc t): sort ascending on (-v, t).
-    neg = F.struct((-F.col(order_col)).alias("nv"), F.col(tiebreak).alias("t"), pair.alias("p"))
-    agg = (
-        df.groupBy(key)
-        .agg(F.slice(F.array_sort(F.collect_list(neg)), 1, k).alias("top"))
-    )
-    exploded = agg.select(
-        key, F.posexplode("top").alias("pos", "item")
-    )
-    return exploded.select(
-        key,
-        (F.col("pos") + 1).alias("rn"),
-        F.col("item.p.v").alias(order_col),
-        F.col("item.p.t").alias(tiebreak),
-    )
+    ascending = [not descending, True]
+
+    def trunc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield (
+                pdf.sort_values(
+                    [order_col, tiebreak], ascending=ascending, kind="mergesort"
+                )
+                .groupby(key, sort=False)
+                .head(k)
+            )
+
+    return df.mapInPandas(trunc, df.schema)
+
+
+def topk_per_key_bounded(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+    k: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Two-phase top-k for huge/skewed groups: per-partition truncation
+    (:func:`partition_topk`) then the windowed top-k over survivors.
+
+    The exchange before the window moves at most k x n_batches rows per key
+    instead of the whole group — the shape that survives 100 TB groups where
+    a single hot key holds billions of rows. For small inputs prefer the
+    plain :func:`topk_per_key` (one stage fewer, no Arrow hop).
+    """
+    pruned = partition_topk(df, key, order_col, tiebreak, k, descending)
+    return topk_per_key(pruned, key, order_col, tiebreak, k, descending)

@@ -431,6 +431,34 @@ def top_endpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "top_endpoints_bounded",
+    """
+    SELECT event_type, event_id, value, rn
+    FROM (
+        SELECT event_type, event_id, value,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
+        FROM events
+    ) ranked
+    WHERE rn <= 5
+    """,
+)
+def top_endpoints_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase bounded top-k (SURVEY §2.5 / VERDICT r1 item 3): identical
+    semantics to ``top_endpoints``, but each input partition is truncated to
+    its local top-k per key before the exchange, so the shuffle volume is
+    bounded by k x n_batches per key regardless of group size."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return (
+        ranking.topk_per_key_bounded(ev, "event_type", "value", "event_id", 5)
+        .select(
+            "event_type", "event_id", "value", F.col("rn").cast("bigint").alias("rn")
+        )
+    )
+
+
+@query(
     "distinct_users",
     """
     SELECT event_type,
