@@ -1,0 +1,120 @@
+"""Job entry points — the engine's "main" surface.
+
+The reference runs three long-lived driver scripts (ingestor/main.py,
+predictions/anomaly_detection.py, predictions/response_time_prediction.py).
+Here each becomes a schedulable entry point over the shared operator
+library; the fixture-staging helpers below let tests and the driver
+contract run the streaming jobs end-to-end with deterministic
+micro-batch boundaries.
+
+Scale notes: staging (write two parquet files, symlink-free copies) is
+test-harness plumbing — production feeds the same ``start_anomaly_job``
+from a Kafka/file stream directly. The jobs themselves never collect to
+the driver; every sink is a distributed Parquet append.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nginx_analytics_spark.sources import load_table
+from nginx_analytics_spark.sources.warehouse import Warehouse
+from nginx_analytics_spark.streaming.windows import start_anomaly_job
+
+# The enriched access-log columns the anomaly job consumes (a projection of
+# the full 38-field enriched frame; reference anomaly_detection.py:25-98
+# touches exactly these).
+ENRICHED_STREAM_SCHEMA = (
+    "timestamp timestamp, remote_addr string, request_time_seconds double, "
+    "request_uri string, event_id long"
+)
+
+
+def enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture mapped to the enriched access-log shape
+    (same derivation as the anomaly_detail query: user -> remote_addr,
+    event_type -> URI path)."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    return ev.select(
+        F.col("ts").alias("timestamp"),
+        F.concat(F.lit("u"), uid).alias("remote_addr"),
+        F.col("value").alias("request_time_seconds"),
+        F.concat(F.lit("/api/"), F.col("event_type"), F.lit("/u"), uid).alias(
+            "request_uri"
+        ),
+        "event_id",
+    )
+
+
+def stage_two_batches(df: DataFrame, work: str) -> str:
+    """Write ``df`` as TWO single-file parquet "micro-batches" split by
+    event_id parity. With ``maxFilesPerTrigger=1`` the file stream source
+    delivers them as two deterministic micro-batches — the split is a
+    column predicate, so an SQL oracle can replicate each batch exactly.
+    """
+    batch_dir = os.path.join(work, "batches")
+    os.makedirs(batch_dir, exist_ok=True)
+    for p in (0, 1):
+        part_dir = os.path.join(work, f"stage{p}")
+        (
+            df.filter(F.col("event_id") % 2 == p)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        part_file = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        shutil.copy(part_file, os.path.join(batch_dir, f"batch{p}.parquet"))
+    return batch_dir
+
+
+def run_anomaly_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    work: str,
+    as_of: str,
+    batch_start: str,
+    z_threshold: float,
+    new_key_count: int,
+) -> DataFrame:
+    """The flagship streaming anomaly job end-to-end (J4/S5/A4; reference
+    anomaly_detection.py:17-114):
+
+      1. seed the warehouse's raw_logs with the history window
+         (everything at or before ``batch_start``) via the partitioned
+         Parquet sink (S4);
+      2. stream the batch day through :func:`start_anomaly_job` as two
+         deterministic micro-batches with a fixed ``as_of``;
+      3. return the ``anomalies`` table contents (minus the
+         ``detection_time`` stamp, which is wall-clock).
+
+    Per-batch detection is independent (the job appends to ``anomalies``
+    only, never to ``raw_logs``), so the table equals the UNION ALL of
+    detection over each parity slice — the SQL oracle replicates that.
+    """
+    src = enriched_events(spark, sf_dir)
+    cut = F.lit(batch_start).cast("timestamp")
+    wh = Warehouse(spark, os.path.join(work, "warehouse"))
+    wh.append_raw_logs(src.filter(F.col("timestamp") <= cut))
+    batch_dir = stage_two_batches(src.filter(F.col("timestamp") > cut), work)
+    stream = (
+        spark.readStream.schema(ENRICHED_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(batch_dir)
+    )
+    q = start_anomaly_job(
+        stream,
+        wh,
+        os.path.join(work, "ckpt"),
+        as_of_of_batch=lambda _df: as_of,
+        z_threshold=z_threshold,
+        new_key_count=new_key_count,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    return wh.table("anomalies").drop("detection_time")

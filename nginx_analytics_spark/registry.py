@@ -644,6 +644,112 @@ def streaming_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+# The streaming anomaly job's oracle. The job seeds raw_logs with events at
+# or before BATCH_START; raw_logs_window(AS_OF, 7) then clips history to
+# (AS_OF - 7 days, BATCH_START].
+_JOB_HISTORY_LO = "2024-01-24 00:00:00"  # AS_OF - 7 days
+
+_ANOM_SRC_SQL = """
+    SELECT CAST(ts AS TIMESTAMP) AS "timestamp",
+           'u' || CAST(user_id AS VARCHAR) AS remote_addr,
+           value AS request_time_seconds,
+           '/api/' || event_type || '/u' || CAST(user_id AS VARCHAR)
+               AS request_uri,
+           event_id
+    FROM events
+"""
+
+
+def _anom_batch_ctes(p: int) -> str:
+    """Detection over one parity micro-batch — mirrors detect_batch in
+    streaming/windows.py (stats -> left-join history -> rule -> detail)."""
+    return f"""
+    stats_{p} AS (
+        SELECT remote_addr, count(*) AS request_count
+        FROM src
+        WHERE "timestamp" > TIMESTAMP '{BATCH_START}' AND event_id % 2 = {p}
+        GROUP BY remote_addr
+    ),
+    scored_{p} AS (
+        SELECT s.remote_addr, s.request_count, h.avg_requests,
+               {half_up_sql('''(s.request_count - h.avg_requests)
+                     / nullif(h.stddev_requests, 0)''')} AS z_score
+        FROM stats_{p} s LEFT JOIN history h USING (remote_addr)
+    ),
+    flag_{p} AS (
+        SELECT remote_addr,
+               {half_up_sql("abs(z_score)")} AS anomaly_score,
+               TRUE AS is_anomaly,
+               CASE WHEN z_score > {FIXTURE_Z} THEN 'Traffic spike detected'
+                    WHEN z_score < -{FIXTURE_Z} THEN 'Traffic drop detected'
+                    WHEN avg_requests IS NULL
+                         AND request_count > {FIXTURE_NEW_KEY_COUNT}
+                         THEN 'New high-volume source'
+                    ELSE NULL END AS anomaly_reason
+        FROM scored_{p}
+        WHERE (z_score IS NOT NULL AND abs(z_score) > {FIXTURE_Z})
+           OR (avg_requests IS NULL AND request_count > {FIXTURE_NEW_KEY_COUNT})
+    ),
+    det_{p} AS (
+        SELECT b."timestamp", b.remote_addr, b.request_uri,
+               f.anomaly_score, f.is_anomaly, f.anomaly_reason
+        FROM src b JOIN flag_{p} f USING (remote_addr)
+        WHERE b."timestamp" > TIMESTAMP '{BATCH_START}' AND b.event_id % 2 = {p}
+    )"""
+
+
+_ANOMALY_JOB_SQL = f"""
+    WITH src AS ({_ANOM_SRC_SQL}),
+    hourly AS (
+        SELECT remote_addr,
+               date_trunc('hour', "timestamp") AS hour_bucket,
+               count(*) AS request_count
+        FROM src
+        WHERE "timestamp" > TIMESTAMP '{_JOB_HISTORY_LO}'
+          AND "timestamp" <= TIMESTAMP '{BATCH_START}'
+        GROUP BY 1, 2
+    ),
+    history AS (
+        SELECT remote_addr,
+               {half_up_sql("avg(request_count)")} AS avg_requests,
+               {half_up_sql("stddev(request_count)")} AS stddev_requests
+        FROM hourly GROUP BY remote_addr
+    ),
+    {_anom_batch_ctes(0)},
+    {_anom_batch_ctes(1)}
+    SELECT * FROM det_0 UNION ALL SELECT * FROM det_1
+"""
+
+
+@query("anomaly_job_roundtrip", _ANOMALY_JOB_SQL)
+def anomaly_job_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/S5/A4 end-to-end: the streaming z-score anomaly job (reference
+    anomaly_detection.py:17-114) driven over two deterministic micro-batches
+    against warehouse-seeded history; returns the anomalies sink contents.
+    The oracle recomputes each micro-batch's detection in SQL and unions
+    them — exact, because per-batch detection is independent."""
+    import shutil
+    import tempfile
+
+    from nginx_analytics_spark.jobs import run_anomaly_roundtrip
+
+    work = tempfile.mkdtemp(prefix="nas_anomjob_")
+    try:
+        out = run_anomaly_roundtrip(
+            spark,
+            sf_dir,
+            work,
+            as_of=AS_OF,
+            batch_start=BATCH_START,
+            z_threshold=FIXTURE_Z,
+            new_key_count=FIXTURE_NEW_KEY_COUNT,
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # M5 — ML (not SQL-expressible: rows-only checks)
 # --------------------------------------------------------------------------

@@ -173,10 +173,14 @@ def start_anomaly_job(
     from nginx_analytics_spark.operators.aggregates import hourly_reagg
 
     def detect_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # persist BEFORE the emptiness probe: isEmpty() on the raw frame is
+        # its own source scan, doubling numInputRows per batch (caught by
+        # the BatchMetricsListener test) — probing the persisted frame fills
+        # the cache instead, so the source is read exactly once.
         batch_df.persist()
         try:
+            if batch_df.isEmpty():
+                return
             as_of = (
                 as_of_of_batch(batch_df)
                 if as_of_of_batch is not None
