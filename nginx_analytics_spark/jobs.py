@@ -22,8 +22,10 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nginx_analytics_spark.ml import response_time
+from nginx_analytics_spark.operators import features
 from nginx_analytics_spark.sources import load_table
-from nginx_analytics_spark.sources.warehouse import Warehouse
+from nginx_analytics_spark.sources.warehouse import RESPONSE_TIME_PREDICTIONS, Warehouse
 from nginx_analytics_spark.streaming.windows import start_anomaly_job
 
 # The enriched access-log columns the anomaly job consumes (a projection of
@@ -118,3 +120,42 @@ def run_anomaly_roundtrip(
     )
     q.awaitTermination()
     return wh.table("anomalies").drop("detection_time")
+
+
+# --------------------------------------------------------------------------
+# Prediction serving + retrain (S6/A6/U7/U8; reference
+# response_time_prediction.py:206-223 scoring loop, :266-274 retrain daemon)
+# --------------------------------------------------------------------------
+
+
+def score_and_store(model, feature_df: DataFrame, warehouse: Warehouse) -> DataFrame:
+    """The batch scoring loop: score a feature frame, append the
+    (endpoint, method, predicted, actual) rows to the
+    ``response_time_predictions`` sink (S6, prediction_timestamp stamped by
+    the writer), and return the table read back — the serving surface a
+    dashboard queries (reference :206-215)."""
+    preds = response_time.predict(model, feature_df)
+    warehouse.append_predictions(preds)
+    return warehouse.table(RESPONSE_TIME_PREDICTIONS)
+
+
+def retrain_response_time(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    as_of: str,
+    model_path: str,
+    lookback_days: int = 7,
+    order_key: str = "request_id",
+):
+    """U8 — the schedulable retrain entry point (replaces the reference's
+    daemon thread + sleep(3600), :266-274): project training features from
+    the warehouse's trailing raw_logs window (partition-pruned scan) and
+    fit/save the pipeline behind the 100-row gate. Returns the fitted
+    PipelineModel, or None when gated.
+
+    ``order_key`` makes the training cap deterministic; raw_logs carries the
+    wire schema's unique ``request_id`` (reference ingestor/main.py:12).
+    """
+    raw = warehouse.raw_logs_window(as_of, lookback_days)
+    feats = features.training_features(raw, order_key=order_key)
+    return response_time.train(feats, model_path=model_path)

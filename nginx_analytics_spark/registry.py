@@ -781,6 +781,45 @@ def rt_model_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preds
 
 
+@query("rt_scoring_roundtrip")  # side-effecting sink — rows-only check
+def rt_scoring_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A6/U7 end-to-end (reference response_time_prediction.py:206-223):
+    train, score the predict projection, append to the
+    response_time_predictions sink, read the warehouse table back. The
+    wall-clock prediction_timestamp stamp is dropped from the returned
+    frame; the test suite additionally asserts rmse() is finite."""
+    import shutil
+    import tempfile
+
+    from nginx_analytics_spark import jobs
+    from nginx_analytics_spark.ml import response_time
+    from nginx_analytics_spark.sources.warehouse import Warehouse
+
+    work = tempfile.mkdtemp(prefix="nas_rtscore_")
+    try:
+        model = response_time.train(
+            features.training_features(
+                _features_input(spark, sf_dir), order_key="event_id"
+            ),
+            model_path=f"{work}/model",
+        )
+        if model is None:  # below the 100-row reference gate
+            return spark.createDataFrame(
+                [], "endpoint string, request_method string, "
+                "predicted_time double, actual_time double"
+            )
+        stored = jobs.score_and_store(
+            response_time.load(f"{work}/model"),
+            features.feature_projection(_features_input(spark, sf_dir)),
+            Warehouse(spark, f"{work}/wh"),
+        )
+        out = stored.drop("prediction_timestamp")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # M6 (dedup / similarity / text / multimodal) queries register themselves on
 # import — must stay the last statement so the decorator above is defined.
 from nginx_analytics_spark import registry_dataops  # noqa: E402,F401
