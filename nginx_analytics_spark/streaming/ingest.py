@@ -44,6 +44,22 @@ def jsonl_stream(
     return reader.text(path)
 
 
+def kafka_source_options(
+    bootstrap_servers: str, topic: str, starting_offsets: str = "latest"
+) -> dict[str, str]:
+    """The Kafka source's option contract (S3/T6; reference
+    ingestor/main.py:57-63): subscription, offset policy, and the
+    reference's failOnDataLoss=false stance (a retention-expired offset
+    must not kill the ingest job). Split out so the contract is unit-
+    testable without a broker or the spark-sql-kafka package."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -51,16 +67,13 @@ def kafka_stream(
     starting_offsets: str = "latest",
 ) -> DataFrame:
     """The production source (reference ingestor/main.py:57-63). Requires
-    the spark-sql-kafka package on the classpath; not available in the
-    test image, so this is exercised only by its option contract."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
-        .load()
-    )
+    the spark-sql-kafka package on the classpath; the test image lacks it,
+    so tests assert the option contract and that this wiring reaches
+    Spark's kafka data-source lookup."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(bootstrap_servers, topic, starting_offsets).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def start_ingest(
