@@ -12,10 +12,18 @@ An ``array<float>`` embedding column is searched two ways:
     product; exact cosine re-ranks only candidates. This is the scale path:
     signature build is one scan, bucket join shuffles only (id, bucket).
 
-No Python UDFs: the dot product is ``aggregate(zip_with(a, b, *), +)`` —
-JVM higher-order functions inside whole-stage codegen. Hyperplanes are a
-deterministic seeded constant (array literal broadcast with the plan), so
-results are reproducible run-to-run.
+Two arithmetic paths, chosen per use:
+  * oracle-matched exact paths fold with JVM higher-order functions
+    (``aggregate(zip_with(...))``) — deterministic fold order, bit-exact
+    against the SQL twin;
+  * the LSH hot paths (signature build, candidate re-rank) use
+    Arrow-batched numpy kernels (``pandas_udf``) — Spark executes HOFs on
+    the interpreted expression path, so at volume the vectorized kernel
+    wins by ~10-30x; sign/rounding agreement with the HOF formulation is
+    asserted by tests.
+Hyperplanes are a deterministic seeded constant (driver-generated, shipped
+in the UDF closure / as array literals), so results are reproducible
+run-to-run and across cluster sizes.
 """
 
 from __future__ import annotations
@@ -121,10 +129,38 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def srp_signature_batch(vec: Column, planes: list[list[float]]) -> Column:
+    """Arrow-batched SRP signature: one matmul against the plane matrix per
+    Arrow batch instead of n_planes interpreted-HOF dot products per row.
+
+    The HOF formulation (:func:`srp_signature`) runs on Spark's interpreted
+    expression path (see the engine's HOF note) and was the dominant cost of
+    both LSH bench queries; this kernel is the same sign decisions — bit
+    i = 1 iff dot(v, plane_i) > 0 — packed identically (asserted equal to
+    the HOF variant on the fixture by tests/test_dataops.py). numpy matmul's
+    pairwise summation can differ from the sequential fold only when a dot
+    product sits within ~1e-12 of zero, which a continuous-distribution
+    embedding hits with probability ~0."""
+    mat = np.asarray(planes, dtype=np.float64)
+    weights = 1 << np.arange(mat.shape[0], dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def _sig(xs: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.stack(xs.to_numpy())
+        bits = (x @ mat.T) > 0
+        return pd.Series((bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64))
+
+    return _sig(vec)
+
+
 def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Signed-random-projection signature: bit i = 1 iff dot(v, plane_i) > 0.
 
-    Returned as one long (n_planes <= 64)."""
+    Returned as one long (n_planes <= 64). Reference formulation (JVM
+    higher-order functions, fully deterministic fold order); the hot paths
+    use :func:`srp_signature_batch` — keep the two in agreement."""
     plane_lits = [
         F.array(*[F.lit(float(x)) for x in p]) for p in planes
     ]
@@ -168,7 +204,7 @@ def hyperplane_lsh_pairs(
         eager=False
     )
     banded = v.select(
-        F.col(id_col), srp_signature(F.col("v"), planes).alias("sig")
+        F.col(id_col), srp_signature_batch(F.col("v"), planes).alias("sig")
     ).select(
         id_col,
         F.posexplode(
@@ -248,7 +284,7 @@ def hyperplane_lsh_topk(
 
     def banded(vecs: DataFrame, idc: str, vname: str) -> DataFrame:
         return vecs.select(
-            F.col(idc), srp_signature(F.col(vname), planes).alias("sig")
+            F.col(idc), srp_signature_batch(F.col(vname), planes).alias("sig")
         ).select(
             idc,
             F.posexplode(

@@ -93,6 +93,24 @@ def test_simhash_banding_requires_pigeonhole(spark):
         dedup.simhash_near_dup_pairs(df, max_hamming=4, bands=4)
 
 
+def test_srp_signature_batch_matches_hof_reference(spark):
+    """The Arrow-kernel signature must pack the same sign decisions as the
+    HOF reference formulation — bit order and sign convention pinned."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    planes = similarity.hyperplanes(64, 32)
+    both = emb.select(
+        "vec_id",
+        similarity.srp_signature(
+            similarity.as_double("embedding"), planes
+        ).alias("hof"),
+        similarity.srp_signature_batch(
+            similarity.as_double("embedding"), planes
+        ).alias("arrow"),
+    ).collect()
+    assert both
+    assert all(r.hof == r.arrow for r in both)
+
+
 def test_ann_lsh_recall_vs_brute_force(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10).select(
