@@ -19,6 +19,24 @@ Methodology:
     z-score anomaly chain, feature projections, top-k windows) plus the
     corpus operators (MinHash dedup, ANN, text stats) — the shapes that
     dominate at 100 TB.
+  * EXCLUDED by design: the side-effecting roundtrip harnesses
+    (windowed_*/session_windows/streaming_ingest_roundtrip/
+    anomaly_job_roundtrip — they stage temp files and drive real
+    StreamingQueries whose trigger/teardown dominates wall time) and the
+    MLlib train/score queries (rt_model_predictions/rt_scoring_roundtrip —
+    RandomForest fit cost, not engine throughput). Their correctness is
+    covered by CORRECTNESS entries and pytest; benching them would measure
+    the harness, not the engine.
+  * If a query's two timed runs disagree by >2x, a third run is taken and
+    the best kept: with ~300 generated expression classes live, HotSpot
+    occasionally deoptimizes/recompiles mid-run (observed as a one-off
+    5.1s on a steady-state-1.2s query) — a JVM artifact, not a plan cost.
+  * Known benign noise: a terminating StreamingQuery's final micro-batch
+    can deliver task-end accumulator updates after its SQL execution is
+    unregistered; local-mode Spark logs "Failed to update accumulator
+    (Unknown class)" at ERROR. Harmless (rc=0, results unaffected),
+    non-deterministic, and absent from clean runs — documented so a log
+    reader doesn't mistake it for a failure.
 """
 
 from __future__ import annotations
@@ -40,6 +58,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "shipping_priority",
     "top_endpoints",
+    "top_endpoints_bounded",
     "distinct_users",
     "approx_distinct_users",
     "salted_ip_stats",
@@ -84,7 +103,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        timings[name] = round(min(run(name), run(name)), 3)
+        a, b = run(name), run(name)
+        if max(a, b) > 2 * min(a, b):  # JIT deopt suspected — see docstring
+            a = min(a, run(name))
+        timings[name] = round(min(a, b), 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)

@@ -162,9 +162,15 @@ def minhash_dedup_pairs(
     # (4x the dominant cost). Blocks are executor-local and reclaimed by
     # the ContextCleaner when the frame is dropped; on a cluster where
     # executor loss must be survivable, swap for a temp-table write.
+    # EAGER, deliberately: a lazy checkpoint materializes inside whichever
+    # SQL execution consumes it first, and that execution's teardown can
+    # race the checkpoint stage's task-end accumulator updates ("attempted
+    # to access non-existent accumulator" from the DAGScheduler event loop,
+    # seen in the r1 bench log). Eager runs the checkpoint under its own
+    # job, so consuming executions only ever read finished blocks.
     sh = docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # Signature via explode + k min-aggregates, NOT k array_min(transform)
     # HOF passes: higher-order functions always run on the interpreted
     # expression path (no codegen), whose JIT inlining degrades sharply in
@@ -184,7 +190,7 @@ def minhash_dedup_pairs(
             id_col,
             F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     cands = lsh_candidate_pairs(sigs, id_col)
     j = jaccard(F.col("sa.shingles"), F.col("sb.shingles"))
@@ -263,7 +269,7 @@ def simhash_near_dup_pairs(
     chunk = SIMHASH_BITS // bands
     # materialized once: both self-join sides reuse the fingerprints
     # (see the localCheckpoint note in minhash_dedup_pairs).
-    fp = simhash_fingerprints(docs, id_col, text_col).localCheckpoint(eager=False)
+    fp = simhash_fingerprints(docs, id_col, text_col).localCheckpoint(eager=True)
     banded = fp.select(
         id_col,
         "fp",

@@ -125,7 +125,13 @@ def test_ann_lsh_recall_vs_brute_force(spark):
         for r in similarity.hyperplane_lsh_topk(emb, queries, k=5).collect()
     }
     recall = len(brute & approx) / len(brute)
-    assert recall >= 0.6, f"LSH recall {recall:.2f} too low vs brute force"
+    # Calibrated (VERDICT r1 item 7): for SRP, P(bit match) = 1 - acos(c)/pi;
+    # with 8 bands x 4 bits, P(candidate) = 1 - (1 - p^4)^8. The fixture's
+    # brute-force top-k cosines span 0.26-0.39 -> expected recall 0.678
+    # (measured 0.68). Gate = expectation - 1.2 binomial sigma (0.066 over
+    # 50 draws) to absorb a fixture regeneration, not run-to-run noise
+    # (planes and fixture are seeded — recall is deterministic per fixture).
+    assert recall >= 0.6, f"LSH recall {recall:.2f} below calibrated gate"
 
 
 def test_embedding_lsh_pairs_recall(spark):
@@ -140,7 +146,12 @@ def test_embedding_lsh_pairs_recall(spark):
     }
     assert approx <= exact  # verification stage is exact: no false positives
     recall = len(approx & exact) / len(exact)
-    assert recall >= 0.5, f"SRP bucket recall {recall:.2f} too low"
+    # Calibrated (VERDICT r1 item 7): the fixture's 66 exact pairs at
+    # cosine >= 0.4 give per-pair candidate odds 0.75-0.99 (same SRP formula
+    # as the top-k test), expected recall 0.767, measured 0.818. Gate =
+    # expectation - 1.3 binomial sigma (0.053) — raised from the r1
+    # mechanism-proving 0.5 to a quality-proving 0.7.
+    assert recall >= 0.7, f"SRP bucket recall {recall:.2f} below calibrated gate"
 
 
 def test_language_id_on_real_phrases(spark):
