@@ -68,8 +68,13 @@ BENCH_QUERIES = [
     "exact_dedup_events",
     "minhash_dedup_pairs",
     "simhash_near_dup",
+    "ngram_jaccard_pairs",
+    "clean_corpus",
+    "latency_percentiles",
+    "latency_percentiles_approx",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_lsh_pairs",
     "token_stats",
     "language_id",

@@ -108,3 +108,48 @@ def approx_distinct_counts(df: DataFrame, group: str, key: str, rsd: float = 0.0
         F.approx_count_distinct(key, rsd).alias("approx_distinct_keys"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+PCTS = (0.50, 0.95, 0.99)
+
+
+def percentiles(
+    df: DataFrame,
+    group: str,
+    value: str,
+    probs: tuple[float, ...] = PCTS,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation — the latency
+    p50/p95/p99 staple of log analytics the reference never exposes).
+
+    Scale note: exact percentile buffers each group's values (OOM on a
+    100 TB hot key) — it is the *verification* operator. The serving path
+    at scale is :func:`approx_percentiles`. Interpolation matches ANSI
+    ``quantile_cont`` (DuckDB oracle-parity verified).
+    """
+    aggs = []
+    for p in probs:
+        c = F.percentile(F.col(value), F.lit(p))
+        if round_to is not None:
+            c = half_up(c, round_to)
+        aggs.append(c.alias(f"p{int(p * 100)}"))
+    return df.groupBy(group).agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
+
+
+def approx_percentiles(
+    df: DataFrame,
+    group: str,
+    value: str,
+    probs: tuple[float, ...] = PCTS,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """KLL/Greenwald-Khanna sketch percentiles — the 100 TB path: one pass,
+    mergeable partial sketches (map-side combine), bounded memory per group
+    (rank error <= 1/accuracy). Estimate, so rows-only checked; the test
+    suite bounds it against the exact operator."""
+    approx = F.percentile_approx(F.col(value), F.array(*[F.lit(p) for p in probs]), accuracy)
+    return df.groupBy(group).agg(
+        *[approx[i].alias(f"p{int(p * 100)}") for i, p in enumerate(probs)],
+        F.count(F.lit(1)).alias("n_rows"),
+    )

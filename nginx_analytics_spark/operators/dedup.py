@@ -341,3 +341,53 @@ def embedding_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def char_shingles(text: str, n: int = 5) -> Column:
+    """Distinct character n-grams of column NAME ``text`` (the n-gram-
+    Jaccard dedup signal; robust to token-boundary edits that word shingles
+    miss). A text shorter than ``n`` is its own single shingle.
+
+    HOF transform over a sequence — interpreted expression path, fine at
+    verification volume; at corpus scale feed these shingles into the
+    MinHash signature pipeline (explode + min-agg, codegen'd) instead of
+    comparing pairwise.
+    """
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(1, length({text}) - {n - 1})),"
+        f" i -> substring({text}, i, {n})))"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.4,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs — exact, O(n²) pair join.
+
+    This is the *verification-scale* operator (like embedding_dedup_pairs):
+    run it on a sample / candidate set. The 100 TB path is the same
+    shingles through MinHash-LSH banding (minhash_dedup_pairs accepts any
+    shingle column); pairwise n-gram Jaccard on the full corpus would be a
+    cross join by construction.
+    """
+    sh = docs.select(
+        F.col(id_col), char_shingles(text_col, n).alias("sh")
+    ).localCheckpoint(eager=True)
+    a, b = sh.alias("a"), sh.alias("b")
+    j = jaccard(F.col("a.sh"), F.col("b.sh"))
+    if round_to is not None:
+        j = F.round(j, round_to)
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

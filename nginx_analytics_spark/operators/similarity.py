@@ -337,3 +337,112 @@ def hyperplane_lsh_topk(
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path, complementary to LSH
+# --------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Fit the IVF coarse quantizer: seeded MLlib KMeans over the corpus.
+
+    The model is (n_cells x dim) — a driver-side constant like the SRP
+    hyperplanes, shipped to executors in UDF closures. At 100 TB fit on a
+    ``.sample()`` of the corpus (KMeans converges on a sketch of the
+    distribution); the fixture corpus is small enough to fit on directly.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(as_double(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    return np.asarray(model.clusterCenters(), dtype=np.float64)
+
+
+def nearest_cells(vec: Column, centroids: np.ndarray, nprobe: int) -> Column:
+    """``array<int>`` of the ``nprobe`` nearest centroid ids (squared
+    euclidean, deterministic tie-break by cell id via stable argsort).
+    Arrow-batched: one matmul per batch against the centroid matrix."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    cnorm = np.einsum("ij,ij->i", cents, cents)
+    probe = int(nprobe)
+
+    @F.pandas_udf("array<int>")
+    def _nc(xs: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(xs.to_numpy())
+        # argmin of |x-c|^2 = argmin(|c|^2 - 2 x.c); |x|^2 is row-constant
+        d = cnorm - 2.0 * (x @ cents.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :probe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return _nc(vec)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index: corpus vectors live in
+    exactly ONE cell (nearest centroid); each query probes its ``nprobe``
+    nearest cells and brute-forces only those cells' vectors.
+
+    vs LSH: cells partition the corpus, so candidates need no ``distinct``
+    (a corpus vector meets a query at most once) and the scanned fraction
+    is a hard ~nprobe/n_cells. At rest, writing the corpus partitioned or
+    bucketed by ``cell`` turns the probe into partition pruning — the scan
+    never touches the other cells' files; here the same pruning is a hash
+    join on ``cell``. Recall depends on (n_cells, nprobe) — measured
+    against brute force in the test suite.
+    """
+    centroids = ivf_centroids(corpus, n_cells, vec_col, seed)
+    cv = corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
+    assigned = cv.select(
+        id_col, "cv", nearest_cells(F.col("cv"), centroids, 1)[0].alias("cell")
+    )
+    qv = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv"))
+    probes = qv.select(
+        query_id_col,
+        "qv",
+        F.explode(nearest_cells(F.col("qv"), centroids, nprobe)).alias("cell"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(probes),
+            (assigned.cell == probes.cell) & (F.col(id_col) != F.col(query_id_col)),
+        )
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_batch(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            "cosine",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )

@@ -71,6 +71,23 @@ def token_stats(
     )
 
 
+def language_pred(scores: dict[str, Column]) -> Column:
+    """The argmax CASE over per-language score columns: ties resolve in
+    LANG_ORDER; all-zero scores predict 'und' (undetermined). Shared by
+    :func:`language_id` and :func:`clean_corpus` so the two stay one
+    arithmetic (and one SQL twin)."""
+    pred = F.when(sum(scores[lang] for lang in LANG_ORDER) == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = pred.when(cond, F.lit(lang))
+    return pred
+
+
 def language_id(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -86,18 +103,10 @@ def language_id(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
     )
-    pred = F.when(
-        sum(F.col(f"score_{lang}") for lang in LANG_ORDER) == 0, F.lit("und")
+    return out.withColumn(
+        "predicted_lang",
+        language_pred({lang: F.col(f"score_{lang}") for lang in LANG_ORDER}),
     )
-    for lang in LANG_ORDER:
-        cond = None
-        for other in LANG_ORDER:
-            if other == lang:
-                continue
-            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
-            cond = c if cond is None else (cond & c)
-        pred = pred.when(cond, F.lit(lang))
-    return out.withColumn("predicted_lang", pred)
 
 
 def quality_score(
@@ -209,3 +218,63 @@ def fingerprint(
     return docs.select(
         F.col(id_col), F.col(text_col), F.xxhash64(text_col).alias("content_key")
     ).mapInPandas(kernel, schema)
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.55,
+    min_tokens: int = 20,
+) -> DataFrame:
+    """The composed training-data cleaning pipeline: language-ID +
+    quality-score + length gate + exact text dedup, as ONE DataFrame DAG.
+
+    Plan shape (the part that matters at 100 TB): language scores and the
+    quality rubric are column expressions over the same row, so the whole
+    filter chain is a single narrow map fused into the scan — one pass, no
+    joins between the "stages". The only exchange is the exact-dedup
+    window, hash-partitioned on the text (at scale, key the exchange on
+    ``xxhash64(text)`` instead to avoid shuffling full documents; the raw
+    text key here is what the cross-engine oracle can express).
+
+    Emits (id, predicted_lang, ws_tokens, quality) for documents that are
+    a recognized language, >= ``min_tokens`` tokens, >= ``min_quality``
+    (on the 6-dp rounded score, so the gate is engine-portable), and the
+    first (lowest id) copy of their exact text.
+    """
+    from pyspark.sql.window import Window
+
+    t = tokens(text_col)
+    scores = {lang: profile_hits(t, STOPWORD_PROFILES[lang]) for lang in LANG_ORDER}
+    n_tokens = F.size(t)
+    n_chars = F.length(text_col)
+    ttr = F.size(F.array_distinct(t)).cast("double") / n_tokens
+    punct = F.length(
+        F.regexp_replace(text_col, "[A-Za-z0-9 ]", "")
+    ).cast("double") / n_chars
+    stop = profile_hits(t, STOPWORD_PROFILES["en"]).cast("double") / n_tokens
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + 0.3 * ttr
+        + 0.2 * (1 - punct)
+        + 0.1 * F.least(F.lit(1.0), 4 * stop)
+    )
+    scored = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        language_pred(scores).alias("predicted_lang"),
+        n_tokens.alias("ws_tokens"),
+        half_up(quality, 6).alias("quality"),
+    )
+    kept = scored.filter(
+        (F.col("predicted_lang") != "und")
+        & (F.col("ws_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality)
+    )
+    w = Window.partitionBy(text_col).orderBy(F.col(id_col).asc())
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "predicted_lang", "ws_tokens", "quality")
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nginx_analytics_spark.functions.rounding import half_up
-from nginx_analytics_spark.operators import dedup, multimodal, similarity, text
+from nginx_analytics_spark.operators import aggregates, dedup, multimodal, similarity, text
 from nginx_analytics_spark.registry import query
 from nginx_analytics_spark.sources import load_table
 
@@ -326,6 +326,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_topk(emb, queries, k=ANN_K)
 
 
+@query("ann_ivf_topk")  # approximate — recall-tested, not oracle-matched
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — the second scale path, complementary to LSH: a seeded
+    KMeans coarse quantizer partitions the corpus into disjoint cells; each
+    query brute-forces only its nprobe nearest cells (no candidate
+    distinct, hard ~nprobe/n_cells scan fraction; partition/bucket the
+    corpus by cell at rest for storage-level pruning). Recall vs brute
+    force asserted in tests/test_dataops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_COUNT).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=ANN_K, n_cells=16, nprobe=6)
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -469,6 +484,136 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded here because engine hash seeds differ by design."""
     return text.fingerprint(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "prefix_fp", "full_fp"
+    )
+
+
+_NGRAM_N = 5
+_NGRAM_THRESHOLD = 0.4
+# Verification-scale sample: doc_id < 300 — smallest decade-round sample
+# whose pair set is non-empty at BOTH gate scales (12 pairs at sf0.001,
+# 7 at sf0.01), so the CORRECTNESS entry is never a trivial 0-row match.
+_NGRAM_SAMPLE = 300
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct([text[i:i+{_NGRAM_N - 1}]
+                              for i in range(1, greatest(1, length(text) - {_NGRAM_N - 1}) + 1)])
+                   AS sh
+        FROM documents WHERE doc_id < {_NGRAM_SAMPLE}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {R6_SQL.format(x="len(list_intersect(a.sh, b.sh))::DOUBLE"
+                            " / len(list_distinct(list_concat(a.sh, b.sh)))")}
+               AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE jaccard >= {_NGRAM_THRESHOLD}
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup pairs on a deterministic sample —
+    the exact n-gram similarity metric as its own operator (robust to
+    token-boundary edits word shingles miss). Pairwise compare is
+    verification-scale by construction; the 100 TB path routes the same
+    shingles through the MinHash-LSH bands."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _NGRAM_SAMPLE
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=_NGRAM_N, threshold=0.0, round_to=None
+    )
+    return pairs.select(
+        "id_a", "id_b", r6(F.col("jaccard")).alias("jaccard")
+    ).filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
+
+
+@query(
+    "clean_corpus",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, text, w, n_chars, n_punct,
+           {_lang_scores_sql()}
+        FROM t
+    ),
+    m AS (
+        SELECT doc_id, text,
+               {_lang_case_sql()} AS predicted_lang,
+               len(w) AS ws_tokens,
+               {R6_SQL.format(
+                   x="0.4 * least(1.0, len(w) / 100.0)"
+                     " + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))"
+                     " + 0.2 * (1 - n_punct::DOUBLE / n_chars)"
+                     " + 0.1 * least(1.0, 4 * (len(list_filter(w, x -> list_contains("
+                     "[{en_words}], x)))::DOUBLE / len(w)))")}
+               AS quality
+        FROM s
+    ),
+    kept AS (
+        SELECT * FROM m
+        WHERE predicted_lang <> 'und' AND ws_tokens >= 20 AND quality >= 0.55
+    ),
+    d AS (
+        SELECT doc_id, predicted_lang, ws_tokens, quality,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM kept
+    )
+    SELECT doc_id, predicted_lang, ws_tokens, quality FROM d WHERE rn = 1
+    """.replace(
+        "{en_words}",
+        ", ".join(f"'{w}'" for w in text.STOPWORD_PROFILES["en"]),
+    ),
+)
+def clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline (language gate +
+    quality gate + length gate + exact text dedup) as one DAG: all gates
+    are column expressions fused into the scan; the only exchange is the
+    dedup window. The end-to-end shape a 100 TB corpus pass runs."""
+    return text.clean_corpus(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Latency percentiles (log-analytics staple; exact + sketch scale path)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "latency_percentiles",
+    f"""
+    SELECT event_type,
+           {R6_SQL.format(x="quantile_cont(value, 0.50)")} AS p50,
+           {R6_SQL.format(x="quantile_cont(value, 0.95)")} AS p95,
+           {R6_SQL.format(x="quantile_cont(value, 0.99)")} AS p99,
+           count(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key p50/p95/p99 (linear interpolation = ANSI
+    quantile_cont). The verification operator — buffers each group; the
+    100 TB serving path is latency_percentiles_approx."""
+    return aggregates.percentiles(
+        load_table(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+@query("latency_percentiles_approx")  # sketch estimate — rows-only check
+def latency_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch percentiles (percentile_approx): one pass,
+    map-side-combined partials, bounded memory per group — the 100 TB
+    path. Rank-error bound vs the exact operator asserted in
+    tests/test_dataops.py."""
+    return aggregates.approx_percentiles(
+        load_table(spark, sf_dir, "events"), "event_type", "value"
     )
 
 

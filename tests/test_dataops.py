@@ -134,6 +134,49 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"LSH recall {recall:.2f} below calibrated gate"
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_cells=16, nprobe=6
+        ).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    # Measured 0.76 on the seeded fixture at (16 cells, nprobe 6) — the
+    # corpus is near-uniform 64-dim noise, the hard case for IVF (true
+    # neighbors scatter across cells); gate leaves margin for a fixture
+    # regeneration. KMeans and the fixture are both seeded, so the value
+    # is deterministic per fixture.
+    assert recall >= 0.65, f"IVF recall {recall:.2f} below calibrated gate"
+
+
+def test_ivf_cells_partition_corpus(spark):
+    """Every corpus vector lands in exactly one cell, and every cell id is
+    in range — the disjointness that lets ivf_topk skip dedup."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, n_cells=16)
+    assert cents.shape == (16, 64)
+    assigned = emb.select(
+        "vec_id",
+        similarity.nearest_cells(
+            similarity.as_double("embedding"), cents, 1
+        )[0].alias("cell"),
+    )
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    cells = [r.cell for r in assigned.select("cell").distinct().collect()]
+    assert all(0 <= c < 16 for c in cells)
+
+
 def test_embedding_lsh_pairs_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     exact = {
@@ -152,6 +195,72 @@ def test_embedding_lsh_pairs_recall(spark):
     # expectation - 1.3 binomial sigma (0.053) — raised from the r1
     # mechanism-proving 0.5 to a quality-proving 0.7.
     assert recall >= 0.7, f"SRP bucket recall {recall:.2f} below calibrated gate"
+
+
+def test_approx_percentiles_within_rank_error(spark):
+    """percentile_approx's contract is on RANK, not value: it returns an
+    actual data element whose rank is within 1/accuracy of the target (a
+    value-distance bound would be meaningless on a heavy tail, where
+    neighboring ranks can be far apart in value). Assert the empirical
+    rank of each estimate."""
+    from nginx_analytics_spark.operators import aggregates
+    from nginx_analytics_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    approx = {
+        r.event_type: r
+        for r in aggregates.approx_percentiles(ev, "event_type", "value").collect()
+    }
+    values: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        values.setdefault(r.event_type, []).append(r.value)
+    assert approx.keys() == values.keys()
+    for et, a in approx.items():
+        vs = sorted(values[et])
+        n = len(vs)
+        tol = 1e-4 + 2.0 / n  # sketch bound + empirical-CDF discreteness
+        for p, target in (("p50", 0.50), ("p95", 0.95), ("p99", 0.99)):
+            est = getattr(a, p)
+            assert est in values[et], (et, p, "must be an actual data value")
+            lo = sum(1 for v in vs if v < est) / n
+            hi = sum(1 for v in vs if v <= est) / n
+            assert lo - tol <= target <= hi + tol, (et, p, lo, hi)
+
+
+def test_char_shingles_and_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdefg"), (3, "zzzzzz"), (4, "ab")],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.sh for r in df.select(
+        "doc_id", dedup.char_shingles("text", 5).alias("sh")
+    ).collect()}
+    assert sh[1] == ["abcde", "bcdef"]
+    assert sh[4] == ["ab"]  # shorter than n: whole text
+    assert sh[3] == ["zzzzz"]  # repeated grams dedup to one
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, n=5, threshold=0.3).collect()
+    }
+    # docs 1,2 share {abcde, bcdef} of union size 3 -> jaccard 2/3
+    assert abs(pairs[(1, 2)] - 2 / 3) < 1e-6
+    assert (1, 3) not in pairs
+
+
+def test_clean_corpus_gates_and_dedup(spark):
+    long_en = " ".join(["the quick brown fox jumps over a lazy dog and it is fine"] * 3)
+    df = spark.createDataFrame(
+        [
+            (1, long_en),            # kept
+            (2, long_en),            # exact dup of 1 -> dropped
+            (3, "xyzzy " * 30),      # no language -> dropped
+            (4, "the cat sat"),      # too short -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.clean_corpus(df).collect()}
+    assert set(out) == {1}
+    assert out[1].predicted_lang == "en"
 
 
 def test_language_id_on_real_phrases(spark):
