@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "clean_corpus",
     "latency_percentiles",
     "latency_percentiles_approx",
+    "asof_last_purchase",
+    "purchase_window_counts",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -195,6 +195,18 @@ def hyperplane_lsh_pairs(
     get the exact cosine. Approximate in recall (SRP collision odds), exact
     in reported similarity. One (band_idx, band_val) shuffle instead of an
     O(n²) cross join.
+
+    Selectivity is parameter- AND distribution-dependent, and the honest
+    formula is: background pairs (cosine ~0, P(bit match) = 1/2) collide at
+    ~bands x 2^-chunk of the cross product, while a pair at cosine c
+    collides with P = 1 - (1 - p^chunk)^bands, p = 1 - acos(c)/pi. The
+    defaults (8 bands x 4 bits) maximize recall for the fixture's hard
+    regime — near-dups at cosine 0.40-0.55, barely above background —
+    where they prune only ~2x. For REAL near-dup dedup (cosine >= 0.85,
+    where embedding dup detection operates), use wider bands (e.g.
+    n_planes=64, bands=8 -> 8-bit chunks): background collides at ~3% of
+    the cross product while recall stays >= 0.9 — the near-linear regime
+    asserted by tests/test_dataops.py::test_lsh_high_threshold_selectivity.
     """
     planes = hyperplanes(dim, n_planes, seed)
     chunk = n_planes // bands

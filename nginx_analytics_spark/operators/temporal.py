@@ -1,0 +1,156 @@
+"""Temporal join operators — as-of and range joins (SURVEY.md §2.5 class).
+
+Spark has no native ASOF JOIN or interval join; both are staples of log /
+time-series analytics ("the user's last purchase at this event", "events
+inside each incident window"). Naive formulations are range theta-joins —
+Spark plans those as broadcast-nested-loop or cartesian, quadratic at
+scale. These implementations re-express them as ONE equi-shuffle each:
+
+  * :func:`asof_join` — union the two sides, one window pass per key in
+    event-time order carrying the last right-side payload forward. Cost =
+    one hash shuffle on key + one within-partition sort: the sort-merge
+    shape, never a cross product, state O(1) per row.
+  * :func:`binned_range_join` — quantize time into fixed bins; an interval
+    explodes into the bins it overlaps, an event has exactly one bin, so
+    (key, bin) equi-join + exact range filter finds every (event,
+    interval) pair exactly once (no dedup). Shuffle volume = events +
+    intervals x bins_per_interval; bin width trades explode factor
+    against join selectivity.
+
+Both have exact cross-engine oracles (DuckDB ASOF JOIN / range theta-join)
+— see the registry entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: tuple[str, ...] = ("value",),
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the payload of the
+    LATEST right row with ``right_ts <= left_ts`` for the same key
+    (inclusive — ANSI/DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics).
+
+    ``right`` must be unique per (key, right_ts); pre-dedup it (e.g.
+    :func:`dedup.exact_dedup`) — as-of over duplicate timestamps is
+    ill-defined in every engine. ``tolerance`` (e.g. ``'30 minutes'``)
+    drops matches older than ``left_ts - tolerance``, the pandas
+    ``merge_asof`` affordance.
+
+    Plan: union sides tagged 0 (right) / 1 (left); window per key ordered
+    by (ts, side) — the right row at an equal timestamp sorts first, so it
+    IS visible to that left row; ``last_value(ignorenulls)`` carries each
+    payload forward; keep left rows. One exchange, one sort, no range
+    explosion, O(1) state per row — survives any skew AQE can split.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[p]).alias(f"__r_{p}") for p in payload],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__r_ts"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}") for c in lcols],
+        *[F.col(p).alias(f"__r_{p}") for p in payload],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{p}", ignorenulls=True).over(w).alias(f"__c_{p}")
+            for p in payload
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__c_ts"),
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        expired = F.col("__c_ts") < F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            "*",
+            *[
+                F.when(expired, F.lit(None)).otherwise(F.col(f"__c_{p}")).alias(
+                    f"__t_{p}"
+                )
+                for p in payload
+            ],
+        )
+        keep = [F.col(f"__t_{p}").alias(f"asof_{p}") for p in payload]
+    else:
+        keep = [F.col(f"__c_{p}").alias(f"asof_{p}") for p in payload]
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        *keep,
+    )
+
+
+def bin_of(ts: Column, bin_minutes: int) -> Column:
+    """Epoch bin index of a timestamp at the given width."""
+    return F.floor(F.unix_timestamp(ts) / (bin_minutes * 60)).cast("bigint")
+
+
+def binned_range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    bin_minutes: int = 60,
+) -> DataFrame:
+    """Interval (range) join: pairs (event, interval) with the same key and
+    ``start <= ts < end`` — via time-bin bucketing, as one equi-shuffle.
+
+    Every interval explodes into the bins it overlaps; an event has exactly
+    ONE bin, so each qualifying pair meets in exactly one (key, bin) bucket
+    — no post-join dedup. Pick ``bin_minutes`` near the typical interval
+    length: explode factor stays ~2 while the equi-join prunes everything
+    beyond one bin of slack. (A naive ``ON key AND ts BETWEEN`` theta-join
+    plans as nested-loop — quadratic; this is the scale shape.)
+
+    Returns the joined rows: all event columns + the interval columns.
+    """
+    e_binned = events.withColumn("__bin", bin_of(F.col(ts), bin_minutes))
+    i_binned = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                bin_of(F.col(start), bin_minutes), bin_of(F.col(end), bin_minutes)
+            )
+        ),
+    )
+    e, i = e_binned.alias("e"), i_binned.alias("i")
+    return (
+        e.join(
+            i,
+            (F.col(f"e.{key}") == F.col(f"i.{key}"))
+            & (F.col("e.__bin") == F.col("i.__bin"))
+            & (F.col(f"e.{ts}") >= F.col(f"i.{start}"))
+            & (F.col(f"e.{ts}") < F.col(f"i.{end}")),
+        )
+        .select(
+            *[F.col(f"e.{c}") for c in events.columns],
+            *[F.col(f"i.{c}") for c in intervals.columns if c != key],
+        )
+    )

@@ -19,7 +19,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nginx_analytics_spark.functions.rounding import half_up
-from nginx_analytics_spark.operators import aggregates, dedup, multimodal, similarity, text
+from nginx_analytics_spark.operators import (
+    aggregates,
+    dedup,
+    multimodal,
+    similarity,
+    temporal,
+    text,
+)
 from nginx_analytics_spark.registry import query
 from nginx_analytics_spark.sources import load_table
 
@@ -578,6 +585,100 @@ def clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     are column expressions fused into the scan; the only exchange is the
     dedup window. The end-to-end shape a 100 TB corpus pass runs."""
     return text.clean_corpus(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Temporal joins (as-of + range — operators Spark lacks natively)
+# --------------------------------------------------------------------------
+
+# Deduped purchase stream: as-of and interval joins need a right side
+# unique per (key, ts); survivor = lowest event_id (deterministic).
+_PURCHASES_SQL = """
+    SELECT user_id, ts, value, event_id FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                                  ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) d WHERE rn = 1
+"""
+
+
+def _purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return dedup.exact_dedup(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value", "event_id"
+        ),
+        keys=["user_id", "ts"],
+        order_col="event_id",
+    )
+
+
+@query(
+    "asof_last_purchase",
+    f"""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    p AS ({_PURCHASES_SQL})
+    SELECT e.event_id, e.user_id, e.ts AS "timestamp",
+           p.value AS last_purchase_value
+    FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators.temporal.asof_join): every event
+    carries the user's latest purchase value at or before it. Implemented
+    as union + one per-key ordered window pass (one exchange, no range
+    explosion); the oracle is DuckDB's native ASOF JOIN — exact
+    cross-engine semantics including the inclusive boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = _purchases(spark, sf_dir).drop("event_id")
+    out = temporal.asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts", payload=("value",)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("timestamp"),
+        F.col("asof_value").alias("last_purchase_value"),
+    )
+
+
+@query(
+    "purchase_window_counts",
+    f"""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    p AS ({_PURCHASES_SQL})
+    SELECT p.event_id AS window_id, p.user_id, count(*) AS n_events
+    FROM e JOIN p
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts
+     AND e.ts < p.ts + INTERVAL 30 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def purchase_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via time-bin bucketing
+    (operators.temporal.binned_range_join): events falling in each
+    30-minute post-purchase window, counted per window. One (key, bin)
+    equi-shuffle instead of the nested-loop theta-join Spark would plan
+    for the naive BETWEEN formulation; the oracle IS that naive
+    formulation on DuckDB."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    p = _purchases(spark, sf_dir)
+    intervals = p.select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.col("ts").alias("wstart"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("wend"),
+    )
+    joined = temporal.binned_range_join(
+        ev, intervals, key="user_id", ts="ts", start="wstart", end="wend",
+        bin_minutes=30,
+    )
+    return joined.groupBy("window_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
 
 
 # --------------------------------------------------------------------------

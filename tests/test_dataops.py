@@ -263,6 +263,68 @@ def test_clean_corpus_gates_and_dedup(spark):
     assert out[1].predicted_lang == "en"
 
 
+def test_lsh_high_threshold_selectivity(spark):
+    """The scale claim, asserted: in the regime SRP-LSH is designed for
+    (true near-dups, cosine >= 0.9), 8-bit bands must generate FAR fewer
+    candidates than the cross product while recalling >= 0.9 of the
+    planted pairs. (The fixture's own 0.4-threshold regime is the hard
+    case where LSH cannot prune much — see hyperplane_lsh_pairs docs.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((500, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # 40 planted near-dups: base vector + 10% noise -> cosine ~0.995
+    for j in range(40):
+        v = base[j] + 0.1 * rng.standard_normal(64)
+        rows.append((1000 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    n = len(rows)
+    pairs = similarity.hyperplane_lsh_pairs(
+        emb, threshold=0.9, n_planes=64, bands=8
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(j, 1000 + j) for j in range(40)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"high-threshold recall {recall:.2f}"
+
+    # candidate volume: replicate the band join (same kernel, same bands)
+    planes = similarity.hyperplanes(64, 64)
+    banded = emb.select(
+        "vec_id",
+        similarity.srp_signature_batch(
+            similarity.as_double("embedding"), planes
+        ).alias("sig"),
+    ).select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), b * 8).bitwiseAND(F.lit(255))
+                    for b in range(8)
+                ]
+            )
+        ).alias("bi", "bv"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    n_cands = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id"), F.col("b.vec_id"))
+        .distinct()
+        .count()
+    )
+    cross = n * (n - 1) // 2
+    assert n_cands < 0.05 * cross, f"candidates {n_cands} vs cross {cross}"
+
+
 def test_language_id_on_real_phrases(spark):
     df = spark.createDataFrame(
         [

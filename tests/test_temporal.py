@@ -1,0 +1,93 @@
+"""Temporal join operators: boundary and tolerance semantics the oracle
+diff can't isolate, plus the no-nested-loop plan claim."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from nginx_analytics_spark.operators import temporal
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_inclusive_boundary_and_carry(spark):
+    left = _df(
+        spark,
+        [(1, 10, "e1"), (1, 15, "e2"), (1, 25, "e3"), (2, 5, "e4")],
+        "k long, ts long, name string",
+    ).select("k", F.timestamp_seconds("ts").alias("ts"), "name")
+    right = _df(
+        spark,
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 50, 900.0)],
+        "k long, ts long, value double",
+    ).select("k", F.timestamp_seconds("ts").alias("ts"), "value")
+    out = {
+        r.name: r.asof_value
+        for r in temporal.asof_join(left, right, key="k", payload=("value",)).collect()
+    }
+    assert out == {
+        "e1": 100.0,  # equal timestamp matches (inclusive)
+        "e2": 100.0,  # between right rows -> carries the earlier
+        "e3": 200.0,
+        "e4": None,  # no right row at or before
+    }
+
+
+def test_asof_tolerance_expires_matches(spark):
+    left = _df(spark, [(1, 1000, "a"), (1, 5000, "b")], "k long, ts long, name string")
+    left = left.select("k", F.timestamp_seconds("ts").alias("ts"), "name")
+    right = _df(spark, [(1, 900, 7.0)], "k long, ts long, value double")
+    right = right.select("k", F.timestamp_seconds("ts").alias("ts"), "value")
+    out = {
+        r.name: r.asof_value
+        for r in temporal.asof_join(
+            left, right, key="k", payload=("value",), tolerance="10 minutes"
+        ).collect()
+    }
+    assert out == {"a": 7.0, "b": None}  # 4100s later > 600s tolerance
+
+
+def test_binned_range_join_half_open_and_bin_spanning(spark):
+    events = _df(
+        spark, [(1, 100), (1, 4000), (1, 7199), (1, 7200)], "k long, ts long"
+    ).select("k", F.timestamp_seconds("ts").alias("ts"))
+    # one interval [100, 7200) spanning 3 one-hour bins
+    iv = _df(spark, [(1, 100, 7200, 9)], "k long, s long, e long, wid long").select(
+        "k",
+        F.timestamp_seconds("s").alias("s"),
+        F.timestamp_seconds("e").alias("e"),
+        "wid",
+    )
+    out = temporal.binned_range_join(
+        events, iv, key="k", ts="ts", start="s", end="e", bin_minutes=60
+    )
+    hits = sorted(r.ts.timestamp() for r in out.collect())
+    assert hits == [100.0, 4000.0, 7199.0]  # end exclusive; no duplicates
+
+
+def test_binned_range_join_no_nested_loop(spark):
+    """The scale claim: the plan must be an equi-join (hash/merge on key +
+    bin), never BroadcastNestedLoop/Cartesian."""
+    events = _df(spark, [(1, 100)], "k long, ts long").select(
+        "k", F.timestamp_seconds("ts").alias("ts")
+    )
+    iv = _df(spark, [(1, 0, 200, 1)], "k long, s long, e long, wid long").select(
+        "k",
+        F.timestamp_seconds("s").alias("s"),
+        F.timestamp_seconds("e").alias("e"),
+        "wid",
+    )
+    out = temporal.binned_range_join(
+        events, iv, key="k", ts="ts", start="s", end="e", bin_minutes=60
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
