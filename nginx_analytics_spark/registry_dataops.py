@@ -23,6 +23,7 @@ from nginx_analytics_spark.operators import (
     aggregates,
     dedup,
     multimodal,
+    sampling,
     similarity,
     temporal,
     text,
@@ -585,6 +586,73 @@ def clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     are column expressions fused into the scan; the only exchange is the
     dedup window. The end-to-end shape a 100 TB corpus pass runs."""
     return text.clean_corpus(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling / dataset splits
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dataset_split_counts",
+    f"""
+    WITH s AS (
+        SELECT event_id,
+               CASE WHEN {sampling.portable_frac_sql("event_id")} < 0.8
+                         THEN 'train'
+                    WHEN {sampling.portable_frac_sql("event_id")} < 0.9
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM events
+    )
+    SELECT split, count(*) AS n_rows, sum(event_id) AS id_sum
+    FROM s GROUP BY split
+    """,
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by portable key hash — reproducible
+    across runs, engines, and partitionings (unlike randomSplit). id_sum
+    pins row-level membership, not just the counts."""
+    ev = sampling.dataset_split(load_table(spark, sf_dir, "events"), "event_id")
+    return ev.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("event_id").alias("id_sum")
+    )
+
+
+@query(
+    "stratified_sample_events",
+    f"""
+    SELECT event_id, user_id FROM events
+    WHERE {sampling.portable_frac_sql("event_id", salt=7)} < 0.1
+    """,
+)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample by key hash (salt 7): partition-count
+    independent, and nested — the 10% sample is a subset of the 20%."""
+    ev = load_table(spark, sf_dir, "events")
+    return sampling.stratified_sample(ev, "event_id", 0.1, salt=7).select(
+        "event_id", "user_id"
+    )
+
+
+@query(
+    "grouped_split_users",
+    f"""
+    SELECT DISTINCT user_id,
+           CASE WHEN {sampling.portable_frac_sql("user_id")} < 0.8 THEN 'train'
+                WHEN {sampling.portable_frac_sql("user_id")} < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM events
+    """,
+)
+def grouped_split_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe grouped split: hash the GROUP key (user), so every row
+    of a user lands in exactly one split — the property a row-level random
+    split silently violates for grouped data."""
+    ev = sampling.dataset_split(
+        load_table(spark, sf_dir, "events"), "user_id"
+    )
+    return ev.select("user_id", "split").distinct()
 
 
 # --------------------------------------------------------------------------

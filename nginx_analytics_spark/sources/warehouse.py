@@ -78,6 +78,41 @@ class Warehouse:
     def append_forecasts(self, df: DataFrame) -> None:
         self.append(TRAFFIC_FORECASTS, df, stamp="prediction_timestamp")
 
+    def compact_raw_logs(self, sort_by: str = "remote_addr") -> int:
+        """Small-file compaction for the raw_logs table (the maintenance
+        job every append-heavy partitioned store needs): rewrite each
+        log_date partition as one file, re-sorted by the point-lookup key
+        so Parquet min/max stats stay effective, then atomically swap the
+        directory. Returns the number of data files after compaction.
+
+        ``repartition(log_date)`` hashes each date's rows into a single
+        shuffle partition, so each partition directory gets exactly one
+        file; at 100 TB raise the file count per date by repartitioning on
+        (log_date, bucket) instead — the swap protocol is unchanged. The
+        rewrite stages to a sibling temp dir (never reads and overwrites
+        the same path — Spark forbids it, and a mid-job crash must not
+        destroy the live table)."""
+        import shutil
+
+        src = self.path(RAW_LOGS)
+        tmp, old = src + "__compact_tmp", src + "__compact_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            self.spark.read.parquet(src)
+            .repartition(F.col("log_date"))
+            .sortWithinPartitions(sort_by)
+            .write.mode("overwrite")
+            .partitionBy("log_date")
+            .parquet(tmp)
+        )
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old, ignore_errors=True)
+        n = 0
+        for _, _, files in os.walk(src):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
     # -- readers / catalog ------------------------------------------------
 
     def table(self, table: str) -> DataFrame:

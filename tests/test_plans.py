@@ -20,6 +20,14 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def n_nodes(plan: str, op: str) -> int:
+    """Count operator nodes in the plan tree (formatted output also repeats
+    each node in a detail section — match the 'Op (id)' tree form only)."""
+    import re
+
+    return len(re.findall(rf"{op} \(\d+\)", plan))
+
+
 def test_shipping_priority_joins_broadcast_and_pushdown(spark):
     p = plan_of(registry.queries()["shipping_priority"](spark, SF))
     assert "SortMergeJoin" not in p  # filtered dims must broadcast
@@ -46,3 +54,37 @@ def test_parse_enrich_is_scan_plus_project_only(spark):
     """The canonical ingest transform must stay a shuffle-free map stage."""
     p = plan_of(registry.queries()["parse_enrich"](spark, SF))
     assert "Exchange" not in p
+
+
+def test_clean_corpus_single_exchange(spark):
+    """All cleaning gates (language, quality, length) must fuse into the
+    scan; the only shuffle is the dedup window."""
+    p = plan_of(registry.queries()["clean_corpus"](spark, SF))
+    assert n_nodes(p, "Exchange") == 1, p
+    assert "Join" not in p  # stages compose as expressions, not joins
+
+
+def test_asof_join_no_range_explosion(spark):
+    """The as-of query must plan as union + window — never a join on the
+    time axis (no sort-merge/nested-loop/cartesian between the sides)."""
+    p = plan_of(registry.queries()["asof_last_purchase"](spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Union" in p and "Window" in p
+
+
+def test_bounded_topk_truncates_before_exchange(spark):
+    """The Arrow truncation stage must sit upstream of the window's
+    exchange in the physical plan."""
+    p = plan_of(registry.queries()["top_endpoints_bounded"](spark, SF))
+    assert n_nodes(p, "MapInPandas") == 1
+    assert n_nodes(p, "Exchange") == 1
+
+
+def test_latency_percentiles_partial_aggregation(spark):
+    """The sketch variant must plan partial (map-side) aggregation — the
+    mergeability claim that makes it the 100 TB path."""
+    p = plan_of(registry.queries()["latency_percentiles_approx"](spark, SF))
+    assert "partial" in p.lower()
+    assert n_nodes(p, "Exchange") == 1
