@@ -27,7 +27,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship smoke: drive the REAL nginx pipeline end-to-end.
 
-    Synthesizes 39-field nginx JSON events from the sf0.001 fixture,
+    Synthesizes 38-field nginx JSON events from the sf0.001 fixture,
     runs the canonical parse_enrich chain (P1-P8 + producer validation,
     reference ingestor/main.py:66-81), then the per-IP stats aggregation
     (A1, reference predictions/anomaly_detection.py:25-29).
