@@ -410,6 +410,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     round_to: int = 6,
+    max_iter: int = 8,
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index: corpus vectors live in
     exactly ONE cell (nearest centroid); each query probes its ``nprobe``
@@ -423,7 +424,7 @@ def ivf_topk(
     join on ``cell``. Recall depends on (n_cells, nprobe) — measured
     against brute force in the test suite.
     """
-    centroids = ivf_centroids(corpus, n_cells, vec_col, seed)
+    centroids = ivf_centroids(corpus, n_cells, vec_col, seed, max_iter)
     cv = corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
     assigned = cv.select(
         id_col, "cv", nearest_cells(F.col("cv"), centroids, 1)[0].alias("cell")

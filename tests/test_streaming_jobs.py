@@ -98,6 +98,51 @@ def test_anomaly_job_first_batch_empty_history_and_empty_batch_guard(spark, tmp_
         spark.streams.removeListener(listener)
 
 
+def test_streaming_dedup_across_micro_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must drop a key's re-arrival in a
+    LATER micro-batch (state carries across batches within the delay)."""
+    import pandas as pd
+
+    from nginx_analytics_spark.streaming.windows import dedup_within_watermark
+
+    d = tmp_path / "src"
+    d.mkdir()
+
+    def write(path, ids, secs):
+        df = pd.DataFrame(
+            {
+                "event_id": ids,
+                "timestamp": [
+                    pd.Timestamp("2024-01-30 12:00:00") + pd.Timedelta(seconds=s)
+                    for s in secs
+                ],
+            }
+        )
+        df["timestamp"] = df["timestamp"].astype("datetime64[us]")
+        df.to_parquet(path)
+
+    write(d / "a.parquet", [1, 2, 3], [0, 1, 2])
+    write(d / "b.parquet", [2, 3, 4], [3, 4, 5])  # 2,3 are dups within delay
+
+    stream = (
+        spark.readStream.schema("event_id long, timestamp timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = dedup_within_watermark(stream, ["event_id"], delay="10 minutes")
+    sink = "dedup_test_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(r.event_id for r in spark.table(sink).collect())
+    assert ids == [1, 2, 3, 4]
+
+
 def test_anomaly_roundtrip_runs_two_micro_batches(spark, tmp_path):
     """The registered roundtrip must actually stream TWO non-empty
     micro-batches (parity split + maxFilesPerTrigger=1), not one."""
