@@ -74,6 +74,11 @@ BENCH_QUERIES = [
     "latency_percentiles_approx",
     "asof_last_purchase",
     "purchase_window_counts",
+    "conversion_funnel",
+    "cohort_retention",
+    "dataset_split_counts",
+    "stratified_sample_events",
+    "grouped_split_users",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

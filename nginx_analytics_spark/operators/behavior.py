@@ -1,0 +1,102 @@
+"""Behavioral analytics — funnel + cohort retention (SURVEY §2.9 class).
+
+The ordered-event analyses every log/event store grows into; the reference
+stops at per-key counts. Both are expressed as conditional aggregations +
+broadcast joins — no window-function pass over the raw stream, no
+per-user state:
+
+  * :func:`conversion_funnel` — strictly-ordered stage progression
+    (stage k+1 must happen AFTER the user's stage-k time). Each stage is
+    one hash aggregation (min of a conditional timestamp) joined back
+    broadcast; fact scans stay narrow, per-stage frames are one row per
+    user.
+  * :func:`cohort_retention` — users bucketed by first-seen period
+    (cohort); retention = distinct users per (cohort, period offset).
+    Two hash aggregations and a broadcast join.
+
+Scale: per-user frames are |users| rows — broadcastable for dimension-
+sized user sets; beyond that AQE picks shuffle joins on user_id and the
+shape is still two narrow aggs per stage, never a self-join on the fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def conversion_funnel(
+    events: DataFrame,
+    stages: list[str],
+    user: str = "user_id",
+    etype: str = "event_type",
+    ts: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel: stage i counts users whose first
+    ``stages[i]`` event happened after their first qualifying
+    ``stages[i-1]`` event (and so on back to stage 0).
+
+    Returns (stage_idx, stage, n_users) with stage_idx 1-based —
+    n_users is non-increasing by construction.
+    """
+    reached: DataFrame | None = None  # (user, stage_ts) of the previous stage
+    out_rows = []
+    for i, stage in enumerate(stages):
+        cond = F.col(etype) == stage
+        if reached is None:
+            cur = events.filter(cond).groupBy(user).agg(
+                F.min(ts).alias("stage_ts")
+            )
+        else:
+            cur = (
+                events.filter(cond)
+                .join(F.broadcast(reached), user)
+                .filter(F.col(ts) > F.col("stage_ts"))
+                .groupBy(user)
+                .agg(F.min(ts).alias("next_ts"))
+                .withColumnRenamed("next_ts", "stage_ts")
+            )
+        out_rows.append(
+            cur.agg(
+                F.lit(i + 1).cast("bigint").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+        reached = cur.select(user, "stage_ts")
+    out = out_rows[0]
+    for frame in out_rows[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention: users bucketed by the week of their first
+    activity (Monday-start, ANSI date_trunc semantics — identical in the
+    oracle engine); retention = distinct users active ``offset`` periods
+    after their cohort week starts. The offset-0 row is the cohort size.
+
+    Returns (cohort_start date, period_offset, n_users).
+    """
+    day = F.to_date(F.col(ts))
+    firsts = events.groupBy(user).agg(
+        F.to_date(F.date_trunc("week", F.min(day))).alias("cohort_start")
+    )
+    activity = events.select(F.col(user), day.alias("day")).distinct()
+    return (
+        activity.join(F.broadcast(firsts), user)
+        .select(
+            user,
+            "cohort_start",
+            F.floor(
+                F.datediff(F.col("day"), F.col("cohort_start")) / period_days
+            ).cast("bigint").alias("period_offset"),
+        )
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.count_distinct(F.col(user)).alias("n_users"))
+    )

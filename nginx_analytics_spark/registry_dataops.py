@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from nginx_analytics_spark.functions.rounding import half_up
 from nginx_analytics_spark.operators import (
     aggregates,
+    behavior,
     dedup,
     multimodal,
     sampling,
@@ -586,6 +587,67 @@ def clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     are column expressions fused into the scan; the only exchange is the
     dedup window. The end-to-end shape a 100 TB corpus pass runs."""
     return text.clean_corpus(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Behavioral analytics (funnel + cohort retention)
+# --------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+@query(
+    "conversion_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    s1 AS (SELECT user_id, min(ts) AS stage_ts FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS stage_ts FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.stage_ts GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS stage_ts FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.stage_ts GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+           count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3
+    """,
+)
+def conversion_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view -> click -> purchase funnel: each stage counts
+    users whose first stage event follows their previous stage's first
+    event. One conditional-min aggregation + broadcast join per stage —
+    no window pass over the raw stream, no per-user state."""
+    return behavior.conversion_funnel(
+        load_table(spark, sf_dir, "events"), _FUNNEL_STAGES
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    f AS (SELECT user_id,
+                 CAST(date_trunc('week', min(CAST(ts AS DATE))) AS DATE)
+                     AS cohort_start
+          FROM e GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM e)
+    SELECT f.cohort_start,
+           CAST(floor(date_diff('day', f.cohort_start, a.day) / 7) AS BIGINT)
+               AS period_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week
+    (Monday-start date_trunc, identical in the oracle engine), distinct
+    actives per (cohort, week offset). Two hash aggregations and one
+    broadcast join."""
+    return behavior.cohort_retention(load_table(spark, sf_dir, "events"))
 
 
 # --------------------------------------------------------------------------

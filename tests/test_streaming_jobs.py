@@ -161,9 +161,22 @@ def test_anomaly_roundtrip_runs_two_micro_batches(spark, tmp_path):
             new_key_count=10,
         )
         assert out.count() > 0
-        by_query: dict[str, list[int]] = {}
-        for r in listener.records:
-            by_query.setdefault(r["query_id"], []).append(r["num_input_rows"])
+
+        def two_nonempty() -> dict[str, list[int]]:
+            by_query: dict[str, list[int]] = {}
+            for r in listener.records:
+                by_query.setdefault(r["query_id"], []).append(r["num_input_rows"])
+            return by_query
+
+        # listener-bus delivery is asynchronous: poll, don't read once
+        import time
+
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            by_query = two_nonempty()
+            if any(sum(1 for n in rows if n > 0) >= 2 for rows in by_query.values()):
+                break
+            time.sleep(0.2)
         nonempty = [
             rows for rows in by_query.values() if sum(1 for n in rows if n > 0) >= 2
         ]
