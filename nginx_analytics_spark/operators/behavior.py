@@ -7,16 +7,19 @@ per-user state:
 
   * :func:`conversion_funnel` — strictly-ordered stage progression
     (stage k+1 must happen AFTER the user's stage-k time). Each stage is
-    one hash aggregation (min of a conditional timestamp) joined back
-    broadcast; fact scans stay narrow, per-stage frames are one row per
-    user.
+    one hash aggregation (min of a conditional timestamp) joined back;
+    fact scans stay narrow, per-stage frames are one row per user.
   * :func:`cohort_retention` — users bucketed by first-seen period
     (cohort); retention = distinct users per (cohort, period offset).
-    Two hash aggregations and a broadcast join.
+    Two hash aggregations and one join.
 
-Scale: per-user frames are |users| rows — broadcastable for dimension-
-sized user sets; beyond that AQE picks shuffle joins on user_id and the
-shape is still two narrow aggs per stage, never a self-join on the fact.
+Scale: the per-user frames are deliberately NOT broadcast-hinted — an
+explicit hint is honored regardless of size and never demoted, which
+would OOM the driver on a non-dimension-sized user set. Left to the
+cost model, Spark broadcasts them while they fit
+(autoBroadcastJoinThreshold) and AQE falls back to a shuffle join on
+user_id beyond that; either way the shape is narrow aggs + one join per
+stage, never a self-join on the fact.
 """
 
 from __future__ import annotations
@@ -50,7 +53,7 @@ def conversion_funnel(
         else:
             cur = (
                 events.filter(cond)
-                .join(F.broadcast(reached), user)
+                .join(reached, user)
                 .filter(F.col(ts) > F.col("stage_ts"))
                 .groupBy(user)
                 .agg(F.min(ts).alias("next_ts"))
@@ -89,7 +92,7 @@ def cohort_retention(
     )
     activity = events.select(F.col(user), day.alias("day")).distinct()
     return (
-        activity.join(F.broadcast(firsts), user)
+        activity.join(firsts, user)
         .select(
             user,
             "cohort_start",

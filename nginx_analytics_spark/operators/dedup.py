@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from nginx_analytics_spark.functions.rounding import half_up
+
 # MinHash defaults: 32 permutations banded 16x2. Candidate probability at
 # similarity s is 1-(1-s^2)^16: ~0.1% miss rate at the 0.6 output threshold,
 # effectively 0 above 0.8 — while pairs at background similarity (s~0.01)
@@ -195,7 +197,7 @@ def minhash_dedup_pairs(
     cands = lsh_candidate_pairs(sigs, id_col)
     j = jaccard(F.col("sa.shingles"), F.col("sb.shingles"))
     if round_to is not None:
-        j = F.round(j, round_to)
+        j = half_up(j, round_to)
     return (
         cands.join(sh.alias("sa"), cands.id_a == F.col(f"sa.{id_col}"))
         .join(sh.alias("sb"), cands.id_b == F.col(f"sb.{id_col}"))
@@ -331,7 +333,7 @@ def embedding_dedup_pairs(
     a, b = v.alias("a"), v.alias("b")
     c = cosine(F.col("a.v"), F.col("b.v"))
     if round_to is not None:
-        c = F.round(c, round_to)
+        c = half_up(c, round_to)
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -384,10 +386,14 @@ def ngram_jaccard_pairs(
     discriminative mass) or route through MinHash banding; on a bounded
     sample/candidate set this exact plan is the right one.
     """
-    sh = docs.select(F.col(id_col), char_shingles(text_col, n).alias("sh"))
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n")).localCheckpoint(
-        eager=True
-    )
+    # Checkpoint the shingle frame itself (not just the sizes): it feeds
+    # the size lookup AND both gram self-join sides — without
+    # materialization each consumer re-runs the interpreted char_shingles
+    # transform over the whole corpus.
+    sh = docs.select(
+        F.col(id_col), char_shingles(text_col, n).alias("sh")
+    ).localCheckpoint(eager=True)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
     grams = sh.select(F.col(id_col), F.explode("sh").alias("g"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
@@ -407,7 +413,7 @@ def ngram_jaccard_pairs(
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
     if round_to is not None:
-        j = F.round(j, round_to)
+        j = half_up(j, round_to)
     return (
         inter.join(F.broadcast(na), "id_a")
         .join(F.broadcast(nb), "id_b")

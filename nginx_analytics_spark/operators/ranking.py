@@ -64,14 +64,22 @@ def partition_topk(
     k x n_batches, never fewer than the true top-k.
     """
     ascending = [not descending, True]
+    # Match Spark's window NULL ordering exactly, or truncation breaks the
+    # superset invariant: asc sorts NULLS FIRST, desc NULLS LAST.
+    na_position = "first" if not descending else "last"
 
     def trunc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield (
                 pdf.sort_values(
-                    [order_col, tiebreak], ascending=ascending, kind="mergesort"
+                    [order_col, tiebreak],
+                    ascending=ascending,
+                    kind="mergesort",
+                    na_position=na_position,
                 )
-                .groupby(key, sort=False)
+                # dropna=False: a NULL key is its own window partition in
+                # Spark — pandas' default would silently drop the group.
+                .groupby(key, sort=False, dropna=False)
                 .head(k)
             )
 

@@ -72,6 +72,8 @@ def split_column(
     boundaries (weights must sum to ~1; the last split absorbs rounding)."""
     frac = portable_frac(key, salt)
     names = list(weights)
+    if len(names) == 1:  # degenerate single-split config: everything in it
+        return F.lit(names[0])
     bounds: list[float] = []
     acc = 0.0
     for name in names[:-1]:

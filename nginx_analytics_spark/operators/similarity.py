@@ -34,6 +34,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from nginx_analytics_spark.functions.rounding import half_up
+
 
 def as_double(vec: Column | str) -> Column:
     """float[] -> double[] so all arithmetic folds in float64."""
@@ -100,7 +102,7 @@ def brute_force_topk(
     scored = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
         query_id_col,
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
+        half_up(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -212,8 +214,11 @@ def hyperplane_lsh_pairs(
     chunk = n_planes // bands
     mask = (1 << chunk) - 1
 
+    # eager: a lazy checkpoint materializes inside the first consuming SQL
+    # execution, whose teardown races the checkpoint stage's accumulator
+    # updates (see the dedup.py note) — eager runs it under its own job.
     v = corpus.select(F.col(id_col), as_double(vec_col).alias("v")).localCheckpoint(
-        eager=False
+        eager=True
     )
     banded = v.select(
         F.col(id_col), srp_signature_batch(F.col("v"), planes).alias("sig")
@@ -251,7 +256,7 @@ def hyperplane_lsh_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_batch(F.col("va"), F.col("vb")), round_to).alias(
+            half_up(cosine_batch(F.col("va"), F.col("vb")), round_to).alias(
                 "cosine"
             ),
         )
@@ -331,7 +336,7 @@ def hyperplane_lsh_topk(
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_batch(F.col("qv"), F.col("cv")), round_to).alias(
+            half_up(cosine_batch(F.col("qv"), F.col("cv")), round_to).alias(
                 "cosine"
             ),
         )
@@ -443,7 +448,7 @@ def ivf_topk(
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_batch(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
+            half_up(cosine_batch(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(

@@ -49,26 +49,39 @@ def asof_join(
 
     Plan: union sides tagged 0 (right) / 1 (left); window per key ordered
     by (ts, side) — the right row at an equal timestamp sorts first, so it
-    IS visible to that left row; ``last_value(ignorenulls)`` carries each
-    payload forward; keep left rows. One exchange, one sort, no range
-    explosion, O(1) state per row — survives any skew AQE can split.
+    IS visible to that left row; ``last(ignorenulls)`` carries the latest
+    right ROW forward as one struct; keep left rows. One exchange, one
+    sort, no range explosion, O(1) state per row — survives any skew AQE
+    can split.
+
+    The carry is a single ``struct(ts, *payload)`` — never per-column:
+    per-column ``last(ignorenulls)`` would skip a matched row's NULL
+    payload (returning a stale older value where ASOF JOIN semantics
+    return the match's NULL), could blend columns from different right
+    rows, and would check ``tolerance`` against a timestamp newer than
+    the row the payload came from.
     """
     lcols = [c for c in left.columns]
+    rtypes = dict(right.dtypes)
+    struct_type = (
+        "struct<ts:" + rtypes[right_ts]
+        + "".join(f",{p}:{rtypes[p]}" for p in payload) + ">"
+    )
     l_tagged = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
-        *[F.lit(None).cast(dict(right.dtypes)[p]).alias(f"__r_{p}") for p in payload],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__r_ts"),
+        F.lit(None).cast(struct_type).alias("__r"),
     )
     r_tagged = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}") for c in lcols],
-        *[F.col(p).alias(f"__r_{p}") for p in payload],
-        F.col(right_ts).alias("__r_ts"),
+        F.struct(
+            F.col(right_ts).alias("ts"), *[F.col(p) for p in payload]
+        ).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -77,31 +90,16 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{p}", ignorenulls=True).over(w).alias(f"__c_{p}")
-            for p in payload
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__c_ts"),
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__c")
     )
     out = carried.filter(F.col("__side") == 1)
+    match = F.col("__c")
     if tolerance is not None:
-        expired = F.col("__c_ts") < F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
-        out = out.select(
-            "*",
-            *[
-                F.when(expired, F.lit(None)).otherwise(F.col(f"__c_{p}")).alias(
-                    f"__t_{p}"
-                )
-                for p in payload
-            ],
-        )
-        keep = [F.col(f"__t_{p}").alias(f"asof_{p}") for p in payload]
-    else:
-        keep = [F.col(f"__c_{p}").alias(f"asof_{p}") for p in payload]
+        expired = match["ts"] < F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        match = F.when(expired, F.lit(None).cast(struct_type)).otherwise(match)
     return out.select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *keep,
+        *[match[p].alias(f"asof_{p}") for p in payload],
     )
 
 

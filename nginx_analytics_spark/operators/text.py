@@ -109,20 +109,15 @@ def language_id(
     )
 
 
-def quality_score(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    round_to: int = 6,
-) -> DataFrame:
-    """Document quality heuristics: length, diversity, punctuation, stopwords.
+def quality_components(text_col: str) -> dict[str, Column]:
+    """The quality rubric's raw column expressions, shared by
+    :func:`quality_score` and :func:`clean_corpus` (one arithmetic, one
+    SQL twin — like :func:`language_pred`):
 
     quality = 0.4*min(1, ws_tokens/100) + 0.3*type_token_ratio
             + 0.2*(1 - punct_ratio) + 0.1*min(1, 4*stopword_ratio)
     — a transparent linear rubric of the classic corpus-filtering signals
-    (Gopher/C4-style length & symbol heuristics), deterministic and
-    SQL-twinned for the oracle.
-    """
+    (Gopher/C4-style length & symbol heuristics)."""
     t = tokens(text_col)
     n_tokens = F.size(t)
     n_chars = F.length(text_col)
@@ -137,14 +132,34 @@ def quality_score(
         + 0.2 * (1 - punct)
         + 0.1 * F.least(F.lit(1.0), 4 * stop)
     )
+    return {
+        "ws_tokens": n_tokens,
+        "n_chars": n_chars,
+        "type_token_ratio": ttr,
+        "punct_ratio": punct,
+        "stopword_ratio": stop,
+        "quality": quality,
+    }
+
+
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Document quality heuristics: length, diversity, punctuation,
+    stopwords (rubric in :func:`quality_components`); deterministic and
+    SQL-twinned for the oracle."""
+    c = quality_components(text_col)
     return docs.select(
         F.col(id_col),
-        n_tokens.alias("ws_tokens"),
-        n_chars.alias("n_chars"),
-        half_up(ttr, round_to).alias("type_token_ratio"),
-        half_up(punct, round_to).alias("punct_ratio"),
-        half_up(stop, round_to).alias("stopword_ratio"),
-        half_up(quality, round_to).alias("quality"),
+        c["ws_tokens"].alias("ws_tokens"),
+        c["n_chars"].alias("n_chars"),
+        half_up(c["type_token_ratio"], round_to).alias("type_token_ratio"),
+        half_up(c["punct_ratio"], round_to).alias("punct_ratio"),
+        half_up(c["stopword_ratio"], round_to).alias("stopword_ratio"),
+        half_up(c["quality"], round_to).alias("quality"),
     )
 
 
@@ -247,25 +262,13 @@ def clean_corpus(
 
     t = tokens(text_col)
     scores = {lang: profile_hits(t, STOPWORD_PROFILES[lang]) for lang in LANG_ORDER}
-    n_tokens = F.size(t)
-    n_chars = F.length(text_col)
-    ttr = F.size(F.array_distinct(t)).cast("double") / n_tokens
-    punct = F.length(
-        F.regexp_replace(text_col, "[A-Za-z0-9 ]", "")
-    ).cast("double") / n_chars
-    stop = profile_hits(t, STOPWORD_PROFILES["en"]).cast("double") / n_tokens
-    quality = (
-        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-        + 0.3 * ttr
-        + 0.2 * (1 - punct)
-        + 0.1 * F.least(F.lit(1.0), 4 * stop)
-    )
+    c = quality_components(text_col)
     scored = docs.select(
         F.col(id_col),
         F.col(text_col),
         language_pred(scores).alias("predicted_lang"),
-        n_tokens.alias("ws_tokens"),
-        half_up(quality, 6).alias("quality"),
+        c["ws_tokens"].alias("ws_tokens"),
+        half_up(c["quality"], 6).alias("quality"),
     )
     kept = scored.filter(
         (F.col("predicted_lang") != "und")

@@ -91,12 +91,23 @@ class Warehouse:
         (log_date, bucket) instead — the swap protocol is unchanged. The
         rewrite stages to a sibling temp dir (never reads and overwrites
         the same path — Spark forbids it, and a mid-job crash must not
-        destroy the live table)."""
+        destroy the live table).
+
+        Crash protocol (re-runnable from any interruption point): stale
+        tmp/old dirs are cleared on entry, and a crash that happened
+        between the two renames (live dir momentarily absent) is rolled
+        forward by restoring ``old`` as the live table. The rename pair
+        itself is not one atomic operation — a plain filesystem cannot
+        swap directories atomically; at scale that last gap is what a
+        table format's metadata commit (Iceberg/Delta) closes."""
         import shutil
 
         src = self.path(RAW_LOGS)
         tmp, old = src + "__compact_tmp", src + "__compact_old"
+        if not os.path.isdir(src) and os.path.isdir(old):
+            os.rename(old, src)  # roll forward a crash between the renames
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         (
             self.spark.read.parquet(src)
             .repartition(F.col("log_date"))

@@ -38,6 +38,19 @@ def test_asof_inclusive_boundary_and_carry(spark):
     }
 
 
+def test_asof_null_payload_is_the_match_not_a_stale_carry(spark):
+    """ASOF semantics: the LATEST right row wins even when its payload is
+    NULL — a per-column ignorenulls carry would leak the older value."""
+    left = _df(spark, [(1, 20, "e1")], "k long, ts long, name string").select(
+        "k", F.timestamp_seconds("ts").alias("ts"), "name"
+    )
+    right = _df(
+        spark, [(1, 10, 5.0), (1, 15, None)], "k long, ts long, value double"
+    ).select("k", F.timestamp_seconds("ts").alias("ts"), "value")
+    out = temporal.asof_join(left, right, key="k", payload=("value",)).collect()
+    assert out[0].asof_value is None  # matched ts=15 whose value IS NULL
+
+
 def test_asof_tolerance_expires_matches(spark):
     left = _df(spark, [(1, 1000, "a"), (1, 5000, "b")], "k long, ts long, name string")
     left = left.select("k", F.timestamp_seconds("ts").alias("ts"), "name")

@@ -70,3 +70,27 @@ def test_compact_collapses_files_and_preserves_rows(spark, tmp_path):
     assert key(after) == key(before)
     # window reads still work post-swap (catalog/path integrity)
     assert wh.raw_logs_window("2024-01-31 00:00:00", 7).count() > 0
+
+
+def test_compact_rerunnable_after_crash_artifacts(spark, tmp_path):
+    """A stale __compact_old dir (crash after the swap) must not wedge the
+    next run; a missing live dir with old present (crash between renames)
+    must roll forward."""
+    import os
+    import shutil
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.append_raw_logs(_enriched(spark))
+    n_before = wh.table("raw_logs").count()
+    src = wh.path("raw_logs")
+
+    # crash after swap: old left behind
+    shutil.copytree(src, src + "__compact_old")
+    assert wh.compact_raw_logs() > 0
+    assert not os.path.exists(src + "__compact_old")
+    assert wh.table("raw_logs").count() == n_before
+
+    # crash between renames: live dir gone, old holds the table
+    os.rename(src, src + "__compact_old")
+    assert wh.compact_raw_logs() > 0
+    assert wh.table("raw_logs").count() == n_before
