@@ -63,24 +63,32 @@ def partition_topk(
     which only loosens the bound: the survivor count per key is at most
     k x n_batches, never fewer than the true top-k.
     """
-    ascending = [not descending, True]
-    # Match Spark's window NULL ordering exactly, or truncation breaks the
-    # superset invariant: asc sorts NULLS FIRST, desc NULLS LAST.
-    na_position = "first" if not descending else "last"
+    # Match Spark's window NULL ordering per column, or truncation breaks
+    # the superset invariant: asc sorts NULLS FIRST, desc NULLS LAST — and
+    # pandas applies ONE na_position to every sort column, so a combined
+    # sort_values([order, tiebreak]) cannot express (desc NULLS LAST,
+    # asc NULLS FIRST). Two stable passes give each column its own rule.
+    #
+    # Domain limit (documented, not silently wrong): float columns holding
+    # REAL NaN are outside this kernel — Arrow conflates NaN with NULL in
+    # pandas float64, so Spark's NaN ordering (greater than every value,
+    # distinct from NULL) cannot be reproduced; use plain topk_per_key for
+    # NaN-bearing data.
+    o_asc = not descending
+    o_na = "first" if o_asc else "last"
 
     def trunc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf.sort_values(
+                tiebreak, ascending=True, kind="mergesort", na_position="first"
+            )
+            pdf = pdf.sort_values(
+                order_col, ascending=o_asc, kind="mergesort", na_position=o_na
+            )
             yield (
-                pdf.sort_values(
-                    [order_col, tiebreak],
-                    ascending=ascending,
-                    kind="mergesort",
-                    na_position=na_position,
-                )
                 # dropna=False: a NULL key is its own window partition in
                 # Spark — pandas' default would silently drop the group.
-                .groupby(key, sort=False, dropna=False)
-                .head(k)
+                pdf.groupby(key, sort=False, dropna=False).head(k)
             )
 
     return df.mapInPandas(trunc, df.schema)

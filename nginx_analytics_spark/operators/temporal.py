@@ -62,10 +62,14 @@ def asof_join(
     the row the payload came from.
     """
     lcols = [c for c in left.columns]
-    rtypes = dict(right.dtypes)
+    ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
+
+    def q(name: str) -> str:  # backquote DDL field names (spaces, dashes, ...)
+        return "`" + name.replace("`", "``") + "`"
+
     struct_type = (
         "struct<ts:" + rtypes[right_ts]
-        + "".join(f",{p}:{rtypes[p]}" for p in payload) + ">"
+        + "".join(f",{q(p)}:{rtypes[p]}" for p in payload) + ">"
     )
     l_tagged = left.select(
         F.col(key).alias("__k"),
@@ -78,7 +82,7 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}") for c in lcols],
+        *[F.lit(None).cast(ltypes[c]).alias(f"__l_{c}") for c in lcols],
         F.struct(
             F.col(right_ts).alias("ts"), *[F.col(p) for p in payload]
         ).alias("__r"),

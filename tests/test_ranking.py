@@ -40,6 +40,29 @@ def test_bounded_topk_ascending(spark):
     assert _rows(bounded) == _rows(plain)
 
 
+def test_bounded_topk_null_key_and_null_ordering_match_window(spark):
+    """NULL keys form their own partition, NULL order values obey Spark's
+    NULLS FIRST/LAST per direction, and a NULL tiebreak sorts FIRST within
+    equal order values (asc) — per-column rules pandas' single na_position
+    cannot express in one sort (review finding, repro'd)."""
+    rows = [
+        ("g", 5.0, "a"),
+        ("g", 5.0, None),  # same order value, NULL tiebreak -> true top-1
+        ("g", 4.0, "b"),
+        (None, 9.0, "c"),  # NULL key: its own partition
+        (None, 1.0, "d"),
+        ("h", None, "e"),  # NULL order value
+        ("h", 2.0, "f"),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, t string")
+    for desc in (True, False):
+        plain = ranking.topk_per_key(df, "k", "v", "t", 1, descending=desc)
+        bounded = ranking.topk_per_key_bounded(df, "k", "v", "t", 1, descending=desc)
+        want = {(r.k, r.v, r.t, r.rn) for r in plain.collect()}
+        got = {(r.k, r.v, r.t, r.rn) for r in bounded.collect()}
+        assert got == want, f"descending={desc}"
+
+
 def test_partition_topk_bounds_shuffle_volume(spark):
     """The truncation stage must emit <= k x n_batches rows per key (and
     strictly fewer than the input), while still containing the true top-k."""

@@ -65,6 +65,21 @@ def test_asof_tolerance_expires_matches(spark):
     assert out == {"a": 7.0, "b": None}  # 4100s later > 600s tolerance
 
 
+def test_asof_payload_names_need_no_ddl_quoting(spark):
+    """Payload column names with spaces must survive the struct-carry DDL
+    (backquoted field names — review-found regression risk)."""
+    left = _df(spark, [(1, 20)], "k long, ts long").select(
+        "k", F.timestamp_seconds("ts").alias("ts")
+    )
+    right = _df(spark, [(1, 10, 7.0)], "k long, ts long, v double").select(
+        "k",
+        F.timestamp_seconds("ts").alias("ts"),
+        F.col("v").alias("purchase value"),
+    )
+    out = temporal.asof_join(left, right, key="k", payload=("purchase value",))
+    assert out.collect()[0]["asof_purchase value"] == 7.0
+
+
 def test_binned_range_join_half_open_and_bin_spanning(spark):
     events = _df(
         spark, [(1, 100), (1, 4000), (1, 7199), (1, 7200)], "k long, ts long"
