@@ -667,7 +667,8 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'test' END AS split
         FROM events
     )
-    SELECT split, count(*) AS n_rows, sum(event_id) AS id_sum
+    SELECT split, count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
     FROM s GROUP BY split
     """,
 )

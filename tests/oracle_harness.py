@@ -63,6 +63,14 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
         return problems
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes raw dtypes: an int64 Spark column vs a float64
+        # oracle column (e.g. DuckDB HUGEINT -> pandas float64) mismatches
+        # even when every value is numerically equal. Mirror that here.
+        if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv):
+            problems.append(
+                f"col {c}: dtype class mismatch: spark={av.dtype} oracle={bv.dtype}"
+            )
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             af = av.astype("float64").to_numpy()
             bf = bv.astype("float64").to_numpy()
