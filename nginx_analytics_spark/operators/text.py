@@ -49,10 +49,28 @@ def tokens(text: Column | str) -> Column:
     return F.split(text, " ")
 
 
-def profile_hits(text_tokens: Column, profile: tuple[str, ...]) -> Column:
-    """Number of tokens (with multiplicity) found in a stopword profile."""
-    lit_profile = F.array(*[F.lit(w) for w in profile])
-    return F.size(F.filter(text_tokens, lambda t: F.array_contains(lit_profile, t)))
+def profile_hits(text: Column | str, profile: tuple[str, ...]) -> Column:
+    """Number of space-delimited tokens (with multiplicity) found in a
+    stopword profile.
+
+    Implemented as one ``regexp_count`` over the raw text with zero-width
+    anchors — exactly equivalent to filtering ``split(text, ' ')`` against
+    the profile (anchors consume nothing, so adjacent single-space tokens
+    all match; ``\\A``/``\\z`` rather than ``^``/``$`` so a trailing
+    newline inside a token is NOT treated as a boundary, matching split
+    semantics). Chosen over the lambda-HOF form (``F.filter`` +
+    ``array_contains``) because higher-order functions always evaluate on
+    Spark's interpreted expression path, which degrades 5-25x in long
+    sessions (BENCH_r02: language_id 0.49s -> 2.28s); ``regexp_count`` is
+    whole-stage-codegen'd and keeps the operator a zero-shuffle narrow map
+    — the shape that survives 100 TB (an explode + broadcast-join + agg
+    alternative would add an exchange per query for no benefit).
+    """
+    alternation = "|".join(profile)
+    return F.regexp_count(
+        F.col(text) if isinstance(text, str) else text,
+        F.lit(rf"(?<=\A| )(?:{alternation})(?= |\z)"),
+    )
 
 
 def token_stats(
@@ -97,8 +115,9 @@ def language_id(
     in LANG_ORDER (an ordered CASE — same arithmetic as the SQL oracle).
     Documents hitting no profile at all predict 'und' (undetermined).
     """
-    t = tokens(text_col)
-    scores = {lang: profile_hits(t, STOPWORD_PROFILES[lang]) for lang in LANG_ORDER}
+    scores = {
+        lang: profile_hits(text_col, STOPWORD_PROFILES[lang]) for lang in LANG_ORDER
+    }
     out = docs.select(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
@@ -125,7 +144,7 @@ def quality_components(text_col: str) -> dict[str, Column]:
     punct = F.length(
         F.regexp_replace(text_col, "[A-Za-z0-9 ]", "")
     ).cast("double") / n_chars
-    stop = profile_hits(t, STOPWORD_PROFILES["en"]).cast("double") / n_tokens
+    stop = profile_hits(text_col, STOPWORD_PROFILES["en"]).cast("double") / n_tokens
     quality = (
         0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
         + 0.3 * ttr
@@ -260,8 +279,9 @@ def clean_corpus(
     """
     from pyspark.sql.window import Window
 
-    t = tokens(text_col)
-    scores = {lang: profile_hits(t, STOPWORD_PROFILES[lang]) for lang in LANG_ORDER}
+    scores = {
+        lang: profile_hits(text_col, STOPWORD_PROFILES[lang]) for lang in LANG_ORDER
+    }
     c = quality_components(text_col)
     scored = docs.select(
         F.col(id_col),

@@ -456,7 +456,9 @@ def doc_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast(
         "double"
     ) / n_chars
-    stop = text.profile_hits(t, text.STOPWORD_PROFILES["en"]).cast("double") / n_tokens
+    stop = text.profile_hits("text", text.STOPWORD_PROFILES["en"]).cast(
+        "double"
+    ) / n_tokens
     quality = (
         0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
         + 0.3 * ttr
