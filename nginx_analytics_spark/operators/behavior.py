@@ -59,6 +59,13 @@ def conversion_funnel(
                 .agg(F.min(ts).alias("next_ts"))
                 .withColumnRenamed("next_ts", "stage_ts")
             )
+        # Each stage frame feeds TWO consumers (its count row and the next
+        # stage's join input): without an eager cut, stage i re-executes
+        # all i-1 prior filter+agg+join passes — O(stages²) fact scans —
+        # and relies on Catalyst exchange reuse. cur is one row per user,
+        # so the materialization is cheap; eager=True per the module-wide
+        # rule on frames reused across joins (see dedup/similarity).
+        cur = cur.localCheckpoint(eager=True)
         out_rows.append(
             cur.agg(
                 F.lit(i + 1).cast("bigint").alias("stage_idx"),

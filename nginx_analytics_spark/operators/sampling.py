@@ -78,7 +78,13 @@ def split_column(
     acc = 0.0
     for name in names[:-1]:
         acc += weights[name]
-        bounds.append(acc)
+        # Round each cumulative bound so the Spark literal is bit-identical
+        # to the literal a hand-written SQL oracle uses: naive float
+        # accumulation gives 0.8 + 0.1 = 0.9000000000000001 while the
+        # oracle compares against 0.9 — unreachable on the h/2^32 fraction
+        # grid for default weights, but portable-by-construction beats
+        # portable-by-luck for arbitrary weight combinations.
+        bounds.append(round(acc, 12))
     expr = F.when(frac < F.lit(bounds[0]), F.lit(names[0]))
     for i in range(1, len(names) - 1):
         expr = expr.when(frac < F.lit(bounds[i]), F.lit(names[i]))

@@ -78,7 +78,12 @@ def asof_join(
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
         F.lit(None).cast(struct_type).alias("__r"),
     )
-    r_tagged = right.select(
+    # SQL join semantics: a NULL key never matches (the oracle's equi
+    # condition is 3VL-false on NULLs). Window.partitionBy would otherwise
+    # group all NULL keys into one partition and carry right payloads onto
+    # NULL-key left rows — so drop NULL-key right rows before the union;
+    # NULL-key left rows then see only NULL carries and emit NULL payloads.
+    r_tagged = right.filter(F.col(key).isNotNull()).select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),

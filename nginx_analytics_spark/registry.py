@@ -20,6 +20,7 @@ Conventions (driver hash-compare is exact):
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -646,8 +647,11 @@ def streaming_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The streaming anomaly job's oracle. The job seeds raw_logs with events at
 # or before BATCH_START; raw_logs_window(AS_OF, 7) then clips history to
-# (AS_OF - 7 days, BATCH_START].
-_JOB_HISTORY_LO = "2024-01-24 00:00:00"  # AS_OF - 7 days
+# (AS_OF - 7 days, BATCH_START]. Derived from AS_OF so a future change to
+# either constant can't silently desynchronize oracle and Spark path.
+_JOB_HISTORY_LO = (
+    datetime.fromisoformat(AS_OF) - timedelta(days=7)
+).strftime("%Y-%m-%d %H:%M:%S")
 
 _ANOM_SRC_SQL = """
     SELECT CAST(ts AS TIMESTAMP) AS "timestamp",

@@ -51,6 +51,27 @@ def test_asof_null_payload_is_the_match_not_a_stale_carry(spark):
     assert out[0].asof_value is None  # matched ts=15 whose value IS NULL
 
 
+def test_asof_null_keys_never_match(spark):
+    """SQL join semantics: a NULL key matches nothing — NULL-key left rows
+    get NULL payloads and NULL-key right rows are invisible, exactly like
+    the oracle's `l.k = r.k` equi-condition (3VL-false on NULLs)."""
+    left = _df(
+        spark,
+        [(None, 20, "null-key"), (1, 20, "real-key")],
+        "k long, ts long, name string",
+    ).select("k", F.timestamp_seconds("ts").alias("ts"), "name")
+    right = _df(
+        spark,
+        [(None, 10, 666.0), (1, 10, 100.0)],
+        "k long, ts long, value double",
+    ).select("k", F.timestamp_seconds("ts").alias("ts"), "value")
+    out = {
+        r.name: r.asof_value
+        for r in temporal.asof_join(left, right, key="k", payload=("value",)).collect()
+    }
+    assert out == {"null-key": None, "real-key": 100.0}
+
+
 def test_asof_tolerance_expires_matches(spark):
     left = _df(spark, [(1, 1000, "a"), (1, 5000, "b")], "k long, ts long, name string")
     left = left.select("k", F.timestamp_seconds("ts").alias("ts"), "name")
