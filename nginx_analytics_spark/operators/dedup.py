@@ -149,6 +149,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     num_hashes: int = NUM_HASHES,
     round_to: int | None = 6,
+    exact_net: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH candidates + exact Jaccard verify.
 
@@ -157,6 +158,19 @@ def minhash_dedup_pairs(
     similarity is exact, so (modulo the ~(1-t)^k missed-candidate odds
     documented above) this equals the brute-force O(n²) answer — which is
     exactly what the DuckDB oracle computes.
+
+    ``exact_net=True`` additionally unions the candidate set with the
+    relational exact plan (:func:`exact_jaccard_pairs` over the same
+    shingle frame), making recall 1 BY CONSTRUCTION: every pair with
+    Jaccard >= threshold shares at least one shingle, so the gram
+    co-occurrence join surfaces it regardless of how the bands fall. Use
+    it on verification/gate tiers where the output must equal a
+    brute-force oracle for ANY input (e.g. a regenerated fixture); the
+    LSH candidates still flow through the same verify join, so the scale
+    path is exercised end-to-end while the net closes the ~1e-3
+    near-threshold miss odds. At corpus scale the net's gram self-join
+    costs Σ_g df(g)² — cheap on discriminative word 3-shingles, but the
+    pure-LSH path (exact_net=False) is the 100 TB default.
     """
     # localCheckpoint: shingles/signatures are consumed by BOTH sides of
     # the candidate self-join and again by the verify joins — without
@@ -195,12 +209,80 @@ def minhash_dedup_pairs(
         .localCheckpoint(eager=True)
     )
     cands = lsh_candidate_pairs(sigs, id_col)
+    if exact_net:
+        grams = sh.select(F.col(id_col), F.explode("shingles").alias("g"))
+        ga, gb = grams.alias("ga"), grams.alias("gb")
+        net = (
+            ga.join(
+                gb,
+                (F.col("ga.g") == F.col("gb.g"))
+                & (F.col(f"ga.{id_col}") < F.col(f"gb.{id_col}")),
+            )
+            .select(
+                F.col(f"ga.{id_col}").alias("id_a"),
+                F.col(f"gb.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        cands = cands.unionByName(net).distinct()
     j = jaccard(F.col("sa.shingles"), F.col("sb.shingles"))
     if round_to is not None:
         j = half_up(j, round_to)
     return (
         cands.join(sh.alias("sa"), cands.id_a == F.col(f"sa.{id_col}"))
         .join(sh.alias("sb"), cands.id_b == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact word-shingle Jaccard pairs via the relational sparse plan
+    (the word-shingle twin of :func:`ngram_jaccard_pairs`): explode
+    distinct shingles, self-join on shingle, count co-occurrences, derive
+    the union arithmetically. Recall is 1 by construction — any pair with
+    Jaccard > 0 shares a shingle and therefore materializes.
+
+    This is the deterministic verification twin of
+    :func:`minhash_dedup_pairs` (same shingling, same output contract,
+    no banding odds). Cost is Σ_g df(g)²: near-linear on discriminative
+    word 3-shingles, quadratic only on corpora dominated by repeated
+    whole phrases — at that point use the MinHash path.
+    """
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    ).localCheckpoint(eager=True)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
+    grams = sh.select(F.col(id_col), F.explode("sh").alias("g"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    j = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    if round_to is not None:
+        j = half_up(j, round_to)
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
         .select("id_a", "id_b", j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -368,6 +450,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.4,
     round_to: int | None = 6,
+    stopgram_df_ceiling: int | None = None,
 ) -> DataFrame:
     """Character-n-gram Jaccard pairs via the relational sparse-similarity
     plan: explode distinct grams, self-join on gram, count co-occurrences
@@ -381,10 +464,18 @@ def ngram_jaccard_pairs(
     are codegen'd hash operators with map-side combine.
 
     Scale note: the gram self-join's output is Σ_g df(g)² — ultra-common
-    grams (df ~ corpus size) make it quadratic. At corpus scale, first
-    drop grams above a df ceiling (stopgram pruning — they carry no
-    discriminative mass) or route through MinHash banding; on a bounded
-    sample/candidate set this exact plan is the right one.
+    grams (df ~ corpus size) make it quadratic. ``stopgram_df_ceiling``
+    is the corpus-scale mitigation: grams whose document frequency
+    exceeds the ceiling are dropped from CANDIDATE GENERATION only (the
+    self-join input shrinks from Σ df² to Σ_{df<=c} df²), and candidates
+    are then exact-verified per pair against the FULL shingle sets — so
+    every reported Jaccard is exact. Recall caveat, quantified: a
+    qualifying pair is missed only if EVERY shared gram has df > ceiling;
+    a pair with Jaccard >= t shares >= t/(1+t)·(|A|+|B|) grams, so for
+    real text (hundreds of grams/doc) a miss needs hundreds of distinct
+    ultra-common grams and no rare one — boilerplate-only near-dups,
+    which a corpus pipeline dedups upstream by exact hash. ``None``
+    (default) keeps the fully-exact plan for verification tiers.
     """
     # Checkpoint the shingle frame itself (not just the sizes): it feeds
     # the size lookup AND both gram self-join sides — without
@@ -395,18 +486,40 @@ def ngram_jaccard_pairs(
     ).localCheckpoint(eager=True)
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
     grams = sh.select(F.col(id_col), F.explode("sh").alias("g"))
+    if stopgram_df_ceiling is not None:
+        # Stopgrams are few DISTINCT values by construction (each one
+        # appears in > ceiling docs), so the pruned-gram list is small:
+        # broadcast it as a left-anti filter on the join input. Shingles
+        # are distinct per doc, so count(*) per gram IS document frequency.
+        stopgrams = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > stopgram_df_ceiling)
+            .select("g")
+        )
+        grams = grams.join(F.broadcast(stopgrams), "g", "left_anti")
     a, b = grams.alias("a"), grams.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    cands = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     )
+    if stopgram_df_ceiling is not None:
+        # Pruned co-occurrence counts undercount |A∩B|; recover exactness
+        # by re-verifying each candidate against the full shingle sets.
+        pairs = cands.distinct()
+        j = jaccard(F.col("sa.sh"), F.col("sb.sh"))
+        if round_to is not None:
+            j = half_up(j, round_to)
+        return (
+            pairs.join(sh.alias("sa"), pairs.id_a == F.col(f"sa.{id_col}"))
+            .join(sh.alias("sb"), pairs.id_b == F.col(f"sb.{id_col}"))
+            .select("id_a", "id_b", j.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    inter = cands.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
     j = F.col("n_inter").cast("double") / (

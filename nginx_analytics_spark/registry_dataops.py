@@ -104,20 +104,21 @@ def exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified. The oracle is
-    the brute-force O(n²) Jaccard — candidate recall at the 0.6 threshold
-    is 1 - (1-s)^16 ≈ 1 (see operators.dedup).
-
-    Gate dependency (documented, accepted): this entry exact-hash-compares
-    a *probabilistic* candidate set against an exhaustive oracle. With the
-    16-band/2-row scheme the per-pair miss odds at s=0.6 are ~1e-3 and the
-    fixture (seed=42) is deterministic, so the comparison is stable for any
-    given fixture — but a REGENERATED fixture containing a just-above-
-    threshold pair the bands happen to miss would fail the driver gate.
-    The full-recall property test (tests/test_dataops.py) covers the
-    mechanism independently of the fixture."""
+    the brute-force O(n²) Jaccard — and ``exact_net=True`` makes the
+    engine output equal it BY CONSTRUCTION, not just with probability
+    ~1-1e-3: the LSH candidate set (the 100 TB scale path, exercised
+    end-to-end) is unioned with the relational exact plan over the same
+    shingle frame, whose recall is 1 because any pair with Jaccard > 0
+    shares a shingle. A regenerated fixture therefore cannot break this
+    gate via banding odds (the r2 fragility note). The pure-LSH operator
+    is covered independently by the full-recall property test
+    (tests/test_dataops.py)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(
-        docs, threshold=0.0, round_to=None  # threshold applied on r6 below
+        docs,
+        threshold=0.0,  # threshold applied on r6 below
+        round_to=None,
+        exact_net=True,
     )
     return pairs.select(
         "id_a", "id_b", r6(F.col("jaccard")).alias("jaccard")

@@ -53,6 +53,57 @@ def test_minhash_lsh_full_recall_on_fixture(spark):
     assert got == expected
 
 
+def test_minhash_exact_net_recall_survives_bad_banding(spark):
+    """exact_net=True must equal brute force BY CONSTRUCTION — even with a
+    deliberately crippled banding scheme (2 hashes = 1 band of 2 rows,
+    per-pair candidate odds s² ≈ 0.36 at the threshold) that pure LSH
+    demonstrably misses pairs under."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = docs.select("doc_id", dedup.word_shingles("text").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dedup.jaccard(F.col("a.sh"), F.col("b.sh")).alias("j"),
+        )
+        .filter(F.col("j") >= 0.6)
+    )
+    expected = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert expected, "fixture should contain planted near-dups"
+    netted = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.6, num_hashes=2, exact_net=True
+        ).collect()
+    }
+    assert netted == expected
+
+
+def test_exact_jaccard_pairs_matches_brute_force(spark):
+    """The relational exact plan (the net) independently equals the
+    per-pair array_intersect brute force on the fixture."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = docs.select("doc_id", dedup.word_shingles("text").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dedup.jaccard(F.col("a.sh"), F.col("b.sh")).alias("j"),
+        )
+        .filter(F.col("j") >= 0.6)
+    )
+    expected = {(r.id_a, r.id_b, round(r.j, 6)) for r in brute.collect()}
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.exact_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    assert got == expected
+
+
 def test_simhash_order_insensitive_and_selective(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     reordered = " ".join(reversed(base.split(" ")))  # same bag of tokens
@@ -245,6 +296,43 @@ def test_char_shingles_and_ngram_jaccard(spark):
     # docs 1,2 share {abcde, bcdef} of union size 3 -> jaccard 2/3
     assert abs(pairs[(1, 2)] - 2 / 3) < 1e-6
     assert (1, 3) not in pairs
+
+
+def test_ngram_stopgram_pruning_same_pairs_smaller_join(spark):
+    """stopgram pruning: the fixture pair set (ids AND exact jaccard
+    values) is unchanged, while the gram self-join input demonstrably
+    shrinks — the corpus-scale guard against Σ df(g)² blowup on
+    ultra-common grams."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # every qualifying fixture pair shares >= 1 gram with df <= 24 (measured),
+    # so ceiling 30 preserves the pair set while pruning the df > 30 mass
+    # (median fixture gram df is 32 — the template corpus is gram-heavy).
+    ceiling = 30
+    exact = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.4).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=5, threshold=0.4, stopgram_df_ceiling=ceiling
+        ).collect()
+    }
+    assert exact, "fixture should contain ngram near-dups"
+    assert pruned == exact
+    # the join input must actually shrink: some grams exceed the ceiling
+    grams = docs.select(
+        "doc_id", F.explode(dedup.char_shingles("text", 5)).alias("g")
+    )
+    total = grams.count()
+    kept = (
+        grams.join(
+            grams.groupBy("g").count().filter(F.col("count") > ceiling),
+            "g",
+            "left_anti",
+        ).count()
+    )
+    assert kept < total, "ceiling should prune at least one common gram"
 
 
 def test_clean_corpus_gates_and_dedup(spark):
