@@ -159,3 +159,153 @@ def retrain_response_time(
     raw = warehouse.raw_logs_window(as_of, lookback_days)
     feats = features.training_features(raw, order_key=order_key)
     return response_time.train(feats, model_path=model_path)
+
+
+# --------------------------------------------------------------------------
+# CLI — the runnable surface (reference ingestor/main.py:49-107,
+# anomaly_detection.py:193, response_time_prediction.py:276: three driver
+# programs; here four subcommands over the same operator library).
+#
+#   python -m nginx_analytics_spark.jobs ingest  --source DIR --warehouse DIR --checkpoint DIR
+#   python -m nginx_analytics_spark.jobs anomaly --source DIR --warehouse DIR --checkpoint DIR
+#   python -m nginx_analytics_spark.jobs retrain --warehouse DIR --model DIR --as-of TS
+#   python -m nginx_analytics_spark.jobs compact --warehouse DIR
+#
+# Triggers: --trigger available-now (default; drain the source and exit —
+# the schedulable batch shape) or --trigger "processingTime=1 minute"
+# (the reference's long-lived cadence). The SparkSession is built lazily
+# AFTER argument parsing so --help never pays a JVM start.
+# --------------------------------------------------------------------------
+
+
+def _parse_trigger(spec: str) -> dict:
+    """'available-now' -> {availableNow: True}; 'processingTime=1 minute'
+    -> {processingTime: '1 minute'}."""
+    if spec == "available-now":
+        return {"availableNow": True}
+    if "=" in spec:
+        k, v = spec.split("=", 1)
+        return {k: v}
+    raise ValueError(f"unrecognized trigger spec: {spec!r}")
+
+
+def _build_parser():
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m nginx_analytics_spark.jobs",
+        description="nginx analytics engine jobs",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, checkpoint=True):
+        sp.add_argument("--warehouse", required=True, help="warehouse root dir")
+        if checkpoint:
+            sp.add_argument("--checkpoint", required=True, help="stream checkpoint dir")
+            sp.add_argument("--trigger", default="available-now")
+
+    ing = sub.add_parser("ingest", help="JSONL/Kafka -> parse_enrich -> raw_logs")
+    common(ing)
+    src = ing.add_mutually_exclusive_group(required=True)
+    src.add_argument("--source", help="JSONL directory (file-stream source)")
+    src.add_argument("--kafka-bootstrap", help="Kafka bootstrap servers")
+    ing.add_argument("--topic", help="Kafka topic (with --kafka-bootstrap)")
+    ing.add_argument(
+        "--starting-offsets", default="latest", help="Kafka offset policy (T6)"
+    )
+    ing.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    ano = sub.add_parser(
+        "anomaly", help="enriched parquet stream -> z-score detection -> anomalies"
+    )
+    common(ano)
+    ano.add_argument("--source", required=True, help="enriched-events parquet dir")
+    ano.add_argument("--z-threshold", type=float, default=None)
+    ano.add_argument("--new-key-count", type=int, default=None)
+    ano.add_argument(
+        "--as-of", default=None,
+        help="fix the history window upper bound (tests); default = batch max ts",
+    )
+
+    ret = sub.add_parser("retrain", help="retrain the response-time model (U8)")
+    common(ret, checkpoint=False)
+    ret.add_argument("--model", required=True, help="model save path")
+    ret.add_argument("--as-of", required=True, help="training window upper bound")
+    ret.add_argument("--lookback-days", type=int, default=7)
+
+    cmp_ = sub.add_parser("compact", help="compact raw_logs small files")
+    common(cmp_, checkpoint=False)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from nginx_analytics_spark.session import get_spark
+    from nginx_analytics_spark.streaming.ingest import (
+        jsonl_stream,
+        kafka_stream,
+        start_ingest,
+    )
+
+    spark = get_spark(app_name=f"nginx_analytics_{args.command}")
+    wh = Warehouse(spark, args.warehouse)
+
+    if args.command == "ingest":
+        if args.kafka_bootstrap:
+            if not args.topic:
+                raise SystemExit("--topic is required with --kafka-bootstrap")
+            stream = kafka_stream(
+                spark, args.kafka_bootstrap, args.topic, args.starting_offsets
+            ).selectExpr("CAST(value AS STRING) AS value")
+        else:
+            stream = jsonl_stream(spark, args.source, args.max_files_per_trigger)
+        q = start_ingest(stream, wh, args.checkpoint, _parse_trigger(args.trigger))
+        q.awaitTermination()
+        return 0
+
+    if args.command == "anomaly":
+        from nginx_analytics_spark.operators import anomaly as anomaly_ops
+        from nginx_analytics_spark.streaming.windows import start_anomaly_job
+
+        stream = (
+            spark.readStream.schema(ENRICHED_STREAM_SCHEMA).parquet(args.source)
+        )
+        q = start_anomaly_job(
+            stream,
+            wh,
+            args.checkpoint,
+            as_of_of_batch=(
+                (lambda _df: args.as_of) if args.as_of is not None else None
+            ),
+            z_threshold=(
+                args.z_threshold
+                if args.z_threshold is not None
+                else anomaly_ops.Z_THRESHOLD
+            ),
+            new_key_count=(
+                args.new_key_count
+                if args.new_key_count is not None
+                else anomaly_ops.NEW_KEY_COUNT_THRESHOLD
+            ),
+            trigger=_parse_trigger(args.trigger),
+        )
+        q.awaitTermination()
+        return 0
+
+    if args.command == "retrain":
+        model = retrain_response_time(
+            spark, wh, args.as_of, args.model, lookback_days=args.lookback_days
+        )
+        print("model trained and saved" if model is not None else "gated: <100 rows")
+        return 0
+
+    if args.command == "compact":
+        n = wh.compact_raw_logs()
+        print(f"raw_logs compacted to {n} files")
+        return 0
+
+    raise SystemExit(f"unknown command {args.command}")  # pragma: no cover
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,158 @@
+"""CLI smoke tests — the runnable surface (`python -m
+nginx_analytics_spark.jobs ...`), driving ingest -> anomaly -> retrain ->
+compact end-to-end on the sf0.001 fixture.
+
+The ingest leg runs as a REAL subprocess module invocation (proving the
+`python -m` wiring, flag parsing, and exit code); the remaining legs call
+``jobs.main()`` in-process against the shared test session — same code
+path minus one JVM start each.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from nginx_analytics_spark import jobs
+from nginx_analytics_spark.operators.logview import events_as_nginx_jsonl
+from nginx_analytics_spark.sources import load_table
+from nginx_analytics_spark.sources.warehouse import Warehouse
+
+SF = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
+
+
+def test_cli_help_lists_all_commands():
+    out = subprocess.run(
+        [sys.executable, "-m", "nginx_analytics_spark.jobs", "--help"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0
+    for cmd in ("ingest", "anomaly", "retrain", "compact"):
+        assert cmd in out.stdout
+
+
+def test_cli_trigger_spec_parsing():
+    assert jobs._parse_trigger("available-now") == {"availableNow": True}
+    assert jobs._parse_trigger("processingTime=1 minute") == {
+        "processingTime": "1 minute"
+    }
+    try:
+        jobs._parse_trigger("bogus")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_cli_end_to_end_chain(spark, tmp_path):
+    work = str(tmp_path)
+    jsonl_dir = f"{work}/jsonl"
+    wh_dir = f"{work}/warehouse"
+
+    # stage nginx JSONL from the fixture (the Kafka value contract)
+    events_as_nginx_jsonl(load_table(spark, SF, "events")).coalesce(2).write.mode(
+        "overwrite"
+    ).text(jsonl_dir)
+
+    # 1) ingest — REAL `python -m` subprocess: JSONL -> parse_enrich -> raw_logs
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "nginx_analytics_spark.jobs",
+            "ingest",
+            "--source",
+            jsonl_dir,
+            "--warehouse",
+            wh_dir,
+            "--checkpoint",
+            f"{work}/ckpt_ingest",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    wh = Warehouse(spark, wh_dir)
+    n_raw = wh.table("raw_logs").count()
+    assert n_raw > 0
+
+    # 2) anomaly — the batch day re-projected from the INGESTED warehouse
+    # (keys must match the history raw_logs carries: remote_addr is the
+    # wire-format IP, not the fixture's synthetic u<uid> alias)
+    import glob
+    import shutil
+
+    batch_stage = f"{work}/batch_stage"
+    batch_dir = f"{work}/anom_batches"
+    os.makedirs(batch_dir, exist_ok=True)
+    (
+        wh.table("raw_logs")
+        .filter(F.col("timestamp") > F.lit("2024-01-30 00:00:00").cast("timestamp"))
+        .select(
+            "timestamp",
+            "remote_addr",
+            "request_time_seconds",
+            "request_uri",
+            F.col("request_id").cast("long").alias("event_id"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(batch_stage)
+    )
+    shutil.copy(
+        glob.glob(f"{batch_stage}/part-*.parquet")[0],
+        f"{batch_dir}/batch0.parquet",
+    )
+    rc = jobs.main(
+        [
+            "anomaly",
+            "--source",
+            batch_dir,
+            "--warehouse",
+            wh_dir,
+            "--checkpoint",
+            f"{work}/ckpt_anomaly",
+            "--as-of",
+            "2024-01-31 00:00:00",
+            "--z-threshold",
+            "1.5",
+            "--new-key-count",
+            "10",
+        ]
+    )
+    assert rc == 0
+    assert wh.exists("anomalies")
+    assert wh.table("anomalies").count() > 0
+
+    # 3) retrain — model fit from the warehouse window, saved to disk
+    rc = jobs.main(
+        [
+            "retrain",
+            "--warehouse",
+            wh_dir,
+            "--model",
+            f"{work}/model",
+            "--as-of",
+            "2024-01-31 00:00:00",
+        ]
+    )
+    assert rc == 0
+    assert os.path.isdir(f"{work}/model")
+
+    # 4) compact — raw_logs collapses to one file per log_date partition
+    rc = jobs.main(["compact", "--warehouse", wh_dir])
+    assert rc == 0
+    n_files = 0
+    n_dates = 0
+    for root, dirs, files in os.walk(wh.path("raw_logs")):
+        n_files += sum(1 for f in files if f.endswith(".parquet"))
+        n_dates += sum(1 for d in dirs if d.startswith("log_date="))
+    assert n_files == n_dates  # one file per partition
+    assert wh.table("raw_logs").count() == n_raw  # content preserved

@@ -1,6 +1,6 @@
 """Differential tests: every registered oracle query must match DuckDB
-exactly at sf0.001 (fast tier; the driver gate runs sf0.01 — covered by
-the slow marker below when SPARK_GRAFT_FULL=1)."""
+exactly at sf0.001 (fast tier) AND at sf0.01 (the driver gate's scale —
+on by default, opt out with SPARK_GRAFT_FAST=1)."""
 
 from __future__ import annotations
 
@@ -33,19 +33,39 @@ def test_oracle_match_sf0001(spark, con, name):
     assert not problems, f"{name}: {problems}"
 
 
+# The sf0.01 tier mirrors the driver's CORRECTNESS gate scale. It runs BY
+# DEFAULT (r2 verdict item 7: the gate comparison must run every round);
+# set SPARK_GRAFT_FAST=1 to skip it during tight inner-loop iteration.
 @pytest.mark.skipif(
-    not os.environ.get("SPARK_GRAFT_FULL"), reason="set SPARK_GRAFT_FULL=1"
+    bool(os.environ.get("SPARK_GRAFT_FAST")), reason="SPARK_GRAFT_FAST set"
 )
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_match_sf001(spark, name):
+def test_oracle_match_sf001(spark, gate_con, name):
+    _, _, problems = run_query_pair(
+        spark, gate_con, QUERIES[name], ORACLES[name], SF_GATE
+    )
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.fixture(scope="module")
+def gate_con():
     c = duckdb_connection(SF_GATE)
-    try:
-        _, _, problems = run_query_pair(
-            spark, c, QUERIES[name], ORACLES[name], SF_GATE
-        )
-        assert not problems, f"{name}: {problems}"
-    finally:
-        c.close()
+    yield c
+    c.close()
+
+
+def test_no_bare_round_in_oracle_sql():
+    """Lint: DuckDB's round() half-even/half-up behavior diverges from
+    Spark's on ties, so every oracle must use the floor(x*1e6+0.5)/1e6
+    convention (half_up_sql / R6_SQL) — reject bare round( so the
+    convention can't silently regress."""
+    import re
+
+    offenders = {
+        name for name, sql in ORACLES.items()
+        if re.search(r"\bround\s*\(", sql, re.IGNORECASE)
+    }
+    assert not offenders, f"bare round() in oracle SQL: {sorted(offenders)}"
 
 
 def test_every_query_runs(spark):
