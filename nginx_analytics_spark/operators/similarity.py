@@ -434,6 +434,24 @@ def ivf_topk(
     assigned = cv.select(
         id_col, "cv", nearest_cells(F.col("cv"), centroids, 1)[0].alias("cell")
     )
+    return _ivf_score_topk(assigned, queries, centroids, k, id_col, vec_col,
+                           query_id_col, nprobe, round_to)
+
+
+def _ivf_score_topk(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    nprobe: int,
+    round_to: int,
+) -> DataFrame:
+    """Shared probe/score/top-k tail of the IVF paths: join the assigned
+    corpus (id, cv, cell) against each query's nprobe probe cells, exact
+    cosine inside probed cells only, per-query top-k."""
     qv = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv"))
     probes = qv.select(
         query_id_col,
@@ -464,3 +482,69 @@ def ivf_topk(
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
+
+
+def ivf_write_bucketed(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+) -> np.ndarray:
+    """Materialize the IVF index AT REST: the corpus written to Parquet
+    partitioned by ``cell`` (one directory per inverted list). Returns the
+    fitted centroids — persist them alongside the index (they are the
+    index's metadata; ~n_cells x dim floats).
+
+    This is the storage layout the in-memory :func:`ivf_topk` docstring
+    promises: a probe becomes PARTITION PRUNING, so a query's scan opens
+    only its nprobe cells' files and the other ``n_cells - nprobe``
+    inverted lists are never read (asserted at the file level in
+    tests/test_dataops.py). At 100 TB this is the difference between
+    scanning ~nprobe/n_cells of the corpus and scanning all of it;
+    re-cluster periodically as the corpus drifts, like any IVF index.
+    """
+    centroids = ivf_centroids(corpus, n_cells, vec_col, seed, max_iter)
+    assigned = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("cv")
+    ).withColumn("cell", nearest_cells(F.col("cv"), centroids, 1)[0])
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return centroids
+
+
+def ivf_topk_bucketed(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Probe a bucketed-at-rest IVF index (written by
+    :func:`ivf_write_bucketed`): compute the query batch's union of probe
+    cells driver-side (queries are the SMALL side by contract — a top-k
+    serving batch, not a second corpus), then scan the index with an
+    ``IN`` partition filter so only those cells' files are opened.
+
+    Identical output to :func:`ivf_topk` given the same centroids — only
+    the candidate-scan path differs (partition pruning vs hash join
+    against an in-memory assignment).
+    """
+    qv = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv"))
+    probe_cells = sorted(
+        int(r.cell)
+        for r in qv.select(
+            F.explode(nearest_cells(F.col("qv"), centroids, nprobe)).alias("cell")
+        )
+        .distinct()
+        .collect()
+    )
+    assigned = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    return _ivf_score_topk(assigned, queries, centroids, k, id_col, vec_col,
+                           query_id_col, nprobe, round_to)

@@ -125,6 +125,30 @@ def minhash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+@query(
+    "exact_jaccard_pairs",
+    f"""
+    WITH s AS ({_SHINGLES_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {R6_SQL.format(x="len(list_intersect(a.sh, b.sh))::DOUBLE"
+                            " / len(list_distinct(list_concat(a.sh, b.sh)))")}
+               AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def exact_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact word-shingle Jaccard pairs via the relational
+    sparse plan (explode shingles, co-occurrence count, arithmetic union)
+    — recall 1 by construction, no banding odds. The verification twin of
+    minhash_dedup_pairs and the plan the exact_net option unions in."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.exact_jaccard_pairs(docs, threshold=0.0, round_to=None)
+    return pairs.select(
+        "id_a", "id_b", r6(F.col("jaccard")).alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
 @query("simhash_near_dup")  # engine-hash fingerprints — rows-only check
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3 over 64-bit fingerprints,

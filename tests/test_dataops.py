@@ -228,6 +228,82 @@ def test_ivf_cells_partition_corpus(spark):
     assert all(0 <= c < 16 for c in cells)
 
 
+def test_ivf_bucketed_at_rest_prunes_files(spark, tmp_path):
+    """The bucketed-at-rest IVF index: (1) the probe scan's plan carries a
+    partition filter on cell; (2) PHYSICAL proof — deleting every
+    non-probed cell's data files does not disturb the query, so those
+    inverted lists are provably never opened; (3) the result equals the
+    in-memory ivf_topk given the same centroids."""
+    import os
+    import shutil
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf_index")
+    cents = similarity.ivf_write_bucketed(emb, idx, n_cells=16)
+    cell_dirs = sorted(d for d in os.listdir(idx) if d.startswith("cell="))
+    assert len(cell_dirs) > 4, "corpus should spread over many cells"
+
+    expected = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rn)
+        for r in similarity._ivf_score_topk(
+            emb.select(
+                "vec_id",
+                similarity.as_double("embedding").alias("cv"),
+            ).withColumn(
+                "cell",
+                similarity.nearest_cells(F.col("cv"), cents, 1)[0],
+            ),
+            queries,
+            cents,
+            5,
+            "vec_id",
+            "embedding",
+            "query_id",
+            4,
+            6,
+        ).collect()
+    }
+
+    # Build the LAZY probe plan first: spark.read.parquet lists the file
+    # index eagerly (all 16 cells are visible to the plan), but data files
+    # are only OPENED at execution — so deleting unprobed cells between
+    # plan construction and collect() proves at the filesystem level that
+    # the partition filter keeps those inverted lists unread.
+    out = similarity.ivf_topk_bucketed(spark, idx, cents, queries, k=5, nprobe=4)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "PartitionFilters: [cell" in buf.getvalue(), buf.getvalue()[:2000]
+
+    probed = {
+        int(r.cell)
+        for r in queries.select(
+            F.explode(
+                similarity.nearest_cells(
+                    similarity.as_double("embedding"), cents, 4
+                )
+            ).alias("cell")
+        ).collect()
+    }
+    removed = 0
+    for d in cell_dirs:
+        if int(d.split("=", 1)[1]) not in probed:
+            shutil.rmtree(os.path.join(idx, d))
+            removed += 1
+    assert removed > 0, "nprobe=4 of 16 cells must leave unprobed cells"
+
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rn) for r in out.collect()
+    }
+    assert got == expected
+
+
 def test_embedding_lsh_pairs_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     exact = {
