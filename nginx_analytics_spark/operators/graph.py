@@ -1,0 +1,133 @@
+"""Distributed connected components — dedup cluster resolution.
+
+Near-dup detection (dedup.py, similarity.py) emits PAIRS; an actual
+dedup pass needs CLUSTERS: the transitive closure of the pair relation,
+one survivor per component. The reference has no notion of this (its
+dedup surface stops at at-least-once delivery, SURVEY.md §2.5); every
+real corpus pipeline needs it, so it is part of the engine's §2.9
+extension surface (X30).
+
+Algorithm: iterative min-label propagation with pointer jumping —
+each node's label starts as its own id; every round takes
+
+    label(v) <- min(label(v), min_{(u,v) in E} label(u))   (hash join + agg)
+    label(v) <- label(label(v))                            (pointer jump)
+
+Plain propagation alone needs O(diameter) rounds; the pointer-jump step
+(labels are node ids, so they can be re-resolved against the label
+frame) halves remaining chain lengths each round, giving O(log d)
+convergence — the standard Hash-to-Min shape (Rastogi et al., "Finding
+Connected Components in Map-Reduce in Logarithmic Rounds", ICDE 2013).
+
+Scale notes (100 TB):
+  * Per round: one shuffle of E keyed by dst + one hash agg keyed by
+    node + one label-frame self-join — all codegen'd; rounds are
+    O(log d) and near-dup graphs have tiny diameters in practice (dup
+    clusters are dense), so 3-5 rounds is typical.
+  * Labels are eagerly localCheckpoint'd each round: the loop would
+    otherwise stack lineage (round i re-executes rounds 0..i-1, the
+    O(n^2) re-execution trap behavior.py documents for funnels). On a
+    cluster where executor loss must be survivable, swap for
+    ``checkpoint()`` to a reliable store.
+  * The convergence probe is one tiny count over the checkpointed label
+    frame per round — O(#nodes) with map-side combine, no driver data.
+  * Only node ids ride the loop; payload columns join back once at the
+    end. Edges for dedup are near-dup pairs — |E| << corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; the component id is
+    the MINIMUM node id in the component — deterministic, so the result
+    is oracle-comparable against a recursive-CTE transitive closure.
+
+    ``edges`` is treated as undirected; self-loops and duplicates are
+    harmless (they union into the same min-aggregation).
+    """
+    sym = edges.select(
+        F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
+    )
+    sym = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        # min over incoming neighbor labels, merged with the node's own.
+        nbr = sym.join(
+            labels.select(F.col("node").alias("v"), "comp"), "v"
+        ).select(F.col("u").alias("node"), "comp")
+        merged = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            # checkpointed BEFORE the self-join below: a derived frame
+            # joined against its own projection trips the optimizer's
+            # attribute dedup ("key not found: node#N"); a materialized
+            # leaf also stops the loop from stacking lineage.
+            .localCheckpoint(eager=True)
+        )
+        # pointer jump: comp <- comp(comp). Labels are node ids, so every
+        # comp value resolves against the label frame (left + coalesce
+        # guards the fixpoint rows where comp == node already).
+        jumped = merged.select(
+            F.col("node").alias("c_node"), F.col("comp").alias("c_comp")
+        )
+        labels = (
+            merged.join(jumped, merged["comp"] == jumped["c_node"], "left")
+            .select(
+                merged["node"],
+                F.least(
+                    merged["comp"], F.coalesce(jumped["c_comp"], merged["comp"])
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # Labels only ever decrease, so the label sum is a monotone
+        # convergence witness — one map-side-combined agg per round, no
+        # join, no driver data beyond a single value.
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Resolve near-dup PAIRS into per-document cluster assignments.
+
+    Output: (id_col, cluster_id, is_duplicate) for EVERY document —
+    unpaired docs are their own singleton cluster; ``is_duplicate`` marks
+    the rows a dedup pass would drop (everything but the min-id survivor
+    of each cluster). ``docs.filter(~is_duplicate)`` IS the deduped
+    corpus, and the whole assignment writes out in one pass.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    out = docs.select(id_col).join(
+        comp.select(F.col("node").alias(id_col), "component"), id_col, "left"
+    )
+    cluster = F.coalesce("component", F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        (cluster != F.col(id_col)).alias("is_duplicate"),
+    )

@@ -23,6 +23,7 @@ from nginx_analytics_spark.operators import (
     aggregates,
     behavior,
     dedup,
+    graph,
     multimodal,
     sampling,
     similarity,
@@ -147,6 +148,55 @@ def exact_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", r6(F.col("jaccard")).alias("jaccard")
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE s AS ({_SHINGLES_SQL}),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               {R6_SQL.format(x="len(list_intersect(a.sh, b.sh))::DOUBLE"
+                                " / len(list_distinct(list_concat(a.sh, b.sh)))")}
+                   AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ),
+    e AS (
+        SELECT id_a AS a, id_b AS b FROM p WHERE jaccard >= {JACCARD_THRESHOLD}
+        UNION
+        SELECT id_b, id_a FROM p WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    r(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM r JOIN e ON e.a = r.dst
+    ),
+    comp AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM r GROUP BY src
+    )
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(c.cluster_id, d.doc_id) != d.doc_id AS is_duplicate
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30: near-dup CLUSTER resolution — pairs are not a dedup; the
+    transitive closure is. Exact word-shingle Jaccard pairs (deterministic,
+    same shingling as minhash_dedup_pairs) feed distributed connected
+    components (min-label propagation + pointer jumping, O(log d) rounds);
+    every document gets (cluster_id = min doc_id of its component,
+    is_duplicate). The oracle is a DuckDB recursive-CTE transitive
+    closure over the identical pair set — exponentially-sized reach set,
+    verification-tier only; the Spark loop is the scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        dedup.exact_jaccard_pairs(docs, threshold=0.0, round_to=None)
+        .select("id_a", "id_b", r6(F.col("jaccard")).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return graph.dedup_clusters(docs, pairs)
 
 
 @query("simhash_near_dup")  # engine-hash fingerprints — rows-only check

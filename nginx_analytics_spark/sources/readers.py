@@ -99,8 +99,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark's file stream source requires a directory, so the single fixture
     file is staged via symlink under /tmp (testdata itself is read-only).
-    The ns-timestamp column arrives as epoch-nano long (same shim as the
-    batch reader) and is normalized to a µs TIMESTAMP named ``ts``.
+
+    The timestamp unit is DETECTED from the parquet footer, mirroring the
+    batch reader: a TIMESTAMP(NANOS) fixture arrives as epoch-nano long
+    (``nanosAsLong`` shim) and is normalized to a µs timestamp; a
+    TIMESTAMP(MICROS) fixture streams natively as TIMESTAMP_NTZ (the same
+    type the batch scan infers). Hardcoding either unit silently shears
+    event time by 1000× when the fixture is regenerated with the other —
+    observed as watermarks in 1970 and zero emitted session windows.
     """
     from pyspark.sql import types as T
 
@@ -122,7 +128,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(src, link)
     else:
         os.symlink(src, link)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Read ts as raw epoch long in EITHER unit (a LongType user schema
+    # yields epoch-nanos from TIMESTAMP(NANOS) files under the nanosAsLong
+    # shim, epoch-micros from TIMESTAMP(MICROS) files), then normalize to
+    # µs. Watermarks require TIMESTAMP (ltz) — timestamp_micros provides
+    # it; the session timezone is UTC so the wire values match the
+    # batch scan's NTZ reading and the DuckDB oracles.
+    ts_is_nanos = "ts" in _ns_timestamp_columns(src)
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -134,7 +148,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     stream = spark.readStream.schema(schema).parquet(stage)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_micros = F.expr("ts div 1000") if ts_is_nanos else F.col("ts")
+    return stream.withColumn("ts", F.timestamp_micros(ts_micros))
 
 
 def read_nginx_jsonl(spark: SparkSession, path: str) -> DataFrame:
