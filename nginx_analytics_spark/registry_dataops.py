@@ -22,14 +22,17 @@ from nginx_analytics_spark.functions.rounding import half_up
 from nginx_analytics_spark.operators import (
     aggregates,
     behavior,
+    contamination,
     dedup,
     graph,
     multimodal,
+    pii,
     sampling,
     similarity,
     temporal,
     text,
 )
+from nginx_analytics_spark.operators.sampling import portable_frac_sql
 from nginx_analytics_spark.registry import query
 from nginx_analytics_spark.sources import load_table
 
@@ -197,6 +200,117 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return graph.dedup_clusters(docs, pairs)
+
+
+BENCH_FRACTION = 0.05  # deterministic benchmark carve-out (salt 7)
+CONTAM_N = 5  # word n-gram size for the contamination gate
+
+
+@query(
+    "contamination_check",
+    f"""
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= {CONTAM_N}
+                    THEN list_distinct(
+                        [array_to_string(w[i:i+{CONTAM_N - 1}], ' ')
+                         for i in range(1, len(w) - {CONTAM_N - 2})])
+                    ELSE [text] END AS sh,
+               {portable_frac_sql("doc_id", 7)} AS frac
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+              FROM documents)
+    ),
+    b AS (SELECT DISTINCT unnest(sh) AS gr FROM g
+          WHERE frac < {BENCH_FRACTION}),
+    t AS (SELECT doc_id, sh FROM g WHERE frac >= {BENCH_FRACTION}),
+    tg AS (SELECT doc_id, unnest(sh) AS gr FROM t),
+    o AS (SELECT tg.doc_id, count(*) AS n_overlap
+          FROM tg JOIN b USING (gr) GROUP BY tg.doc_id)
+    SELECT t.doc_id, len(t.sh) AS n_grams,
+           coalesce(o.n_overlap, 0) AS n_overlap,
+           coalesce(o.n_overlap, 0) > 0 AS contaminated
+    FROM t LEFT JOIN o USING (doc_id)
+    """,
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31: benchmark decontamination. A deterministic 5% of documents
+    (Knuth-hash, salt 7 — the engine's portable split machinery) stands
+    in for the evaluation suite; every remaining document is scored by
+    word-5-gram collision against the benchmark's broadcast n-gram set.
+    The fixture's planted near-dups make this non-trivial: a duplicate
+    pair straddling the carve-out shows up with ~50 overlapping grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    frac = sampling.portable_frac("doc_id", salt=7)
+    bench = docs.filter(frac < BENCH_FRACTION)
+    train = docs.filter(frac >= BENCH_FRACTION)
+    return contamination.contamination_check(train, bench, n=CONTAM_N)
+
+
+@query(
+    "pii_redaction",
+    f"""
+    WITH r AS (
+        SELECT event_id,
+               'user u' || CAST(user_id AS VARCHAR)
+               || ' <u' || CAST(user_id AS VARCHAR) || '@example.com>'
+               || ' from 10.' || CAST(user_id % 200 AS VARCHAR)
+               || '.' || CAST(event_id % 256 AS VARCHAR)
+               || '.' || CAST((event_id // 7) % 256 AS VARCHAR)
+               || CASE WHEN user_id % 2 = 0
+                       THEN ' peer 192.168.' || CAST(user_id % 256 AS VARCHAR)
+                            || '.' || CAST(event_id % 100 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN event_id % 3 = 0
+                       THEN ' tel +1 555-'
+                            || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS raw_text
+        FROM events
+    )
+    SELECT event_id,
+           len(regexp_extract_all(raw_text, '{pii.EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(raw_text, '{pii.IPV4_RE}')) AS n_ipv4,
+           len(regexp_extract_all(raw_text, '{pii.PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(raw_text,
+               '{pii.EMAIL_RE}', '{pii.EMAIL_TOKEN}', 'g'),
+               '{pii.IPV4_RE}', '{pii.IP_TOKEN}', 'g'),
+               '{pii.PHONE_RE}', '{pii.PHONE_TOKEN}', 'g') AS clean_text
+    FROM r
+    """,
+)
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32: PII detect + redact. The fixture carries no natural PII, so
+    the query deterministically synthesizes a PII-bearing line per event
+    (email + internal IPs + conditional phone, identical construction in
+    the oracle) and runs the generic operator over it: per-class counts
+    on the original text, typed-token redaction in fixed order. The
+    regex set is Java/RE2-portable by construction (operators/pii.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    raw = F.concat(
+        F.lit("user u"), uid,
+        F.lit(" <u"), uid, F.lit("@example.com>"),
+        F.lit(" from 10."), (F.col("user_id") % 200).cast("string"),
+        F.lit("."), (F.col("event_id") % 256).cast("string"),
+        F.lit("."), F.expr("(event_id div 7) % 256").cast("string"),
+        F.when(
+            F.col("user_id") % 2 == 0,
+            F.concat(
+                F.lit(" peer 192.168."), (F.col("user_id") % 256).cast("string"),
+                F.lit("."), (F.col("event_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit(" tel +1 555-"),
+                F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    df = ev.select("event_id", raw.alias("raw_text"))
+    return pii.redact_pii(df, "raw_text").select(
+        "event_id", "n_emails", "n_ipv4", "n_phones", "clean_text"
+    )
 
 
 @query("simhash_near_dup")  # engine-hash fingerprints — rows-only check
