@@ -103,3 +103,68 @@ def dataset_split(
     """
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     return df.withColumn("split", split_column(key, weights, salt))
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Per-group sampling rates for temperature-weighted domain mixing
+    (X35): group g is kept at rate ∝ count_g^alpha — alpha=1 preserves
+    the natural mix, alpha=0 equalizes groups, alpha≈0.5-0.7 is the
+    usual multi-source pretraining compromise (up-samples small/rare
+    domains). ``target_frac`` scales the whole sample: the expected
+    output size is ~target_frac * |df| (rates cap at 1.0, so extremely
+    skewed mixes can land under the target; iterate target_frac up if
+    exact totals matter).
+
+        rate_g = min(1, (c_g^alpha / Σ c^alpha) * target_frac * N / c_g)
+
+    Rates are 6-dp rounded (half_up): Σ c^alpha is a floating sum whose
+    accumulation order differs between engines; rounding collapses the
+    ulp-level difference so a SQL twin computes the SAME rate constant
+    (a residual tie within 1e-12 of a rounding boundary could still
+    split — astronomically unlikely and absorbed by the fixture gate).
+
+    Scale: one tiny hash agg (|groups| rows) cross-joined with a 1-row
+    total — broadcast both; the data side is untouched here.
+    """
+    from nginx_analytics_spark.functions.rounding import half_up
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum(F.pow("c", F.lit(alpha))).alias("s"), F.sum("c").alias("n")
+    )
+    raw = (
+        F.pow("c", F.lit(alpha))
+        / F.col("s")
+        * F.lit(target_frac)
+        * F.col("n")
+        / F.col("c")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        group_col, F.least(F.lit(1.0), half_up(raw, 6)).alias("rate")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic temperature-weighted sample: rows kept where the
+    portable key hash falls under their group's temperature rate. The
+    rate frame is tiny — broadcast-joined, so the big side stays a
+    narrow scan + filter (no shuffle), reproducible across engines,
+    partitionings, and cluster sizes like every sampler in this module.
+    """
+    rates = temperature_rates(df, group_col, alpha, target_frac)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(portable_frac(key, salt) < F.col("rate"))
+    )

@@ -301,3 +301,78 @@ def clean_corpus(
         .filter(F.col("_rn") == 1)
         .select(id_col, "predicted_lang", "ws_tokens", "quality")
     )
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """n-token grams WITH multiplicity (unlike dedup.word_shingles, which
+    dedups for set-Jaccard) — repetition measurement needs every
+    occurrence. Documents shorter than ``n`` tokens yield an empty array.
+    Same single-bind ``transform`` trick as word_shingles (tokenize once
+    per row, not once per gram)."""
+    t = F.col(text) if isinstance(text, str) else text
+
+    def build(w: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        )
+        return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(F.split(t, " ")), build), 1)
+
+
+# Gopher-style repetition gates (Rae et al. 2021, table A1 analogues):
+# a document dominated by one repeated bigram, or whose trigram stream is
+# mostly repeats, is boilerplate/spam for training purposes.
+TOP_BIGRAM_FRAC_MAX = 0.18
+DUP_TRIGRAM_FRAC_MAX = 0.30
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """X33: per-document repetition metrics — (id, top_bigram_frac =
+    occurrences of the most frequent bigram / all bigram occurrences,
+    dup_trigram_frac = 1 - distinct/total trigrams, repetition_ok).
+
+    Plan: one explode + two-level hash agg per gram size (per-(doc,gram)
+    counts, then per-doc max/sum) — all codegen'd with map-side combine;
+    the (doc_id, gram) shuffle key is near-unique so no skew. The two
+    gram sizes are independent branches that re-read the (columnar,
+    pruned) scan; persist the token array first if the source is remote
+    and expensive. Fractions are 6-dp rounded (half_up) so the gate is
+    engine-portable; gramless short docs score 0.0 (no evidence of
+    repetition).
+    """
+    bi = docs.select(F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("g"))
+    bi_doc = (
+        bi.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("max_bg"), F.sum("c").alias("tot_bg"))
+    )
+    tri = docs.select(F.col(id_col), F.explode(word_ngrams(text_col, 3)).alias("g"))
+    tri_doc = (
+        tri.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dist_tg"), F.sum("c").alias("tot_tg"))
+    )
+    top_bg = half_up(F.col("max_bg") / F.col("tot_bg"), 6)
+    dup_tg = half_up(1 - F.col("dist_tg") / F.col("tot_tg"), 6)
+    return (
+        docs.select(id_col)
+        .join(bi_doc, id_col, "left")
+        .join(tri_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(top_bg, F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce(dup_tg, F.lit(0.0)).alias("dup_trigram_frac"),
+            (
+                (F.coalesce(top_bg, F.lit(0.0)) <= TOP_BIGRAM_FRAC_MAX)
+                & (F.coalesce(dup_tg, F.lit(0.0)) <= DUP_TRIGRAM_FRAC_MAX)
+            ).alias("repetition_ok"),
+        )
+    )

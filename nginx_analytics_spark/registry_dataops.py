@@ -26,6 +26,7 @@ from nginx_analytics_spark.operators import (
     dedup,
     graph,
     multimodal,
+    packing,
     pii,
     sampling,
     similarity,
@@ -311,6 +312,123 @@ def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii.redact_pii(df, "raw_text").select(
         "event_id", "n_emails", "n_ipv4", "n_phones", "clean_text"
     )
+
+
+@query(
+    "repetition_stats",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bi AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 2
+                           THEN [array_to_string(w[i:i+1], ' ')
+                                 for i in range(1, len(w))]
+                           ELSE [] END) AS g
+        FROM w
+    ),
+    bid AS (
+        SELECT doc_id, max(c) AS max_bg, sum(c) AS tot_bg
+        FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+        GROUP BY doc_id
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 3
+                           THEN [array_to_string(w[i:i+2], ' ')
+                                 for i in range(1, len(w) - 1)]
+                           ELSE [] END) AS g
+        FROM w
+    ),
+    trid AS (
+        SELECT doc_id, count(*) AS dist_tg, sum(c) AS tot_tg
+        FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce({R6_SQL.format(x="max_bg / tot_bg")}, 0.0)
+               AS top_bigram_frac,
+           coalesce({R6_SQL.format(x="1 - dist_tg / (tot_tg * 1.0)")}, 0.0)
+               AS dup_trigram_frac,
+           coalesce({R6_SQL.format(x="max_bg / tot_bg")}, 0.0)
+               <= {text.TOP_BIGRAM_FRAC_MAX}
+           AND coalesce({R6_SQL.format(x="1 - dist_tg / (tot_tg * 1.0)")}, 0.0)
+               <= {text.DUP_TRIGRAM_FRAC_MAX} AS repetition_ok
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN bid USING (doc_id) LEFT JOIN trid USING (doc_id)
+    """,
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33: Gopher-style repetition quality gates — most-frequent-bigram
+    share and duplicate-trigram share per document, with the boilerplate
+    flag. Explode + two-level codegen'd hash agg per gram size."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+PACK_BUDGET = 512  # tokens per context window in the packing plan
+
+
+@query(
+    "pack_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, source,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS st
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           st % {PACK_BUDGET} AS chunk_offset,
+           st // {PACK_BUDGET} AS chunk_id,
+           n_tokens > 0 AND
+           st // {PACK_BUDGET} != (st + n_tokens - 1) // {PACK_BUDGET}
+               AS spans_boundary
+    FROM c
+    """,
+)
+def pack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34: concat-and-chunk sequence-packing plan — per-source document
+    streams laid head-to-tail on a 512-token grid; each document gets its
+    chunk id, offset, and boundary-straddle flag. One window exchange per
+    source group, no global sort, no driver loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return packing.pack_plan(
+        t, "n_tokens", PACK_BUDGET, part_col="source", order_col="doc_id"
+    )
+
+
+@query(
+    "temperature_sample_docs",
+    f"""
+    WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+    tot AS (SELECT sum(pow(c, 0.5)) AS s, sum(c) AS n FROM c),
+    r AS (
+        SELECT source,
+               least(1.0, {R6_SQL.format(x="pow(c, 0.5) / s * 0.5 * n / c")})
+                   AS rate
+        FROM c, tot
+    )
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN r USING (source)
+    WHERE {portable_frac_sql("d.doc_id", 3)} < r.rate
+    """,
+)
+def temperature_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35: temperature-weighted domain mixing (alpha=0.5, target half
+    the corpus) — per-source rates ∝ count^alpha up-sample rare sources,
+    membership by the portable Knuth hash (salt 3). Rate frame broadcast;
+    the corpus side is scan + filter, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.temperature_sample(
+        docs, "source", "doc_id", alpha=0.5, target_frac=0.5, salt=3
+    ).select("doc_id", "source", "rate")
 
 
 @query("simhash_near_dup")  # engine-hash fingerprints — rows-only check

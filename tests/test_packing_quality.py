@@ -1,0 +1,127 @@
+"""Sequence packing (X34), repetition gates (X33), temperature mixing
+(X35) — operator-level semantics tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nginx_analytics_spark.operators import packing, sampling, text
+
+
+def test_pack_plan_layout_and_boundaries(spark):
+    rows = [
+        # (doc_id, source, n_tokens) — one group, budget 10
+        (1, "s", 4),   # start 0,  chunk 0, offset 0, within
+        (2, "s", 6),   # start 4,  chunk 0, offset 4, ends at 9 — within
+        (3, "s", 7),   # start 10, chunk 1, offset 0, ends 16 — within
+        (4, "s", 5),   # start 17, chunk 1, offset 7, ends 21 — SPANS
+        (5, "s", 3),   # start 22, chunk 2, offset 2, within
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = {
+        r["doc_id"]: (r["chunk_id"], r["chunk_offset"], r["spans_boundary"])
+        for r in packing.pack_plan(
+            df, "n_tokens", 10, part_col="source", order_col="doc_id"
+        ).collect()
+    }
+    assert out == {
+        1: (0, 0, False),
+        2: (0, 4, False),
+        3: (1, 0, False),
+        4: (1, 7, True),
+        5: (2, 2, False),
+    }
+
+
+def test_pack_plan_groups_independent(spark):
+    rows = [(1, "a", 9), (2, "a", 9), (1, "b", 9)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = {
+        (r["source"], r["doc_id"]): r["chunk_id"]
+        for r in packing.pack_plan(
+            df, "n_tokens", 10, part_col="source", order_col="doc_id"
+        ).collect()
+    }
+    # group b restarts at chunk 0 — no cross-group token bleed
+    assert out == {("a", 1): 0, ("a", 2): 0, ("b", 1): 0}
+    # and doc 2 in group a starts at offset 9 of chunk 0
+    assert out[("a", 2)] == 0
+
+
+def test_repetition_stats_flags_degenerate_doc(spark):
+    rows = [
+        (1, "spam ham " * 30),               # one bigram dominates
+        (2, " ".join(f"w{i}" for i in range(40))),  # all distinct
+        (3, "x"),                             # gramless short doc
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (
+            r["top_bigram_frac"],
+            r["dup_trigram_frac"],
+            r["repetition_ok"],
+        )
+        for r in text.repetition_stats(df).collect()
+    }
+    assert out[1][2] is False and out[1][0] > 0.4 and out[1][1] > 0.9
+    assert out[2][2] is True and out[2][1] == 0.0
+    assert out[3] == (0.0, 0.0, True)
+
+
+def test_word_ngrams_multiplicity_and_short_doc(spark):
+    df = spark.createDataFrame([("a b a b",), ("a",)], ["t"]).select(
+        text.word_ngrams("t", 2).alias("g")
+    )
+    got = [r["g"] for r in df.collect()]
+    assert got[0] == ["a b", "b a", "a b"]  # duplicates preserved
+    assert got[1] == []
+
+
+def test_temperature_rates_upsample_small_groups(spark):
+    rows = [("big", i) for i in range(900)] + [("small", i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["src", "k"])
+    rates = {
+        r["src"]: r["rate"]
+        for r in sampling.temperature_rates(df, "src", alpha=0.5).collect()
+    }
+    # alpha<1: the small group keeps a LARGER fraction than the big one;
+    # here it up-samples past 1.0 and caps (sqrt weighting: 10/40 of the
+    # 500-row target is 125 rows against a 100-row group)
+    assert rates["small"] == 1.0
+    assert rates["big"] == 0.416667  # min(1, 30/40 * 0.5 * 1000 / 900), 6dp
+    # capped volume lands under the target — the documented trade-off
+    expected = 900 * rates["big"] + 100 * rates["small"]
+    assert expected <= 500
+
+
+def test_temperature_sample_deterministic_and_subset(spark):
+    rows = [("a", i) for i in range(400)] + [("b", i + 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, ["src", "k"])
+    s1 = sorted(
+        r["k"] for r in sampling.temperature_sample(df, "src", "k").collect()
+    )
+    s2 = sorted(
+        r["k"] for r in sampling.temperature_sample(df, "src", "k").collect()
+    )
+    assert s1 == s2  # reproducible
+    # repartitioning must not change membership (hash of the KEY, not the
+    # partition/seed machinery randomSplit depends on)
+    s3 = sorted(
+        r["k"]
+        for r in sampling.temperature_sample(
+            df.repartition(13), "src", "k"
+        ).collect()
+    )
+    assert s1 == s3
+
+
+def test_temperature_alpha_one_is_uniform_rate(spark):
+    rows = [("a", i) for i in range(300)] + [("b", i + 500) for i in range(100)]
+    df = spark.createDataFrame(rows, ["src", "k"])
+    rates = {
+        r["src"]: r["rate"]
+        for r in sampling.temperature_rates(
+            df, "src", alpha=1.0, target_frac=0.25
+        ).collect()
+    }
+    assert rates["a"] == rates["b"] == 0.25
