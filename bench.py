@@ -88,6 +88,15 @@ BENCH_QUERIES = [
     "doc_quality",
     "doc_fingerprint",
     "multimodal_features",
+    # round-3 additions: cluster resolution, decontamination, PII,
+    # repetition gates, packing, domain mixing
+    "dedup_clusters",
+    "exact_jaccard_pairs",
+    "contamination_check",
+    "pii_redaction",
+    "repetition_stats",
+    "pack_chunks",
+    "temperature_sample_docs",
 ]
 
 

@@ -57,7 +57,14 @@ def connected_components(
     sym = edges.select(
         F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
     )
-    sym = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Materialize the symmetric edge frame ONCE: every round's neighbor
+    # join consumes it, and `edges` is typically the output of an entire
+    # near-dup pipeline — without this, round i re-executes that whole
+    # upstream DAG (observed: the exact-Jaccard plan re-ran per round,
+    # tripling the operator's cost).
+    sym = sym.unionByName(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
