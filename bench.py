@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "training_features",
     "pricing_summary",
     "shipping_priority",
+    "local_supplier_volume",
+    "returned_items",
     "top_endpoints",
     "top_endpoints_bounded",
     "distinct_users",
@@ -82,6 +84,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "embedding_lsh_pairs",
     "token_stats",
     "language_id",

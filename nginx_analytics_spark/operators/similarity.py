@@ -548,3 +548,207 @@ def ivf_topk_bucketed(
     assigned = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
     return _ivf_score_topk(assigned, queries, centroids, k, id_col, vec_col,
                            query_id_col, nprobe, round_to)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (X37) — compressed-domain ANN
+# --------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 12,
+) -> np.ndarray:
+    """Train product-quantization codebooks: the vector is split into
+    ``m`` contiguous subspaces and each gets its own ``k``-centroid
+    KMeans codebook (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011). Returns (m, k, dim/m) float64.
+
+    Each fit is a seeded MLlib KMeans over ONE subspace slice — m
+    distributed fits, no driver-side data. At 100 TB fit on a
+    ``.sample()`` like the IVF quantizer; codebooks are tiny driver
+    constants (m*k*sub_dim doubles) shipped in UDF closures.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    vecs = corpus.select(as_double(vec_col).alias("v"))
+    for j in range(m):
+        sl = vecs.select(
+            array_to_vector(F.slice("v", j * sub + 1, sub)).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(sl)
+        books.append(np.asarray(model.clusterCenters(), dtype=np.float64))
+    return np.stack(books)  # (m, k, sub)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector compressed to m codebook
+    indices (m bytes at k<=256). One Arrow-batched pass: per subspace a
+    (batch x k) distance matrix via matmul, argmin per row. The encoded
+    corpus is ~dim*4/m bytes-per-vector smaller — the representation the
+    100 TB corpus is STORED in; raw vectors are only needed at encode
+    time and for optional exact re-rank of the short list.
+    """
+    books = np.ascontiguousarray(codebooks)
+    m_, k_, sub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def _enc(xs: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(xs.to_numpy())  # (n, dim)
+        codes = np.empty((x.shape[0], m_), dtype=np.int32)
+        for j in range(m_):
+            xj = x[:, j * sub : (j + 1) * sub]
+            c = books[j]
+            d = np.einsum("ij,ij->i", c, c) - 2.0 * (xj @ c.T)
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return corpus.select(F.col(id_col), _enc(as_double(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 42,
+    round_to: int = 6,
+    refine: int | None = None,
+) -> DataFrame:
+    """Approximate L2 top-k in the COMPRESSED domain (ADC): corpus
+    vectors are m-byte PQ codes; per query a (m x k) lookup table of
+    query-subvector-to-centroid distances is precomputed, and each
+    corpus code scores with m table gathers + a sum — no original
+    vectors touched during the scan.
+
+    ``refine=R`` adds the standard exact re-rank stage (IVFADC+R,
+    Jégou et al. 2011 §VI): the ADC scan keeps an R-deep shortlist per
+    query, the shortlist (R rows per query — tiny) joins back to the raw
+    vectors, and exact L2 decides the final top-k. On data whose
+    neighbors are separated by margins smaller than the quantization
+    noise (e.g. near-random fixtures), pure ADC ranking saturates;
+    re-ranking recovers it for the cost of R random vector lookups per
+    query. ``dist`` is then exact squared L2, not the ADC estimate.
+
+    Output: (query_id, neighbor_id, dist, rank) — dist is squared L2
+    (quantized approximation without refine, exact with), 6-dp rounded;
+    ties break by neighbor id. Self-matches are excluded.
+
+    Scale: the scan side reads only (id, codes); the query LUT stack is
+    a broadcast constant (q x m x k doubles). The ADC pass is a narrow
+    Arrow-batched map; the only shuffles are the per-query top-k window
+    over candidates already cut per partition (the bounded top-k
+    pattern from operators/ranking.py) and, with refine, one join of
+    q*R shortlist ids against the corpus.
+    """
+    books = pq_codebooks(corpus, vec_col, m, n_codes, seed)
+    encoded = pq_encode(corpus, books, id_col, vec_col).localCheckpoint(
+        eager=True  # consumed once per query batch; never re-encode
+    )
+    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv")).collect()
+    if not q:
+        raise ValueError("empty query frame")
+    qids = np.array([r[0] for r in q])
+    qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in q])  # (q, dim)
+    m_, k_, sub = books.shape
+    # LUT[q, j, c] = |q_j - book[j, c]|^2
+    lut = np.empty((len(qids), m_, k_), dtype=np.float64)
+    for j in range(m_):
+        qj = qv[:, j * sub : (j + 1) * sub]  # (q, sub)
+        c = books[j]  # (k, sub)
+        lut[:, j, :] = (
+            np.einsum("ij,ij->i", qj, qj)[:, None]
+            - 2.0 * (qj @ c.T)
+            + np.einsum("ij,ij->i", c, c)[None, :]
+        )
+
+    out_schema = f"{query_id_col} long, neighbor_id long, dist double"
+    depth = int(refine) if refine else k
+
+    def _adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            ids = pdf[id_col].to_numpy()
+            # dist (q, n): gather LUT per subspace, accumulate
+            d = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            for j in range(m_):
+                d += lut[:, j, :][:, codes[:, j]]
+            rows = []
+            for qi, qid in enumerate(qids):
+                mask = ids != qid  # exclude self
+                di, ii = d[qi][mask], ids[mask]
+                top = np.argsort(di, kind="stable")[:depth]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: qid,
+                            "neighbor_id": ii[top],
+                            "dist": di[top],
+                        }
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    # per-partition shortlist per query, then one tiny global window
+    cands = encoded.mapInPandas(_adc, schema=out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    if refine:
+        shortlist = (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= depth)
+            .select(query_id_col, "neighbor_id")
+        )
+        qmap = {int(qid): qv[i] for i, qid in enumerate(qids)}
+
+        @F.pandas_udf("double")
+        def _exact_l2(qs: pd.Series, vs: pd.Series) -> pd.Series:
+            if len(qs) == 0:
+                return pd.Series([], dtype="float64")
+            qm = np.stack([qmap[int(q)] for q in qs.to_numpy()])
+            v = np.stack(vs.to_numpy())
+            diff = qm - v
+            return pd.Series(np.einsum("ij,ij->i", diff, diff))
+
+        vecs = corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nv")
+        )
+        cands = shortlist.join(vecs, "neighbor_id").select(
+            query_id_col,
+            "neighbor_id",
+            _exact_l2(F.col(query_id_col), F.col("nv")).alias("dist"),
+        )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            half_up(F.col("dist"), round_to).alias("dist"),
+            "rank",
+        )
+    )

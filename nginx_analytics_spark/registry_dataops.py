@@ -657,6 +657,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=ANN_K, n_cells=16, nprobe=6)
 
 
+@query("ann_pq_topk")  # approximate — recall-tested, not oracle-matched
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37: product-quantization ANN — the compressed-domain third scale
+    path: corpus stored as m-byte PQ codes (8x smaller than float32 at
+    m=8/dim=64), the ADC scan touches only codes, and a 50-deep exact
+    re-rank (IVFADC+R) recovers the ranking the quantization noise
+    blurs — mandatory on this fixture, whose near-random geometry puts
+    neighbor margins below the quantization error. Recall vs exact L2
+    asserted in tests; seeded codebooks make the result reproducible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_COUNT).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk(
+        emb, queries, k=ANN_K, m=8, n_codes=16, refine=10 * ANN_K
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

@@ -88,3 +88,52 @@ def test_latency_percentiles_partial_aggregation(spark):
     p = plan_of(registry.queries()["latency_percentiles_approx"](spark, SF))
     assert "partial" in p.lower()
     assert n_nodes(p, "Exchange") == 1
+
+
+def test_local_supplier_volume_dims_broadcast(spark):
+    """Q5 shape: the region->nation->supplier chain and the dims frame
+    must broadcast; the only shuffle joins are on the fact keys, and the
+    region filter reaches its scan."""
+    p = plan_of(registry.queries()["local_supplier_volume"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "EqualTo(r_name,ASIA)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_returned_items_pushdown_and_broadcast(spark):
+    """Q10 shape: the returnflag predicate must hit the lineitem scan and
+    nation must broadcast."""
+    p = plan_of(registry.queries()["returned_items"](spark, SF))
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_contamination_no_shuffle_on_train_side(spark):
+    """The decontamination join must be broadcast (bench set), keeping
+    the 100 TB training side shuffle-free up to the per-doc agg."""
+    p = plan_of(registry.queries()["contamination_check"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pack_chunks_single_window_exchange(spark):
+    """The packing plan is one window over the group partitioning — a
+    single exchange, no joins."""
+    p = plan_of(registry.queries()["pack_chunks"](spark, SF))
+    assert n_nodes(p, "Exchange") == 1, p
+    assert "Join" not in p
+
+
+def test_pii_redaction_shuffle_free(spark):
+    """PII redaction is a pure map — no exchange anywhere."""
+    p = plan_of(registry.queries()["pii_redaction"](spark, SF))
+    assert "Exchange" not in p
+
+
+def test_temperature_sample_broadcasts_rates(spark):
+    """The rate frame joins broadcast; the corpus side never shuffles."""
+    p = plan_of(registry.queries()["temperature_sample_docs"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
