@@ -94,3 +94,70 @@ def test_compact_rerunnable_after_crash_artifacts(spark, tmp_path):
     os.rename(src, src + "__compact_old")
     assert wh.compact_raw_logs() > 0
     assert wh.table("raw_logs").count() == n_before
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the same key must sort-merge join with
+    ZERO Exchange — the at-rest co-location contract of
+    warehouse.write_bucketed."""
+    import io
+    from contextlib import redirect_stdout
+
+    from nginx_analytics_spark.sources.warehouse import write_bucketed
+
+    ev = load_table(spark, SF, "events")
+    facts = ev.select("event_id", "user_id", "value")
+    dims = ev.groupBy("user_id").agg(F.avg("value").alias("u_avg"))
+    # disable broadcast so the plan must pick the co-located SMJ — the
+    # shape a 100 TB fact-fact join takes, where neither side broadcasts
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(facts, "bt_facts", "user_id", n_buckets=4)
+        write_bucketed(dims, "bt_dims", "user_id", n_buckets=4)
+        joined = spark.table("bt_facts").join(spark.table("bt_dims"), "user_id")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and the join actually works
+        n = joined.count()
+        assert n == facts.count()
+    finally:
+        for k, v in saved.items():
+            if v:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS bt_facts")
+        spark.sql("DROP TABLE IF EXISTS bt_dims")
+
+
+def test_bucketed_aggregation_has_no_exchange(spark):
+    """A groupBy on the bucket key reads pre-distributed buckets — no
+    shuffle before the aggregation either."""
+    import io
+    from contextlib import redirect_stdout
+
+    from nginx_analytics_spark.sources.warehouse import write_bucketed
+
+    ev = load_table(spark, SF, "events")
+    try:
+        write_bucketed(
+            ev.select("event_id", "user_id", "value"), "bt_agg", "user_id", 4
+        )
+        agg = spark.table("bt_agg").groupBy("user_id").agg(F.sum("value"))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            agg.explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_agg")
