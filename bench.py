@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "simhash_near_dup",
     "ngram_jaccard_pairs",
     "clean_corpus",
+    "curate_corpus",
     "latency_percentiles",
     "latency_percentiles_approx",
     "asof_last_purchase",

@@ -916,6 +916,137 @@ def clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.clean_corpus(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "curate_corpus",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, text, w, n_chars, n_punct,
+           {_lang_scores_sql()}
+        FROM t
+    ),
+    m AS (
+        SELECT doc_id, text,
+               {_lang_case_sql()} AS predicted_lang,
+               len(w) AS ws_tokens,
+               {R6_SQL.format(
+                   x="0.4 * least(1.0, len(w) / 100.0)"
+                     " + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))"
+                     " + 0.2 * (1 - n_punct::DOUBLE / n_chars)"
+                     " + 0.1 * least(1.0, 4 * (len(list_filter(w, x -> list_contains("
+                     "[{en_words}], x)))::DOUBLE / len(w)))")}
+               AS quality
+        FROM s
+    ),
+    kept AS (
+        SELECT * FROM m
+        WHERE predicted_lang <> 'und' AND ws_tokens >= 20 AND quality >= 0.55
+    ),
+    d AS (
+        SELECT doc_id, predicted_lang, ws_tokens, quality,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM kept
+    ),
+    clean AS (SELECT doc_id, predicted_lang, ws_tokens, quality
+              FROM d WHERE rn = 1),
+    bi AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 2
+                           THEN [array_to_string(w[i:i+1], ' ')
+                                 for i in range(1, len(w))]
+                           ELSE [] END) AS g
+        FROM t
+    ),
+    bid AS (
+        SELECT doc_id, max(c) AS max_bg, sum(c) AS tot_bg
+        FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+        GROUP BY doc_id
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 3
+                           THEN [array_to_string(w[i:i+2], ' ')
+                                 for i in range(1, len(w) - 1)]
+                           ELSE [] END) AS g
+        FROM t
+    ),
+    trid AS (
+        SELECT doc_id, count(*) AS dist_tg, sum(c) AS tot_tg
+        FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g)
+        GROUP BY doc_id
+    ),
+    rep AS (
+        SELECT d2.doc_id,
+               coalesce({R6_SQL.format(x="max_bg / tot_bg")}, 0.0) AS top_bg,
+               coalesce({R6_SQL.format(x="1 - dist_tg / (tot_tg * 1.0)")}, 0.0)
+                   AS dup_tg
+        FROM (SELECT doc_id FROM documents) d2
+        LEFT JOIN bid USING (doc_id) LEFT JOIN trid USING (doc_id)
+    ),
+    g5 AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= {CONTAM_N}
+                    THEN list_distinct(
+                        [array_to_string(w[i:i+{CONTAM_N - 1}], ' ')
+                         for i in range(1, len(w) - {CONTAM_N - 2})])
+                    ELSE [text] END AS sh,
+               {portable_frac_sql("doc_id", 7)} AS frac
+        FROM t
+    ),
+    bset AS (SELECT DISTINCT unnest(sh) AS gr FROM g5
+             WHERE frac < {BENCH_FRACTION}),
+    tset AS (SELECT doc_id, sh FROM g5 WHERE frac >= {BENCH_FRACTION}),
+    tg AS (SELECT doc_id, unnest(sh) AS gr FROM tset),
+    o AS (SELECT tg.doc_id, count(*) AS n_overlap
+          FROM tg JOIN bset USING (gr) GROUP BY tg.doc_id),
+    cont AS (
+        SELECT tset.doc_id, coalesce(o.n_overlap, 0) AS n_overlap
+        FROM tset LEFT JOIN o USING (doc_id)
+    )
+    SELECT c.doc_id, c.predicted_lang, c.ws_tokens, c.quality
+    FROM clean c
+    JOIN rep USING (doc_id)
+    JOIN cont USING (doc_id)
+    WHERE rep.top_bg <= {text.TOP_BIGRAM_FRAC_MAX}
+      AND rep.dup_tg <= {text.DUP_TRIGRAM_FRAC_MAX}
+      AND cont.n_overlap = 0
+    """.replace(
+        "{en_words}",
+        ", ".join(f"'{w}'" for w in text.STOPWORD_PROFILES["en"]),
+    ),
+)
+def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39: the FULL curation DAG a pretraining corpus pass runs, as one
+    declarative plan: language gate + quality gate + length gate + exact
+    dedup (clean_corpus) ∧ repetition gates (X33) ∧ benchmark
+    decontamination (X31 — the inner join also drops the benchmark
+    carve-out itself from the training output, as a real pass must).
+    Every stage is an already-verified operator; this query proves they
+    COMPOSE into one Catalyst plan: the gate branches are doc_id-keyed
+    aggregates joined back to the fused scan+filter spine — no driver
+    loops, no materialization between 'stages'."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = text.clean_corpus(docs)
+    rep = text.repetition_stats(docs).select("doc_id", "repetition_ok")
+    frac = sampling.portable_frac("doc_id", salt=7)
+    bench = docs.filter(frac < BENCH_FRACTION)
+    train = docs.filter(frac >= BENCH_FRACTION)
+    cont = contamination.contamination_check(train, bench, n=CONTAM_N).select(
+        "doc_id", "contaminated"
+    )
+    return (
+        cleaned.join(rep, "doc_id")
+        .join(cont, "doc_id")
+        .filter(F.col("repetition_ok") & ~F.col("contaminated"))
+        .select("doc_id", "predicted_lang", "ws_tokens", "quality")
+    )
+
+
 # --------------------------------------------------------------------------
 # Behavioral analytics (funnel + cohort retention)
 # --------------------------------------------------------------------------
