@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "distinct_users",
     "approx_distinct_users",
     "salted_ip_stats",
+    "salted_user_join",
+    "bpe_pair_counts",
     "stateful_key_profiles",
     "traffic_forecast",
     # corpus / data-pipeline shapes (M6)

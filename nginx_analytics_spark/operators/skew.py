@@ -61,3 +61,37 @@ def salted_key_stats(
         F.sum("_cnt").alias("request_count"),
         mean.alias("avg_request_time"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = SALT_BUCKETS,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the big side salts each row into one of
+    ``salt_buckets`` sub-keys; the small side REPLICATES once per salt.
+    The join runs on (key, salt), so a hot key's rows spread over
+    ``salt_buckets`` reducers instead of serializing on one.
+
+    Result is IDENTICAL to ``big.join(small, key, how)`` for inner/left
+    joins with a unique-keyed small side — each big row meets exactly
+    the one replica carrying its salt (the oracle checks equality).
+
+    When to use over AQE skew-join splitting: AQE can only split a
+    sort-merge join's oversized partitions AFTER a full shuffle of both
+    sides materializes; manual salting never creates the hot partition
+    in the first place, works for broadcast-ineligible small sides, and
+    composes with bucketed layouts. Cost: small side × salt_buckets
+    replication — keep buckets at the skew factor, not higher.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    big_s = big.withColumn("_salt", salt)
+    replicas = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")),
+    )
+    return big_s.join(replicas, [key, "_salt"], how).drop("_salt")

@@ -376,3 +376,39 @@ def repetition_stats(
             ).alias("repetition_ok"),
         )
     )
+
+
+def char_pair_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """X41: corpus-wide adjacent character-pair frequencies, top-k — the
+    statistic the first BPE merge step of tokenizer training maximizes.
+    Deterministic order: count desc, pair asc.
+
+    The pair enumeration is a higher-order ``transform`` (interpreted
+    expression path — acceptable here because the per-row work is two
+    substrings per character, and the downstream hash agg with map-side
+    combine dominates; at corpus scale this is one scan + one shuffle of
+    |alphabet|² partial counts, which is tiny). The global top-k LIMIT
+    is on an already-aggregated frame of at most |alphabet|² rows.
+    """
+    pairs = (
+        docs.filter(F.length(text_col) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - 1),"
+                    f" i -> substring({text_col}, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(k)
+    )

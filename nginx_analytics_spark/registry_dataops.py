@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nginx_analytics_spark.functions.rounding import half_up
+from nginx_analytics_spark.functions.rounding import half_up, half_up_sql
 from nginx_analytics_spark.operators import (
     aggregates,
     behavior,
@@ -30,6 +30,7 @@ from nginx_analytics_spark.operators import (
     pii,
     sampling,
     similarity,
+    skew,
     temporal,
     text,
 )
@@ -312,6 +313,49 @@ def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii.redact_pii(df, "raw_text").select(
         "event_id", "n_emails", "n_ipv4", "n_phones", "clean_text"
     )
+
+
+@query(
+    "bpe_pair_counts",
+    """
+    SELECT g AS pair, count(*) AS n
+    FROM (SELECT unnest([substr(text, i, 2) for i in range(1, length(text))])
+              AS g
+          FROM documents WHERE length(text) >= 2)
+    GROUP BY g
+    ORDER BY n DESC, g ASC
+    LIMIT 50
+    """,
+)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41: top-50 adjacent character-pair frequencies — the argmax
+    statistic of the first BPE tokenizer-training merge, as a corpus
+    aggregation (one scan, |alphabet|^2-bounded shuffle)."""
+    return text.char_pair_counts(load_table(spark, sf_dir, "documents"), k=50)
+
+
+@query(
+    "salted_user_join",
+    f"""
+    WITH dims AS (
+        SELECT user_id, {half_up_sql("avg(value)")} AS u_avg
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value, d.u_avg
+    FROM events e JOIN dims d USING (user_id)
+    """,
+)
+def salted_user_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40: skew-resistant salted equi-join — the big side salts, the
+    small side replicates per salt, the join key becomes (key, salt) so
+    a hot key spreads over 16 reducers. The oracle is the PLAIN join:
+    salting must be invisible in the result (the same semantics-free
+    contract salted_ip_stats proves for aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    dims = ev.groupBy("user_id").agg(half_up(F.avg("value"), 6).alias("u_avg"))
+    return skew.salted_join(
+        ev.select("event_id", "user_id", "value"), dims, "user_id"
+    ).select("event_id", "user_id", "value", "u_avg")
 
 
 @query(

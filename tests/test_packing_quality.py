@@ -125,3 +125,42 @@ def test_temperature_alpha_one_is_uniform_rate(spark):
         ).collect()
     }
     assert rates["a"] == rates["b"] == 0.25
+
+
+def test_salted_join_equals_plain_join(spark):
+    from nginx_analytics_spark.operators import skew
+
+    big = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(200)], ["event_id", "k", "v"]
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], ["k", "name"]
+    )
+    salted = sorted(
+        map(tuple, skew.salted_join(big, small, "k").select("event_id", "k", "v", "name").collect())
+    )
+    plain = sorted(
+        map(tuple, big.join(small, "k").select("event_id", "k", "v", "name").collect())
+    )
+    assert salted == plain
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from nginx_analytics_spark.operators import skew
+
+    big = spark.createDataFrame([(1, 0), (2, 9)], ["event_id", "k"])
+    small = spark.createDataFrame([(0, "a")], ["k", "name"])
+    got = {
+        r["event_id"]: r["name"]
+        for r in skew.salted_join(big, small, "k", how="left").collect()
+    }
+    assert got == {1: "a", 2: None}
+
+
+def test_char_pair_counts_deterministic_order(spark):
+    from nginx_analytics_spark.operators import text as t
+
+    df = spark.createDataFrame([(1, "abab"), (2, "ab")], ["doc_id", "text"])
+    got = [(r["pair"], r["n"]) for r in t.char_pair_counts(df).collect()]
+    # pairs: 'ab','ba','ab' from doc1 + 'ab' from doc2 -> ab:3, ba:1
+    assert got == [("ab", 3), ("ba", 1)]
