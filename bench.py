@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "zscore_anomaly",
     "anomaly_detail",
     "training_features",
+    "predict_features",
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",

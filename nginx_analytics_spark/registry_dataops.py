@@ -359,6 +359,32 @@ def salted_user_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    """
+    SELECT c.user_id, c.click_ts, p.purchase_ts
+    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+          FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+          FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42: watermarked stream-stream interval join — two independent
+    file-stream instances of the events fixture join on user_id with
+    purchase_ts in [click_ts, click_ts + 1h]; the interval condition is
+    what bounds both sides' state at scale. Inner-join append emission in
+    an availableNow replay equals the batch theta-join the oracle runs."""
+    from nginx_analytics_spark.streaming.joins import (
+        run_click_purchase_join_available_now,
+    )
+
+    return run_click_purchase_join_available_now(spark, sf_dir)
+
+
+@query(
     "repetition_stats",
     f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
