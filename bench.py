@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "traffic_forecast",
     # corpus / data-pipeline shapes (M6)
     "exact_dedup_events",
+    "incremental_new_docs",
     "minhash_dedup_pairs",
     "simhash_near_dup",
     "ngram_jaccard_pairs",

@@ -359,6 +359,38 @@ def salted_user_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_new_docs",
+    f"""
+    WITH n AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt,
+               {portable_frac_sql("doc_id", 11)} AS frac
+        FROM documents
+    )
+    SELECT b.doc_id, b.source
+    FROM n b
+    WHERE b.frac >= 0.5
+      AND NOT EXISTS (SELECT 1 FROM n h WHERE h.frac < 0.5 AND h.nt = b.nt)
+    """,
+)
+def incremental_new_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43: incremental corpus update — dedup a NEW batch against the
+    EXISTING corpus: a deterministic half of the fixture stands in for
+    yesterday's corpus, the other half is the incoming batch, and a
+    left-anti join on the normalized text key keeps only genuinely new
+    content. At 100 TB the anti-join runs on ``xxhash64(normalized)``
+    against the warehouse's fingerprint store (ids ride the shuffle, not
+    documents); the oracle uses the raw normalized text so DuckDB can
+    replicate it."""
+    docs = load_table(spark, sf_dir, "documents")
+    frac = sampling.portable_frac("doc_id", salt=11)
+    key = dedup.normalize_text("text").alias("nt")
+    history = docs.filter(frac < 0.5).select(key)
+    batch = docs.filter(frac >= 0.5).select("doc_id", "source", key)
+    return batch.join(history, "nt", "left_anti").select("doc_id", "source")
+
+
+@query(
     "stream_stream_join",
     """
     SELECT c.user_id, c.click_ts, p.purchase_ts
