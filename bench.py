@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "dataset_split_counts",
     "stratified_sample_events",
     "grouped_split_users",
+    "per_source_sample",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

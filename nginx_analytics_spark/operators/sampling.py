@@ -168,3 +168,33 @@ def temperature_sample(
         df.join(F.broadcast(rates), group_col)
         .filter(portable_frac(key, salt) < F.col("rate"))
     )
+
+
+def per_group_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen deterministically:
+    rank rows within each group by their portable key hash and keep the
+    first k — a class-balanced subsample (equal shots per label/source)
+    that is reproducible across engines and partitionings, unlike
+    per-group reservoir sampling with an RNG.
+
+    One window exchange on the group key; composable with
+    ``temperature_rates`` when proportional rather than equal allocation
+    is wanted. Consistency property: the k=10 sample is a strict prefix
+    of the k=20 sample (same hash order).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        portable_frac(key, salt).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

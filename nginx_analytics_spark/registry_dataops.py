@@ -359,6 +359,28 @@ def salted_user_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "per_source_sample",
+    f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {portable_frac_sql("doc_id", 5)} ASC, doc_id ASC
+               ) AS rn
+        FROM documents
+    ) t WHERE rn <= 10
+    """,
+)
+def per_source_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44: class-balanced subsample — exactly min(10, |source|) docs
+    per source, ranked by the portable key hash (salt 5): deterministic,
+    engine-portable, and prefix-consistent (the k=10 sample is a strict
+    prefix of the k=20 sample). One window exchange on the group key."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.per_group_sample(docs, "source", "doc_id", k=10, salt=5)
+
+
+@query(
     "incremental_new_docs",
     f"""
     WITH n AS (

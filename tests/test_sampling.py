@@ -74,3 +74,20 @@ def test_split_is_narrow_map(spark):
     with redirect_stdout(buf):
         sampling.dataset_split(ev, "event_id").explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_per_group_sample_exact_counts_and_prefix(spark):
+    from nginx_analytics_spark.operators.sampling import per_group_sample
+
+    rows = [("a", i) for i in range(50)] + [("b", i + 100) for i in range(5)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    s10 = per_group_sample(df, "g", "k", 10)
+    counts = {r["g"]: r["n"] for r in s10.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 10, "b": 5}  # min(k, group size)
+    # prefix consistency: k=10 ⊂ k=20
+    k10 = {tuple(r) for r in s10.collect()}
+    k20 = {tuple(r) for r in per_group_sample(df, "g", "k", 20).collect()}
+    assert k10 <= k20
+    # partition-invariance
+    k10b = {tuple(r) for r in per_group_sample(df.repartition(7), "g", "k", 10).collect()}
+    assert k10 == k10b
