@@ -235,6 +235,15 @@ def _build_parser():
 
     cmp_ = sub.add_parser("compact", help="compact raw_logs small files")
     common(cmp_, checkpoint=False)
+
+    cur = sub.add_parser(
+        "curate",
+        help="documents parquet -> curation gates (X39) -> curated_documents",
+    )
+    common(cur, checkpoint=False)
+    cur.add_argument("--source", required=True, help="documents parquet path")
+    cur.add_argument("--bench-fraction", type=float, default=None)
+    cur.add_argument("--contam-n", type=int, default=None)
     return p
 
 
@@ -302,6 +311,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "compact":
         n = wh.compact_raw_logs()
         print(f"raw_logs compacted to {n} files")
+        return 0
+
+    if args.command == "curate":
+        from nginx_analytics_spark.operators import curation
+        from nginx_analytics_spark.sources.readers import read_parquet
+
+        docs = read_parquet(spark, args.source)
+        kwargs = {}
+        if args.bench_fraction is not None:
+            kwargs["bench_fraction"] = args.bench_fraction
+        if args.contam_n is not None:
+            kwargs["contam_n"] = args.contam_n
+        out = curation.curate_documents(docs, **kwargs)
+        dest = wh.path("curated_documents")
+        out.write.mode("overwrite").parquet(dest)
+        print(f"curated_documents written: {spark.read.parquet(dest).count()} rows")
         return 0
 
     raise SystemExit(f"unknown command {args.command}")  # pragma: no cover

@@ -204,8 +204,11 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.dedup_clusters(docs, pairs)
 
 
-BENCH_FRACTION = 0.05  # deterministic benchmark carve-out (salt 7)
-CONTAM_N = 5  # word n-gram size for the contamination gate
+# single source of truth for the curation constants (shared with the CLI)
+from nginx_analytics_spark.operators.curation import (  # noqa: E402
+    BENCH_FRACTION,
+    CONTAM_N,
+)
 
 
 @query(
@@ -1153,22 +1156,11 @@ def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage is an already-verified operator; this query proves they
     COMPOSE into one Catalyst plan: the gate branches are doc_id-keyed
     aggregates joined back to the fused scan+filter spine — no driver
-    loops, no materialization between 'stages'."""
-    docs = load_table(spark, sf_dir, "documents")
-    cleaned = text.clean_corpus(docs)
-    rep = text.repetition_stats(docs).select("doc_id", "repetition_ok")
-    frac = sampling.portable_frac("doc_id", salt=7)
-    bench = docs.filter(frac < BENCH_FRACTION)
-    train = docs.filter(frac >= BENCH_FRACTION)
-    cont = contamination.contamination_check(train, bench, n=CONTAM_N).select(
-        "doc_id", "contaminated"
-    )
-    return (
-        cleaned.join(rep, "doc_id")
-        .join(cont, "doc_id")
-        .filter(F.col("repetition_ok") & ~F.col("contaminated"))
-        .select("doc_id", "predicted_lang", "ws_tokens", "quality")
-    )
+    loops, no materialization between 'stages'. Shared with the
+    ``jobs curate`` CLI via operators/curation.py."""
+    from nginx_analytics_spark.operators.curation import curate_documents
+
+    return curate_documents(load_table(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------

@@ -32,7 +32,7 @@ def test_cli_help_lists_all_commands():
         timeout=120,
     )
     assert out.returncode == 0
-    for cmd in ("ingest", "anomaly", "retrain", "compact"):
+    for cmd in ("ingest", "anomaly", "retrain", "compact", "curate"):
         assert cmd in out.stdout
 
 
@@ -156,3 +156,19 @@ def test_cli_end_to_end_chain(spark, tmp_path):
         n_dates += sum(1 for d in dirs if d.startswith("log_date="))
     assert n_files == n_dates  # one file per partition
     assert wh.table("raw_logs").count() == n_raw  # content preserved
+
+
+def test_cli_curate_writes_curated_documents(spark, tmp_path):
+    wh_dir = f"{tmp_path}/warehouse"
+    rc = jobs.main(
+        [
+            "curate",
+            "--warehouse", wh_dir,
+            "--source", f"{SF}/documents.parquet",
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(f"{wh_dir}/curated_documents")
+    assert set(out.columns) == {"doc_id", "predicted_lang", "ws_tokens", "quality"}
+    n = out.count()
+    assert 0 < n < load_table(spark, SF, "documents").count()
