@@ -325,7 +325,9 @@ def main(argv: list[str] | None = None) -> int:
             kwargs["contam_n"] = args.contam_n
         out = curation.curate_documents(docs, **kwargs)
         dest = wh.path("curated_documents")
-        out.write.mode("overwrite").parquet(dest)
+        # partitioned by language: downstream per-language training mixes
+        # prune at the directory level instead of scanning the corpus
+        out.write.mode("overwrite").partitionBy("predicted_lang").parquet(dest)
         print(f"curated_documents written: {spark.read.parquet(dest).count()} rows")
         return 0
 
