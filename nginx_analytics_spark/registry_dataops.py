@@ -442,6 +442,40 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_left_join",
+    """
+    WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                        (SELECT max(purchase_ts) FROM p))
+                  - INTERVAL 1 MINUTE AS w),
+    j AS (SELECT c.user_id, c.click_ts, p.purchase_ts
+          FROM c LEFT JOIN p
+            ON c.user_id = p.user_id
+           AND p.purchase_ts >= c.click_ts
+           AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+    SELECT user_id, click_ts, purchase_ts FROM j, wm
+    WHERE purchase_ts IS NOT NULL
+       OR click_ts + INTERVAL 1 HOUR < w
+    """,
+)
+def stream_stream_left_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42b: LEFT-OUTER stream-stream interval join — matched pairs emit
+    on match; NULL rows emit only when the join watermark (min of both
+    streams' watermarks) strictly passes the click's window end. The
+    oracle replicates both the theta-join and that emission cut — clicks
+    whose window the watermark hasn't closed are withheld in state, not
+    emitted."""
+    from nginx_analytics_spark.streaming.joins import (
+        run_click_purchase_left_join_available_now,
+    )
+
+    return run_click_purchase_left_join_available_now(spark, sf_dir)
+
+
+@query(
     "repetition_stats",
     f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

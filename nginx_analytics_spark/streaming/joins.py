@@ -87,3 +87,57 @@ def run_click_purchase_join_available_now(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def run_click_purchase_left_join_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    interval: str = "1 hour",
+    delay: str = "1 minute",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: matched pairs emit when
+    matched; a click with no purchase in its window emits a NULL row
+    only once the JOIN watermark — min of both streams' per-source
+    watermarks — strictly passes click_ts + interval (state for later
+    clicks is retained, not emitted; verified empirically, the same
+    append-emission contract derivation as the windowed twins). The SQL
+    oracle replicates that cut with
+    ``click_ts + interval < least(max(click_ts), max(purchase_ts)) - delay``.
+    """
+    import uuid
+
+    from nginx_analytics_spark.sources.readers import events_stream
+
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", delay)
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", delay)
+    )
+    cond = (
+        (clicks["user_id"] == purchases["user_id"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr(f"INTERVAL {interval}")
+        )
+    )
+    joined = clicks.join(purchases, cond, "left_outer").select(
+        clicks["user_id"].alias("user_id"), "click_ts", "purchase_ts"
+    )
+    sink = "ssleft_" + uuid.uuid4().hex[:12]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -33,6 +33,7 @@ def test_bench_covers_every_oracle_matched_query():
         "streaming_ingest_roundtrip",
         "anomaly_job_roundtrip",
         "stream_stream_join",
+        "stream_stream_left_join",
         "rt_model_predictions",
         "rt_scoring_roundtrip",
         "parse_enrich_smoke",
