@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "latency_percentiles",
     "latency_percentiles_approx",
     "asof_last_purchase",
+    "scd2_user_plans",
     "purchase_window_counts",
     "conversion_funnel",
     "cohort_retention",

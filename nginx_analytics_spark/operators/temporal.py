@@ -161,3 +161,57 @@ def binned_range_join(
             *[F.col(f"i.{c}") for c in intervals.columns if c != key],
         )
     )
+
+
+def change_periods(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    attr: str,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """SCD-Type-2 derivation (X45): fold a change log into validity
+    periods — one row per (key, consecutive-distinct ``attr`` run) with
+    ``valid_from`` = first observation and ``valid_to`` = start of the
+    next run (NULL for the open period). The standard
+    lag-compare → running-sum group → min/lead window pattern, all
+    codegen'd; one exchange on the key.
+
+    ``tie_break`` orders simultaneous observations deterministically
+    (e.g. an event id); without it equal ``order_col`` values make the
+    run assignment nondeterministic.
+
+    Scale: windows partition by the dimension key — high cardinality,
+    uniform; the change log is typically tiny next to the fact stream.
+    Re-deriving periods from the full log is idempotent (this operator),
+    and an INCREMENTAL merge only needs each key's open period plus new
+    updates — the same plan over a pruned input.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(order_col).asc()] + (
+        [F.col(tie_break).asc()] if tie_break else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    chg = F.when(
+        F.lag(attr).over(w).isNull() | (F.lag(attr).over(w) != F.col(attr)),
+        1,
+    ).otherwise(0)
+    runs = df.select(
+        F.col(key),
+        F.col(order_col),
+        F.col(attr),
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__run"),
+    )
+    periods = runs.groupBy(key, "__run").agg(
+        F.first(attr).alias(attr), F.min(order_col).alias("valid_from")
+    )
+    w2 = Window.partitionBy(key).orderBy(F.col("valid_from").asc())
+    return periods.select(
+        F.col(key),
+        F.col(attr),
+        F.col("valid_from"),
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )

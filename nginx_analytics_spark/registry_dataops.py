@@ -384,6 +384,55 @@ def per_source_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_user_plans",
+    """
+    WITH u AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(floor(value) AS BIGINT) % 3 AS plan
+        FROM events WHERE event_type = 'signup'
+    ),
+    s AS (
+        SELECT *, CASE WHEN lag(plan) OVER w IS NULL
+                            OR lag(plan) OVER w != plan
+                       THEN 1 ELSE 0 END AS chg
+        FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run
+        FROM s
+    ),
+    p AS (
+        SELECT user_id, run, min(plan) AS plan, min(ts) AS valid_from
+        FROM g GROUP BY user_id, run
+    )
+    SELECT user_id, plan, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to
+    FROM p
+    """,
+)
+def scd2_user_plans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45: SCD-Type-2 derivation — fold each user's signup change log
+    (plan id = floor(value) % 3, a synthetic slowly-changing attribute)
+    into validity periods: consecutive-distinct runs via lag-compare +
+    running sum, period bounds via min + lead. valid_to is NULL for the
+    open period. Deterministic tie-break on event_id."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    u = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.floor("value").cast("bigint") % 3).alias("plan"),
+    )
+    return temporal.change_periods(
+        u, key="user_id", order_col="ts", attr="plan", tie_break="event_id"
+    ).select("user_id", "plan", "valid_from", "valid_to")
+
+
+@query(
     "incremental_new_docs",
     f"""
     WITH n AS (

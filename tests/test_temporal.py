@@ -140,3 +140,40 @@ def test_binned_range_join_no_nested_loop(spark):
     p = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_change_periods_scd2_semantics(spark):
+    from nginx_analytics_spark.operators.temporal import change_periods
+
+    rows = [
+        # (k, order, tie, attr)
+        (1, 10, 1, "A"),
+        (1, 20, 2, "A"),   # same attr — same run
+        (1, 30, 3, "B"),   # change
+        (1, 40, 4, "A"),   # change back — NEW period, not merged with run 1
+        (2, 15, 5, "X"),   # second key isolated
+    ]
+    df = spark.createDataFrame(rows, ["k", "o", "tie", "a"])
+    got = sorted(
+        (r["k"], r["a"], r["valid_from"], r["valid_to"])
+        for r in change_periods(df, "k", "o", "a", tie_break="tie").collect()
+    )
+    assert got == [
+        (1, "A", 10, 30),
+        (1, "A", 40, None),
+        (1, "B", 30, 40),
+        (2, "X", 15, None),
+    ]
+
+
+def test_change_periods_tie_break_deterministic(spark):
+    from nginx_analytics_spark.operators.temporal import change_periods
+
+    # two simultaneous observations: tie-break decides run order
+    rows = [(1, 10, 1, "A"), (1, 10, 2, "B")]
+    df = spark.createDataFrame(rows, ["k", "o", "tie", "a"])
+    got = sorted(
+        (r["a"], r["valid_to"] is None)
+        for r in change_periods(df, "k", "o", "a", tie_break="tie").collect()
+    )
+    assert got == [("A", False), ("B", True)]
