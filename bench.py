@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "latency_percentiles_approx",
     "asof_last_purchase",
     "scd2_user_plans",
+    "rolling_7d_avg",
     "purchase_window_counts",
     "conversion_funnel",
     "cohort_retention",

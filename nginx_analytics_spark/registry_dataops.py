@@ -384,6 +384,43 @@ def per_source_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_7d_avg",
+    f"""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           {half_up_sql(
+               "avg(value) OVER (PARTITION BY user_id"
+               " ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)"
+               " RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)")}
+               AS avg_7d
+    FROM events
+    """,
+)
+def rolling_7d_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46: trailing-7-day moving average per user — a TIME-RANGE window
+    frame (every event averages over its key's events in the preceding
+    604800 seconds, not a row count): the frame is expressed on INTEGER
+    epoch seconds on both sides (Spark's unix_timestamp truncates, the
+    oracle floors DuckDB's fractional epoch) so the boundary is
+    engine-identical. One
+    exchange on the key; the running frame evaluates in a single
+    streaming pass per partition — no self-join time-window explosion."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-604800, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        half_up(F.avg("value").over(w), 6).alias("avg_7d"),
+    )
+
+
+@query(
     "scd2_user_plans",
     """
     WITH u AS (
