@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "asof_last_purchase",
     "scd2_user_plans",
     "rolling_7d_avg",
+    "traffic_rollup",
     "purchase_window_counts",
     "conversion_funnel",
     "cohort_retention",

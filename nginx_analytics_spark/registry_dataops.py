@@ -384,6 +384,45 @@ def per_source_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "traffic_rollup",
+    f"""
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           CAST(grouping(event_type) AS INT) AS g_type,
+           CAST(grouping(CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                AS TIMESTAMP)) AS INT) AS g_day,
+           count(*) AS n_events,
+           {half_up_sql("sum(value)")} AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                          AS TIMESTAMP))
+    """,
+)
+def traffic_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47: multi-dimensional aggregation — ROLLUP over (event_type,
+    day): per-(type, day) cells, per-type subtotals, and the grand total
+    in ONE pass (Spark Expand + single hash agg, not three scans).
+    GROUPING() indicator columns disambiguate real NULLs from
+    rolled-up levels, the standard warehouse cube contract."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        ev.select("event_type", day, "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count(F.lit(1)).alias("n_events"),
+            half_up(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "event_type", "day", "g_type", "g_day", "n_events", "total_value"
+        )
+    )
+
+
+@query(
     "rolling_7d_avg",
     f"""
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
