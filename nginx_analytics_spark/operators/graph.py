@@ -71,7 +71,7 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         # min over incoming neighbor labels, merged with the node's own.
         nbr = sym.join(
@@ -93,7 +93,7 @@ def connected_components(
         jumped = merged.select(
             F.col("node").alias("c_node"), F.col("comp").alias("c_comp")
         )
-        labels = (
+        new_labels = (
             merged.join(jumped, merged["comp"] == jumped["c_node"], "left")
             .select(
                 merged["node"],
@@ -103,13 +103,28 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        # Labels only ever decrease, so the label sum is a monotone
-        # convergence witness — one map-side-combined agg per round, no
-        # join, no driver data beyond a single value.
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
+        # Convergence witness: exact count of labels that changed this
+        # round — one ids-only hash join between two checkpointed frames
+        # plus a count, no driver data beyond a single value. (A label-SUM
+        # probe is one agg cheaper but can in principle alias through
+        # 64-bit overflow on very large id spaces; the count cannot.)
+        n_changed = (
+            new_labels.join(
+                labels.select("node", F.col("comp").alias("__prev")), "node"
+            )
+            .filter(F.col("comp") != F.col("__prev"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint in {max_rounds} "
+            "rounds — labels would be silently incomplete; raise max_rounds "
+            "(pointer jumping converges in O(log diameter) rounds)"
+        )
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 

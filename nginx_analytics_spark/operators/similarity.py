@@ -724,7 +724,13 @@ def pq_topk(
             for qi, qid in enumerate(qids):
                 mask = ids != qid  # exclude self
                 di, ii = d[qi][mask], ids[mask]
-                top = np.argsort(di, kind="stable")[:depth]
+                # lexsort on (dist, neighbor_id): a dist tie at the depth
+                # boundary must cut the same neighbor regardless of the
+                # partition's row order, matching the bounded top-k
+                # pattern's determinism contract (the global window below
+                # orders by (dist, neighbor_id) but cannot recover a
+                # candidate already dropped per partition).
+                top = np.lexsort((ii, di))[:depth]
                 rows.append(
                     pd.DataFrame(
                         {

@@ -193,10 +193,12 @@ def change_periods(
         [F.col(tie_break).asc()] if tie_break else []
     )
     w = Window.partitionBy(key).orderBy(*order)
-    chg = F.when(
-        F.lag(attr).over(w).isNull() | (F.lag(attr).over(w) != F.col(attr)),
-        1,
-    ).otherwise(0)
+    # Null-safe change predicate: a plain ``lag != attr`` yields NULL when
+    # either side is NULL, silently merging a NULL attr into the preceding
+    # run (and never opening a new run after one). eqNullSafe treats NULL
+    # as a distinct attr value, so NULL runs get their own periods; the
+    # first row of a key (lag is NULL, attr non-null) still opens a run.
+    chg = F.when(F.lag(attr).over(w).eqNullSafe(F.col(attr)), 0).otherwise(1)
     runs = df.select(
         F.col(key),
         F.col(order_col),
