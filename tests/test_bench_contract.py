@@ -18,6 +18,31 @@ def test_bench_queries_all_registered():
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES), "dupes"
 
 
+def test_driver_check_order_lists_are_registered_and_disjoint():
+    """_CHECK_FIRST/_CHECK_LAST pin the driver's bounded per-round
+    CORRECTNESS budget to the queries that need rows — every listed name
+    must exist (a typo would silently fall out of the ordering) and the
+    two lists must not overlap. queries()/oracle_sql() must present the
+    _CHECK_FIRST names first and the _CHECK_LAST names last."""
+    from nginx_analytics_spark import registry
+
+    registered = set(registry.queries())
+    for lst in (registry._CHECK_FIRST, registry._CHECK_LAST):
+        unknown = [n for n in lst if n not in registered]
+        assert not unknown, f"check-order names not registered: {unknown}"
+        assert len(set(lst)) == len(lst), "dupes in check-order list"
+    overlap = set(registry._CHECK_FIRST) & set(registry._CHECK_LAST)
+    assert not overlap, f"names in both check-order lists: {overlap}"
+
+    names = list(registry.queries())
+    n_first, n_last = len(registry._CHECK_FIRST), len(registry._CHECK_LAST)
+    assert names[:n_first] == registry._CHECK_FIRST
+    assert names[-n_last:] == registry._CHECK_LAST
+    oracle_names = list(registry.oracle_sql())
+    want_first = [n for n in registry._CHECK_FIRST if n in set(oracle_names)]
+    assert oracle_names[: len(want_first)] == want_first
+
+
 def test_bench_covers_every_oracle_matched_query():
     """Every hash-checked query should be benchmarked unless it is one of
     the documented side-effecting/harness exclusions (bench.py docstring)."""
@@ -40,6 +65,11 @@ def test_bench_covers_every_oracle_matched_query():
         # deliberately-naive O(n^2) verification twin of the LSH path —
         # benching it would measure the strawman, not the engine
         "embedding_dedup_pairs",
+        # oracle-gate variant that unions the exact relational plan
+        # (exact_net=True) so the driver hash-match is exact by
+        # construction; the benched headline is the pure-LSH scale path
+        # (minhash_lsh_pairs)
+        "minhash_dedup_pairs",
     }
     benched = set(bench.BENCH_QUERIES)
     gaps = [
