@@ -4,33 +4,42 @@
 Runs the engine's representative query set at ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "loadavg": ...}.
 
 Methodology:
   * Each query executes end-to-end into a ``noop`` sink — full computation,
     no driver collection and no disk-write cost in the measurement.
-  * One untimed warmup query first amortizes JVM/codegen startup, and each
-    query reports the BEST OF 2 back-to-back runs: the numbers measure
-    steady-state engine throughput. (First-run times for expression-heavy
-    queries include HotSpot compiling/inlining their interpreter paths,
-    which in a long session with hundreds of loaded expression classes is
-    a JVM artifact that varies 5-25x run to run, not a plan cost.)
+  * NOISE ISOLATION (r3 -> r4 protocol fix): the suite runs as several
+    QUERY GROUPS, each in a FRESH subprocess with its own JVM. Evidence
+    from BENCH_r02/r03: a single long session accumulates hundreds of
+    generated expression classes, HotSpot call sites go megamorphic, and
+    unchanged queries drift 2x round-over-round (count_raw 0.18 -> 0.36s
+    with zero code change; token_stats r2 and parse_enrich r3
+    "regressions" were both session artifacts). Fresh JVMs per group cap
+    that interference; groups run SEQUENTIALLY so they never compete for
+    cores. ``os.getloadavg()`` is recorded before and after so external
+    machine load is visible next to the numbers it may have polluted.
+  * Within a group: one untimed warmup query amortizes JVM/codegen
+    startup, then each query reports the BEST OF 2 back-to-back runs
+    (steady-state engine throughput, not first-run HotSpot compilation).
+    If the two runs disagree by >2x a third run is taken and the best
+    kept: HotSpot occasionally deoptimizes/recompiles mid-run (observed
+    as a one-off 5.1s on a steady-state-1.2s query) — a JVM artifact,
+    not a plan cost.
   * The set spans the reference surface (parse/enrich, aggregations, the
     z-score anomaly chain, feature projections, top-k windows) plus the
     corpus operators (MinHash dedup, ANN, text stats) — the shapes that
-    dominate at 100 TB.
+    dominate at 100 TB. The benched minhash entry is the PURE-LSH scale
+    path (minhash_lsh_pairs); the exact_net oracle-gate variant is
+    correctness-tier only.
   * EXCLUDED by design: the side-effecting roundtrip harnesses
     (windowed_*/session_windows/streaming_ingest_roundtrip/
     anomaly_job_roundtrip — they stage temp files and drive real
     StreamingQueries whose trigger/teardown dominates wall time) and the
     MLlib train/score queries (rt_model_predictions/rt_scoring_roundtrip —
     RandomForest fit cost, not engine throughput). Their correctness is
-    covered by CORRECTNESS entries and pytest; benching them would measure
-    the harness, not the engine.
-  * If a query's two timed runs disagree by >2x, a third run is taken and
-    the best kept: with ~300 generated expression classes live, HotSpot
-    occasionally deoptimizes/recompiles mid-run (observed as a one-off
-    5.1s on a steady-state-1.2s query) — a JVM artifact, not a plan cost.
+    covered by CORRECTNESS entries and pytest; benching them would
+    measure the harness, not the engine.
   * Known benign noise: a terminating StreamingQuery's final micro-batch
     can deliver task-end accumulator updates after its SQL execution is
     unregistered; local-mode Spark logs "Failed to update accumulator
@@ -43,84 +52,94 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-BENCH_QUERIES = [
-    # reference-surface shapes
-    "count_raw",
-    "parse_enrich",
-    "batch_ip_stats",
-    "hourly_reagg",
-    "zscore_anomaly",
-    "anomaly_detail",
-    "training_features",
-    "predict_features",
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_volume",
-    "returned_items",
-    "top_endpoints",
-    "top_endpoints_bounded",
-    "distinct_users",
-    "approx_distinct_users",
-    "salted_ip_stats",
-    "salted_user_join",
-    "bpe_pair_counts",
-    "stateful_key_profiles",
-    "traffic_forecast",
-    # corpus / data-pipeline shapes (M6)
-    "exact_dedup_events",
-    "incremental_new_docs",
-    "minhash_dedup_pairs",
-    "simhash_near_dup",
-    "ngram_jaccard_pairs",
-    "clean_corpus",
-    "curate_corpus",
-    "latency_percentiles",
-    "latency_percentiles_approx",
-    "asof_last_purchase",
-    "scd2_user_plans",
-    "rolling_7d_avg",
-    "traffic_rollup",
-    "purchase_window_counts",
-    "conversion_funnel",
-    "cohort_retention",
-    "dataset_split_counts",
-    "stratified_sample_events",
-    "grouped_split_users",
-    "per_source_sample",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "embedding_lsh_pairs",
-    "token_stats",
-    "language_id",
-    "doc_quality",
-    "doc_fingerprint",
-    "multimodal_features",
-    # round-3 additions: cluster resolution, decontamination, PII,
-    # repetition gates, packing, domain mixing
-    "dedup_clusters",
-    "exact_jaccard_pairs",
-    "contamination_check",
-    "pii_redaction",
-    "repetition_stats",
-    "pack_chunks",
-    "temperature_sample_docs",
-]
+# Groups run in separate fresh-JVM subprocesses (see docstring). The split
+# keeps each JVM's live expression-class population small and roughly
+# balances wall time per group.
+BENCH_GROUPS: dict[str, list[str]] = {
+    # reference-surface shapes: parse chain, aggs, anomaly chain, TPC-H
+    "reference": [
+        "count_raw",
+        "parse_enrich",
+        "batch_ip_stats",
+        "hourly_reagg",
+        "zscore_anomaly",
+        "anomaly_detail",
+        "training_features",
+        "predict_features",
+        "pricing_summary",
+        "shipping_priority",
+        "local_supplier_volume",
+        "returned_items",
+        "top_endpoints",
+        "top_endpoints_bounded",
+        "distinct_users",
+        "approx_distinct_users",
+        "salted_ip_stats",
+        "salted_user_join",
+        "stateful_key_profiles",
+        "traffic_forecast",
+    ],
+    # corpus text/dedup/sampling shapes (M6)
+    "corpus": [
+        "exact_dedup_events",
+        "incremental_new_docs",
+        "minhash_lsh_pairs",
+        "simhash_near_dup",
+        "ngram_jaccard_pairs",
+        "clean_corpus",
+        "curate_corpus",
+        "token_stats",
+        "language_id",
+        "doc_quality",
+        "doc_fingerprint",
+        "bpe_pair_counts",
+        "repetition_stats",
+        "pack_chunks",
+        "contamination_check",
+        "pii_redaction",
+        "multimodal_features",
+        "dedup_clusters",
+        "exact_jaccard_pairs",
+    ],
+    # temporal/behavioral/sampling/ANN shapes
+    "analytics": [
+        "latency_percentiles",
+        "latency_percentiles_approx",
+        "asof_last_purchase",
+        "scd2_user_plans",
+        "rolling_7d_avg",
+        "traffic_rollup",
+        "purchase_window_counts",
+        "conversion_funnel",
+        "cohort_retention",
+        "dataset_split_counts",
+        "stratified_sample_events",
+        "grouped_split_users",
+        "per_source_sample",
+        "temperature_sample_docs",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "ann_pq_topk",
+        "embedding_lsh_pairs",
+    ],
+}
+
+BENCH_QUERIES = [q for grp in BENCH_GROUPS.values() for q in grp]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-
+def run_group(group: str, sf_dir: str, cpus: int) -> dict[str, float]:
+    """Child-process entry: fresh SparkSession, warmup, best-of-2 per
+    query. Prints a JSON object of {query: sec} on stdout's LAST line."""
     from nginx_analytics_spark import registry
     from nginx_analytics_spark.session import get_spark
 
     spark = get_spark(
-        app_name="nginx_analytics_bench",
+        app_name=f"nginx_analytics_bench_{group}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
@@ -135,12 +154,38 @@ def main() -> None:
     run("count_raw")  # warmup (untimed)
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_GROUPS[group]:
         a, b = run(name), run(name)
         if max(a, b) > 2 * min(a, b):  # JIT deopt suspected — see docstring
             a = min(a, run(name))
         timings[name] = round(min(a, b), 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+    spark.stop()
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if len(sys.argv) == 3 and sys.argv[1] == "--group":
+        print(json.dumps(run_group(sys.argv[2], sf_dir, cpus)))
+        return
+
+    load_start = os.getloadavg()
+    timings: dict[str, float] = {}
+    for group in BENCH_GROUPS:
+        print(f"group {group} ({len(BENCH_GROUPS[group])} queries):",
+              file=sys.stderr, flush=True)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--group", group],
+            stdout=subprocess.PIPE,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            check=True,
+            text=True,
+        )
+        timings.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+    load_end = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -152,10 +197,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf_dir,
+                "loadavg": {"start": load_start, "end": load_end},
+                "protocol": "fresh JVM per group, sequential, best-of-2",
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

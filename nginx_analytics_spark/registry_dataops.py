@@ -131,6 +131,27 @@ def minhash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+@query("minhash_lsh_pairs")  # pure-LSH scale path — recall-tested, rows-only
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The benched HEADLINE minhash plan: pure MinHash-LSH near-dup pairs
+    (``exact_net=False``) — banded signature self-join prunes the pair
+    space, exact Jaccard verifies only candidates. This is the 100 TB
+    path: candidate volume is bounded by the bands, no relational
+    exact-Jaccard union rides along (that belt-and-suspenders variant is
+    ``minhash_dedup_pairs``, kept for the oracle gate where output must
+    equal the brute-force answer BY CONSTRUCTION). Recall of the banded
+    candidate generation vs the exact pair set is property-tested in
+    tests/test_dataops.py; on the fixture the two plans emit identical
+    pairs with probability ~1-1e-3 per round."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, threshold=0.0, round_to=None, exact_net=False
+    )
+    return pairs.select(
+        "id_a", "id_b", r6(F.col("jaccard")).alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
 @query(
     "exact_jaccard_pairs",
     f"""
