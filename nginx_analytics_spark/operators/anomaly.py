@@ -33,6 +33,7 @@ def score_keys(
     z_threshold: float = Z_THRESHOLD,
     new_key_count: int = NEW_KEY_COUNT_THRESHOLD,
     round_to: int | None = 6,
+    broadcast_history: bool = True,
 ) -> DataFrame:
     """J1 + P12-P14 + P9: join per-key batch stats with history stats and
     derive z_score / is_anomaly / anomaly_reason.
@@ -45,8 +46,16 @@ def score_keys(
                      OR (avg_requests IS NULL AND request_count > n) —
         the "new key with heavy traffic" branch.
       * anomaly_reason CASE chain; NULL when not anomalous.
+
+    ``broadcast_history=True`` (default) hints the one-row-per-key history
+    into a broadcast join — right when history is small vs the batch.
+    Pass ``False`` when both frames descend from a table bucketed on
+    ``key`` (warehouse.write_raw_logs_bucketed): the bucket layout already
+    co-locates the join, and the plan runs with ZERO Exchange (asserted
+    in tests/test_warehouse.py).
     """
-    joined = batch_stats.join(F.broadcast(history), on=key, how="left")
+    hist = F.broadcast(history) if broadcast_history else history
+    joined = batch_stats.join(hist, on=key, how="left")
     # nullif guard: a key whose hourly counts are constant has stddev 0;
     # its z-score is undefined (NULL), not ±inf (Postgres would error here —
     # implement the intent, SURVEY.md §2.2 notes).

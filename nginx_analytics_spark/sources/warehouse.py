@@ -124,6 +124,33 @@ class Warehouse:
             n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 
+    def write_raw_logs_bucketed(
+        self,
+        enriched: DataFrame,
+        table: str = "raw_logs_bucketed",
+        key: str = "remote_addr",
+        n_buckets: int = 8,
+    ) -> None:
+        """The bucketed-at-rest deployment of the fact table itself:
+        raw_logs written as a catalog table hash-bucketed by the anomaly
+        key (``remote_addr``) and date-partitioned for pruning.
+
+        Every stage of the anomaly chain then runs WITHOUT a shuffle —
+        the hourly history aggregation, the batch per-key stats, and the
+        history join all cluster on ``remote_addr``, which the bucket
+        layout already satisfies (asserted zero-Exchange in
+        tests/test_warehouse.py). At 100 TB this deletes the per-batch
+        fact-table shuffle the reference pays on every detection cycle
+        (its Postgres history query re-sorts by remote_addr each run).
+        """
+        write_bucketed(
+            enriched.withColumn("log_date", F.to_date("timestamp")),
+            table,
+            key,
+            n_buckets=n_buckets,
+            partition_by="log_date",
+        )
+
     # -- readers / catalog ------------------------------------------------
 
     def table(self, table: str) -> DataFrame:
@@ -165,6 +192,7 @@ def write_bucketed(
     key: str,
     n_buckets: int = 8,
     mode: str = "overwrite",
+    partition_by: str | None = None,
 ) -> None:
     """Write ``df`` as a BUCKETED parquet table in the session catalog:
     rows are hash-distributed into ``n_buckets`` files per partition by
@@ -181,10 +209,7 @@ def write_bucketed(
     path-based (their consumers aggregate, they don't repeatedly
     self-join).
     """
-    (
-        df.write.mode(mode)
-        .format("parquet")
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
-        .saveAsTable(name)
-    )
+    w = df.write.mode(mode).format("parquet")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.bucketBy(n_buckets, key).sortBy(key).saveAsTable(name)

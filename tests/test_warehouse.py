@@ -141,6 +141,54 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS bt_dims")
 
 
+def test_bucketed_raw_logs_anomaly_chain_zero_exchange(spark, tmp_path):
+    """The full anomaly chain (7-day hourly history reagg + batch per-key
+    stats + history join) over a raw_logs table bucketed by remote_addr
+    must plan with ZERO Exchange: every stage clusters on the bucket key,
+    so the at-rest layout replaces all three shuffles. This is the 100 TB
+    deployment of the detection cycle — the fact table is never
+    re-shuffled per batch."""
+    import io
+    from contextlib import redirect_stdout
+
+    from nginx_analytics_spark.operators import aggregates, anomaly
+
+    wh = Warehouse(spark, str(tmp_path))
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        wh.write_raw_logs_bucketed(_enriched(spark), table="bt_raw_logs", n_buckets=4)
+        raw = spark.table("bt_raw_logs")
+        history = aggregates.hourly_reagg(
+            raw, "remote_addr", "timestamp", "2024-01-30 00:00:00"
+        )
+        batch = raw.filter(F.col("timestamp") > F.lit("2024-01-30 00:00:00"))
+        stats = aggregates.key_stats(batch, "remote_addr", "request_time_seconds")
+        scored = anomaly.score_keys(
+            stats, history, "remote_addr", broadcast_history=False
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            scored.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert scored.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS bt_raw_logs")
+
+
 def test_bucketed_aggregation_has_no_exchange(spark):
     """A groupBy on the bucket key reads pre-distributed buckets — no
     shuffle before the aggregation either."""
