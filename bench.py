@@ -74,6 +74,11 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "shipping_priority",
         "local_supplier_volume",
         "returned_items",
+        "order_priority_check",
+        "forecast_revenue",
+        "priority_shipping",
+        "promo_revenue",
+        "large_volume_customers",
         "top_endpoints",
         "top_endpoints_bounded",
         "distinct_users",
@@ -102,6 +107,8 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "contamination_check",
         "pii_redaction",
         "multimodal_features",
+        "tfidf_top_terms",
+        "shard_manifest",
         "dedup_clusters",
         "exact_jaccard_pairs",
     ],
@@ -121,6 +128,9 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "grouped_split_users",
         "per_source_sample",
         "temperature_sample_docs",
+        "value_deciles",
+        "value_buckets_approx",
+        "embedding_centroids",
         "ann_cosine_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",

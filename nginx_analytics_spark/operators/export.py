@@ -1,0 +1,87 @@
+"""Deterministic shuffle-shard export — the training-data hand-off.
+
+A pretraining run wants the curated corpus as N shards, (a) globally
+shuffled so any prefix is an unbiased sample (sequential readers must not
+see ingest order: a source- or time-sorted corpus trains badly), and
+(b) bit-reproducible so a re-run of the export produces byte-identical
+shards regardless of cluster size or partitioning.
+
+``df.repartition(N)`` + ``rand()`` fails both: round-robin/random both
+depend on the input split layout. Instead the shard AND the intra-shard
+order are pure functions of the row key via the engine-portable Knuth
+multiplicative hash (operators.sampling):
+
+    h(key)  = (key * 2654435761) mod 2^32        -- golden-ratio scramble
+    shard   = h mod n_shards                      -- decorrelated from key
+    pos     = rank of (h, key) within the shard   -- "shuffled" read order
+
+Scale: one hash exchange on ``shard`` (n_shards partitions — size
+n_shards ~ thousands at 100 TB so each holds a few tens of GB), then a
+per-partition sort; no global ORDER BY (a single-range sort of the full
+corpus is the anti-pattern this module replaces). The window in
+:func:`shard_assignments` partitions BY shard, so its state is one
+partition's rows, never the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nginx_analytics_spark.operators.sampling import KNUTH, M32
+
+
+def shard_hash(key: str) -> F.Column:
+    """The portable shard-scramble hash (exact int64 arithmetic — see
+    operators.sampling for the portability domain note)."""
+    return (F.col(key).cast("bigint") * F.lit(KNUTH)) % F.lit(M32)
+
+
+def shard_assignments(
+    df: DataFrame, key: str = "doc_id", n_shards: int = 8
+) -> DataFrame:
+    """The export manifest: every row's shard and intra-shard position.
+
+    Deterministic, partition-invariant, engine-portable — the same rows
+    land in the same shard at the same position on any cluster (property-
+    tested under repartition in tests/test_export.py, oracle-matched as
+    ``shard_manifest``).
+    """
+    from pyspark.sql import Window
+
+    h = shard_hash(key)
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(key).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("bigint"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("_h")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    key: str = "doc_id",
+    n_shards: int = 8,
+) -> int:
+    """Materialize the shards: one Parquet directory per shard, rows
+    stored in shuffled (hash) order. ``repartition(n_shards, shard)``
+    gives the writer exactly one task per shard — each shard directory
+    is written by one task as one sorted file, so shard files are
+    byte-stable across runs. Returns the number of shard directories.
+
+    At 100 TB pick n_shards so a shard is a few GB (thousands of shards,
+    still one task each); readers stream ``shard=i`` dirs independently.
+    """
+    out = shard_assignments(df, key, n_shards)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return sum(1 for d in os.listdir(path) if d.startswith("shard="))

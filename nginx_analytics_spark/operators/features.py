@@ -16,7 +16,7 @@ sort.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TRAINING_CAP = 100_000  # reference response_time_prediction.py:86
@@ -78,3 +78,60 @@ def training_features(
     response_time_prediction.py:86)."""
     projected = feature_projection(df, keep=(order_key,), **cols)
     return projected.orderBy(order_key).limit(cap).drop(order_key)
+
+
+def ntile_bins(
+    df: DataFrame,
+    group: str,
+    value: str,
+    tiebreak: str,
+    n: int = 10,
+) -> DataFrame:
+    """Exact per-group quantile binning: ``bin`` = NTILE(n) over the
+    group ordered by (value, tiebreak) — equal-count buckets for feature
+    bucketization / outlier capping. The tiebreak key makes the bucket
+    assignment deterministic when values repeat.
+
+    Scale note: NTILE needs each group's full ordering — one hash
+    exchange on ``group`` and a per-partition sort, so a single huge
+    group serializes into one task. For corpus-scale binning of ONE
+    global distribution use :func:`quantile_bucketize` (two-pass approx
+    cutpoints, no per-group sort)."""
+    w = Window.partitionBy(group).orderBy(
+        F.col(value).asc(), F.col(tiebreak).asc()
+    )
+    return df.withColumn("bin", F.ntile(n).over(w).cast("bigint"))
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    value: str,
+    n: int = 10,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB binning path: bucket rows against APPROXIMATE global
+    quantile cutpoints instead of sorting any group.
+
+    Pass 1 computes n-1 interior cutpoints with ``percentile_approx``
+    (Greenwald-Khanna sketch: mergeable map-side partials, one tiny
+    exchange). Pass 2 broadcasts the 1-row cutpoint frame and assigns
+    ``bin`` = 1 + #cutpoints <= value — a narrow map, no shuffle of data
+    rows, no per-group sort, skew-immune. Buckets are equal-count only up
+    to sketch error (1/accuracy); assignment is still deterministic for
+    a fixed input because the sketch is deterministic for a fixed
+    partitioning of the aggregation (property-tested; not cross-engine
+    oracle-matched — sketch internals are engine-specific)."""
+    qs = [i / n for i in range(1, n)]
+    cuts = df.agg(
+        F.percentile_approx(F.col(value), qs, accuracy).alias("_cuts")
+    )
+    binned = df.crossJoin(F.broadcast(cuts)).withColumn(
+        "bin",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter("_cuts", lambda c: c <= F.col(value))
+            )
+        ).cast("bigint"),
+    )
+    return binned.drop("_cuts")

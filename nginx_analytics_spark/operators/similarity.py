@@ -782,3 +782,33 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    group: str = "label",
+    vec: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group embedding centroids as (group, dim, centroid) rows —
+    the summary a curation pipeline needs for domain drift monitoring,
+    cluster-balanced sampling, and semantic-dedup seeding (and the
+    training step of the IVF coarse quantizer, expressed relationally).
+
+    posexplode unpivots each vector to (dim, value) pairs that partial-
+    aggregate map-side — the exchange carries one (group, dim, sum,
+    count) row per partition, never the exploded corpus. Long output
+    (rows, not re-assembled arrays) keeps the result oracle-expressible
+    and join-ready; ``array_agg`` the dims back if a vector is needed.
+
+    At 100 TB: explode inflates rows x dim inside the scan stage
+    (pipelined, never materialized); the shuffle moves
+    #groups x dim x #partitions partial rows — KB-scale."""
+    from nginx_analytics_spark.functions.rounding import half_up
+
+    return (
+        emb.select(group, F.posexplode(as_double(vec)).alias("dim", "val"))
+        .groupBy(group, "dim")
+        .agg(half_up(F.avg("val"), round_to).alias("centroid"))
+        .withColumn("dim", F.col("dim").cast("bigint"))
+    )

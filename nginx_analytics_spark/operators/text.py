@@ -496,3 +496,58 @@ def char_pair_counts(
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """TF-IDF document-term scoring with per-document top-k terms — the
+    keyword-extraction primitive of a text-curation pipeline (and the
+    lexical half of hybrid lexical+embedding retrieval).
+
+    score(d, t) = tf(d, t) * ln(N / df(t)), raw counts, no smoothing —
+    every factor is an exact integer ratio, so the only float op is the
+    final ln * multiply (rounded engine-portably at ``round_to`` dp).
+
+    Plan shape (all stock relational ops, zero Python):
+      explode(tokens) -> groupBy(doc, term) count   [tf: one shuffle,
+          partial-agg'd map-side so the exchange carries (doc, term, n)]
+      tf  -> groupBy(term) count                    [df: vocabulary-sized]
+      tf JOIN df ON term, CROSS JOIN 1-row N frame  [df is Zipf-compact —
+          orders smaller than the corpus; AQE broadcasts it when it fits,
+          else the term-key shuffle is partial-agg-sized, not corpus-sized]
+      row_number() OVER (doc, score DESC, term ASC) <= k   [bounded state
+          per doc; ties broken lexically for determinism]
+
+    At 100 TB the explode dominates — it pipelines inside the scan stage;
+    nothing materializes the exploded corpus."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            half_up(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), round_to
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

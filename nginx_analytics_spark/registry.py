@@ -64,6 +64,16 @@ _CHECK_FIRST = [
     "ann_pq_topk",  # never driver-checked
     "curate_corpus",  # never driver-checked
     "minhash_lsh_pairs",  # new in r4: the benched pure-LSH scale path
+    "order_priority_check",  # new in r4: TPC-H Q4 semi-join
+    "forecast_revenue",  # new in r4: TPC-H Q6 scan-agg
+    "priority_shipping",  # new in r4: TPC-H Q12 CASE agg
+    "promo_revenue",  # new in r4: TPC-H Q14 ratio
+    "large_volume_customers",  # new in r4: TPC-H Q18 HAVING semi-join
+    "tfidf_top_terms",  # new in r4: X48 TF-IDF keyword extraction
+    "shard_manifest",  # new in r4: X49 shuffle-shard export
+    "value_deciles",  # new in r4: X50a exact NTILE binning
+    "value_buckets_approx",  # new in r4: X50b sketch binning (rows-only)
+    "embedding_centroids",  # new in r4: X51 per-label centroids
     "clean_corpus",
     "token_stats",
     "language_id",
@@ -581,6 +591,213 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
+    )
+
+
+@query(
+    "order_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey
+                    AND l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI join: orders in
+    a quarter that have at least one lineitem shipped after the order
+    date (the fixture carries no commit/receipt dates, so the Q4 lateness
+    predicate is adapted to l_shipdate > o_orderdate). Spark plans the
+    semi join as a hash join that probes and emits each order at most
+    once — no fact-side duplication, no distinct; at 100 TB the
+    quarter-filtered orders side shuffles once on orderkey and AQE
+    broadcasts it when small."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "forecast_revenue",
+    f"""
+    SELECT {half_up_sql("sum(l_extendedprice * l_discount)", 2)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount > 0.015 AND l_discount < 0.065
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the pure scan-aggregate: every predicate is a
+    pushable column comparison (asserted in tests/test_plans.py), so the
+    plan is scan -> filter -> one-row partial+final agg with zero
+    shuffle of data rows. At 100 TB this is bounded by Parquet scan
+    throughput alone — row groups outside the shipdate year are pruned
+    by min/max stats when the table is date-sorted. The discount band
+    uses strict open bounds on safe midpoints (0.015/0.065) rather than
+    BETWEEN on decimal-tie doubles, keeping the float boundary
+    engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") > 0.015)
+            & (F.col("l_discount") < 0.065)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            half_up(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "priority_shipping",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional (CASE) aggregation over a fact-fact
+    join: late-shipped lines of a year, counted into high/low priority
+    classes per linestatus (the fixture has no l_shipmode, so the Q12
+    group key is adapted to l_linestatus and lateness to
+    l_shipdate > o_orderdate). The CASE arms are evaluated inside the
+    partial agg — the shuffle carries 2 counters per (status,
+    partition), not classified rows. orders joins on orderkey; the
+    year filter is pushed to the lineitem scan."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+    )
+
+
+@query(
+    "promo_revenue",
+    f"""
+    SELECT {half_up_sql(
+        "100.0 * sum(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+        "/ sum(l_extendedprice * (1 - l_discount))"
+    )} AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion revenue share: one month of lineitem
+    broadcast-joined to the part dimension, a conditional-sum ratio in a
+    single one-row aggregate. part is explicitly broadcast (a dimension
+    never shuffles the fact side at 100 TB); the month predicate prunes
+    the scan."""
+    lo = F.lit("1996-09-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-10-01 00:00:00").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            half_up(100.0 * F.sum(promo) / F.sum(disc_price)).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "large_volume_customers",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+           {half_up_sql("sum(l_quantity)", 2)} AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-gated IN-subquery as a semi-join: orders
+    whose total lineitem quantity exceeds the threshold, enriched with
+    the customer, re-aggregated, top-100 by price. The qualifying-key
+    set is an aggregate (one row per order) -> small relative to the
+    fact table, so it semi-joins orders without duplicating rows;
+    customer is broadcast. lineitem is scanned twice (qualify +
+    re-agg) — at 100 TB the first scan reduces to (orderkey, sum) pairs
+    before its shuffle, the canonical partial-agg shape."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 200)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        qualifying,
+        F.col("o_orderkey") == qualifying.l_orderkey,
+        "left_semi",
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(half_up(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
     )
 
 

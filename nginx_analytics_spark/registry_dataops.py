@@ -24,6 +24,8 @@ from nginx_analytics_spark.operators import (
     behavior,
     contamination,
     dedup,
+    export,
+    features,
     graph,
     multimodal,
     packing,
@@ -1635,3 +1637,104 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_payload(docs)
     return multimodal.byte_features(payloads)
+
+
+# --------------------------------------------------------------------------
+# r4 additions: TF-IDF, shard export, quantile binning, centroids
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf, df,
+               {half_up_sql("tf * ln(CAST(n_docs AS DOUBLE) / df)")} AS tfidf
+        FROM tf JOIN dfreq USING (term), n
+    )
+    SELECT doc_id, term, tf, df, tfidf,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48: TF-IDF keyword extraction — top-3 terms per document
+    (operators.text.tfidf_top_terms; plan shape in its docstring)."""
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "shard_manifest",
+    """
+    WITH h AS (SELECT doc_id,
+                      (doc_id * 2654435761) % 4294967296 AS hv
+               FROM documents)
+    SELECT doc_id,
+           CAST(hv % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY hv % 8 ORDER BY hv ASC, doc_id ASC) AS BIGINT)
+               AS pos
+    FROM h
+    """,
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49: deterministic shuffle-shard export manifest — globally
+    shuffled, partition-invariant, engine-portable shard + position per
+    row (operators.export; the writer twin is write_shards)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return export.shard_assignments(docs, "doc_id", 8)
+
+
+@query(
+    "value_deciles",
+    """
+    SELECT event_id, event_type, value,
+           CAST(ntile(10) OVER (
+               PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+               AS BIGINT) AS bin
+    FROM events
+    """,
+)
+def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50a: exact per-group decile binning (NTILE) — deterministic via
+    the event_id tiebreak (operators.features.ntile_bins)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return features.ntile_bins(ev, "event_type", "value", "event_id", 10)
+
+
+@query("value_buckets_approx")  # sketch cutpoints — engine-specific, rows-only
+def value_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50b: the 100 TB binning path — approx global quantile cutpoints
+    (Greenwald-Khanna sketch, mergeable partials) + broadcast bucket
+    assignment; no per-group sort, skew-immune. Bucket-balance and
+    monotonicity property-tested in tests/test_export.py."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return features.quantile_bucketize(ev, "value", 10)
+
+
+@query(
+    "embedding_centroids",
+    f"""
+    SELECT label, CAST(i AS BIGINT) AS dim,
+           {half_up_sql("avg(CAST(embedding[i + 1] AS DOUBLE))")} AS centroid
+    FROM embeddings CROSS JOIN generate_series(0, 63) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51: per-label embedding centroids as (label, dim, centroid) rows
+    (operators.similarity.label_centroids). The oracle's generate_series
+    bound is the fixture's fixed dim=64; Spark derives dims from the
+    arrays themselves."""
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    return similarity.label_centroids(emb)

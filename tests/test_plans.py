@@ -137,3 +137,34 @@ def test_temperature_sample_broadcasts_rates(spark):
     p = plan_of(registry.queries()["temperature_sample_docs"](spark, SF))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_forecast_revenue_full_pushdown_no_shuffle(spark):
+    """Q6 is the pure scan-agg: every predicate reaches the parquet scan
+    and the only exchange is the 1-row final aggregate."""
+    p = plan_of(registry.queries()["forecast_revenue"](spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "GreaterThan(l_discount" in p
+    assert "LessThan(l_quantity" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_order_priority_check_semi_join_no_distinct(spark):
+    """Q4's EXISTS must plan as a semi join (probe-once, no fact-side
+    duplication) — never join+distinct."""
+    p = plan_of(registry.queries()["order_priority_check"](spark, SF))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_promo_revenue_broadcasts_part(spark):
+    p = plan_of(registry.queries()["promo_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+
+
+def test_large_volume_customers_semi_join_and_broadcast_customer(spark):
+    p = plan_of(registry.queries()["large_volume_customers"](spark, SF))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
