@@ -109,6 +109,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "multimodal_features",
         "tfidf_top_terms",
         "shard_manifest",
+        "heavy_tokens",
         "dedup_clusters",
         "exact_jaccard_pairs",
     ],
@@ -131,6 +132,10 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "value_deciles",
         "value_buckets_approx",
         "embedding_centroids",
+        "user_sessions",
+        "daily_event_matrix",
+        "purchase_and_error_users",
+        "value_trends",
         "ann_cosine_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",

@@ -110,3 +110,58 @@ def cohort_retention(
         .groupBy("cohort_start", "period_offset")
         .agg(F.count_distinct(F.col(user)).alias("n_users"))
     )
+
+
+def sessionize(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    gap_seconds: int = 21_600,
+) -> DataFrame:
+    """Batch sessionization — the gap-based session assignment the
+    streaming path gets from ``session_window`` (streaming/windows.py),
+    expressed for at-rest data: a new session starts when a user's
+    inter-event gap exceeds ``gap_seconds``.
+
+    Classic lag-flag-cumsum, one window pass: flag = (gap > limit) in
+    integer MICROSECOND arithmetic (engine-portable — no seconds
+    truncation), session_idx = running sum of flags. One hash exchange
+    on user + a per-user sort; state is O(1) per row. Skew note: a
+    single hyperactive user serializes into one task — cap or salt such
+    keys upstream if a user can exceed a partition."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    # fixture timestamps are TIMESTAMP_NTZ; the engine runs UTC sessions
+    # (session.py), so the cast is wall-clock-identity and unix_micros
+    # yields the same integer DuckDB's epoch_us(naive ts) does.
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    gap_over = us - F.lag(us).over(w) > gap_seconds * 1_000_000
+    flag = F.when(F.coalesce(gap_over, F.lit(True)), 1).otherwise(0)
+    idx = F.sum(flag).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.withColumn("session_idx", idx.cast("bigint"))
+
+
+def session_stats(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    gap_seconds: int = 21_600,
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: event count, bounds,
+    duration (seconds, portable microsecond arithmetic). The groupBy
+    clusters on (user, session_idx) — the same distribution the
+    sessionize window produced, so AQE reuses the exchange."""
+    s = sessionize(events, user, ts, tiebreak, gap_seconds)
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    dur_us = F.max(us) - F.min(us)
+    return s.groupBy(user, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        (dur_us / 1_000_000.0).alias("duration_sec"),
+    )

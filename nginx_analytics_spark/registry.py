@@ -74,6 +74,11 @@ _CHECK_FIRST = [
     "value_deciles",  # new in r4: X50a exact NTILE binning
     "value_buckets_approx",  # new in r4: X50b sketch binning (rows-only)
     "embedding_centroids",  # new in r4: X51 per-label centroids
+    "heavy_tokens",  # new in r4: X53 exact heavy hitters
+    "user_sessions",  # new in r4: X54 batch sessionization
+    "daily_event_matrix",  # new in r4: X55 pivot
+    "purchase_and_error_users",  # new in r4: X56 INTERSECT
+    "value_trends",  # new in r4: X57 regr_slope trend
     "clean_corpus",
     "token_stats",
     "language_id",

@@ -26,6 +26,7 @@ from nginx_analytics_spark.operators import (
     dedup,
     export,
     features,
+    frequency,
     graph,
     multimodal,
     packing,
@@ -1738,3 +1739,133 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays themselves."""
     emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
     return similarity.label_centroids(emb)
+
+
+@query(
+    "heavy_tokens",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+    SELECT term, count(*) AS n
+    FROM tok GROUP BY term HAVING count(*) >= 100
+    """,
+)
+def heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53: exact heavy hitters without shuffling the tail — pigeonhole
+    local candidates (mapInPandas partition counts) + broadcast-pruned
+    exact verify (operators.frequency). The oracle is the naive GROUP
+    BY / HAVING twin the operator's plan avoids at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    return frequency.heavy_hitters(tok, "term", 100)
+
+
+@query(
+    "user_sessions",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 21600000000
+                    THEN 1 ELSE 0 END AS flag
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    x AS (
+        SELECT user_id, ts,
+               CAST(sum(flag) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_idx
+        FROM s
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end,
+           (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0
+               AS duration_sec
+    FROM x GROUP BY user_id, session_idx
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54: batch sessionization (gap rule, lag-flag-cumsum) + per-session
+    rollup — the at-rest twin of the streaming session_window
+    (operators.behavior.sessionize/session_stats)."""
+    ev = load_table(spark, sf_dir, "events")
+    return behavior.session_stats(ev, gap_seconds=21_600)
+
+
+@query(
+    "daily_event_matrix",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55: PIVOT — day x event_type count matrix. The value list is
+    EXPLICIT (no discovery pass over the data; an implicit pivot runs a
+    distinct first and its column set depends on the input — both wrong
+    at scale). One hash aggregation; absent cells filled 0 to match the
+    conditional-count relational twin."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+@query(
+    "purchase_and_error_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def purchase_and_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56: set operation — INTERSECT (distinct semantics) of two
+    filtered projections. Spark plans it as a dedup + LeftSemi hash
+    join on the single user_id column — the shuffle carries distinct
+    keys only."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    er = ev.filter(F.col("event_type") == "error").select("user_id")
+    return p.intersect(er)
+
+
+@query(
+    "value_trends",
+    f"""
+    SELECT event_type,
+           {half_up_sql(
+               "regr_slope(value, (epoch_us(ts) - epoch_us("
+               "TIMESTAMP '2024-01-01 00:00:00')) / 3600000000.0)"
+           )} AS slope,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57: per-group OLS trend via the ANSI regr_slope aggregate —
+    closed-form linear regression as ONE streaming aggregation (no
+    MLlib fit, no second pass). The x axis is hours-since-epoch-start in
+    exact integer-microsecond arithmetic so both engines see identical
+    doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    base = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    hours = (F.unix_micros(F.col("ts").cast("timestamp")) - base) / 3.6e9
+    return ev.groupBy("event_type").agg(
+        r6(F.regr_slope(F.col("value"), hours)).alias("slope"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,101 @@
+"""r4 operators: heavy hitters, batch sessionization, pivot/set-op/trend
+registrations — semantics the oracle tier can't single out."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nginx_analytics_spark.operators import behavior, frequency
+from nginx_analytics_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    """The candidate set depends on partitioning; the RESULT must not —
+    and must equal the naive groupBy/HAVING answer exactly."""
+    tok = (
+        load_table(spark, SF, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+    )
+    naive = {
+        (r.term, r.n)
+        for r in tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+        .collect()
+    }
+    for parts in (1, 7):
+        got = {
+            (r.term, r.n)
+            for r in frequency.heavy_hitters(
+                tok.repartition(parts), "term", 50
+            ).collect()
+        }
+        assert got == naive, parts
+
+
+def test_heavy_hitters_local_threshold_pigeonhole(spark):
+    """A key concentrated in one partition and diluted in others must
+    still be found (the per-partition accumulate-across-batches
+    contract)."""
+    rows = [Row(k="hot")] * 40 + [Row(k=f"cold{i}") for i in range(60)]
+    df = spark.createDataFrame(rows).repartition(4)
+    got = frequency.heavy_hitters(df, "k", 40).collect()
+    assert [(r.k, r.n) for r in got] == [("hot", 40)]
+
+
+def _ev(uid, t, eid):
+    return Row(user_id=uid, ts=t, event_id=eid)
+
+
+def test_sessionize_gap_boundary(spark):
+    """gap == limit stays in-session (strict >); gap just over starts a
+    new one; first event of a user always opens session 1."""
+    base = dt.datetime(2024, 1, 1)
+    gap = 3600
+    rows = [
+        _ev(1, base, 1),
+        _ev(1, base + dt.timedelta(seconds=gap), 2),  # == limit: same
+        _ev(1, base + dt.timedelta(seconds=2 * gap, microseconds=1), 3),  # new
+        _ev(2, base, 4),
+    ]
+    out = behavior.sessionize(
+        spark.createDataFrame(rows), gap_seconds=gap
+    ).collect()
+    idx = {r.event_id: r.session_idx for r in out}
+    assert idx == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_session_stats_rollup(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        _ev(1, base, 1),
+        _ev(1, base + dt.timedelta(seconds=10), 2),
+        _ev(1, base + dt.timedelta(hours=12), 3),
+    ]
+    out = behavior.session_stats(
+        spark.createDataFrame(rows), gap_seconds=3600
+    ).collect()
+    by_idx = {r.session_idx: r for r in out}
+    assert by_idx[1].n_events == 2 and by_idx[1].duration_sec == 10.0
+    assert by_idx[2].n_events == 1 and by_idx[2].duration_sec == 0.0
+
+
+def test_pivot_fills_absent_cells_with_zero(spark):
+    from nginx_analytics_spark import registry
+
+    pdf = registry.queries()["daily_event_matrix"](spark, SF).toPandas()
+    assert not pdf[["click", "error", "purchase", "signup", "view"]].isna().any().any()
+    ev = load_table(spark, SF, "events")
+    assert int(pdf[["click", "error", "purchase", "signup", "view"]].sum().sum()) == ev.count()
+
+
+def test_intersect_dedups(spark):
+    from nginx_analytics_spark import registry
+
+    pdf = registry.queries()["purchase_and_error_users"](spark, SF).toPandas()
+    assert pdf["user_id"].is_unique
