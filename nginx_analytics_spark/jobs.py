@@ -244,6 +244,15 @@ def _build_parser():
     cur.add_argument("--source", required=True, help="documents parquet path")
     cur.add_argument("--bench-fraction", type=float, default=None)
     cur.add_argument("--contam-n", type=int, default=None)
+
+    exp = sub.add_parser(
+        "export-shards",
+        help="parquet table -> deterministic shuffle shards (X49)",
+    )
+    common(exp, checkpoint=False)
+    exp.add_argument("--source", required=True, help="input parquet path")
+    exp.add_argument("--key", default="doc_id", help="integer shard key column")
+    exp.add_argument("--n-shards", type=int, default=8)
     return p
 
 
@@ -329,6 +338,16 @@ def main(argv: list[str] | None = None) -> int:
         # prune at the directory level instead of scanning the corpus
         out.write.mode("overwrite").partitionBy("predicted_lang").parquet(dest)
         print(f"curated_documents written: {spark.read.parquet(dest).count()} rows")
+        return 0
+
+    if args.command == "export-shards":
+        from nginx_analytics_spark.operators.export import write_shards
+        from nginx_analytics_spark.sources.readers import read_parquet
+
+        df = read_parquet(spark, args.source)
+        dest = wh.path("training_shards")
+        n = write_shards(df, dest, key=args.key, n_shards=args.n_shards)
+        print(f"training_shards written: {n} shards")
         return 0
 
     raise SystemExit(f"unknown command {args.command}")  # pragma: no cover

@@ -32,7 +32,7 @@ def test_cli_help_lists_all_commands():
         timeout=120,
     )
     assert out.returncode == 0
-    for cmd in ("ingest", "anomaly", "retrain", "compact", "curate"):
+    for cmd in ("ingest", "anomaly", "retrain", "compact", "curate", "export-shards"):
         assert cmd in out.stdout
 
 
@@ -172,3 +172,19 @@ def test_cli_curate_writes_curated_documents(spark, tmp_path):
     assert set(out.columns) == {"doc_id", "predicted_lang", "ws_tokens", "quality"}
     n = out.count()
     assert 0 < n < load_table(spark, SF, "documents").count()
+
+
+def test_cli_export_shards(spark, tmp_path):
+    wh_dir = f"{tmp_path}/warehouse"
+    rc = jobs.main(
+        [
+            "export-shards",
+            "--warehouse", wh_dir,
+            "--source", f"{SF}/documents.parquet",
+            "--n-shards", "4",
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(f"{wh_dir}/training_shards")
+    assert out.count() == load_table(spark, SF, "documents").count()
+    assert out.select("shard").distinct().count() == 4
