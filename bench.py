@@ -79,6 +79,11 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "priority_shipping",
         "promo_revenue",
         "large_volume_customers",
+        "volume_shipping",
+        "top_supplier",
+        "small_quantity_revenue",
+        "brand_size_revenue",
+        "idle_customers",
         "top_endpoints",
         "top_endpoints_bounded",
         "distinct_users",

@@ -79,6 +79,11 @@ _CHECK_FIRST = [
     "daily_event_matrix",  # new in r4: X55 pivot
     "purchase_and_error_users",  # new in r4: X56 INTERSECT
     "value_trends",  # new in r4: X57 regr_slope trend
+    "volume_shipping",  # new in r4: TPC-H Q7 bilateral pair disjunction
+    "top_supplier",  # new in r4: TPC-H Q15 scalar-subquery argmax
+    "small_quantity_revenue",  # new in r4: TPC-H Q17 decorrelated avg
+    "brand_size_revenue",  # new in r4: TPC-H Q19 cross-table disjunction
+    "idle_customers",  # new in r4: TPC-H Q22 anti-join + scalar threshold
     "clean_corpus",
     "token_stats",
     "language_id",
@@ -803,6 +808,260 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(half_up(F.sum("l_quantity"), 2).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
+    )
+
+
+@query(
+    "volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {half_up_sql("sum(volume)", 2)} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume: the nation pair predicate
+    is a DISJUNCTION across two different join chains (supplier's nation
+    vs customer's nation), so it can only apply after both dimensions are
+    attached — but each nation restriction individually pushes into its
+    broadcast: supplier and customer are pre-joined to the 2-row filtered
+    nation dim, shrinking both before the fact join. One orderkey
+    shuffle; year() bucketing in the agg key."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    nations = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nations.select(F.col("n_nationkey").alias("sn_key"),
+                                       F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nations.select(F.col("n_nationkey").alias("cn_key"),
+                                       F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "top_supplier",
+    f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               {half_up_sql("sum(l_extendedprice * (1 - l_discount))", 2)}
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — argmax via scalar subquery: quarterly revenue
+    per supplier, keep the supplier(s) hitting the maximum. The scalar
+    max is a 1-row broadcast against the revenue frame (computed once —
+    Spark reuses the rev subplan across both references under AQE);
+    equality is on the PORTABLY-ROUNDED revenue, so the cross-engine
+    comparison is exact. supplier is broadcast as a dimension."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    f"""
+    SELECT {half_up_sql("sum(l_extendedprice) / 7.0", 2)} AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#7'
+      AND l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery decorrelated to a
+    per-part aggregate join: lines of one brand whose quantity is under
+    half that part's average. The brand filter prunes the part dim to a
+    broadcast BEFORE the per-part averages are computed, so the avg
+    aggregation runs over the brand's lines only (not the whole fact
+    table — the decorrelation a naive rewrite misses). Float-safe across
+    engines: quantities are integral doubles, so the avg's numerator sum
+    is exact regardless of summation order."""
+    pb = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#7")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(F.broadcast(pb), li.l_partkey == pb.p_partkey)
+    half_avg = li_b.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("_half_avg")
+    )
+    return (
+        li_b.join(half_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_half_avg"))
+        .agg(half_up(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "brand_size_revenue",
+    f"""
+    SELECT {half_up_sql("sum(l_extendedprice * (1 - l_discount))", 2)}
+               AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 15)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 35)
+    """,
+)
+def brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — disjunction of conjunctions spanning BOTH join
+    sides: no single arm can be fully pushed to either scan, but the
+    union of per-table implications can (p_brand IN its 3 values,
+    l_quantity within the hull) — Catalyst derives those residual
+    predicates and pushes them, then evaluates the full disjunction
+    after the broadcast join (plan-tested)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & (F.col("l_quantity") >= q_lo)
+        & (F.col("l_quantity") <= q_hi)
+    )
+    cond = (
+        arm("Brand#1", 15, 1, 15)
+        | arm("Brand#2", 25, 10, 25)
+        | arm("Brand#3", 35, 20, 35)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "idle_customers",
+    f"""
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           {half_up_sql("sum(c_acctbal)", 2)} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — NOT EXISTS as a LEFT ANTI join plus a scalar
+    aggregate threshold: above-average-balance customers with no order
+    in the trailing window (the classic fixture has customers without
+    any orders; this one doesn't, so the lateness window supplies the
+    emptiness). The avg is a 1-row broadcast; the anti join probes the
+    window-filtered orders — at 100 TB the window predicate prunes the
+    orders scan by date partition before the anti join's shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_ab")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            half_up(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
     )
 
 

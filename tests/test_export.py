@@ -120,7 +120,7 @@ def test_label_centroids_shape_and_values(spark):
     rows = emb.filter(F.col("label") == cent.label.iloc[0]).collect()
     want = float(np.mean([r.embedding[0] for r in rows], dtype=np.float64))
     got = float(
-        cent[(cent.label == cent.label.iloc[0]) & (cent.dim == 0)].centroid
+        cent[(cent.label == cent.label.iloc[0]) & (cent.dim == 0)].centroid.iloc[0]
     )
     assert abs(got - want) < 1e-5
 

@@ -168,3 +168,39 @@ def test_large_volume_customers_semi_join_and_broadcast_customer(spark):
     p = plan_of(registry.queries()["large_volume_customers"](spark, SF))
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
+
+
+def test_brand_size_revenue_pushes_disjunction_hulls(spark):
+    """Q19's cross-table OR cannot push whole arms, but Catalyst must
+    derive and push each table's residual hull (quantity range to
+    lineitem, brand+size to part)."""
+    p = plan_of(registry.queries()["brand_size_revenue"](spark, SF))
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in p  # lineitem-side hull
+    assert "EqualTo(p_brand,Brand#1)" in p  # part-side hull
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_idle_customers_anti_join_and_window_pushdown(spark):
+    p = plan_of(registry.queries()["idle_customers"](spark, SF))
+    assert "LeftAnti" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p  # window prunes orders scan
+    assert "CartesianProduct" not in p
+
+
+def test_volume_shipping_nation_filter_reaches_both_dims(spark):
+    """Q7: the 2-value nation IN-filter must push into BOTH nation scans
+    and every join must hash-build (no cartesian for the pair
+    disjunction)."""
+    p = plan_of(registry.queries()["volume_shipping"](spark, SF))
+    assert p.count("In(n_name, [NATION_1,NATION_2])") == 2
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_small_quantity_revenue_brand_prunes_before_avg(spark):
+    """Q17: the brand filter must reach the part scan, and the per-part
+    avg must consume the broadcast-pruned lineitem (no full-fact agg)."""
+    p = plan_of(registry.queries()["small_quantity_revenue"](spark, SF))
+    assert "EqualTo(p_brand,Brand#7)" in p
+    assert "BroadcastHashJoin" in p
