@@ -84,6 +84,10 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "small_quantity_revenue",
         "brand_size_revenue",
         "idle_customers",
+        "market_share",
+        "customer_order_distribution",
+        "incremental_ip_stats",
+        "sketch_distinct_users_7d",
         "top_endpoints",
         "top_endpoints_bounded",
         "distinct_users",

@@ -153,3 +153,83 @@ def approx_percentiles(
         *[approx[i].alias(f"p{int(p * 100)}") for i, p in enumerate(probs)],
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# -- mergeable sketches & incremental maintenance (X60/X61) ----------------
+
+
+def daily_sketches(
+    df: DataFrame, ts: str, key: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-day HLL sketches of a key (DataSketches HllSketch as a binary
+    column) — the materialization that makes 100 TB distinct-count
+    queries O(days) instead of O(rows): store one sketch per (day), then
+    answer ANY date-range distinct-count by unioning the covered
+    sketches. Register maxima are order-insensitive, so the union over
+    daily sketches equals the sketch of the raw range exactly
+    (asserted in tests/test_sketches.py)."""
+    return df.groupBy(F.date_trunc("day", F.col(ts)).alias("day")).agg(
+        F.hll_sketch_agg(F.col(key), F.lit(lg_k)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def sketch_range_estimate(
+    sketches: DataFrame, day_lo: str, day_hi: str
+) -> DataFrame:
+    """Union the daily sketches covering [day_lo, day_hi) and estimate —
+    a scan of #days pre-aggregated rows, no raw-data access."""
+    return (
+        sketches.filter(
+            (F.col("day") >= F.lit(day_lo).cast("timestamp"))
+            & (F.col("day") < F.lit(day_hi).cast("timestamp"))
+        )
+        .agg(F.hll_union_agg("sketch").alias("u"))
+        .select(F.hll_sketch_estimate("u").alias("distinct_estimate"))
+    )
+
+
+def key_stats_partial(df: DataFrame, key: str, value: str) -> DataFrame:
+    """The MERGEABLE form of key_stats (A1): (count, sum) partials
+    instead of a finalized average — the representation an incremental
+    pipeline stores, because averages don't merge and rounded averages
+    merge wrong."""
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value)).alias("s"),
+    )
+
+
+def merge_key_stats(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Algebraic merge of two partial frames (full outer join + coalesced
+    addition) — incremental view maintenance for per-key stats: merging
+    yesterday's partials with today's delta equals recomputing over the
+    union (property-tested). At 100 TB the delta side is a day's data and
+    the stored partials are one row per key — the merge never rescans
+    history."""
+    bb = b.select(
+        F.col(key), F.col("n").alias("_bn"), F.col("s").alias("_bs")
+    )
+    return (
+        a.join(bb, on=key, how="full_outer")
+        .select(
+            F.col(key),
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("_bn"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("s"), F.lit(0.0))
+                + F.coalesce(F.col("_bs"), F.lit(0.0))
+            ).alias("s"),
+        )
+    )
+
+
+def finalize_key_stats(partials: DataFrame, round_to: int = 6) -> DataFrame:
+    """Partials -> the key_stats surface (count + portable-rounded avg)."""
+    return partials.select(
+        *[c for c in partials.columns if c not in ("n", "s")],
+        F.col("n").alias("request_count"),
+        half_up(F.col("s") / F.col("n"), round_to).alias("avg_request_time"),
+    )

@@ -84,6 +84,10 @@ _CHECK_FIRST = [
     "small_quantity_revenue",  # new in r4: TPC-H Q17 decorrelated avg
     "brand_size_revenue",  # new in r4: TPC-H Q19 cross-table disjunction
     "idle_customers",  # new in r4: TPC-H Q22 anti-join + scalar threshold
+    "market_share",  # new in r4: TPC-H Q8 CASE-ratio share
+    "customer_order_distribution",  # new in r4: TPC-H Q13 outer-join histogram
+    "incremental_ip_stats",  # new in r4: X61 mergeable-partial maintenance
+    "sketch_distinct_users_7d",  # new in r4: X60 HLL rollup (rows-only)
     "clean_corpus",
     "token_stats",
     "language_id",
@@ -1062,6 +1066,116 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             half_up(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "market_share",
+    f"""
+    SELECT o_year,
+           {half_up_sql(
+               "sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)"
+               " / sum(volume)"
+           )} AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND p_type = 'PROMO'
+    ) allnations
+    GROUP BY o_year
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: one supplier nation's
+    fraction of all promo-part volume sold into a region, per year. The
+    numerator's nation predicate lives in a CASE inside the aggregate
+    (NOT a filter — the denominator needs every nation), so one plan
+    computes both. The part/supplier/region-nation chains broadcast;
+    the orders-customer join is left to AQE (a region-filtered customer
+    side is 1/5 of a big dimension — broadcastable at some scales,
+    shuffled at others)."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "nation")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n1.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(half_up(F.sum(target) / F.sum(volume)).alias("mkt_share"))
+    )
+
+
+@query(
+    "customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — histogram of per-customer order counts: LEFT
+    OUTER join (customers with zero orders must survive as c_count=0 —
+    count(o_orderkey) skips the NULL the outer join manufactures) then a
+    second aggregation over the first's output. Double-agg shape: the
+    first groupBy reduces to one row per customer before the second,
+    histogram-sized, exchange."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
     )
 
 

@@ -1869,3 +1869,43 @@ def value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.regr_slope(F.col("value"), hours)).alias("slope"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query("sketch_distinct_users_7d")  # sketch estimate — rows-only check
+def sketch_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60: mergeable HLL sketch rollup — materialize one DataSketches
+    HLL per day, answer a 7-day distinct-user count by unioning 7
+    sketch rows (no raw-data rescan). Union-equals-direct and 5%%
+    accuracy asserted in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = aggregates.daily_sketches(ev, "ts", "user_id")
+    return aggregates.sketch_range_estimate(
+        daily, "2024-01-23 00:00:00", "2024-01-30 00:00:00"
+    )
+
+
+@query(
+    "incremental_ip_stats",
+    f"""
+    SELECT user_id, count(*) AS request_count,
+           {half_up_sql("avg(value)")} AS avg_request_time
+    FROM events GROUP BY user_id
+    """,
+)
+def incremental_ip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61: incremental view maintenance — per-key stats kept as
+    mergeable (count, sum) partials; yesterday's partials merged with
+    today's delta equal a full recompute (the oracle IS the full
+    recompute). The merge joins one-row-per-key frames; history is
+    never rescanned."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    old = aggregates.key_stats_partial(
+        ev.filter(F.col("ts") < cut), "user_id", "value"
+    )
+    delta = aggregates.key_stats_partial(
+        ev.filter(F.col("ts") >= cut), "user_id", "value"
+    )
+    return aggregates.finalize_key_stats(
+        aggregates.merge_key_stats(old, delta, "user_id")
+    )
