@@ -70,6 +70,19 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "anomaly_detail",
         "training_features",
         "predict_features",
+        "incremental_ip_stats",
+        "sketch_distinct_users_7d",
+        "top_endpoints",
+        "top_endpoints_bounded",
+        "distinct_users",
+        "approx_distinct_users",
+        "salted_ip_stats",
+        "salted_user_join",
+        "stateful_key_profiles",
+        "traffic_forecast",
+    ],
+    # classic warehouse analytics: the TPC-H query shapes (X36/X52/X58)
+    "tpch": [
         "pricing_summary",
         "shipping_priority",
         "local_supplier_volume",
@@ -86,16 +99,6 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "idle_customers",
         "market_share",
         "customer_order_distribution",
-        "incremental_ip_stats",
-        "sketch_distinct_users_7d",
-        "top_endpoints",
-        "top_endpoints_bounded",
-        "distinct_users",
-        "approx_distinct_users",
-        "salted_ip_stats",
-        "salted_user_join",
-        "stateful_key_profiles",
-        "traffic_forecast",
     ],
     # corpus text/dedup/sampling shapes (M6)
     "corpus": [
