@@ -190,12 +190,17 @@ def sketch_range_estimate(
 
 
 def key_stats_partial(df: DataFrame, key: str, value: str) -> DataFrame:
-    """The MERGEABLE form of key_stats (A1): (count, sum) partials
-    instead of a finalized average — the representation an incremental
-    pipeline stores, because averages don't merge and rounded averages
-    merge wrong."""
+    """The MERGEABLE form of key_stats (A1): (row count, non-null value
+    count, sum) partials instead of a finalized average — the
+    representation an incremental pipeline stores, because averages
+    don't merge and rounded averages merge wrong. ``nv`` is tracked
+    separately from ``n`` because AVG's denominator is the NON-NULL
+    count — dividing by count(*) would skew the average of any key with
+    NULL measurements (and an all-NULL key must finalize to NULL, not
+    0)."""
     return df.groupBy(key).agg(
         F.count(F.lit(1)).alias("n"),
+        F.count(F.col(value)).alias("nv"),
         F.sum(F.col(value)).alias("s"),
     )
 
@@ -208,7 +213,10 @@ def merge_key_stats(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
     the stored partials are one row per key — the merge never rescans
     history."""
     bb = b.select(
-        F.col(key), F.col("n").alias("_bn"), F.col("s").alias("_bs")
+        F.col(key),
+        F.col("n").alias("_bn"),
+        F.col("nv").alias("_bnv"),
+        F.col("s").alias("_bs"),
     )
     return (
         a.join(bb, on=key, how="full_outer")
@@ -219,6 +227,10 @@ def merge_key_stats(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
                 + F.coalesce(F.col("_bn"), F.lit(0))
             ).alias("n"),
             (
+                F.coalesce(F.col("nv"), F.lit(0))
+                + F.coalesce(F.col("_bnv"), F.lit(0))
+            ).alias("nv"),
+            (
                 F.coalesce(F.col("s"), F.lit(0.0))
                 + F.coalesce(F.col("_bs"), F.lit(0.0))
             ).alias("s"),
@@ -227,9 +239,13 @@ def merge_key_stats(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
 
 
 def finalize_key_stats(partials: DataFrame, round_to: int = 6) -> DataFrame:
-    """Partials -> the key_stats surface (count + portable-rounded avg)."""
+    """Partials -> the key_stats surface: request_count = count(*),
+    average over the non-null denominator (NULL when no values — nullif
+    also keeps the division ANSI-safe)."""
     return partials.select(
-        *[c for c in partials.columns if c not in ("n", "s")],
+        *[c for c in partials.columns if c not in ("n", "nv", "s")],
         F.col("n").alias("request_count"),
-        half_up(F.col("s") / F.col("n"), round_to).alias("avg_request_time"),
+        half_up(
+            F.col("s") / F.nullif(F.col("nv"), F.lit(0)), round_to
+        ).alias("avg_request_time"),
     )

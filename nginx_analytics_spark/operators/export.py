@@ -12,7 +12,7 @@ order are pure functions of the row key via the engine-portable Knuth
 multiplicative hash (operators.sampling):
 
     h(key)  = (key * 2654435761) mod 2^32        -- golden-ratio scramble
-    shard   = h mod n_shards                      -- decorrelated from key
+    shard   = floor(h * n_shards / 2^32)          -- HIGH bits: decorrelated
     pos     = rank of (h, key) within the shard   -- "shuffled" read order
 
 Scale: one hash exchange on ``shard`` (n_shards partitions — size
@@ -24,8 +24,6 @@ partition's rows, never the corpus.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,9 +51,19 @@ def shard_assignments(
 
     h = shard_hash(key)
     w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(key).asc())
+    # shard from the HIGH bits of the hash (floor(h * n / 2^32)), never
+    # `h % n`: the Knuth multiplier is odd with K ≡ 1 (mod 16), so for a
+    # power-of-two n the low bits of k*K mod 2^32 are the low bits of k —
+    # `h % 8` would be doc_id % 8 exactly, re-correlating shards with any
+    # id-allocation pattern. High bits carry the golden-ratio scramble.
+    # h * n ≤ 2^35ish < 2^53 and the divisor is a power of two, so the
+    # double arithmetic is exact and engine-portable.
     return (
         df.withColumn("_h", h)
-        .withColumn("shard", (F.col("_h") % n_shards).cast("bigint"))
+        .withColumn(
+            "shard",
+            F.floor(F.col("_h") * n_shards / F.lit(float(M32))).cast("bigint"),
+        )
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("_h")
     )
@@ -68,20 +76,24 @@ def write_shards(
     n_shards: int = 8,
 ) -> int:
     """Materialize the shards: one Parquet directory per shard, rows
-    stored in shuffled (hash) order. ``repartition(n_shards, shard)``
-    gives the writer exactly one task per shard — each shard directory
-    is written by one task as one sorted file, so shard files are
-    byte-stable across runs. Returns the number of shard directories.
+    stored in shuffled (hash) order. ``repartitionByRange(n_shards,
+    shard)`` gives the writer one task per shard VALUE (hash
+    ``repartition`` would murmur3 the 0..n-1 values and collide several
+    shards into one straggler task); each shard directory is written by
+    one task as one sorted file, so shard files are byte-stable across
+    runs. Returns the number of shard directories, counted from the
+    manifest (not the driver's local filesystem — ``path`` may be any
+    Hadoop filesystem).
 
     At 100 TB pick n_shards so a shard is a few GB (thousands of shards,
     still one task each); readers stream ``shard=i`` dirs independently.
     """
     out = shard_assignments(df, key, n_shards)
     (
-        out.repartition(n_shards, F.col("shard"))
+        out.repartitionByRange(n_shards, F.col("shard"))
         .sortWithinPartitions("pos")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
     )
-    return sum(1 for d in os.listdir(path) if d.startswith("shard="))
+    return out.select("shard").distinct().count()

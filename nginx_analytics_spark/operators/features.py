@@ -127,11 +127,13 @@ def quantile_bucketize(
     )
     binned = df.crossJoin(F.broadcast(cuts)).withColumn(
         "bin",
-        (
+        # NULL measurements get a NULL bin (the filter-HOF drops
+        # NULL-predicate elements, which would silently classify NULLs
+        # into bin 1 otherwise)
+        F.when(
+            F.col(value).isNotNull(),
             F.lit(1)
-            + F.size(
-                F.filter("_cuts", lambda c: c <= F.col(value))
-            )
+            + F.size(F.filter("_cuts", lambda c: c <= F.col(value))),
         ).cast("bigint"),
     )
     return binned.drop("_cuts")

@@ -36,7 +36,8 @@ def local_candidates(df: DataFrame, key: str, local_threshold: int) -> DataFrame
     """Per-partition exact counts, emitting keys whose LOCAL count meets
     the pigeonhole threshold. mapInPandas accumulates across all Arrow
     batches of a partition before emitting — the guarantee needs
-    partition-level counts, not batch-level."""
+    partition-level counts, not batch-level. The output schema is
+    derived from the input column's type (any groupable key works)."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict = {}
@@ -46,13 +47,18 @@ def local_candidates(df: DataFrame, key: str, local_threshold: int) -> DataFrame
         keep = [k for k, n in counts.items() if n >= local_threshold]
         yield pd.DataFrame({key: pd.Series(keep, dtype=object)})
 
-    return df.select(key).mapInPandas(summarize, schema=f"{key} string")
+    narrowed = df.select(key)
+    return narrowed.mapInPandas(summarize, schema=narrowed.schema)
 
 
 def heavy_hitters(df: DataFrame, key: str, min_count: int) -> DataFrame:
-    """Exact keys with global count >= ``min_count``, tail-shuffle-free
-    (module docstring). Output: (key, n) — deterministic regardless of
-    input partitioning."""
+    """Exact NON-NULL keys with global count >= ``min_count``,
+    tail-shuffle-free (module docstring). Output: (key, n) —
+    deterministic regardless of input partitioning. NULL keys are
+    excluded up front (pandas value_counts drops them and a semi-join
+    never matches NULL; a NULL key is not a meaningful hitter — filter
+    is explicit so the contract is too)."""
+    df = df.filter(F.col(key).isNotNull())
     p = max(1, df.rdd.getNumPartitions())
     local_t = max(1, math.ceil(min_count / p))
     cands = local_candidates(df, key, local_t).distinct()

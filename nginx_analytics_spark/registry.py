@@ -725,9 +725,11 @@ def priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
         F.col("l_shipdate") > F.col("o_orderdate")
     )
+    # ~high (not isin) mirrors the SQL NOT IN three-valued logic: a NULL
+    # priority is neither high nor low (both CASEs fall to ELSE 0)
     return joined.groupBy("l_linestatus").agg(
         F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
-        F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
     )
 
 

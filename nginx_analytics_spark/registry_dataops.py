@@ -1677,13 +1677,15 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (SELECT doc_id,
                       (doc_id * 2654435761) % 4294967296 AS hv
-               FROM documents)
-    SELECT doc_id,
-           CAST(hv % 8 AS BIGINT) AS shard,
+               FROM documents),
+    s AS (SELECT doc_id, hv,
+                 CAST(floor(hv * 8 / 4294967296.0) AS BIGINT) AS shard
+          FROM h)
+    SELECT doc_id, shard,
            CAST(row_number() OVER (
-               PARTITION BY hv % 8 ORDER BY hv ASC, doc_id ASC) AS BIGINT)
+               PARTITION BY shard ORDER BY hv ASC, doc_id ASC) AS BIGINT)
                AS pos
-    FROM h
+    FROM s
     """,
 )
 def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

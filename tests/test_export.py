@@ -53,6 +53,21 @@ def test_shard_order_decorrelated_from_key_order(spark):
     assert monotone_runs < len(rows) * 0.05  # ~random order, not ingest order
 
 
+def test_shard_assignment_decorrelated_from_key_residues(spark):
+    """Regression: `h % n` sharding with the odd Knuth multiplier
+    (K ≡ 1 mod 16) degenerates to `key % n` for power-of-two n — ids
+    allocated round-robin across 8 sources would each land in ONE shard.
+    The high-bit assignment must spread every residue class across
+    shards."""
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    m = export.shard_assignments(docs, "doc_id", 8).collect()
+    by_residue = {}
+    for r in m:
+        by_residue.setdefault(r.doc_id % 8, set()).add(r.shard)
+    for residue, shards in by_residue.items():
+        assert len(shards) >= 4, (residue, shards)
+
+
 def test_write_shards_layout_and_roundtrip(spark, tmp_path):
     docs = load_table(spark, SF, "documents")
     path = str(tmp_path / "shards")

@@ -52,17 +52,17 @@ def test_merge_partials_equals_full_recompute(spark):
         ev.filter(F.col("ts") >= cut), "user_id", "value"
     )
     merged = {
-        r.user_id: (r.n, r.s)
+        r.user_id: (r.n, r.nv, r.s)
         for r in aggregates.merge_key_stats(old, delta, "user_id").collect()
     }
     full = {
-        r.user_id: (r.n, r.s)
+        r.user_id: (r.n, r.nv, r.s)
         for r in aggregates.key_stats_partial(ev, "user_id", "value").collect()
     }
     assert set(merged) == set(full)
-    for k, (n, s) in full.items():
-        mn, ms = merged[k]
-        assert mn == n, k
+    for k, (n, nv, s) in full.items():
+        mn, mnv, ms = merged[k]
+        assert (mn, mnv) == (n, nv), k
         assert abs(ms - s) <= 1e-9 * max(1.0, abs(s)), k
 
 
@@ -71,13 +71,39 @@ def test_merge_handles_disjoint_keys(spark):
     survive the full-outer merge with its own partials."""
     from pyspark.sql import Row
 
-    a = spark.createDataFrame([Row(k="old", n=2, s=4.0)])
-    b = spark.createDataFrame([Row(k="new", n=3, s=9.0)])
+    a = spark.createDataFrame([Row(k="old", n=2, nv=2, s=4.0)])
+    b = spark.createDataFrame([Row(k="new", n=3, nv=3, s=9.0)])
     out = {
-        r.k: (r.n, r.s)
+        r.k: (r.n, r.nv, r.s)
         for r in aggregates.merge_key_stats(a, b, "k").collect()
     }
-    assert out == {"old": (2, 4.0), "new": (3, 9.0)}
+    assert out == {"old": (2, 2, 4.0), "new": (3, 3, 9.0)}
+
+
+def test_partials_null_value_semantics(spark):
+    """AVG's denominator is the non-null count: a key with NULL
+    measurements must finalize to sum/count(value), and an all-NULL key
+    to NULL — not 0 (the code-review regression this pins)."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(k="mixed", v=10.0), Row(k="mixed", v=None),
+        Row(k="allnull", v=None), Row(k="allnull", v=None),
+    ]
+    df = spark.createDataFrame(rows, schema="k string, v double")
+    out = {
+        r.k: (r.request_count, r.avg_request_time)
+        for r in aggregates.finalize_key_stats(
+            aggregates.key_stats_partial(df, "k", "v")
+        ).collect()
+    }
+    assert out["mixed"] == (2, 10.0)
+    assert out["allnull"] == (2, None)
+    direct = {
+        r.k: (r.request_count, r.avg_request_time)
+        for r in aggregates.key_stats(df, "k", "v").collect()
+    }
+    assert out == direct
 
 
 def test_finalize_matches_key_stats(spark):
