@@ -119,6 +119,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "contamination_check",
         "pii_redaction",
         "multimodal_features",
+        "frame_features",
         "tfidf_top_terms",
         "shard_manifest",
         "heavy_tokens",

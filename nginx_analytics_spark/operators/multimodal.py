@@ -117,3 +117,73 @@ def decode_image_stub(payloads: DataFrame) -> DataFrame:
             "deterministic fake-featurizer path"
         ) from exc
     raise NotImplementedError("wire the PIL decode kernel here")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
+        T.StructField("frame_mean", T.DoubleType()),
+    ]
+)
+
+FRAME_LEN = 32
+FRAME_STRIDE = 16
+MAX_FRAMES = 8
+
+
+def frame_samples(
+    payloads: DataFrame,
+    frame_len: int = FRAME_LEN,
+    stride: int = FRAME_STRIDE,
+    max_frames: int = MAX_FRAMES,
+) -> DataFrame:
+    """Frame sampling over an opaque payload — the video-pipeline shape:
+    one input row fans out to ≤ ``max_frames`` frame rows, each a
+    fixed-length window at ``stride`` spacing (overlapping when
+    stride < frame_len, exactly how video samplers overlap decode
+    windows). A real decoder (pyav/opencv frame grab + CNN featurizer)
+    drops into this same mapInPandas slot with the same fan-out schema;
+    here the 'frame feature' is the deterministic byte checksum/mean so
+    the whole fan-out is DuckDB-oracle-checked (`frame_features`).
+
+    Only COMPLETE frames are emitted — a payload shorter than
+    ``frame_len`` yields zero rows (the contract a fixed-shape feature
+    extractor needs). Scale: narrow map, payload bytes never shuffle;
+    the fan-out multiplies rows ≤ max_frames but each carries only the
+    small feature columns."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, offs, sums, means = [], [], [], [], []
+            for did, buf in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                for k in range(max_frames):
+                    off = k * stride
+                    if off + frame_len > len(arr):
+                        break
+                    w = arr[off : off + frame_len]
+                    s = int(w.sum())
+                    ids.append(did)
+                    idxs.append(k)
+                    offs.append(off)
+                    sums.append(s % CHECKSUM_MOD)
+                    means.append(
+                        float(np.floor(s / frame_len * 1_000_000 + 0.5))
+                        / 1_000_000
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "offset": pd.Series(offs, dtype="int64"),
+                    "frame_checksum": pd.Series(sums, dtype="int64"),
+                    "frame_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return payloads.mapInPandas(sample, FRAME_SCHEMA)

@@ -88,6 +88,7 @@ _CHECK_FIRST = [
     "customer_order_distribution",  # new in r4: TPC-H Q13 outer-join histogram
     "incremental_ip_stats",  # new in r4: X61 mergeable-partial maintenance
     "sketch_distinct_users_7d",  # new in r4: X60 HLL rollup (rows-only)
+    "frame_features",  # new in r4: X62 multimodal frame sampling
     "clean_corpus",
     "token_stats",
     "language_id",

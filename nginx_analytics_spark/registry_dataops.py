@@ -1911,3 +1911,36 @@ def incremental_ip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.finalize_key_stats(
         aggregates.merge_key_stats(old, delta, "user_id")
     )
+
+
+@query(
+    "frame_features",
+    """
+    WITH f AS (
+        SELECT doc_id, i AS frame_idx, i * 16 AS "offset",
+               substr(text, i * 16 + 1, 32) AS frame
+        FROM documents CROSS JOIN generate_series(0, 7) AS t(i)
+        WHERE i * 16 + 32 <= length(text)
+    ),
+    s AS (
+        SELECT doc_id, frame_idx, "offset",
+               list_reduce(
+                   list_prepend(0, [ord(c)::BIGINT for c in split(frame, '')]),
+                   (acc, x) -> acc + x) AS fsum
+        FROM f
+    )
+    SELECT doc_id, frame_idx, "offset",
+           fsum % 2147483648 AS frame_checksum,
+           floor(fsum::DOUBLE / 32 * 1000000 + 0.5) / 1000000 AS frame_mean
+    FROM s
+    """,
+)
+def frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62: video-shape frame sampling — one payload row fans out to <=8
+    overlapping fixed-length frame windows (stride 16, length 32), each
+    featurized in the Arrow kernel (operators.multimodal.frame_samples).
+    The payload is ASCII text bytes, so the byte-window checksum/mean is
+    SQL-replicable and the whole fan-out is hash-checked; a real
+    pyav/opencv decoder drops into the same mapInPandas slot."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.frame_samples(multimodal.attach_payload(docs))

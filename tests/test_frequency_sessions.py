@@ -99,3 +99,23 @@ def test_intersect_dedups(spark):
 
     pdf = registry.queries()["purchase_and_error_users"](spark, SF).toPandas()
     assert pdf["user_id"].is_unique
+
+
+def test_frame_samples_fanout_and_short_docs(spark):
+    """Frame fan-out: count per doc = min(max_frames,
+    floor((len-32)/16)+1) for len >= 32, else 0; overlapping windows
+    share bytes (frame k+1 starts mid-frame-k)."""
+    from nginx_analytics_spark.operators import multimodal
+
+    docs = load_table(spark, SF, "documents")
+    frames = multimodal.frame_samples(multimodal.attach_payload(docs))
+    got = {r.doc_id: r.n for r in
+           frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    lens = {r.doc_id: r.n_chars for r in docs.collect()}
+    for did, n_chars in lens.items():
+        want = 0 if n_chars < 32 else min(8, (n_chars - 32) // 16 + 1)
+        assert got.get(did, 0) == want, (did, n_chars)
+    # offsets follow the stride
+    one = frames.filter(F.col("doc_id") == max(got, key=got.get)) \
+                .orderBy("frame_idx").collect()
+    assert [r.offset for r in one] == [16 * k for k in range(len(one))]
