@@ -106,3 +106,150 @@ def run_key_profiles_available_now(stream: DataFrame, key: str = "user_id") -> D
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# -- transformWithStateInPandas: timers + arbitrary per-key state (X63) ----
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("session_end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+class SessionFinalizer:
+    """StatefulProcessor: gap-based sessionization with EVENT-TIME TIMERS —
+    the streaming twin of operators.behavior.sessionize, built on the
+    Spark 4 transformWithState API (which applyInPandasWithState cannot
+    express: it has no timers, so an idle session could only be closed by
+    the key's NEXT event — a key that goes silent would hold state
+    forever and never emit).
+
+    Per key: fold incoming event times into the open session; a batch gap
+    > ``gap_ms`` closes the current session inline (emitted immediately);
+    otherwise an event-time timer at last_event + gap is (re)armed — when
+    the WATERMARK passes it, handleExpiredTimer emits the finalized
+    session and clears state. State: three BIGINTs per key; timers: one
+    per key (re-armed, old ones deleted) — O(#active keys), the bounded
+    shape.
+
+    Requires the RocksDB state store provider (transformWithState's
+    backing store) — see run_session_finalizer_available_now.
+
+    ENVIRONMENT CEILING (pinned, like the Kafka broker in
+    streaming/ingest.py): executing a transformWithState query needs
+    ``google.protobuf`` in the Python workers (Spark's TWS state-comms
+    protocol); this image ships no protobuf and installs are disallowed,
+    so the runtime path is exercised only on real deployments. The
+    processor kernel itself is plain Python — its session-fold, in-batch
+    split, timer re-arm, and finalization semantics are unit-tested
+    against a fake handle in tests/test_tws_sessions.py, and the
+    streaming plan construction (watermark -> groupBy -> TWS node,
+    output schema) is asserted there too.
+    """
+
+    def __init__(self, gap_ms: int):
+        self.gap_ms = gap_ms
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self.sess = handle.getValueState(
+            "sess", "start BIGINT, last BIGINT, n BIGINT"
+        )
+
+    def _row(self, key, start, last, n) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start_ms": [start],
+                "session_end_ms": [last],
+                "n_events": [n],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        ts_ms: list[int] = []
+        for pdf in rows:
+            ts_ms.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+        if not ts_ms:
+            return
+        ts_ms.sort()
+        cur = list(self.sess.get()) if self.sess.exists() else None
+        for t in ts_ms:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] > self.gap_ms:
+                yield self._row(key, *cur)  # in-batch gap: close inline
+                cur = [t, t, 1]
+            else:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+        self.sess.update(tuple(cur))
+        for t in self.handle.listTimers():
+            self.handle.deleteTimer(t)
+        self.handle.registerTimer(cur[1] + self.gap_ms)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if not self.sess.exists():
+            return
+        start, last, n = self.sess.get()
+        self.sess.clear()
+        yield self._row(key, start, last, n)
+
+    def close(self) -> None:
+        pass
+
+
+def idle_sessions(
+    stream: DataFrame,
+    gap_seconds: int = 300,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming gap-sessionization with timer-driven finalization."""
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionFinalizer(gap_seconds * 1000),
+            outputStructType=SESSION_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
+def run_session_finalizer_available_now(
+    stream: DataFrame, gap_seconds: int = 300, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """Drive idle_sessions to completion against a file source. Sets the
+    RocksDB state store provider (the transformWithState backing store)
+    for the query's session, restoring the previous provider after."""
+    import uuid
+
+    spark = stream.sparkSession
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sink = "sessions_" + uuid.uuid4().hex[:12]
+        q = (
+            idle_sessions(stream, gap_seconds, watermark_delay)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(sink)
+    finally:
+        if prev is not None:
+            spark.conf.set(conf_key, prev)
+        else:
+            spark.conf.unset(conf_key)
