@@ -204,3 +204,52 @@ def test_small_quantity_revenue_brand_prunes_before_avg(spark):
     p = plan_of(registry.queries()["small_quantity_revenue"](spark, SF))
     assert "EqualTo(p_brand,Brand#7)" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level shuffle pruning: a selective dimension filter
+    must inject a bloom_filter_agg subquery whose might_contain()
+    predicate drops non-joining fact rows BEFORE the fact side's shuffle
+    — at 100 TB this is what keeps a selective SMJ from shuffling the
+    whole fact table. Thresholds are set to the fixture's scale (the
+    application side must look 'big' and broadcast must be off, as it
+    would be for a fact-fact join)."""
+    from pyspark.sql import functions as F
+
+    from nginx_analytics_spark.sources import load_table
+
+    saved = {}
+    tune = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    for k, v in tune.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = plan_of(j)
+        assert "might_contain" in p, p[:2000]
+        assert "bloom_filter_agg" in p
+        # the predicate guards the FACT (lineitem) scan side
+        assert "might_contain" in p.split("Scan parquet")[1] or "l_orderkey" in [
+            l for l in p.splitlines() if "might_contain" in l
+        ][0]
+        assert j.collect()[0]["count"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
