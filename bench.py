@@ -134,6 +134,8 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "scd2_user_plans",
         "rolling_7d_avg",
         "traffic_rollup",
+        "traffic_cube",
+        "error_only_users",
         "purchase_window_counts",
         "conversion_funnel",
         "cohort_retention",

@@ -89,6 +89,8 @@ _CHECK_FIRST = [
     "incremental_ip_stats",  # new in r4: X61 mergeable-partial maintenance
     "sketch_distinct_users_7d",  # new in r4: X60 HLL rollup (rows-only)
     "frame_features",  # new in r4: X62 multimodal frame sampling
+    "error_only_users",  # new in r4: X56b EXCEPT set-op
+    "traffic_cube",  # new in r4: X47b CUBE grouping sets
     "clean_corpus",
     "token_stats",
     "language_id",

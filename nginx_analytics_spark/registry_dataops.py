@@ -1944,3 +1944,59 @@ def frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyav/opencv decoder drops into the same mapInPandas slot."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.frame_samples(multimodal.attach_payload(docs))
+
+
+@query(
+    "error_only_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def error_only_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56b: set operation — EXCEPT (distinct anti semantics): users who
+    hit errors but never purchased. Spark plans dedup + LeftAnti on the
+    single key column; with INTERSECT (purchase_and_error_users) this
+    completes the §2.5 set-op surface."""
+    ev = load_table(spark, sf_dir, "events")
+    er = ev.filter(F.col("event_type") == "error").select("user_id")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return er.subtract(p)  # subtract == EXCEPT DISTINCT
+
+
+@query(
+    "traffic_cube",
+    f"""
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           CAST(grouping(event_type) AS INT) AS g_type,
+           CAST(grouping(CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                AS TIMESTAMP)) AS INT) AS g_day,
+           count(*) AS n_events,
+           {half_up_sql("sum(value)")} AS total_value
+    FROM events
+    GROUP BY CUBE (event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP))
+    """,
+)
+def traffic_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47b: CUBE over (event_type, day) — all four grouping sets
+    (cells, per-type, PER-DAY, grand total) in one Expand pass; the
+    per-day margin is the set ROLLUP (X47) cannot produce."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        ev.select("event_type", day, "value")
+        .cube("event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count(F.lit(1)).alias("n_events"),
+            half_up(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "event_type", "day", "g_type", "g_day", "n_events", "total_value"
+        )
+    )
