@@ -136,6 +136,8 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "traffic_rollup",
         "traffic_cube",
         "error_only_users",
+        "engaged_users",
+        "value_rank_profile",
         "purchase_window_counts",
         "conversion_funnel",
         "cohort_retention",

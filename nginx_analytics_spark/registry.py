@@ -91,6 +91,8 @@ _CHECK_FIRST = [
     "frame_features",  # new in r4: X62 multimodal frame sampling
     "error_only_users",  # new in r4: X56b EXCEPT set-op
     "traffic_cube",  # new in r4: X47b CUBE grouping sets
+    "engaged_users",  # new in r4: X56c UNION set-op
+    "value_rank_profile",  # new in r4: X50c percent_rank/cume_dist
     "clean_corpus",
     "token_stats",
     "language_id",

@@ -2000,3 +2000,58 @@ def traffic_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "day", "g_type", "g_day", "n_events", "total_value"
         )
     )
+
+
+@query(
+    "engaged_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56c: set operation — UNION (distinct semantics): one hash
+    aggregation over the concatenated branches. Completes the set-op
+    trio with INTERSECT (purchase_and_error_users) and EXCEPT
+    (error_only_users)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    s = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return p.union(s).distinct()
+
+
+@query(
+    "value_rank_profile",
+    f"""
+    SELECT event_id, event_type, value,
+           {half_up_sql(
+               "percent_rank() OVER (PARTITION BY event_type "
+               "ORDER BY value ASC, event_id ASC)"
+           )} AS pct_rank,
+           {half_up_sql(
+               "cume_dist() OVER (PARTITION BY event_type "
+               "ORDER BY value ASC, event_id ASC)"
+           )} AS cume
+    FROM events
+    """,
+)
+def value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50c: analytic rank functions — percent_rank + cume_dist per
+    group (the normalized-rank features a scoring pipeline derives);
+    one window pass, deterministic via the event_id tiebreak."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+    )
