@@ -121,6 +121,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "multimodal_features",
         "frame_features",
         "tfidf_top_terms",
+        "doc_logprob",
         "shard_manifest",
         "heavy_tokens",
         "dedup_clusters",

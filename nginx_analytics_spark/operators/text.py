@@ -551,3 +551,40 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-unigram-LM document scoring — the CCNet-style quality
+    signal: score(d) = mean over d's tokens of ln p(token), with p the
+    corpus unigram frequency. Documents of common, fluent vocabulary
+    score near the corpus ceiling; gibberish and rare-token spam score
+    far below — the standard perplexity-bucket filter for pretraining
+    data, here with the LM trained and applied in one job.
+
+    Plan: explode -> (term count, 1-row total) -> per-token ln p via a
+    term join -> per-doc avg. The vocabulary frame is Zipf-compact (AQE
+    broadcasts it when it fits); both aggregations partial map-side; the
+    explode pipelines in the scan. Exactly the TF-IDF topology
+    (tfidf_top_terms) with the doc-term matrix folded to a scalar."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tok.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(F.col("n_t") / F.col("n_total")).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        half_up(F.avg("lp"), round_to).alias("avg_logprob"),
+    )

@@ -93,6 +93,7 @@ _CHECK_FIRST = [
     "traffic_cube",  # new in r4: X47b CUBE grouping sets
     "engaged_users",  # new in r4: X56c UNION set-op
     "value_rank_profile",  # new in r4: X50c percent_rank/cume_dist
+    "doc_logprob",  # new in r4: X65 unigram-LM quality scoring
     "clean_corpus",
     "token_stats",
     "language_id",

@@ -2055,3 +2055,24 @@ def value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.percent_rank().over(w)).alias("pct_rank"),
         r6(F.cume_dist().over(w)).alias("cume"),
     )
+
+
+@query(
+    "doc_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    vocab AS (SELECT term, count(*) AS n_t FROM tok GROUP BY term),
+    total AS (SELECT count(*) AS n_total FROM tok)
+    SELECT doc_id, count(*) AS n_tokens,
+           {half_up_sql("avg(ln(CAST(n_t AS DOUBLE) / n_total))")}
+               AS avg_logprob
+    FROM tok JOIN vocab USING (term), total
+    GROUP BY doc_id
+    """,
+)
+def doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65: unigram-LM document scoring (operators.text.unigram_logprob)
+    — the CCNet-style perplexity-bucket quality signal, trained and
+    applied in one Catalyst plan."""
+    return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
