@@ -32,9 +32,36 @@ from nginx_analytics_spark.operators.sampling import KNUTH, M32
 
 
 def shard_hash(key: str) -> F.Column:
-    """The portable shard-scramble hash (exact int64 arithmetic — see
-    operators.sampling for the portability domain note)."""
-    return (F.col(key).cast("bigint") * F.lit(KNUTH)) % F.lit(M32)
+    """The portable shard-scramble hash, total over ALL bigint keys.
+
+    ``pmod(key * KNUTH, 2^32)``: the int64 product wraps mod 2^64 for
+    keys >= ~3.47e9, but 2^32 divides 2^64, so the wrapped (possibly
+    negative) value is still congruent to the true product mod 2^32 and
+    ``pmod`` lands it in [0, 2^32) — the hash is exact for every int64
+    key, with no silent negative shards. For keys inside the
+    oracle-portable domain (< 2^31.7, operators.sampling) the product
+    never wraps and pmod == %, so this is bit-identical to the DuckDB
+    twin there; beyond it the Spark result stays well-defined but DuckDB
+    (which errors on int64 overflow) can no longer mirror it."""
+    return F.pmod(F.col(key).cast("bigint") * F.lit(KNUTH), F.lit(M32))
+
+
+def shard_ids(df: DataFrame, key: str = "doc_id", n_shards: int = 8) -> DataFrame:
+    """``df`` plus ``_h`` (scramble hash) and ``shard`` — the windowless
+    half of the manifest, cheap enough to reuse for counting.
+
+    shard from the HIGH bits of the hash (floor(h * n / 2^32)), never
+    `h % n`: the Knuth multiplier is odd with K ≡ 1 (mod 16), so for a
+    power-of-two n the low bits of k*K mod 2^32 are the low bits of k —
+    `h % 8` would be doc_id % 8 exactly, re-correlating shards with any
+    id-allocation pattern. High bits carry the golden-ratio scramble.
+    h * n ≤ 2^35ish < 2^53 and the divisor is a power of two, so the
+    double arithmetic is exact and engine-portable.
+    """
+    return df.withColumn("_h", shard_hash(key)).withColumn(
+        "shard",
+        F.floor(F.col("_h") * n_shards / F.lit(float(M32))).cast("bigint"),
+    )
 
 
 def shard_assignments(
@@ -49,21 +76,9 @@ def shard_assignments(
     """
     from pyspark.sql import Window
 
-    h = shard_hash(key)
     w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(key).asc())
-    # shard from the HIGH bits of the hash (floor(h * n / 2^32)), never
-    # `h % n`: the Knuth multiplier is odd with K ≡ 1 (mod 16), so for a
-    # power-of-two n the low bits of k*K mod 2^32 are the low bits of k —
-    # `h % 8` would be doc_id % 8 exactly, re-correlating shards with any
-    # id-allocation pattern. High bits carry the golden-ratio scramble.
-    # h * n ≤ 2^35ish < 2^53 and the divisor is a power of two, so the
-    # double arithmetic is exact and engine-portable.
     return (
-        df.withColumn("_h", h)
-        .withColumn(
-            "shard",
-            F.floor(F.col("_h") * n_shards / F.lit(float(M32))).cast("bigint"),
-        )
+        shard_ids(df, key, n_shards)
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("_h")
     )
@@ -76,24 +91,37 @@ def write_shards(
     n_shards: int = 8,
 ) -> int:
     """Materialize the shards: one Parquet directory per shard, rows
-    stored in shuffled (hash) order. ``repartitionByRange(n_shards,
-    shard)`` gives the writer one task per shard VALUE (hash
-    ``repartition`` would murmur3 the 0..n-1 values and collide several
-    shards into one straggler task); each shard directory is written by
-    one task as one sorted file, so shard files are byte-stable across
-    runs. Returns the number of shard directories, counted from the
-    manifest (not the driver's local filesystem — ``path`` may be any
-    Hadoop filesystem).
+    stored in shuffled (hash) order.
+
+    ``repartitionByRange(n_shards, shard)`` keeps each shard VALUE whole
+    in a single task (range boundaries never split equal values), so
+    every ``shard=i`` directory is written as ONE file. Boundaries come
+    from sampled quantiles, so a task may legitimately hold two adjacent
+    shard values (and another task none) — fewer than one task per value,
+    never more. Hash ``repartition`` would be worse: murmur3 over the
+    0..n-1 values collides several shards into one straggler task.
+
+    Per-shard FILES are still byte-stable across runs regardless of where
+    the sampled boundaries fall: a shard's rows always share one task,
+    the task sorts by (shard, pos) — total within the task, so no
+    cross-shard tie ambiguity — and the partitionBy writer splits the
+    task's ordered stream by shard value. File contents are therefore a
+    pure function of the data, not of the boundary sampling.
+
+    Returns the number of shard directories, counted from the windowless
+    shard projection (not the driver's local filesystem — ``path`` may be
+    any Hadoop filesystem — and not the full manifest, whose row_number
+    window would be recomputed just to be counted).
 
     At 100 TB pick n_shards so a shard is a few GB (thousands of shards,
-    still one task each); readers stream ``shard=i`` dirs independently.
+    one writer task each); readers stream ``shard=i`` dirs independently.
     """
     out = shard_assignments(df, key, n_shards)
     (
         out.repartitionByRange(n_shards, F.col("shard"))
-        .sortWithinPartitions("pos")
+        .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
     )
-    return out.select("shard").distinct().count()
+    return shard_ids(df, key, n_shards).select("shard").distinct().count()

@@ -4,17 +4,35 @@ shuffles the long tail.
 The naive exact plan (groupBy(key).count().filter(>= T)) shuffles ONE ROW
 PER DISTINCT KEY — at 100 TB of text tokens that is billions of tail keys
 crossing the wire to be counted once and discarded. This operator uses
-the pigeonhole candidate bound of distributed Misra-Gries style
-summaries: a key with global count >= T must have local count >= T/P in
-at least one of P partitions. So:
+a pigeonhole candidate bound that is PARTITION-COUNT-FREE:
 
+  pass 0  N = df.count()  (scan-count, no key shuffle; metadata-fast on
+          an unfiltered Parquet scan), phi = T / N
   pass 1  per-partition exact counts (a dict in Arrow batches, never
-          shuffled), emit only keys with local count >= ceil(T/P)
-          -> candidate superset, size bounded by P * (N_p / (T/P)) keys
+          shuffled); a partition of n_p rows emits only keys with local
+          count >= phi * n_p  -> candidate superset. Soundness: a key
+          with global count >= T = phi * N = phi * sum(n_p) must have
+          local count >= phi * n_p in at least one partition (if it were
+          below the per-partition quota everywhere, the sum would be
+          below T). Holds for ANY partitioning — no partition count
+          enters the bound, so there is nothing to estimate and no
+          rdd.getNumPartitions() plan conversion (the r3/r4 version
+          derived ceil(T/P) from the runtime partition count, which both
+          touched the RDD and degenerated to 1 whenever P >= T).
   pass 2  exact counts of the CANDIDATES only: broadcast semi-join
           prunes the scan, then a groupBy whose shuffle carries
           candidates * partitions rows — tail keys never leave their
           partition.
+
+DEGENERATE GUARD: when T is small relative to the data (phi * n_p <= 1
+for typical partitions) every distinct key is a candidate and the
+broadcast would ship the full distinct-key set through the driver —
+inverting the contract and risking driver OOM at exactly the scale this
+module targets. So the candidate count is checked (a count() of the
+small candidate frame, no collect) and if it exceeds
+``max_broadcast_candidates`` the operator falls back to the plain
+groupBy/HAVING plan, which is the right plan in that regime anyway
+(when most keys are candidates there is no tail to keep home).
 
 The final filter (count >= T) makes the result EXACT and independent of
 partitioning (the candidate set varies with the split; the answer does
@@ -24,44 +42,77 @@ HAVING twin).
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Above this many candidates the broadcast semi-join stops being a
+# pruning optimization (driver must hold and ship the set) and the plain
+# shuffle plan wins. ~1M short keys is a few tens of MB broadcast — a
+# comfortable ceiling on a real cluster, generous for tests.
+MAX_BROADCAST_CANDIDATES = 1_000_000
 
-def local_candidates(df: DataFrame, key: str, local_threshold: int) -> DataFrame:
+
+def local_candidates(df: DataFrame, key: str, phi: float) -> DataFrame:
     """Per-partition exact counts, emitting keys whose LOCAL count meets
-    the pigeonhole threshold. mapInPandas accumulates across all Arrow
-    batches of a partition before emitting — the guarantee needs
-    partition-level counts, not batch-level. The output schema is
-    derived from the input column's type (any groupable key works)."""
+    the fractional pigeonhole quota ``phi * n_p`` of that partition's own
+    row count. mapInPandas accumulates across all Arrow batches of a
+    partition before emitting — the guarantee needs partition-level
+    counts (and the partition's total row count), not batch-level. The
+    output schema is derived from the input column's type (any groupable
+    key works)."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict = {}
+        n_p = 0
         for b in batches:
+            n_p += len(b)
             for k, n in b[key].value_counts().items():
                 counts[k] = counts.get(k, 0) + int(n)
-        keep = [k for k, n in counts.items() if n >= local_threshold]
+        quota = phi * n_p
+        keep = [k for k, n in counts.items() if n >= quota]
         yield pd.DataFrame({key: pd.Series(keep, dtype=object)})
 
     narrowed = df.select(key)
     return narrowed.mapInPandas(summarize, schema=narrowed.schema)
 
 
-def heavy_hitters(df: DataFrame, key: str, min_count: int) -> DataFrame:
+def _plain_heavy(df: DataFrame, key: str, min_count: int) -> DataFrame:
+    """The direct GROUP BY / HAVING plan — one row per distinct key over
+    the shuffle. Used when the candidate set is too large for the
+    broadcast-pruned plan to help (degenerate-guard fallback)."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: str,
+    min_count: int,
+    max_broadcast_candidates: int = MAX_BROADCAST_CANDIDATES,
+) -> DataFrame:
     """Exact NON-NULL keys with global count >= ``min_count``,
-    tail-shuffle-free (module docstring). Output: (key, n) —
-    deterministic regardless of input partitioning. NULL keys are
-    excluded up front (pandas value_counts drops them and a semi-join
-    never matches NULL; a NULL key is not a meaningful hitter — filter
-    is explicit so the contract is too)."""
+    tail-shuffle-free when ``min_count`` is a meaningful fraction of the
+    data (module docstring). Output: (key, n) — deterministic regardless
+    of input partitioning. NULL keys are excluded up front (pandas
+    value_counts drops them and a semi-join never matches NULL; a NULL
+    key is not a meaningful hitter — the filter is explicit so the
+    contract is too)."""
     df = df.filter(F.col(key).isNotNull())
-    p = max(1, df.rdd.getNumPartitions())
-    local_t = max(1, math.ceil(min_count / p))
-    cands = local_candidates(df, key, local_t).distinct()
+    total = df.count()
+    if total == 0 or min_count <= 1:
+        # Empty input, or a threshold that admits every key — the
+        # pigeonhole prunes nothing; take the direct plan.
+        return _plain_heavy(df, key, min_count)
+    phi = min_count / total
+    cands = local_candidates(df, key, phi).distinct()
+    if cands.count() > max_broadcast_candidates:
+        return _plain_heavy(df, key, min_count)
     return (
         df.join(F.broadcast(cands), key, "left_semi")
         .groupBy(key)

@@ -15,9 +15,13 @@ All three operators are narrow maps (no shuffle, no state); the split
 column composes with partitioned writes (``partitionBy('split')``) for a
 one-pass train/val/test materialization.
 
-Domain note: exact portability needs ``|key| * 2654435761`` inside int64 —
-i.e. surrogate keys below ~3.4e9. For wider keys, pre-fold with a modulus
-on both engines.
+Domain note: exact CROSS-ENGINE portability needs ``|key| * 2654435761``
+inside int64 — i.e. surrogate keys below ~3.4e9 (DuckDB errors on int64
+overflow; for wider keys, pre-fold with a modulus on both engines). The
+Spark side is total over all bigint keys regardless: the int64 product
+wraps mod 2^64, 2^32 divides 2^64 so the wrapped value is still congruent
+to the true product mod 2^32, and ``pmod`` lands it in [0, 2^32) — no
+silent negative fractions/shards for out-of-domain keys.
 """
 
 from __future__ import annotations
@@ -44,7 +48,9 @@ def portable_frac(key: Column | str, salt: int = 0) -> Column:
     rates — decorrelated streams for any contiguous key range."""
     k = F.col(key) if isinstance(key, str) else key
     mult = (KNUTH * (2 * salt + 1)) % M32
-    h = (k.cast("bigint") * F.lit(mult) + F.lit(salt)) % F.lit(M32)
+    # pmod, not %: identical in the portable domain (positive product),
+    # and total over all bigint keys beyond it (module Domain note).
+    h = F.pmod(k.cast("bigint") * F.lit(mult) + F.lit(salt), F.lit(M32))
     return h.cast("double") / F.lit(float(M32))
 
 

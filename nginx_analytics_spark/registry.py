@@ -1037,7 +1037,8 @@ def brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "idle_customers",
     f"""
     WITH avg_bal AS (
-        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+        SELECT {half_up_sql("avg(c_acctbal)", 6)} AS ab
+        FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c_nationkey, count(*) AS numcust,
            {half_up_sql("sum(c_acctbal)", 2)} AS totacctbal
@@ -1057,10 +1058,14 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     any orders; this one doesn't, so the lateness window supplies the
     emptiness). The avg is a 1-row broadcast; the anti join probes the
     window-filtered orders — at 100 TB the window predicate prunes the
-    orders scan by date partition before the anti join's shuffle."""
+    orders scan by date partition before the anti join's shuffle.
+    The scalar threshold is half_up-rounded on BOTH sides before the
+    comparison: Spark's partial-agg summation order vs DuckDB's can
+    differ in the last ulp, and an unrounded boundary balance would flip
+    rows nondeterministically (same defense as top_supplier's argmax)."""
     cust = load_table(spark, sf_dir, "customer")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("_ab")
+        half_up(F.avg("c_acctbal"), 6).alias("_ab")
     )
     recent = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")

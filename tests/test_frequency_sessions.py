@@ -48,6 +48,29 @@ def test_heavy_hitters_local_threshold_pigeonhole(spark):
     assert [(r.k, r.n) for r in got] == [("hot", 40)]
 
 
+def test_heavy_hitters_degenerate_guard_falls_back(spark):
+    """When the candidate superset would exceed the broadcast bound (or
+    the threshold admits every key), the operator must take the plain
+    groupBy/HAVING plan — never broadcast the full distinct-key set —
+    and stay exact (ADVICE r4: phi*n_p <= 1 made every key a candidate)."""
+    rows = [Row(k=f"u{i}") for i in range(500)] + [Row(k="hot")] * 5
+    df = spark.createDataFrame(rows).repartition(8)
+    # min_count=2 over 505 rows: phi*n_p ≈ 0.25 per 63-row partition →
+    # every key is a candidate; bound of 10 forces the fallback.
+    got = frequency.heavy_hitters(df, "k", 2, max_broadcast_candidates=10)
+    assert [(r.k, r.n) for r in got.collect()] == [("hot", 5)]
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    assert "MapInPandas" not in buf.getvalue()  # plain plan, no broadcast pass
+    # min_count<=1 short-circuits straight to the plain plan
+    got1 = frequency.heavy_hitters(spark.createDataFrame(rows), "k", 1)
+    assert got1.count() == 501
+
+
 def _ev(uid, t, eid):
     return Row(user_id=uid, ts=t, event_id=eid)
 
