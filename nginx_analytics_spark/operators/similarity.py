@@ -188,15 +188,30 @@ def hyperplane_lsh_pairs(
     dim: int = 64,
     seed: int = 42,
     round_to: int = 6,
+    block: int = 2048,
 ) -> DataFrame:
     """Corpus self near-dup pairs by SRP-LSH buckets + exact cosine verify —
     the scale path for :func:`dedup.embedding_dedup_pairs`.
 
-    Same banding as :func:`hyperplane_lsh_topk` but corpus-vs-itself:
-    candidates are id-ordered pairs sharing >= 1 signature band; only those
-    get the exact cosine. Approximate in recall (SRP collision odds), exact
-    in reported similarity. One (band_idx, band_val) shuffle instead of an
-    O(n²) cross join.
+    Same banding as :func:`hyperplane_lsh_topk` but corpus-vs-itself.
+    The verify stage runs INSIDE each (band_idx, band_val) bucket as one
+    Arrow-batched blocked matmul (``applyInPandas``): every bucket member
+    ships its vector ONCE per band, and all intra-bucket pairwise cosines
+    come from BLAS. The r1–r4 formulation materialized the candidate PAIR
+    list ((id_a, id_b) band join -> distinct -> two vector re-joins ->
+    per-pair kernel), which shipped each vector once per CANDIDATE — at
+    the fixture's hard 0.4-threshold regime that was ~800 K pair rows x
+    two 64-double vectors through Arrow (~3.8 s at sf0.1); the bucket
+    kernel sends 8 x n vector rows total and cut the query to well under
+    half that. Pairs passing the threshold are deduped across bands by a
+    tiny groupBy (identical floats: the per-pair dot is the same
+    fixed-operand BLAS reduction in every bucket).
+
+    Memory contract at scale: one bucket's vectors must fit one executor
+    (the score matrix is blocked, ``block`` rows at a time, so only the
+    vectors persist). Bucket size is corpus/2^chunk in expectation —
+    choose chunk (= n_planes/bands) so that holds; the production
+    regime's wider bands (below) shrink buckets another 16x.
 
     Selectivity is parameter- AND distribution-dependent, and the honest
     formula is: background pairs (cosine ~0, P(bit match) = 1/2) collide at
@@ -213,17 +228,15 @@ def hyperplane_lsh_pairs(
     planes = hyperplanes(dim, n_planes, seed)
     chunk = n_planes // bands
     mask = (1 << chunk) - 1
+    scale = float(10**round_to)
+    thr = float(threshold)
 
-    # eager: a lazy checkpoint materializes inside the first consuming SQL
-    # execution, whose teardown races the checkpoint stage's accumulator
-    # updates (see the dedup.py note) — eager runs it under its own job.
-    v = corpus.select(F.col(id_col), as_double(vec_col).alias("v")).localCheckpoint(
-        eager=True
-    )
+    v = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
     banded = v.select(
-        F.col(id_col), srp_signature_batch(F.col("v"), planes).alias("sig")
+        F.col(id_col), F.col("v"), srp_signature_batch(F.col("v"), planes).alias("sig")
     ).select(
         id_col,
+        "v",
         F.posexplode(
             F.array(
                 *[
@@ -235,33 +248,51 @@ def hyperplane_lsh_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+
+    idc = id_col
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+        n = len(pdf)
+        if n < 2:
+            return empty
+        order = np.argsort(pdf[idc].to_numpy(), kind="stable")
+        ids = pdf[idc].to_numpy()[order]
+        x = np.stack(pdf["v"].to_numpy())[order]
+        sq = np.einsum("ij,ij->i", x, x)
+        out = [empty]
+        for s in range(0, n, block):
+            e = min(n, s + block)
+            # same formula as cosine_batch: num / sqrt(xx * yy)
+            num = x[s:e] @ x.T
+            c = np.floor(num / np.sqrt(np.outer(sq[s:e], sq)) * scale + 0.5) / scale
+            rows, cols = np.nonzero(c >= thr)
+            keep = cols > rows + s  # ids ascending: position order == id order
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[rows[keep] + s],
+                            "id_b": ids[cols[keep]],
+                            "cosine": c[rows[keep], cols[keep]],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True)
+
+    hits = banded.groupBy("band_idx", "band_val").applyInPandas(
+        verify, schema="id_a long, id_b long, cosine double"
     )
-    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            half_up(cosine_batch(F.col("va"), F.col("vb")), round_to).alias(
-                "cosine"
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    # Dedup across bands. A pair found in several buckets scored the same
+    # fixed-operand BLAS dot everywhere, so max == every observation; the
+    # shuffle carries only PASSING pairs (tiny), never the candidate set.
+    return hits.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
 def hyperplane_lsh_topk(
@@ -659,6 +690,7 @@ def pq_topk(
     seed: int = 42,
     round_to: int = 6,
     refine: int | None = None,
+    refine_exact_fold: bool = False,
 ) -> DataFrame:
     """Approximate L2 top-k in the COMPRESSED domain (ADC): corpus
     vectors are m-byte PQ codes; per query a (m x k) lookup table of
@@ -674,6 +706,14 @@ def pq_topk(
     noise (e.g. near-random fixtures), pure ADC ranking saturates;
     re-ranking recovers it for the cost of R random vector lookups per
     query. ``dist`` is then exact squared L2, not the ADC estimate.
+
+    ``refine_exact_fold=True`` additionally makes the re-rank
+    oracle-bit-exact: dist = dot(q,q) - 2*dot(q,v) + dot(v,v) with the
+    deterministic sequential-fold :func:`dot` (the numpy kernel's
+    pairwise summation can differ in the last ulp), rounded half-up
+    BEFORE ranking so a tie at the k boundary cuts identically in both
+    engines. The shortlist is tiny by contract, so the interpreted HOF
+    fold costs nothing here.
 
     Output: (query_id, neighbor_id, dist, rank) — dist is squared L2
     (quantized approximation without refine, exact with), 6-dp rounded;
@@ -753,25 +793,41 @@ def pq_topk(
             .filter(F.col("rank") <= depth)
             .select(query_id_col, "neighbor_id")
         )
-        qmap = {int(qid): qv[i] for i, qid in enumerate(qids)}
-
-        @F.pandas_udf("double")
-        def _exact_l2(qs: pd.Series, vs: pd.Series) -> pd.Series:
-            if len(qs) == 0:
-                return pd.Series([], dtype="float64")
-            qm = np.stack([qmap[int(q)] for q in qs.to_numpy()])
-            v = np.stack(vs.to_numpy())
-            diff = qm - v
-            return pd.Series(np.einsum("ij,ij->i", diff, diff))
-
         vecs = corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nv")
         )
-        cands = shortlist.join(vecs, "neighbor_id").select(
-            query_id_col,
-            "neighbor_id",
-            _exact_l2(F.col(query_id_col), F.col("nv")).alias("dist"),
-        )
+        if refine_exact_fold:
+            qframe = queries.select(
+                F.col(query_id_col), as_double(vec_col).alias("_qv")
+            )
+            nv, qvc = F.col("nv"), F.col("_qv")
+            exact = dot(qvc, qvc) - 2 * dot(qvc, nv) + dot(nv, nv)
+            cands = (
+                shortlist.join(vecs, "neighbor_id")
+                .join(F.broadcast(qframe), query_id_col)
+                .select(
+                    query_id_col,
+                    "neighbor_id",
+                    half_up(exact, round_to).alias("dist"),
+                )
+            )
+        else:
+            qmap = {int(qid): qv[i] for i, qid in enumerate(qids)}
+
+            @F.pandas_udf("double")
+            def _exact_l2(qs: pd.Series, vs: pd.Series) -> pd.Series:
+                if len(qs) == 0:
+                    return pd.Series([], dtype="float64")
+                qm = np.stack([qmap[int(q)] for q in qs.to_numpy()])
+                v = np.stack(vs.to_numpy())
+                diff = qm - v
+                return pd.Series(np.einsum("ij,ij->i", diff, diff))
+
+            cands = shortlist.join(vecs, "neighbor_id").select(
+                query_id_col,
+                "neighbor_id",
+                _exact_l2(F.col(query_id_col), F.col("nv")).alias("dist"),
+            )
     return (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -985,6 +985,69 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Squared L2 with the same three-dot-product decomposition (and fold
+# order) as the Spark side: qq - 2qv + vv, each a sequential fold.
+_L2_SQL = (
+    "list_dot_product({q}, {q}) - 2 * list_dot_product({q}, {v})"
+    " + list_dot_product({v}, {v})"
+)
+# Exhaustive at the oracle fixtures (embeddings corpus is 500 rows at
+# sf0.001/sf0.01): every candidate enters the exact re-rank, so the
+# hash-match is a structural guarantee, not a recall calibration.
+_PQ_REFINE_DEPTH = 600
+
+
+@query(
+    "ann_pq_topk_refined",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v
+          WHERE vec_id < {ANN_QUERY_COUNT}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {R6_SQL.format(x=_L2_SQL.format(q="q.qv", v="c.v"))} AS dist
+        FROM v c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, dist, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dist ASC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+    ) t
+    WHERE rank <= {ANN_K}
+    """,
+)
+def ann_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 oracle tier: the IVFADC+R plan (PQ-encode -> ADC scan ->
+    shortlist -> exact-L2 re-rank join) driven to an EXACT top-k so the
+    full refine path is hash-checkable against brute-force squared L2.
+    The refine depth exceeds the oracle fixtures' 500-vector corpus, so
+    the shortlist is exhaustive and the re-rank decides everything —
+    exactness is guaranteed, not calibrated (this fixture's near-random
+    geometry would otherwise demand depth ~400 of 499 anyway, see
+    tests/test_pq.py). The re-rank folds dist = qq - 2qv + vv with the
+    deterministic sequential :func:`similarity.dot` and ranks on the
+    half-up-rounded value, mirroring the SQL twin term for term. The
+    production configuration (refine=50) stays the benched headline
+    ``ann_pq_topk``; this query pins the plan's correctness, the
+    headline its cost."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_COUNT).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.pq_topk(
+        emb,
+        queries,
+        k=ANN_K,
+        m=8,
+        n_codes=16,
+        refine=_PQ_REFINE_DEPTH,
+        refine_exact_fold=True,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
