@@ -119,6 +119,12 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "idle_customers",
         "market_share",
         "customer_order_distribution",
+        "min_cost_supplier",
+        "product_profit",
+        "important_parts",
+        "supplier_part_counts",
+        "dominant_suppliers",
+        "waiting_suppliers",
     ],
     # corpus text/dedup/sampling shapes (M6)
     "corpus": [
@@ -146,6 +152,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "heavy_tokens",
         "dedup_clusters",
         "exact_jaccard_pairs",
+        "training_handoff",
     ],
     # temporal/behavioral/sampling/ANN shapes
     "analytics": [
@@ -178,6 +185,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_pq_topk",
+        "ann_pq_topk_refined",
         "embedding_lsh_pairs",
     ],
 }

@@ -253,6 +253,20 @@ def _build_parser():
     exp.add_argument("--source", required=True, help="input parquet path")
     exp.add_argument("--key", default="doc_id", help="integer shard key column")
     exp.add_argument("--n-shards", type=int, default=8)
+
+    ho = sub.add_parser(
+        "handoff",
+        help=(
+            "the end-to-end 100 TB hand-off (X67): curate (X39) -> "
+            "Z-ordered at-rest corpus (X59) -> deterministic training "
+            "shards (X49)"
+        ),
+    )
+    common(ho, checkpoint=False)
+    ho.add_argument("--source", required=True, help="documents parquet path")
+    ho.add_argument("--n-shards", type=int, default=8)
+    ho.add_argument("--bench-fraction", type=float, default=None)
+    ho.add_argument("--contam-n", type=int, default=None)
     return p
 
 
@@ -348,6 +362,40 @@ def main(argv: list[str] | None = None) -> int:
         dest = wh.path("training_shards")
         n = write_shards(df, dest, key=args.key, n_shards=args.n_shards)
         print(f"training_shards written: {n} shards")
+        return 0
+
+    if args.command == "handoff":
+        from nginx_analytics_spark.operators import curation
+        from nginx_analytics_spark.operators.export import write_shards
+        from nginx_analytics_spark.operators.layout import zorder_write
+        from nginx_analytics_spark.sources.readers import read_parquet
+
+        docs = read_parquet(spark, args.source)
+        kwargs = {}
+        if args.bench_fraction is not None:
+            kwargs["bench_fraction"] = args.bench_fraction
+        if args.contam_n is not None:
+            kwargs["contam_n"] = args.contam_n
+        # Stage 1 — curate, carrying the text for training consumption.
+        curated = curation.curate_documents(docs, **kwargs).join(
+            docs.select("doc_id", "text"), "doc_id"
+        )
+        # Stage 2 — land the curated corpus Z-ordered on (ws_tokens,
+        # quality): downstream selection by length band and/or quality
+        # floor prunes row groups on BOTH dimensions (X59).
+        corpus_dest = wh.path("curated_corpus")
+        zorder_write(curated, corpus_dest, "ws_tokens", "quality")
+        # Stage 3 — shard the LANDED corpus (curation runs once; the
+        # at-rest table is the stage boundary, as in a real pipeline).
+        landed = spark.read.parquet(corpus_dest)
+        n = write_shards(
+            landed, wh.path("training_shards"), key="doc_id",
+            n_shards=args.n_shards,
+        )
+        print(
+            f"handoff complete: {landed.count()} curated docs -> "
+            f"curated_corpus (z-ordered) -> {n} training shards"
+        )
         return 0
 
     raise SystemExit(f"unknown command {args.command}")  # pragma: no cover

@@ -1289,9 +1289,10 @@ def clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.clean_corpus(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "curate_corpus",
-    f"""
+# The full curation SQL twin, factored so training_handoff can compose
+# over it verbatim (the oracle must run the SAME gates the Spark plan
+# does, then shard the survivors).
+_CURATE_SQL = f"""
     WITH t AS (
         SELECT doc_id, text, string_split(text, ' ') AS w,
                length(text) AS n_chars,
@@ -1388,11 +1389,13 @@ def clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rep.top_bg <= {text.TOP_BIGRAM_FRAC_MAX}
       AND rep.dup_tg <= {text.DUP_TRIGRAM_FRAC_MAX}
       AND cont.n_overlap = 0
-    """.replace(
-        "{en_words}",
-        ", ".join(f"'{w}'" for w in text.STOPWORD_PROFILES["en"]),
-    ),
+""".replace(
+    "{en_words}",
+    ", ".join(f"'{w}'" for w in text.STOPWORD_PROFILES["en"]),
 )
+
+
+@query("curate_corpus", _CURATE_SQL)
 def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X39: the FULL curation DAG a pretraining corpus pass runs, as one
     declarative plan: language gate + quality gate + length gate + exact
@@ -1407,6 +1410,50 @@ def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nginx_analytics_spark.operators.curation import curate_documents
 
     return curate_documents(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "training_handoff",
+    f"""
+    WITH curated AS ({_CURATE_SQL}),
+    h AS (SELECT doc_id, ws_tokens,
+                 (doc_id * 2654435761) % 4294967296 AS hv
+          FROM curated),
+    s AS (SELECT doc_id, ws_tokens, hv,
+                 CAST(floor(hv * 8 / 4294967296.0) AS BIGINT) AS shard
+          FROM h),
+    p AS (SELECT doc_id, ws_tokens, shard,
+                 CAST(row_number() OVER (
+                     PARTITION BY shard ORDER BY hv ASC, doc_id ASC)
+                     AS BIGINT) AS pos
+          FROM s)
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(doc_id * pos) AS BIGINT) AS order_digest
+    FROM p GROUP BY shard
+    """,
+)
+def training_handoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67: the END-TO-END training hand-off — curation (X39) composed
+    with the deterministic shuffle-shard assignment (X49) in ONE
+    Catalyst plan, summarized per shard. ``order_digest`` =
+    sum(doc_id * pos) pins the exact intra-shard read order (any
+    survivor landing at a different position changes the digest), so
+    the hash-match proves the full composition: every curation gate,
+    the shard function, AND the shuffled ordering a training job will
+    consume. The operational twin is the ``jobs handoff`` CLI
+    (curate -> Z-order at-rest write -> shard export); plan-tested to
+    add exactly one exchange over the curation DAG
+    (tests/test_plans.py::test_handoff_adds_one_exchange)."""
+    from nginx_analytics_spark.operators.curation import curate_documents
+
+    curated = curate_documents(load_table(spark, sf_dir, "documents"))
+    manifest = export.shard_assignments(curated, key="doc_id", n_shards=8)
+    return manifest.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("n_tokens"),
+        F.sum(F.col("doc_id") * F.col("pos")).alias("order_digest"),
+    )
 
 
 # --------------------------------------------------------------------------

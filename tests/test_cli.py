@@ -32,7 +32,10 @@ def test_cli_help_lists_all_commands():
         timeout=120,
     )
     assert out.returncode == 0
-    for cmd in ("ingest", "anomaly", "retrain", "compact", "curate", "export-shards"):
+    for cmd in (
+        "ingest", "anomaly", "retrain", "compact", "curate",
+        "export-shards", "handoff",
+    ):
         assert cmd in out.stdout
 
 
@@ -172,6 +175,46 @@ def test_cli_curate_writes_curated_documents(spark, tmp_path):
     assert set(out.columns) == {"doc_id", "predicted_lang", "ws_tokens", "quality"}
     n = out.count()
     assert 0 < n < load_table(spark, SF, "documents").count()
+
+
+def test_cli_handoff_end_to_end(spark, tmp_path):
+    """X67: one command runs curate -> Z-ordered at-rest corpus ->
+    deterministic shards, and the shard CONTENTS equal sharding the
+    curated metadata directly (the composition changes layout, never
+    membership or order)."""
+    from nginx_analytics_spark.operators import curation
+    from nginx_analytics_spark.operators.export import shard_assignments
+
+    wh_dir = f"{tmp_path}/warehouse"
+    rc = jobs.main(
+        [
+            "handoff",
+            "--warehouse", wh_dir,
+            "--source", f"{SF}/documents.parquet",
+            "--n-shards", "4",
+        ]
+    )
+    assert rc == 0
+
+    docs = load_table(spark, SF, "documents")
+    expected_ids = {
+        r.doc_id for r in curation.curate_documents(docs).select("doc_id").collect()
+    }
+    assert expected_ids  # the fixture must keep some docs
+
+    corpus = spark.read.parquet(f"{wh_dir}/curated_corpus")
+    assert {r.doc_id for r in corpus.select("doc_id").collect()} == expected_ids
+    assert "text" in corpus.columns  # training needs the payload
+
+    shards = spark.read.parquet(f"{wh_dir}/training_shards")
+    got = {(r.doc_id, r.shard, r.pos) for r in shards.collect()}
+    want = {
+        (r.doc_id, r.shard, r.pos)
+        for r in shard_assignments(
+            curation.curate_documents(docs), "doc_id", 4
+        ).collect()
+    }
+    assert got == want
 
 
 def test_cli_export_shards(spark, tmp_path):

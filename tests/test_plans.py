@@ -253,3 +253,46 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_handoff_adds_one_exchange(spark):
+    """X67: the training hand-off composition stays shuffle-minimal.
+    Sharding the curated corpus (X39 -> X49) must add EXACTLY ONE
+    exchange over the curation DAG — the hash partition on ``shard`` —
+    and the per-shard summary the registry exposes must add ZERO more
+    (it aggregates within the partitioning the window just established).
+    Any second exchange here would mean the composition re-shuffles the
+    corpus it just placed."""
+    from nginx_analytics_spark.operators import curation, export
+    from nginx_analytics_spark import registry
+    from nginx_analytics_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    curated = curation.curate_documents(docs)
+    base = n_nodes(plan_of(curated), "Exchange")
+    manifest = export.shard_assignments(curated, "doc_id", 8)
+    assert n_nodes(plan_of(manifest), "Exchange") == base + 1
+    handoff = registry.queries()["training_handoff"](spark, SF)
+    assert n_nodes(plan_of(handoff), "Exchange") == base + 1
+
+
+def test_tpch_completion_plan_hygiene(spark):
+    """X66: the Q2/Q16/Q21 shapes keep their intended physical form —
+    dimension chains broadcast, the NOT IN is a broadcast anti join, the
+    Q21 EXISTS/NOT EXISTS pair lowers to semi + anti joins, and no shape
+    degenerates to a cartesian product."""
+    q = registry.queries()
+    p2 = plan_of(q["min_cost_supplier"](spark, SF))
+    assert "CartesianProduct" not in p2
+    assert "BroadcastHashJoin" in p2
+
+    p16 = plan_of(q["supplier_part_counts"](spark, SF))
+    assert "CartesianProduct" not in p16
+    assert "BroadcastHashJoin LeftAnti BuildRight" in p16  # NOT IN -> broadcast anti
+    # part predicates reach the scan
+    assert "Not(EqualTo(p_brand,Brand#1))" in p16
+
+    p21 = plan_of(q["waiting_suppliers"](spark, SF))
+    assert "CartesianProduct" not in p21
+    assert "LeftSemi" in p21  # EXISTS
+    assert "LeftAnti" in p21  # NOT EXISTS
