@@ -92,10 +92,14 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "predict_features",
         "incremental_ip_stats",
         "sketch_distinct_users_7d",
+        "kll_latency_percentiles_7d",
+        "theta_user_overlap",
         "top_endpoints",
         "top_endpoints_bounded",
         "distinct_users",
         "approx_distinct_users",
+        "data_expectations",
+        "cms_user_counts_7d",
         "salted_ip_stats",
         "salted_user_join",
         "stateful_key_profiles",
@@ -153,6 +157,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "dedup_clusters",
         "exact_jaccard_pairs",
         "training_handoff",
+        "incremental_near_dups",
     ],
     # temporal/behavioral/sampling/ANN shapes
     "analytics": [

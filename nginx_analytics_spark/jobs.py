@@ -267,6 +267,17 @@ def _build_parser():
     ho.add_argument("--n-shards", type=int, default=8)
     ho.add_argument("--bench-fraction", type=float, default=None)
     ho.add_argument("--contam-n", type=int, default=None)
+    ho.add_argument(
+        "--layout",
+        choices=("zorder", "bucketed"),
+        default="zorder",
+        help=(
+            "at-rest layout of the curated corpus: zorder (X59, 2-D "
+            "row-group pruning on ws_tokens x quality) or bucketed "
+            "(X38, catalog table hash-bucketed by doc_id for "
+            "exchange-free downstream joins)"
+        ),
+    )
     return p
 
 
@@ -380,14 +391,23 @@ def main(argv: list[str] | None = None) -> int:
         curated = curation.curate_documents(docs, **kwargs).join(
             docs.select("doc_id", "text"), "doc_id"
         )
-        # Stage 2 — land the curated corpus Z-ordered on (ws_tokens,
-        # quality): downstream selection by length band and/or quality
-        # floor prunes row groups on BOTH dimensions (X59).
-        corpus_dest = wh.path("curated_corpus")
-        zorder_write(curated, corpus_dest, "ws_tokens", "quality")
-        # Stage 3 — shard the LANDED corpus (curation runs once; the
-        # at-rest table is the stage boundary, as in a real pipeline).
-        landed = spark.read.parquet(corpus_dest)
+        # Stage 2 — land the curated corpus. zorder (default): 2-D
+        # row-group pruning for selection by length band / quality
+        # floor (X59). bucketed: catalog table hash-bucketed by doc_id,
+        # so every downstream equi-join on doc_id is exchange-free
+        # (X38 — the layout to pick when the corpus joins against
+        # other doc-keyed tables more often than it is range-scanned).
+        if args.layout == "bucketed":
+            from nginx_analytics_spark.sources.warehouse import write_bucketed
+
+            write_bucketed(curated, "curated_corpus", "doc_id")
+            landed = spark.table("curated_corpus")
+        else:
+            corpus_dest = wh.path("curated_corpus")
+            zorder_write(curated, corpus_dest, "ws_tokens", "quality")
+            # Stage 3 reads the LANDED corpus (curation runs once; the
+            # at-rest table is the stage boundary, as in a real pipeline).
+            landed = spark.read.parquet(corpus_dest)
         n = write_shards(
             landed, wh.path("training_shards"), key="doc_id",
             n_shards=args.n_shards,

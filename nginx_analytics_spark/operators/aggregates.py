@@ -249,3 +249,97 @@ def finalize_key_stats(partials: DataFrame, round_to: int = 6) -> DataFrame:
             F.col("s") / F.nullif(F.col("nv"), F.lit(0)), round_to
         ).alias("avg_request_time"),
     )
+
+
+# --------------------------------------------------------------------------
+# X71: mergeable KLL quantile rollup — completing the sketch-rollup
+# trilogy (X60 HLL: distinct; X68 CMS: frequency; this: quantiles).
+# --------------------------------------------------------------------------
+
+
+def kll_daily_sketches(
+    df: DataFrame, ts: str, value: str, k: int = 2048
+) -> DataFrame:
+    """One KLL quantile sketch of ``value`` per day (DataSketches KLL as
+    a binary column, native ``kll_sketch_agg_double``). The same
+    store-small / answer-any-range contract as the HLL rollup: a
+    trailing-window latency-percentile query merges #days sketch rows
+    instead of rescanning raw events. ``k`` bounds both sketch size and
+    rank error (~1.7% two-sided at k=200; 2048 gives ~0.2%)."""
+    return df.groupBy(F.date_trunc("day", F.col(ts)).alias("day")).agg(
+        F.kll_sketch_agg_double(F.col(value), F.lit(k)).alias("sketch"),
+        F.count(F.col(value)).alias("n_values"),
+    )
+
+
+def kll_range_percentiles(
+    sketches: DataFrame,
+    day_lo: str,
+    day_hi: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Merge the daily KLL sketches covering [day_lo, day_hi) and read
+    the requested quantiles — one row, O(days) input, zero raw access.
+    KLL merge is lossless-in-guarantee: the merged sketch carries the
+    same rank-error bound as a sketch built directly over the range
+    (property-tested against exact percentiles)."""
+    merged = (
+        sketches.filter(
+            (F.col("day") >= F.lit(day_lo).cast("timestamp"))
+            & (F.col("day") < F.lit(day_hi).cast("timestamp"))
+        )
+        .agg(F.kll_merge_agg_double("sketch").alias("u"))
+    )
+    return merged.select(
+        F.kll_sketch_get_n_double("u").alias("n_values"),
+        *[
+            F.kll_sketch_get_quantile_double(F.col("u"), F.lit(q)).alias(
+                f"p{int(q * 100)}"
+            )
+            for q in quantiles
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# X72: Theta sketch distinct SET ALGEBRA — the question HLL cannot
+# answer: |A ∩ B| and |A \ B| over mergeable sketches.
+# --------------------------------------------------------------------------
+
+
+def theta_group_sketches(df: DataFrame, group: str, key: str) -> DataFrame:
+    """One Theta sketch of distinct ``key`` per ``group`` value — the
+    mergeable representation that supports union AND intersection AND
+    difference (HLL unions only). Store per (segment, day) at scale;
+    any segment-overlap question then answers from sketch rows."""
+    return df.groupBy(group).agg(
+        F.theta_sketch_agg(F.col(key)).alias("sketch"),
+        F.count_distinct(F.col(key)).alias("exact_distinct"),
+    )
+
+
+def theta_overlap(
+    sketches: DataFrame, group: str, group_a: str, group_b: str
+) -> DataFrame:
+    """Distinct-key set algebra between two groups' sketches:
+    |A|, |B|, |A ∩ B|, |A \\ B|, |B \\ A|, |A ∪ B| — one row, computed
+    entirely in the compressed domain (broadcast-sized inputs: two
+    sketch blobs)."""
+    a = sketches.filter(F.col(group) == group_a).select(
+        F.col("sketch").alias("sa")
+    )
+    b = sketches.filter(F.col(group) == group_b).select(
+        F.col("sketch").alias("sb")
+    )
+    both = a.crossJoin(F.broadcast(b))
+    est = F.theta_sketch_estimate
+    return both.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        est(F.col("sa")).alias("n_a"),
+        est(F.col("sb")).alias("n_b"),
+        est(F.theta_intersection(F.col("sa"), F.col("sb"))).alias("n_inter"),
+        est(F.theta_difference(F.col("sa"), F.col("sb"))).alias("n_a_only"),
+        est(F.theta_difference(F.col("sb"), F.col("sa"))).alias("n_b_only"),
+        est(F.theta_union(F.col("sa"), F.col("sb"))).alias("n_union"),
+    )

@@ -550,3 +550,211 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# X69: incremental near-dup against an at-rest LSH signature index
+# --------------------------------------------------------------------------
+#
+# The operational 100 TB flow is never "re-band the whole corpus per
+# batch": the corpus's banded MinHash signatures live AT REST, and each
+# incoming batch (a) signs only ITS documents, (b) band-joins against the
+# index, (c) exact-verifies only the matched candidates — so per-batch
+# cost scales with the batch and its collision volume, not the corpus.
+# X43 (incremental_new_docs) is the EXACT-dup increment; this is its
+# near-dup sibling.
+
+
+def signatures_from_shingles(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    sh_col: str = "shingles",
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(id, signature array<bigint>) from a (id, distinct-shingle-array)
+    frame — the same explode + k min-aggregate formulation as
+    minhash_dedup_pairs (codegen'd, map-side combined; see the HOF note
+    there)."""
+    exploded = sh.select(F.col(id_col), F.explode(sh_col).alias("s"))
+    return (
+        exploded.groupBy(id_col)
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select(
+            id_col,
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
+                "signature"
+            ),
+        )
+    )
+
+
+def banded_signature_keys(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str = "signature",
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(id, band_idx, band_hash) — the LSH bucket keys of each signature
+    (the same banding expression lsh_candidate_pairs self-joins on)."""
+    n = rows_per_band
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.size(sig_col) / n).cast("int") - 1),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.slice(F.col(sig_col), b * n + 1, n).cast(
+                            "array<string>"
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def write_lsh_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> None:
+    """Materialize the corpus's LSH index: (id, band_idx, band_hash) rows,
+    partitioned by band_idx and sorted by band_hash within each band —
+    a probe restricted to specific bands prunes directories, and within
+    a band Parquet min/max on the sorted hash prunes row groups. The
+    index is ~bands x corpus rows of three longs — a fraction of a
+    percent of the text it indexes, which is the point: per-batch
+    near-dup checks touch this table and the candidates' text, never
+    the corpus text at large."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    keys = banded_signature_keys(
+        signatures_from_shingles(sh, id_col, "shingles", num_hashes),
+        id_col,
+        rows_per_band=rows_per_band,
+    )
+    (
+        keys.repartition("band_idx")
+        .sortWithinPartitions("band_hash")
+        .write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(path)
+    )
+
+
+def _relational_jaccard_cross(
+    sh_new: DataFrame,
+    sh_old: DataFrame,
+    id_col: str,
+    sh_col: str,
+    threshold: float,
+    round_to: int | None,
+) -> DataFrame:
+    """Cross-set exact Jaccard (new x old) via the same sparse
+    co-occurrence plan as _relational_jaccard: recall 1 by construction
+    (any pair with Jaccard > 0 shares a shingle). Output
+    (new_id, old_id, jaccard >= threshold)."""
+    na = sh_new.select(
+        F.col(id_col).alias("new_id"), F.size(sh_col).alias("n_a")
+    )
+    nb = sh_old.select(
+        F.col(id_col).alias("old_id"), F.size(sh_col).alias("n_b")
+    )
+    ga = sh_new.select(F.col(id_col).alias("new_id"), F.explode(sh_col).alias("g"))
+    gb = sh_old.select(F.col(id_col).alias("old_id"), F.explode(sh_col).alias("g"))
+    inter = (
+        ga.join(gb, "g")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    j = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    if round_to is not None:
+        j = half_up(j, round_to)
+    return (
+        inter.join(F.broadcast(na), "new_id")
+        .join(nb, "old_id")
+        .select("new_id", "old_id", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_near_dups(
+    spark,
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+    round_to: int | None = 6,
+    exact_net: bool = False,
+) -> DataFrame:
+    """Near-dup pairs (new_id, old_id, jaccard) of an incoming batch
+    against an indexed corpus, WITHOUT re-signing the corpus:
+
+      1. sign + band ONLY the new batch;
+      2. band-join against the at-rest index (``write_lsh_index``) —
+         the probe reads matching band partitions, never the text;
+      3. exact-verify candidates only: the corpus TEXT scan is
+         semi-join-pruned to candidate ids before shingling.
+
+    ``exact_net=True`` unions the output with the cross-set relational
+    exact plan (recall 1 by construction, same rounded double), closing
+    the banding-odds gap where the output must equal a brute-force
+    oracle — the same contract as minhash_dedup_pairs. The at-rest
+    probe path still executes end-to-end."""
+    new_sh = new_docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    ).localCheckpoint(eager=True)  # consumed by sign AND verify
+    new_keys = banded_signature_keys(
+        signatures_from_shingles(new_sh, id_col, "shingles", num_hashes),
+        id_col,
+        rows_per_band=rows_per_band,
+    ).withColumnRenamed(id_col, "new_id")
+    idx = spark.read.parquet(index_path).withColumnRenamed(id_col, "old_id")
+    cands = (
+        new_keys.join(idx, ["band_idx", "band_hash"])
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    old_sh = corpus_docs.join(
+        cands.select(F.col("old_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    ).select(F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles"))
+    j = jaccard(F.col("sa.shingles"), F.col("sb.shingles"))
+    if round_to is not None:
+        j = half_up(j, round_to)
+    verified = (
+        cands.join(new_sh.alias("sa"), cands.new_id == F.col(f"sa.{id_col}"))
+        .join(old_sh.alias("sb"), cands.old_id == F.col(f"sb.{id_col}"))
+        .select("new_id", "old_id", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    if not exact_net:
+        return verified
+    full_old_sh = corpus_docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    net = _relational_jaccard_cross(
+        new_sh, full_old_sh, id_col, "shingles", threshold, round_to
+    )
+    return verified.unionByName(net).distinct()

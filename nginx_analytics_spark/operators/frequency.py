@@ -119,3 +119,95 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+# --------------------------------------------------------------------------
+# X68: mergeable count-min frequency sketches
+# --------------------------------------------------------------------------
+#
+# The approximate, MERGEABLE complement to heavy_hitters (exact, whole-
+# scan) — the frequency analogue of the per-day HLL distinct rollup
+# (aggregates.daily_sketches): store one count-min sketch per day, answer
+# ANY date-range "how often did key k appear" with O(days x depth) sketch
+# rows and ZERO raw-data access. A CMS is a depth x width counter matrix;
+# here it lives in its natural RELATIONAL form — sparse (day, d, col,
+# cnt) rows — so building is one groupBy, merging is literally SUM, and
+# Spark's columnar machinery does everything (no binary blobs, no UDAF).
+# Estimates never undercount (each cell >= the key's true count) and
+# overcount by at most the colliding tail: E[error] <= N / width per
+# row, min over depth rows (Cormode & Muthukrishnan 2005).
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def _cms_cells(key_col: F.Column, depth: int, width: int) -> F.Column:
+    """array<struct<d, col>> — the key's cell per hash row. Row d's hash
+    is xxhash64(key, d): one 64-bit mix per row, engine-deterministic."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(key_col, F.lit(d)), F.lit(width)).alias("col"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_daily_sketches(
+    df: DataFrame,
+    ts: str,
+    key: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """One sparse CMS per day: (day, d, col, cnt). The explode fans each
+    row to ``depth`` cells INSIDE the scan stage (pipelined, map-side
+    partial-aggregated); the exchange carries at most
+    days x depth x width pre-aggregated cells — a fixed budget
+    independent of row count, the whole point at 100 TB."""
+    cells = df.select(
+        F.date_trunc("day", F.col(ts)).alias("day"),
+        F.explode(_cms_cells(F.col(key), depth, width)).alias("cell"),
+    )
+    return (
+        cells.select("day", "cell.d", "cell.col")
+        .groupBy("day", "d", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketches: DataFrame,
+    probes: DataFrame,
+    key: str,
+    day_lo: str,
+    day_hi: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(key, est) per probe key over [day_lo, day_hi): merge the covered
+    daily sketches (SUM per cell — sketches are counters, so union IS
+    addition and merged-then-queried == built-over-the-range, property-
+    tested), look up each probe's cell per hash row, take the min.
+    A probe key never seen in the range estimates 0 via the coalesce.
+    The merged sketch is at most depth x width rows — broadcast-sized
+    by construction, so probing is a broadcast join however many keys
+    are probed."""
+    merged = (
+        sketches.filter(
+            (F.col("day") >= F.lit(day_lo).cast("timestamp"))
+            & (F.col("day") < F.lit(day_hi).cast("timestamp"))
+        )
+        .groupBy("d", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    lookups = probes.select(F.col(key)).distinct().select(
+        key, F.explode(_cms_cells(F.col(key), depth, width)).alias("cell")
+    ).select(key, "cell.d", "cell.col")
+    return (
+        lookups.join(F.broadcast(merged), ["d", "col"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -179,6 +179,62 @@ def exact_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+# X69 split: the trailing ~10% of the portable hash space plays the
+# incoming batch; the rest is the indexed corpus.
+_INCR_NEW_FRAC = 0.9
+_INCR_SALT = 13
+
+
+@query(
+    "incremental_near_dups",
+    f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    tagged AS (
+        SELECT doc_id, sh,
+               {portable_frac_sql("doc_id", _INCR_SALT)} >= {_INCR_NEW_FRAC}
+                   AS is_new
+        FROM s
+    )
+    SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+           {R6_SQL.format(x="len(list_intersect(a.sh, b.sh))::DOUBLE"
+                            " / len(list_distinct(list_concat(a.sh, b.sh)))")}
+               AS jaccard
+    FROM tagged a JOIN tagged b ON a.is_new AND NOT b.is_new
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def incremental_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69: incremental NEAR-dup of an incoming batch against an
+    at-rest LSH signature index — the operational sibling of X43's
+    exact-key increment. Each run stages the corpus index
+    (write_lsh_index: banded MinHash keys partitioned by band), signs
+    ONLY the batch, probes the index (three longs per band-row — a
+    fraction of a percent of the text it stands for), and
+    exact-verifies candidates with the corpus TEXT scan
+    semi-join-pruned to matches — per-batch cost scales with the batch
+    and its collision volume, never the corpus. exact_net=True (the
+    minhash_dedup_pairs contract) makes the output equal the
+    brute-force cross-set Jaccard BY CONSTRUCTION, so the oracle is
+    exact while the at-rest probe path executes end-to-end; the
+    pure-LSH probe is property-tested (subset + recall) in
+    tests/test_dataops.py."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    frac = sampling.portable_frac("doc_id", salt=_INCR_SALT)
+    new_docs = docs.filter(frac >= _INCR_NEW_FRAC)
+    corpus = docs.filter(frac < _INCR_NEW_FRAC)
+    index_path = tempfile.mkdtemp(prefix="nas_lsh_index_") + "/idx"
+    dedup.write_lsh_index(corpus, index_path)
+    pairs = dedup.incremental_near_dups(
+        spark, new_docs, corpus, index_path,
+        threshold=0.0, round_to=None, exact_net=True,
+    )
+    return pairs.select(
+        "new_id", "old_id", r6(F.col("jaccard")).alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
 @query(
     "dedup_clusters",
     f"""
@@ -1823,6 +1879,157 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     return features.ntile_bins(ev, "event_type", "value", "event_id", 10)
+
+
+@query(
+    "data_expectations",
+    """
+    SELECT 'events_event_id_unique' AS rule,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS violations,
+           count(*) - count(DISTINCT event_id) = 0 AS passed
+    FROM events
+    UNION ALL
+    SELECT 'events_user_id_not_null',
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0
+    FROM events
+    UNION ALL
+    SELECT 'events_value_within_0_100',
+           CAST(sum(CASE WHEN value IS NOT NULL
+                          AND (value < 0 OR value > 100)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 100)
+               THEN 1 ELSE 0 END) = 0
+    FROM events
+    UNION ALL
+    SELECT 'events_ts_in_fixture_window',
+           CAST(sum(CASE WHEN ts IS NOT NULL
+                          AND (ts < TIMESTAMP '2024-01-01 00:00:00'
+                               OR ts > TIMESTAMP '2024-02-01 00:00:00')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN ts IS NOT NULL
+                     AND (ts < TIMESTAMP '2024-01-01 00:00:00'
+                          OR ts > TIMESTAMP '2024-02-01 00:00:00')
+               THEN 1 ELSE 0 END) = 0
+    FROM events
+    UNION ALL
+    SELECT 'orders_custkey_in_customer',
+           CAST(count(*) FILTER (
+               o_custkey IS NOT NULL AND o_custkey NOT IN (
+                   SELECT c_custkey FROM customer)) AS BIGINT),
+           count(*) FILTER (
+               o_custkey IS NOT NULL AND o_custkey NOT IN (
+                   SELECT c_custkey FROM customer)) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_orderkey_in_orders',
+           CAST(count(*) FILTER (
+               l_orderkey IS NOT NULL AND l_orderkey NOT IN (
+                   SELECT o_orderkey FROM orders)) AS BIGINT),
+           count(*) FILTER (
+               l_orderkey IS NOT NULL AND l_orderkey NOT IN (
+                   SELECT o_orderkey FROM orders)) = 0
+    FROM lineitem
+    """,
+)
+def data_expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70: declarative data-quality gate (the Deequ/Great-Expectations
+    role, as plain Catalyst aggregates): four single-table rules over
+    events evaluated in ONE scan/aggregate pass (uniqueness via
+    distinct-agg, null-freedom, a value range, a timestamp window) plus
+    two referential-integrity rules as LEFT ANTI orphan counts
+    (orders->customer, lineitem->orders). Output is (rule, violations,
+    passed) — counts, not booleans, because the count is what a monitor
+    stores and an operator pages on. The value-range rule FAILS on the
+    fixture by design (value tops out near 500): the report shape must
+    carry real violation counts, not just green checkmarks."""
+    from datetime import datetime
+
+    from nginx_analytics_spark.operators import expectations as ex
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    single_pass = ex.check(
+        ev,
+        {
+            "events_event_id_unique": ex.unique("event_id"),
+            "events_user_id_not_null": ex.not_null("user_id"),
+            "events_value_within_0_100": ex.within("value", 0.0, 100.0),
+            "events_ts_in_fixture_window": ex.within(
+                "ts", datetime(2024, 1, 1), datetime(2024, 2, 1)
+            ),
+        },
+    )
+    return ex.suite(
+        [
+            single_pass,
+            ex.check_reference(
+                orders, "o_custkey", customer, "c_custkey",
+                "orders_custkey_in_customer",
+            ),
+            ex.check_reference(
+                lineitem, "l_orderkey", orders, "o_orderkey",
+                "lineitem_orderkey_in_orders",
+            ),
+        ]
+    )
+
+
+@query("cms_user_counts_7d")  # CMS cells hash with xxhash64 — rows-only
+def cms_user_counts_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68: mergeable count-min frequency rollup — per-day sparse CMS
+    sketches over events.user_id, merged (cell-wise SUM) across the
+    trailing 7-day window and probed for every user's event count.
+    The frequency analogue of the X60 HLL rollup: any date range
+    answers from O(days x depth x width) pre-aggregated rows with zero
+    raw rescan. Estimates never undercount; overcount bound, the
+    merge==direct identity, and the empty-cell zero path are property-
+    tested in tests/test_sketches.py. Rows-only: the cell hash is
+    engine-native xxhash64, not SQL-portable by design."""
+    from nginx_analytics_spark.operators import frequency
+    from nginx_analytics_spark.registry import AS_OF, HISTORY_START
+
+    ev = load_table(spark, sf_dir, "events")
+    sketches = frequency.cms_daily_sketches(ev, "ts", "user_id")
+    probes = ev.select("user_id")
+    return frequency.cms_estimate(
+        sketches, probes, "user_id", HISTORY_START, AS_OF
+    )
+
+
+@query("kll_latency_percentiles_7d")  # sketch estimates — rows-only
+def kll_latency_percentiles_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71: mergeable KLL quantile rollup — per-day KLL sketches of
+    events.value merged over the trailing 7-day window, reading
+    p50/p95/p99 from O(days) sketch rows with zero raw rescan (the
+    quantile member of the sketch-rollup trilogy: X60 HLL distinct,
+    X68 CMS frequency). Rank-error-vs-exact and merged==direct
+    properties tested in tests/test_sketches.py; rows-only by nature
+    (sketch estimates are engine-specific)."""
+    from nginx_analytics_spark.registry import AS_OF, HISTORY_START
+
+    ev = load_table(spark, sf_dir, "events")
+    sketches = aggregates.kll_daily_sketches(ev, "ts", "value")
+    return aggregates.kll_range_percentiles(sketches, HISTORY_START, AS_OF)
+
+
+@query("theta_user_overlap")  # sketch estimates — rows-only
+def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72: Theta-sketch distinct SET ALGEBRA — the question the HLL
+    rollup cannot answer: how many distinct users did BOTH purchase and
+    error (intersection), either-only (differences), and either
+    (union), computed entirely in the compressed domain from one
+    mergeable sketch per event type. Below the sketch's 2^12 retention
+    the estimates are exact (asserted vs exact set ops in
+    tests/test_sketches.py); rows-only by nature."""
+    ev = load_table(spark, sf_dir, "events")
+    sketches = aggregates.theta_group_sketches(ev, "event_type", "user_id")
+    return aggregates.theta_overlap(
+        sketches.select("event_type", "sketch"), "event_type",
+        "purchase", "error",
+    )
 
 
 @query("value_buckets_approx")  # sketch cutpoints — engine-specific, rows-only

@@ -231,3 +231,34 @@ def test_cli_export_shards(spark, tmp_path):
     out = spark.read.parquet(f"{wh_dir}/training_shards")
     assert out.count() == load_table(spark, SF, "documents").count()
     assert out.select("shard").distinct().count() == 4
+
+
+def test_cli_handoff_bucketed_layout(spark, tmp_path):
+    """X67 with --layout bucketed: the curated corpus lands as a
+    catalog table hash-bucketed by doc_id (X38), and the shard export
+    consumes it with identical membership."""
+    from nginx_analytics_spark.operators import curation
+
+    wh_dir = f"{tmp_path}/warehouse"
+    try:
+        rc = jobs.main(
+            [
+                "handoff",
+                "--warehouse", wh_dir,
+                "--source", f"{SF}/documents.parquet",
+                "--n-shards", "4",
+                "--layout", "bucketed",
+            ]
+        )
+        assert rc == 0
+        corpus = spark.table("curated_corpus")
+        docs = load_table(spark, SF, "documents")
+        expected_ids = {
+            r.doc_id
+            for r in curation.curate_documents(docs).select("doc_id").collect()
+        }
+        assert {r.doc_id for r in corpus.select("doc_id").collect()} == expected_ids
+        shards = spark.read.parquet(f"{wh_dir}/training_shards")
+        assert {r.doc_id for r in shards.collect()} == expected_ids
+    finally:
+        spark.sql("DROP TABLE IF EXISTS curated_corpus")

@@ -585,3 +585,50 @@ def test_decode_stub_is_loud(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_stub(multimodal.attach_payload(docs))
+
+
+def test_incremental_near_dups_at_rest_probe(spark, tmp_path):
+    """X69 pure-LSH path: probing the at-rest index yields a SUBSET of
+    the exact cross-set pairs (verification is exact) with calibrated
+    recall (16x2 banding: candidate odds >= 1-(1-s^2)^16 ~ 0.999 at the
+    0.6 threshold), deterministically; the staged index is partitioned
+    by band."""
+    import os
+
+    from nginx_analytics_spark.operators import dedup, sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    frac = sampling.portable_frac("doc_id", salt=13)
+    new_docs = docs.filter(frac >= 0.9)
+    corpus = docs.filter(frac < 0.9)
+    idx = f"{tmp_path}/lsh_idx"
+    dedup.write_lsh_index(corpus, idx)
+    assert any(d.startswith("band_idx=") for d in os.listdir(idx))
+
+    pure = {
+        (r.new_id, r.old_id)
+        for r in dedup.incremental_near_dups(
+            spark, new_docs, corpus, idx, threshold=0.6, exact_net=False
+        ).collect()
+    }
+    sh_new = new_docs.select(
+        "doc_id", dedup.word_shingles("text").alias("sh")
+    )
+    sh_old = corpus.select("doc_id", dedup.word_shingles("text").alias("sh"))
+    exact = {
+        (r.new_id, r.old_id)
+        for r in dedup._relational_jaccard_cross(
+            sh_new, sh_old, "doc_id", "sh", 0.6, 6
+        ).collect()
+    }
+    assert exact, "fixture must plant cross-set near-dups"
+    assert pure <= exact
+    assert len(pure & exact) / len(exact) >= 0.9
+
+    again = {
+        (r.new_id, r.old_id)
+        for r in dedup.incremental_near_dups(
+            spark, new_docs, corpus, idx, threshold=0.6, exact_net=False
+        ).collect()
+    }
+    assert again == pure

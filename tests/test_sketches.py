@@ -1,4 +1,4 @@
-"""X60/X61: HLL sketch rollup mergeability + incremental-stats algebra."""
+"""X60/X61/X68: sketch rollup mergeability + incremental-stats algebra."""
 
 from __future__ import annotations
 
@@ -117,3 +117,158 @@ def test_finalize_matches_key_stats(spark):
     b = {(r.user_id, r.request_count, r.avg_request_time)
          for r in direct.collect()}
     assert a == b
+
+
+# ---- X68: count-min frequency rollup ------------------------------------
+
+
+def test_cms_never_undercounts_and_is_tight_here(spark):
+    """CMS guarantee: est >= true count for every probed key; and at
+    this fixture's load factor (150 users / 4x2048 cells) collisions
+    are rare enough that >= 90% of estimates are EXACT (calibrated:
+    measured 1.0 at sf0.001; the gate leaves margin for regeneration)."""
+    from nginx_analytics_spark.operators import frequency
+
+    ev = load_table(spark, SF, "events")
+    sketches = frequency.cms_daily_sketches(ev, "ts", "user_id")
+    est = {
+        r.user_id: r.est
+        for r in frequency.cms_estimate(
+            sketches, ev.select("user_id"), "user_id", LO, HI
+        ).collect()
+    }
+    true = {
+        r.user_id: r.n
+        for r in _range(ev).groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) >= set(true)
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+    exact = sum(1 for k, t in true.items() if est[k] == t)
+    assert exact / len(true) >= 0.9
+    # keys outside the window estimate >= 0 and only via collisions
+    for k, e in est.items():
+        if k not in true:
+            assert e >= 0
+
+
+def test_cms_merged_daily_equals_direct_build(spark):
+    """Counter union is addition: per-day sketches merged over the range
+    must give the SAME estimate as one sketch built from the filtered
+    range — the identity that makes the rollup answer arbitrary windows
+    without raw rescan."""
+    from nginx_analytics_spark.operators import frequency
+
+    ev = load_table(spark, SF, "events")
+    probes = ev.select("user_id")
+    daily = frequency.cms_daily_sketches(ev, "ts", "user_id")
+    via_merge = {
+        r.user_id: r.est
+        for r in frequency.cms_estimate(daily, probes, "user_id", LO, HI).collect()
+    }
+    direct_sketch = frequency.cms_daily_sketches(_range(ev), "ts", "user_id")
+    direct = {
+        r.user_id: r.est
+        for r in frequency.cms_estimate(
+            direct_sketch, probes, "user_id", LO, HI
+        ).collect()
+    }
+    assert via_merge == direct
+
+
+def test_cms_unseen_key_hits_empty_cell(spark):
+    """A probe key absent from the data estimates 0 when any of its
+    depth cells is empty (the coalesce path) — with 150 occupied keys
+    in 4x2048 cells an unseen key's min cell is empty."""
+    from nginx_analytics_spark.operators import frequency
+
+    ev = load_table(spark, SF, "events")
+    sketches = frequency.cms_daily_sketches(ev, "ts", "user_id")
+    probes = spark.createDataFrame(
+        [("user_never_seen_xyz",)], "user_id string"
+    )
+    got = frequency.cms_estimate(sketches, probes, "user_id", LO, HI).collect()
+    assert len(got) == 1 and got[0].est == 0
+
+
+# ---- X71: KLL quantile rollup -------------------------------------------
+
+
+def test_kll_range_percentiles_within_rank_error(spark):
+    """Merged daily KLL sketches must return range percentiles whose
+    EMPIRICAL RANK is within the sketch's rank-error bound of the
+    target (rank, not value, is the KLL contract — same reasoning as
+    the percentile_approx test). At k=2048 the two-sided error is
+    ~0.2%; the gate allows 1% plus empirical-CDF discreteness."""
+    from nginx_analytics_spark.operators import aggregates
+
+    ev = load_table(spark, SF, "events")
+    got = aggregates.kll_range_percentiles(
+        aggregates.kll_daily_sketches(ev, "ts", "value"), LO, HI
+    ).collect()[0]
+    vs = sorted(r.value for r in _range(ev).select("value").collect())
+    n = len(vs)
+    assert got.n_values == n
+    for p, target in (("p50", 0.50), ("p95", 0.95), ("p99", 0.99)):
+        est = getattr(got, p)
+        lo = sum(1 for v in vs if v < est) / n
+        hi = sum(1 for v in vs if v <= est) / n
+        tol = 0.01 + 2.0 / n
+        assert lo - tol <= target <= hi + tol, (p, est, lo, hi)
+
+
+def test_kll_merged_equals_direct_build(spark):
+    """Merging per-day sketches over the range must answer like a
+    sketch built directly from the filtered range (same n; quantiles
+    within the rank-error bound of each other — KLL merge preserves
+    the guarantee, not the byte-identical sketch)."""
+    from nginx_analytics_spark.operators import aggregates
+
+    ev = load_table(spark, SF, "events")
+    merged = aggregates.kll_range_percentiles(
+        aggregates.kll_daily_sketches(ev, "ts", "value"), LO, HI
+    ).collect()[0]
+    direct = aggregates.kll_range_percentiles(
+        aggregates.kll_daily_sketches(_range(ev), "ts", "value"), LO, HI
+    ).collect()[0]
+    assert merged.n_values == direct.n_values
+    vs = sorted(r.value for r in _range(ev).select("value").collect())
+    n = len(vs)
+    for p in ("p50", "p95", "p99"):
+        ra = sum(1 for v in vs if v <= getattr(merged, p)) / n
+        rb = sum(1 for v in vs if v <= getattr(direct, p)) / n
+        assert abs(ra - rb) <= 0.01 + 2.0 / n, (p, ra, rb)
+
+
+# ---- X72: Theta sketch set algebra --------------------------------------
+
+
+def test_theta_overlap_exact_below_retention(spark):
+    """With far fewer distinct users than the sketch's 2^12 retention,
+    Theta estimates are EXACT: every set-algebra output must equal the
+    corresponding exact distinct set operation."""
+    from nginx_analytics_spark.operators import aggregates
+
+    ev = load_table(spark, SF, "events")
+    got = aggregates.theta_overlap(
+        aggregates.theta_group_sketches(ev, "event_type", "user_id").select(
+            "event_type", "sketch"
+        ),
+        "event_type",
+        "purchase",
+        "error",
+    ).collect()[0]
+    users = lambda et: {  # noqa: E731
+        r.user_id
+        for r in ev.filter(F.col("event_type") == et)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    a, b = users("purchase"), users("error")
+    assert round(got.n_a) == len(a)
+    assert round(got.n_b) == len(b)
+    assert round(got.n_inter) == len(a & b)
+    assert round(got.n_a_only) == len(a - b)
+    assert round(got.n_b_only) == len(b - a)
+    assert round(got.n_union) == len(a | b)
