@@ -49,7 +49,10 @@ Methodology:
     dominate at 100 TB. The benched minhash entry is the PURE-LSH scale
     path (minhash_lsh_pairs); the exact_net oracle-gate variant is
     correctness-tier only.
-  * EXCLUDED by design: the side-effecting roundtrip harnesses
+  * EXCLUDED by design: bpe_merges (X75 — an iterative TRAINER whose
+    cost is 12 driver-coordinated rounds, the same reason the MLlib
+    fits below are excluded; its correctness is the golden-equivalence
+    test) and the side-effecting roundtrip harnesses
     (windowed_*/session_windows/streaming_ingest_roundtrip/
     anomaly_job_roundtrip — they stage temp files and drive real
     StreamingQueries whose trigger/teardown dominates wall time; the
@@ -146,6 +149,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "bpe_pair_counts",
         "repetition_stats",
         "pack_chunks",
+        "doc_chunks",
         "contamination_check",
         "pii_redaction",
         "multimodal_features",

@@ -214,6 +214,15 @@ def _build_parser():
         "--starting-offsets", default="latest", help="Kafka offset policy (T6)"
     )
     ing.add_argument("--max-files-per-trigger", type=int, default=None)
+    ing.add_argument(
+        "--exactly-once",
+        action="store_true",
+        help=(
+            "idempotent batch-id-directory sink (X73): a retried "
+            "micro-batch overwrites its own output instead of appending "
+            "a duplicate copy; read back via raw_logs_exactly_once"
+        ),
+    )
 
     ano = sub.add_parser(
         "anomaly", help="enriched parquet stream -> z-score detection -> anomalies"
@@ -302,7 +311,10 @@ def main(argv: list[str] | None = None) -> int:
             ).selectExpr("CAST(value AS STRING) AS value")
         else:
             stream = jsonl_stream(spark, args.source, args.max_files_per_trigger)
-        q = start_ingest(stream, wh, args.checkpoint, _parse_trigger(args.trigger))
+        q = start_ingest(
+            stream, wh, args.checkpoint, _parse_trigger(args.trigger),
+            exactly_once=args.exactly_once,
+        )
         q.awaitTermination()
         return 0
 

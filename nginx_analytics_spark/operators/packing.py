@@ -59,3 +59,56 @@ def pack_plan(
             & (F.floor(start / budget) != F.floor(end_incl / budget))
         ).alias("spans_boundary"),
     )
+
+
+def overlap_chunks(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X76: split each document into OVERLAPPING token windows — the
+    retrieval/context-window preparation twin of the X34 packer (packing
+    concatenates documents up to a budget; this fans one document out to
+    windows that preserve cross-boundary context). Windows start every
+    ``stride = chunk_size - overlap`` tokens; the final window may be
+    shorter but always reaches the last token, and a document at or
+    under ``chunk_size`` yields exactly one window.
+
+    Output: (id, chunk_idx, n_tokens, chunk_text). Pure Catalyst array
+    arithmetic — the token array binds once per row, the explode fans
+    out INSIDE the scan stage (pipelined, no shuffle at all), and the
+    window count is closed-form: 1 + ceil((n - chunk_size)/stride) for
+    n > chunk_size. Deterministic and oracle-expressible (the DuckDB
+    twin slices the same windows)."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    stride = chunk_size - overlap
+    w = F.split(F.col(text_col), " ")
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        k = F.lit(1) + F.greatest(
+            F.lit(0).cast("bigint"),
+            F.floor((n - F.lit(chunk_size) + F.lit(stride - 1)) / F.lit(stride)),
+        )
+        return F.transform(
+            F.sequence(F.lit(0).cast("bigint"), k - 1),
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                F.slice(toks, i * stride + 1, chunk_size).alias("toks"),
+            ),
+        )
+
+    # bind the token array once per row (the word_shingles let-binding trick)
+    chunks = F.element_at(F.transform(F.array(w), build), 1)
+    return (
+        docs.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.toks").cast("bigint").alias("n_tokens"),
+            F.array_join("c.toks", " ").alias("chunk_text"),
+        )
+    )

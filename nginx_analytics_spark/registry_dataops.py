@@ -179,6 +179,55 @@ def exact_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+@query("bpe_merges")  # iterative algorithm — not SQL-expressible, rows-only
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75: distributed BPE tokenizer training — the iterative merge-
+    learning loop (Sennrich 2016) over the documents fixture: corpus
+    scanned ONCE into a frequency-weighted vocabulary, then each round
+    is one codegen'd pair-weight aggregation + argmax + one Arrow merge
+    application; the driver holds only the merge table. Not
+    SQL-expressible (driver-coordinated iteration, like dedup_clusters'
+    CC loop but with a data-dependent argmax per round) — correctness
+    is a golden equivalence test against a sequential reference
+    implementation of the same algorithm (tests/test_bpe.py)."""
+    from nginx_analytics_spark.operators import bpe
+
+    return bpe.learn_merges(
+        load_table(spark, sf_dir, "documents"), n_merges=12
+    )
+
+
+@query(
+    "doc_chunks",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, w, n,
+               1 + greatest(0, (n - 64 + 47) // 48) AS n_chunks
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(len(w[i * 48 + 1 : i * 48 + 64]) AS BIGINT) AS n_tokens,
+           array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+    FROM k, unnest([x for x in range(0, n_chunks)]) AS u(i)
+    """,
+)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76: overlapping token-window chunking (chunk 64, overlap 16 ->
+    stride 48) — retrieval/context-window preparation; one shuffle-free
+    explode inside the scan stage (operators.packing.overlap_chunks)."""
+    from nginx_analytics_spark.operators.packing import overlap_chunks
+
+    return overlap_chunks(
+        load_table(spark, sf_dir, "documents"), chunk_size=64, overlap=16
+    )
+
+
 # X69 split: the trailing ~10% of the portable hash space plays the
 # incoming batch; the rest is the indexed corpus.
 _INCR_NEW_FRAC = 0.9

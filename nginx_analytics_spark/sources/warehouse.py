@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 RAW_LOGS = "raw_logs"
+RAW_LOGS_EO = "raw_logs_eo"  # exactly-once variant (batch-id directories)
 ANOMALIES = "anomalies"
 RESPONSE_TIME_PREDICTIONS = "response_time_predictions"
 TRAFFIC_FORECASTS = "traffic_forecasts"
@@ -60,6 +61,43 @@ class Warehouse:
             .write.mode("append")
             .partitionBy("log_date")
             .parquet(self.path(RAW_LOGS))
+        )
+
+    def append_raw_logs_exactly_once(
+        self,
+        enriched: DataFrame,
+        batch_id: int,
+        sort_by: str = "remote_addr",
+    ) -> None:
+        """X73: the idempotent foreachBatch sink — effectively-exactly-once
+        Parquet. ``append_raw_logs`` is at-least-once: a micro-batch that
+        fails AFTER its files land and then retries appends a second
+        copy. Here each batch lands under its own ``ingest_batch=<id>``
+        directory with OVERWRITE semantics, so a retry (same epoch id —
+        Spark's foreachBatch contract) REPLACES the batch's own output
+        instead of duplicating it. Combined with checkpointed offsets
+        this is the standard exactly-once recipe for non-transactional
+        sinks: deterministic batch id + idempotent write. The extra
+        directory level is the cost — a table format's metadata commit
+        (Iceberg/Delta) buys the same guarantee without it; reading goes
+        through :meth:`raw_logs_exactly_once`, which hides the level."""
+        dest = os.path.join(self.path(RAW_LOGS_EO), f"ingest_batch={batch_id}")
+        (
+            enriched.withColumn("log_date", F.to_date("timestamp"))
+            .sortWithinPartitions(sort_by)
+            .write.mode("overwrite")
+            .partitionBy("log_date")
+            .parquet(dest)
+        )
+
+    def raw_logs_exactly_once(self) -> DataFrame:
+        """Logical view of the exactly-once raw_logs: partition discovery
+        exposes the ingest_batch bookkeeping level; drop it so consumers
+        see the same schema ``append_raw_logs`` produces (log_date
+        partition pruning still applies — it remains a partition column
+        one level down)."""
+        return self.spark.read.parquet(self.path(RAW_LOGS_EO)).drop(
+            "ingest_batch"
         )
 
     def append(self, table: str, df: DataFrame, stamp: str | None = None) -> None:

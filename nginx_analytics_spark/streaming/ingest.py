@@ -82,19 +82,29 @@ def start_ingest(
     checkpoint_dir: str,
     trigger: dict | None = None,
     on_batch: Callable[[int, int], None] | None = None,
+    exactly_once: bool = False,
 ) -> StreamingQuery:
     """parse_enrich the stream and append to raw_logs, one action per batch.
 
     ``trigger``: kwargs for DataStreamWriter.trigger (e.g.
     ``{"availableNow": True}`` in tests, ``{"processingTime": "1 minute"}``
     for the reference cadence).
+
+    ``exactly_once=True`` routes each batch through the idempotent
+    batch-id-directory sink (X73, ``append_raw_logs_exactly_once``): a
+    retried micro-batch overwrites its own output instead of appending a
+    duplicate copy — the delivery guarantee the plain append sink cannot
+    give (retry after a landed-but-uncheckpointed batch duplicates).
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         enriched = parse_enrich_validated(batch_df)
         enriched.persist()
         try:
-            warehouse.append_raw_logs(enriched)
+            if exactly_once:
+                warehouse.append_raw_logs_exactly_once(enriched, batch_id)
+            else:
+                warehouse.append_raw_logs(enriched)
             n = enriched.count()  # served from cache — no recompute
             if on_batch is not None:
                 on_batch(batch_id, n)

@@ -35,11 +35,22 @@ class BatchMetricsListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
+        # Late-data observability (X74): rows a watermark silently drops
+        # are invisible in results BY DESIGN — the only place they are
+        # accounted for is the state-operator progress. Surfacing the
+        # count per batch is what lets an operator distinguish "no late
+        # data" from "late data being discarded" (and page on a
+        # watermark misconfigured tighter than the real event-time skew).
+        ops = list(p.stateOperators)
         rec = {
             "query_id": str(p.id),
             "batch_id": p.batchId,
             "num_input_rows": p.numInputRows,
             "duration_ms": dict(p.durationMs),
+            "dropped_by_watermark": sum(
+                op.numRowsDroppedByWatermark for op in ops
+            ),
+            "state_rows": sum(op.numRowsTotal for op in ops),
         }
         self.records.append(rec)
         if self._emit is not None:

@@ -164,3 +164,55 @@ def test_char_pair_counts_deterministic_order(spark):
     got = [(r["pair"], r["n"]) for r in t.char_pair_counts(df).collect()]
     # pairs: 'ab','ba','ab' from doc1 + 'ab' from doc2 -> ab:3, ba:1
     assert got == [("ab", 3), ("ba", 1)]
+
+
+def test_overlap_chunks_window_math(spark):
+    """X76 boundary math: single window at/under chunk_size; windows
+    start every stride tokens; consecutive full windows share exactly
+    ``overlap`` tokens; the last window reaches the final token; the
+    concatenation of stride-prefixes reconstructs the document."""
+    from nginx_analytics_spark.operators.packing import overlap_chunks
+
+    def toks(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [(1, toks(10)), (2, toks(64)), (3, toks(65)), (4, toks(200))],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in overlap_chunks(df, chunk_size=64, overlap=16).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    for rows in out.values():
+        rows.sort(key=lambda r: r.chunk_idx)
+
+    assert [r.n_tokens for r in out[1]] == [10]
+    assert [r.n_tokens for r in out[2]] == [64]
+    # 65 tokens: second window starts at 48, runs to token 64 (17 tokens)
+    assert [r.n_tokens for r in out[3]] == [64, 17]
+    assert out[3][1].chunk_text.split(" ")[0] == "t48"
+    # 200 tokens: starts 0,48,96,144 -> sizes 64,64,64,56
+    assert [r.n_tokens for r in out[4]] == [64, 64, 64, 56]
+    # consecutive full windows overlap by exactly 16 tokens
+    a, b = out[4][0].chunk_text.split(" "), out[4][1].chunk_text.split(" ")
+    assert a[-16:] == b[:16]
+    # last window reaches the final token
+    assert out[4][-1].chunk_text.split(" ")[-1] == "t199"
+    # stride-prefix concatenation reconstructs the document
+    recon = []
+    for r in out[4][:-1]:
+        recon.extend(r.chunk_text.split(" ")[:48])
+    recon.extend(out[4][-1].chunk_text.split(" "))
+    assert recon == toks(200).split(" ")
+
+
+def test_overlap_chunks_rejects_bad_overlap(spark):
+    from nginx_analytics_spark.operators.packing import overlap_chunks
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for bad in (-1, 64, 65):
+        try:
+            overlap_chunks(df, chunk_size=64, overlap=bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass

@@ -183,3 +183,72 @@ def test_anomaly_roundtrip_runs_two_micro_batches(spark, tmp_path):
         assert nonempty, f"expected a query with 2 non-empty batches: {by_query}"
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_listener_reports_watermark_drops(spark, tmp_path):
+    """X74: late-data observability — a row arriving beyond the
+    watermark delay is silently dropped from the windowed aggregation;
+    the listener must surface it via numRowsDroppedByWatermark so the
+    discard is visible operationally (the only place Spark accounts
+    for it). Three deterministic micro-batches, because the LATE-ROW
+    FILTER applies the PREVIOUS batch's watermark: batch 0 (12:00)
+    establishes event time, batch 1 (12:01) makes 11:50 the filter
+    watermark for batch 2, and batch 2's 10:00 row is then dropped and
+    counted."""
+    import glob
+    import os
+    import shutil
+
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from nginx_analytics_spark.streaming.metrics import BatchMetricsListener
+    from nginx_analytics_spark.streaming.windows import windowed_counts
+
+    work = str(tmp_path)
+    batch_dir = f"{work}/batches"
+    os.makedirs(batch_dir, exist_ok=True)
+
+    def stage(name, rows):
+        part = f"{work}/stage_{name}"
+        spark.createDataFrame(rows, "timestamp timestamp, k string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(part)
+        shutil.copy(
+            glob.glob(f"{part}/part-*.parquet")[0], f"{batch_dir}/{name}.parquet"
+        )
+
+    stage("b0", [Row(timestamp=datetime(2024, 1, 1, 12, 0, 0), k="a")])
+    stage("b1", [Row(timestamp=datetime(2024, 1, 1, 12, 1, 0), k="b")])
+    stage("b2", [Row(timestamp=datetime(2024, 1, 1, 10, 0, 0), k="late")])
+
+    listener = BatchMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.schema("timestamp timestamp, k string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(batch_dir)
+        )
+        out = windowed_counts(stream, delay="10 minutes", window="5 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("wm_drop_test")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = listener.wait_for_batches(q.id, 3)
+        assert sum(r["dropped_by_watermark"] for r in got) >= 1, got
+        # the on-time rows were not dropped
+        assert all(
+            r["dropped_by_watermark"] == 0 for r in got if r["batch_id"] < 2
+        ), got
+        # and the late row's window never reaches the emitted output
+        rows = spark.sql("SELECT * FROM wm_drop_test").collect()
+        assert all(r.window_start.hour != 10 for r in rows)
+    finally:
+        spark.streams.removeListener(listener)

@@ -209,3 +209,64 @@ def test_bucketed_aggregation_has_no_exchange(spark):
         assert "Exchange" not in buf.getvalue()
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_agg")
+
+
+def test_exactly_once_sink_retry_idempotent(spark, tmp_path):
+    """X73: the batch-id-directory sink is retry-idempotent. Replaying
+    the SAME batch id (Spark's foreachBatch retry contract) must leave
+    the table unchanged where the plain append sink would duplicate;
+    a new batch id appends; log_date partitioning survives underneath."""
+    from nginx_analytics_spark import jobs
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = jobs.enriched_events(spark, SF)
+    b0 = src.filter(F.col("event_id") % 2 == 0)
+    b1 = src.filter(F.col("event_id") % 2 == 1)
+
+    wh.append_raw_logs_exactly_once(b0, batch_id=0)
+    n0 = wh.raw_logs_exactly_once().count()
+    assert n0 == b0.count()
+
+    wh.append_raw_logs_exactly_once(b0, batch_id=0)  # the retry
+    assert wh.raw_logs_exactly_once().count() == n0  # NOT doubled
+
+    wh.append_raw_logs_exactly_once(b1, batch_id=1)
+    assert wh.raw_logs_exactly_once().count() == src.count()
+    assert "log_date" in wh.raw_logs_exactly_once().columns
+    assert "ingest_batch" not in wh.raw_logs_exactly_once().columns
+
+    # contrast: the plain append sink duplicates on replay
+    wh.append_raw_logs(b0)
+    wh.append_raw_logs(b0)
+    assert wh.table("raw_logs").count() == 2 * n0
+
+
+def test_exactly_once_ingest_reprocess_no_duplicates(spark, tmp_path):
+    """X73 end-to-end: re-running the exactly-once ingest over the same
+    source with a FRESH checkpoint (the lost-checkpoint disaster case —
+    availableNow re-delivers everything as batch 0) overwrites instead
+    of duplicating the warehouse."""
+    from nginx_analytics_spark.operators.logview import events_as_nginx_jsonl
+    from nginx_analytics_spark.streaming.ingest import jsonl_stream, start_ingest
+
+    work = str(tmp_path)
+    jsonl_dir = f"{work}/jsonl"
+    events_as_nginx_jsonl(load_table(spark, SF, "events")).coalesce(
+        2
+    ).write.mode("overwrite").text(jsonl_dir)
+    wh = Warehouse(spark, f"{work}/wh")
+
+    q = start_ingest(
+        jsonl_stream(spark, jsonl_dir), wh, f"{work}/ckpt1",
+        trigger={"availableNow": True}, exactly_once=True,
+    )
+    q.awaitTermination()
+    n = wh.raw_logs_exactly_once().count()
+    assert n > 0
+
+    q = start_ingest(
+        jsonl_stream(spark, jsonl_dir), wh, f"{work}/ckpt2",
+        trigger={"availableNow": True}, exactly_once=True,
+    )
+    q.awaitTermination()
+    assert wh.raw_logs_exactly_once().count() == n
