@@ -426,7 +426,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(
             f"handoff complete: {landed.count()} curated docs -> "
-            f"curated_corpus (z-ordered) -> {n} training shards"
+            f"curated_corpus ({args.layout}) -> {n} training shards"
         )
         return 0
 

@@ -311,10 +311,12 @@ def theta_group_sketches(df: DataFrame, group: str, key: str) -> DataFrame:
     """One Theta sketch of distinct ``key`` per ``group`` value — the
     mergeable representation that supports union AND intersection AND
     difference (HLL unions only). Store per (segment, day) at scale;
-    any segment-overlap question then answers from sketch rows."""
+    any segment-overlap question then answers from sketch rows. Only
+    the sketch is computed — an exact distinct alongside it would pay
+    the full two-phase distinct expand the sketch exists to avoid
+    (tests compare against exact set ops they compute themselves)."""
     return df.groupBy(group).agg(
         F.theta_sketch_agg(F.col(key)).alias("sketch"),
-        F.count_distinct(F.col(key)).alias("exact_distinct"),
     )
 
 

@@ -250,12 +250,16 @@ def hyperplane_lsh_pairs(
     )
 
     idc = id_col
+    # Preserve the pre-r5 type-agnostic contract: the output id type is
+    # whatever the input id column is (string keys worked in the join
+    # formulation and must keep working in the kernel one).
+    id_type = dict(banded.dtypes)[id_col]
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
-                "id_a": pd.Series([], dtype="int64"),
-                "id_b": pd.Series([], dtype="int64"),
+                "id_a": pd.Series([], dtype=pdf[idc].dtype),
+                "id_b": pd.Series([], dtype=pdf[idc].dtype),
                 "cosine": pd.Series([], dtype="float64"),
             }
         )
@@ -287,7 +291,7 @@ def hyperplane_lsh_pairs(
         return pd.concat(out, ignore_index=True)
 
     hits = banded.groupBy("band_idx", "band_val").applyInPandas(
-        verify, schema="id_a long, id_b long, cosine double"
+        verify, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
     )
     # Dedup across bands. A pair found in several buckets scored the same
     # fixed-operand BLAS dot everywhere, so max == every observation; the

@@ -270,13 +270,21 @@ def incremental_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     index BUILD (signing the whole corpus) by construction — in
     production that cost amortizes across every subsequent batch, and
     the recurring per-batch cost is the probe + pruned verify alone."""
+    import hashlib
+    import os
     import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
     frac = sampling.portable_frac("doc_id", salt=_INCR_SALT)
     new_docs = docs.filter(frac >= _INCR_NEW_FRAC)
     corpus = docs.filter(frac < _INCR_NEW_FRAC)
-    index_path = tempfile.mkdtemp(prefix="nas_lsh_index_") + "/idx"
+    # ONE deterministic staging dir per fixture, overwritten each run —
+    # a fresh mkdtemp per invocation leaked a full corpus index into
+    # /tmp every driver round / bench pass / pytest tier.
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"nas_lsh_index_{tag}", "idx"
+    )
     dedup.write_lsh_index(corpus, index_path)
     pairs = dedup.incremental_near_dups(
         spark, new_docs, corpus, index_path,
@@ -2078,10 +2086,7 @@ def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sketches.py); rows-only by nature."""
     ev = load_table(spark, sf_dir, "events")
     sketches = aggregates.theta_group_sketches(ev, "event_type", "user_id")
-    return aggregates.theta_overlap(
-        sketches.select("event_type", "sketch"), "event_type",
-        "purchase", "error",
-    )
+    return aggregates.theta_overlap(sketches, "event_type", "purchase", "error")
 
 
 @query("value_buckets_approx")  # sketch cutpoints — engine-specific, rows-only

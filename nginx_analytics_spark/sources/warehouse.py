@@ -77,7 +77,11 @@ class Warehouse:
         Spark's foreachBatch contract) REPLACES the batch's own output
         instead of duplicating it. Combined with checkpointed offsets
         this is the standard exactly-once recipe for non-transactional
-        sinks: deterministic batch id + idempotent write. The extra
+        sinks: deterministic batch id + idempotent write. The guarantee
+        is PER BATCH ID — it covers retries within a checkpointed run;
+        after a checkpoint LOSS it deduplicates only if the re-delivery
+        regroups into the same batch ids (true for an uncapped
+        availableNow drain, not in general). The extra
         directory level is the cost — a table format's metadata commit
         (Iceberg/Delta) buys the same guarantee without it; reading goes
         through :meth:`raw_logs_exactly_once`, which hides the level."""

@@ -251,9 +251,7 @@ def test_theta_overlap_exact_below_retention(spark):
 
     ev = load_table(spark, SF, "events")
     got = aggregates.theta_overlap(
-        aggregates.theta_group_sketches(ev, "event_type", "user_id").select(
-            "event_type", "sketch"
-        ),
+        aggregates.theta_group_sketches(ev, "event_type", "user_id"),
         "event_type",
         "purchase",
         "error",

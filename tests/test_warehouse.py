@@ -242,10 +242,15 @@ def test_exactly_once_sink_retry_idempotent(spark, tmp_path):
 
 
 def test_exactly_once_ingest_reprocess_no_duplicates(spark, tmp_path):
-    """X73 end-to-end: re-running the exactly-once ingest over the same
-    source with a FRESH checkpoint (the lost-checkpoint disaster case —
-    availableNow re-delivers everything as batch 0) overwrites instead
-    of duplicating the warehouse."""
+    """X73 end-to-end: a fresh-checkpoint rerun over the same source
+    deduplicates ONLY because the re-delivery regroups into the same
+    batch ids (availableNow with no file cap -> everything is batch 0
+    both times, which then overwrites itself). That is this scenario's
+    property, NOT a general checkpoint-loss guarantee: idempotency is
+    per batch id, so a rerun that regroups differently (e.g. a file cap
+    added) WOULD leave stale higher-numbered batch dirs behind. The
+    durable contract — same-batch-id retry replaces its own output — is
+    the previous test's subject."""
     from nginx_analytics_spark.operators.logview import events_as_nginx_jsonl
     from nginx_analytics_spark.streaming.ingest import jsonl_stream, start_ingest
 
