@@ -65,9 +65,10 @@ _ORACLES: dict[str, str] = {}
 # the final name (approx_distinct_users, a rows-only HLL estimate whose
 # driver row only re-counts rows; its accuracy gates live in pytest) is
 # the one allowed to fall off. The other r5 additions (the 6 TPC-H
-# completion shapes, incremental_near_dups, data_expectations,
-# cms_user_counts_7d), like the r4 cohort, rotate into r6's
-# _CHECK_FIRST — a 50-row budget cannot hold 110 queries, and the r3
+# completion shapes X66, incremental_near_dups, data_expectations,
+# cms_user_counts_7d, kll_latency_percentiles_7d, theta_user_overlap,
+# bpe_merges, doc_chunks), like the r4 cohort, rotate into r6's
+# _CHECK_FIRST — a 50-row budget cannot hold 114 queries, and the r3
 # cohort's record age takes precedence (r4 verdict item 1); all of
 # them are oracle-verified at both pytest tiers every round regardless.
 _CHECK_FIRST = [
