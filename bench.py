@@ -150,6 +150,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "repetition_stats",
         "pack_chunks",
         "doc_chunks",
+        "corpus_report",
         "contamination_check",
         "pii_redaction",
         "multimodal_features",

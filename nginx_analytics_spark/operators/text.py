@@ -588,3 +588,62 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         half_up(F.avg("lp"), round_to).alias("avg_logprob"),
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.55,
+) -> DataFrame:
+    """X77: the corpus DATASET CARD — the one-page summary a training
+    team reads before consuming a corpus: size, token budget, language
+    mix, quality distribution, and exact-duplicate rate, as
+    (metric, value) rows.
+
+    One plan, two passes over nothing but the fused scoring map: the
+    per-doc metrics come from :func:`clean_scores` (single Arrow pass,
+    pipelined into the scan), and every report line is an aggregate of
+    that frame computed in ONE global aggregation (the distinct-text
+    dup rate expands to Catalyst's standard two-phase distinct inside
+    the same aggregate). Shares are averages of 0/1 indicators;
+    NULL-quality docs (empty text) are excluded from the quality mean
+    by both engines' AVG semantics. All floats half_up-rounded — the
+    report is oracle-hash-checked, so the card's numbers are exactly
+    reproducible."""
+    from nginx_analytics_spark.functions.rounding import half_up
+
+    s = clean_scores(docs, id_col, text_col)
+    ind = lambda c: F.when(c, 1.0).otherwise(0.0)  # noqa: E731
+    agg = s.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("ws_tokens").cast("double").alias("total_ws_tokens"),
+        half_up(F.avg("ws_tokens")).alias("mean_ws_tokens"),
+        F.max("ws_tokens").cast("double").alias("max_ws_tokens"),
+        half_up(F.avg(ind(F.col("predicted_lang") == "en"))).alias(
+            "share_lang_en"
+        ),
+        half_up(F.avg(ind(F.col("predicted_lang") == "und"))).alias(
+            "share_lang_und"
+        ),
+        half_up(F.avg("quality")).alias("mean_quality"),
+        half_up(F.avg(ind(F.col("quality") >= min_quality))).alias(
+            "share_quality_pass"
+        ),
+        half_up(
+            F.lit(1.0)
+            - F.count_distinct(F.col(text_col)) / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+    )
+    names = [
+        "n_docs", "total_ws_tokens", "mean_ws_tokens", "max_ws_tokens",
+        "share_lang_en", "share_lang_und", "mean_quality",
+        "share_quality_pass", "exact_dup_rate",
+    ]
+    branches = [
+        F.struct(F.lit(n).alias("metric"), F.col(n).alias("value"))
+        for n in names
+    ]
+    return agg.select(F.explode(F.array(*branches)).alias("r")).select(
+        "r.metric", "r.value"
+    )

@@ -1228,6 +1228,76 @@ def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(load_table(spark, sf_dir, "documents"))
 
 
+_QUALITY_SQL = (
+    "CASE WHEN n_chars = 0 THEN NULL ELSE "
+    + R6_SQL.format(
+        x="0.4 * least(1.0, len(w) / 100.0)"
+        " + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))"
+        " + 0.2 * (1 - n_punct::DOUBLE / n_chars)"
+        " + 0.1 * least(1.0, 4 * (len(list_filter(w, x -> list_contains("
+        "[{en_words}], x)))::DOUBLE / len(w)))"
+    )
+    + " END"
+)
+
+
+@query(
+    "corpus_report",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    s AS (SELECT doc_id, text, w, n_chars, n_punct, {{lang_scores}} FROM t),
+    m AS (
+        SELECT doc_id, text, {{lang_case}} AS predicted_lang,
+               len(w) AS ws_tokens, {_QUALITY_SQL} AS quality
+        FROM s
+    ),
+    a AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(sum(ws_tokens) AS DOUBLE) AS total_ws_tokens,
+               {half_up_sql("avg(ws_tokens)")} AS mean_ws_tokens,
+               CAST(max(ws_tokens) AS DOUBLE) AS max_ws_tokens,
+               {half_up_sql(
+                   "avg(CASE WHEN predicted_lang = 'en'"
+                   " THEN 1.0 ELSE 0.0 END)")} AS share_lang_en,
+               {half_up_sql(
+                   "avg(CASE WHEN predicted_lang = 'und'"
+                   " THEN 1.0 ELSE 0.0 END)")} AS share_lang_und,
+               {half_up_sql("avg(quality)")} AS mean_quality,
+               {half_up_sql(
+                   "avg(CASE WHEN quality >= 0.55"
+                   " THEN 1.0 ELSE 0.0 END)")} AS share_quality_pass,
+               {half_up_sql(
+                   "1.0 - count(DISTINCT text) / (count(*) * 1.0)"
+               )} AS exact_dup_rate
+        FROM m
+    )
+    SELECT 'n_docs' AS metric, n_docs AS value FROM a
+    UNION ALL SELECT 'total_ws_tokens', total_ws_tokens FROM a
+    UNION ALL SELECT 'mean_ws_tokens', mean_ws_tokens FROM a
+    UNION ALL SELECT 'max_ws_tokens', max_ws_tokens FROM a
+    UNION ALL SELECT 'share_lang_en', share_lang_en FROM a
+    UNION ALL SELECT 'share_lang_und', share_lang_und FROM a
+    UNION ALL SELECT 'mean_quality', mean_quality FROM a
+    UNION ALL SELECT 'share_quality_pass', share_quality_pass FROM a
+    UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM a
+    """.replace("{lang_scores}", _lang_scores_sql())
+    .replace("{lang_case}", _lang_case_sql())
+    .replace("{en_words}", ", ".join(f"'{w}'" for w in text.STOPWORD_PROFILES["en"])),
+)
+def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77: the corpus dataset card — size, token budget, language mix,
+    quality distribution, exact-duplicate rate as (metric, value) rows,
+    from ONE fused scoring pass + ONE global aggregate
+    (operators.text.corpus_report). Oracle-hash-checked, so the card a
+    training team reads is exactly reproducible across engines."""
+    return text.corpus_report(load_table(spark, sf_dir, "documents"))
+
+
 @query(
     "doc_quality",
     f"""
