@@ -37,6 +37,19 @@ Methodology:
     drift tail). If two runs disagree by >2x another run is taken and
     the best kept: HotSpot occasionally deoptimizes/recompiles mid-run —
     a JVM artifact, not a plan cost.
+  * JIT PLATEAU RULE (r6, closing r4 item 3's residual): sub-second
+    queries keep sampling (cap 6) while each run still improves the
+    best by >10%. ROOT CAUSE of the r3->r5 drift on latency_percentiles
+    (0.43 -> 0.58) and exact_dedup_events (0.29 -> 0.50), measured on a
+    quiet machine (loadavg 0.76): these two are dominated by
+    SortExec/UnsafeExternalSorter codegen that tiered compilation takes
+    4-6 invocations to carry to C2 — a fresh JVM's 6 back-to-back runs
+    ramp monotonically 1.37/0.71/0.61/0.50/0.48/0.45 s and
+    0.81/0.39/0.36/0.35/0.33/0.33 s, converging on the r3 figures. r3's
+    smaller groups simply ran them after more same-JVM sort-shaped
+    warmup; best-of-2/3 was sampling the still-warming tail, not a plan
+    regression. The plateau rule reports the converged figure for every
+    sub-second query, so round-over-round deltas reflect plans again.
   * INGEST THROUGHPUT: a separate fresh-JVM pass streams the fixture's
     events as nginx JSONL through the real foreachBatch parse->warehouse
     ingest (availableNow) and reports events/s end-to-end — the number
@@ -48,7 +61,14 @@ Methodology:
     corpus operators (MinHash dedup, ANN, text stats) — the shapes that
     dominate at 100 TB. The benched minhash entry is the PURE-LSH scale
     path (minhash_lsh_pairs); the exact_net oracle-gate variant is
-    correctness-tier only.
+    correctness-tier only. Same split for X69 (r5 verdict item 2): the
+    benched entry is incremental_near_dups_probe — sign batch, probe the
+    PRE-STAGED at-rest index, verify pruned candidates, i.e. the
+    recurring per-batch cost — while incremental_near_dups (one-time
+    index build + exact_net brute-force union, the driver's exact
+    oracle twin) is excluded like minhash_dedup_pairs. The probe's
+    first-ever run on a fixture builds the index once; best-of-N then
+    reports the warm at-rest path, which is the production shape.
   * EXCLUDED by design: bpe_merges (X75 — an iterative TRAINER whose
     cost is 12 driver-coordinated rounds, the same reason the MLlib
     fits below are excluded; its correctness is the golden-equivalence
@@ -151,6 +171,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "pack_chunks",
         "doc_chunks",
         "corpus_report",
+        "corpus_report_incremental",
         "contamination_check",
         "pii_redaction",
         "multimodal_features",
@@ -162,7 +183,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "dedup_clusters",
         "exact_jaccard_pairs",
         "training_handoff",
-        "incremental_near_dups",
+        "incremental_near_dups_probe",
     ],
     # temporal/behavioral/sampling/ANN shapes
     "analytics": [
@@ -232,6 +253,14 @@ def run_group(group: str, sf_dir: str, cpus: int) -> dict[str, float]:
             samples.append(run(name))
         if min(samples) < SUBSECOND and len(samples) < 3:
             samples.append(run(name))
+        # JIT plateau rule (r6, see docstring): sort-dominated shapes
+        # ramp for 4-6 invocations; sample until <10% improvement.
+        while min(samples) < SUBSECOND and len(samples) < 6:
+            nxt = run(name)
+            improved = nxt < 0.9 * min(samples)
+            samples.append(nxt)
+            if not improved:
+                break
         timings[name] = round(min(samples), 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
     spark.stop()

@@ -620,6 +620,23 @@ def banded_signature_keys(
     )
 
 
+LSH_INDEX_META = "_lsh_meta.json"
+
+
+def lsh_index_meta_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{LSH_INDEX_META}"
+
+
+def read_lsh_index_meta(path: str) -> dict:
+    """Load the index's parameter sidecar. Raises FileNotFoundError for a
+    pre-sidecar (or foreign) index — probing such an index would silently
+    band-join against unknown hash parameters, so callers fail loudly."""
+    import json
+
+    with open(lsh_index_meta_path(path)) as f:
+        return json.load(f)
+
+
 def write_lsh_index(
     docs: DataFrame,
     path: str,
@@ -636,7 +653,18 @@ def write_lsh_index(
     index is ~bands x corpus rows of three longs — a fraction of a
     percent of the text it indexes, which is the point: per-batch
     near-dup checks touch this table and the candidates' text, never
-    the corpus text at large."""
+    the corpus text at large.
+
+    A ``_lsh_meta.json`` sidecar pins (shingle_n, num_hashes,
+    rows_per_band, id_col) with the data; ``incremental_near_dups``
+    validates it, because a probe signed with different parameters
+    band-joins against incompatible hashes and silently drops recall to
+    ~0 instead of erroring. (Sidecar I/O is plain ``open`` — the staging
+    paths here are driver-local; an HDFS/S3 deployment would route it
+    through the Hadoop FileSystem API like any _SUCCESS-style marker.)"""
+    import json
+    import os
+
     sh = docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
     )
@@ -652,6 +680,16 @@ def write_lsh_index(
         .partitionBy("band_idx")
         .parquet(path)
     )
+    meta = {
+        "id_col": id_col,
+        "shingle_n": shingle_n,
+        "num_hashes": num_hashes,
+        "rows_per_band": rows_per_band,
+    }
+    tmp = lsh_index_meta_path(path) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, lsh_index_meta_path(path))
 
 
 def _relational_jaccard_cross(
@@ -719,7 +757,33 @@ def incremental_near_dups(
     exact plan (recall 1 by construction, same rounded double), closing
     the banding-odds gap where the output must equal a brute-force
     oracle — the same contract as minhash_dedup_pairs. The at-rest
-    probe path still executes end-to-end."""
+    probe path still executes end-to-end.
+
+    The index's ``_lsh_meta.json`` sidecar (write_lsh_index) is
+    validated against this call's signing parameters FIRST: a probe
+    with mismatched (shingle_n, num_hashes, rows_per_band, id_col)
+    hashes into disjoint buckets and would return an empty/near-empty
+    result with no error — the worst failure mode for a dedup gate."""
+    want = {
+        "id_col": id_col,
+        "shingle_n": shingle_n,
+        "num_hashes": num_hashes,
+        "rows_per_band": rows_per_band,
+    }
+    try:
+        have = read_lsh_index_meta(index_path)
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"LSH index at {index_path!r} has no {LSH_INDEX_META} sidecar — "
+            "rebuild it with write_lsh_index (probing an index of unknown "
+            "parameters silently loses recall)"
+        ) from e
+    if have != want:
+        raise ValueError(
+            f"LSH index parameter mismatch at {index_path!r}: index was "
+            f"built with {have}, probe called with {want} — signatures are "
+            "incompatible and the band join would silently miss near-dups"
+        )
     new_sh = new_docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
     ).localCheckpoint(eager=True)  # consumed by sign AND verify

@@ -50,10 +50,21 @@ def within(col: str, lo, hi) -> Column:
 
 def unique(*cols: str) -> Column:
     """Rule: (cols) must be unique — violations = rows beyond the first
-    per key = count(*) - count(distinct cols). Distinct-agg expands to
-    Spark's standard two-phase plan inside the same aggregate."""
+    per key = count(*) - count(distinct struct(cols)).
+
+    The key is STRUCT-WRAPPED so NULLs compare as values (r5 ADVICE): a
+    bare multi-column count_distinct drops any row where ANY key column
+    is NULL, which reported every NULL-containing row as a duplicate —
+    conflating null-freedom (not_null's job) with duplication. Here two
+    (1, NULL) rows are one duplicate, and a single (1, NULL) row is no
+    violation at all. SQL twin: ``count(DISTINCT (c1, c2))`` (row-value
+    distinct treats NULL fields as values in ANSI engines too); for an
+    all-non-NULL key — e.g. a primary-key check — this is identical to
+    the bare form. Distinct-agg expands to Spark's standard two-phase
+    plan inside the same aggregate."""
     return (
-        F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols])
+        F.count(F.lit(1))
+        - F.count_distinct(F.struct(*[F.col(c) for c in cols]))
     ).cast("bigint")
 
 

@@ -189,6 +189,7 @@ def hyperplane_lsh_pairs(
     seed: int = 42,
     round_to: int = 6,
     block: int = 2048,
+    bucket_warn_cap: int | None = None,
 ) -> DataFrame:
     """Corpus self near-dup pairs by SRP-LSH buckets + exact cosine verify —
     the scale path for :func:`dedup.embedding_dedup_pairs`.
@@ -211,7 +212,15 @@ def hyperplane_lsh_pairs(
     (the score matrix is blocked, ``block`` rows at a time, so only the
     vectors persist). Bucket size is corpus/2^chunk in expectation —
     choose chunk (= n_planes/bands) so that holds; the production
-    regime's wider bands (below) shrink buckets another 16x.
+    regime's wider bands (below) shrink buckets another 16x. That
+    expectation can be violated by a DEGENERATE corpus (many zero or
+    identical-signature vectors funnel into one bucket, putting one
+    executor on the whole O(n^2) score alone): pass ``bucket_warn_cap``
+    to pay one extra cheap count pass (keys only, no vectors) that
+    surfaces any bucket above the cap as a loud RuntimeWarning BEFORE
+    the kernel runs — visibility before an executor OOMs (r5 ADVICE).
+    Off by default: the oracle-checked fixture queries are known-good,
+    and the warning pass is an operator's knob, not a tax on every run.
 
     Selectivity is parameter- AND distribution-dependent, and the honest
     formula is: background pairs (cosine ~0, P(bit match) = 1/2) collide at
@@ -248,6 +257,31 @@ def hyperplane_lsh_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
+
+    if bucket_warn_cap is not None:
+        import warnings
+
+        hot = (
+            banded.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > bucket_warn_cap)
+            .orderBy(F.col("n").desc())
+            .limit(20)
+            .collect()
+        )
+        if hot:
+            detail = ", ".join(
+                f"(band {r.band_idx}, val {r.band_val}): {r.n}" for r in hot
+            )
+            warnings.warn(
+                f"hyperplane_lsh_pairs: {len(hot)}+ LSH bucket(s) exceed "
+                f"bucket_warn_cap={bucket_warn_cap} — one executor will "
+                f"score each hot bucket alone ({detail}). Widen bands "
+                "(larger n_planes/bands chunk) or pre-drop degenerate "
+                "(zero/constant) vectors.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     idc = id_col
     # Preserve the pre-r5 type-agnostic contract: the output id type is

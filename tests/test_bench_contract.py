@@ -89,6 +89,10 @@ def test_bench_covers_every_oracle_matched_query():
         # construction; the benched headline is the pure-LSH scale path
         # (minhash_lsh_pairs)
         "minhash_dedup_pairs",
+        # same split for X69 (r5 verdict item 2): the benched headline is
+        # incremental_near_dups_probe (pre-staged index, exact_net=False);
+        # this exact_net + index-build variant is the oracle gate
+        "incremental_near_dups",
     }
     benched = set(bench.BENCH_QUERIES)
     gaps = [

@@ -324,6 +324,36 @@ def test_embedding_lsh_pairs_recall(spark):
     assert recall >= 0.7, f"SRP bucket recall {recall:.2f} below calibrated gate"
 
 
+def test_hyperplane_hot_bucket_guard(spark):
+    """r5 ADVICE: a degenerate corpus (identical vectors => identical SRP
+    signatures) funnels everything into one bucket per band; the opt-in
+    bucket_warn_cap must surface that loudly BEFORE the kernel runs, and
+    must stay silent on a healthy corpus."""
+    import warnings
+
+    n = 64
+    degen = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        similarity.hyperplane_lsh_pairs(
+            degen, threshold=0.99, bucket_warn_cap=16
+        )
+        hot = [x for x in w if issubclass(x.category, RuntimeWarning)]
+        assert hot and "bucket" in str(hot[0].message)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_emb = emb.count()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        similarity.hyperplane_lsh_pairs(
+            emb, threshold=0.4, bucket_warn_cap=n_emb
+        )
+        assert not [x for x in w if issubclass(x.category, RuntimeWarning)]
+
+
 def test_approx_percentiles_within_rank_error(spark):
     """percentile_approx's contract is on RANK, not value: it returns an
     actual data element whose rank is within 1/accuracy of the target (a
@@ -632,3 +662,63 @@ def test_incremental_near_dups_at_rest_probe(spark, tmp_path):
         ).collect()
     }
     assert again == pure
+
+
+def test_lsh_index_meta_guard(spark, tmp_path):
+    """r5 ADVICE: an index probed with mismatched signing parameters
+    band-joins against incompatible hashes and silently loses recall —
+    the _lsh_meta.json sidecar must make that a loud error, and a
+    sidecar-less (pre-r6 / foreign) index must refuse to probe."""
+    import os
+
+    from nginx_analytics_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    idx = f"{tmp_path}/idx"
+    dedup.write_lsh_index(docs, idx, rows_per_band=2)
+    meta = dedup.read_lsh_index_meta(idx)
+    assert meta["rows_per_band"] == 2 and meta["shingle_n"] == 3
+
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dedup.incremental_near_dups(
+            spark, docs, docs, idx, rows_per_band=4
+        )
+    with pytest.raises(ValueError, match="mismatch"):
+        dedup.incremental_near_dups(spark, docs, docs, idx, shingle_n=5)
+
+    os.remove(dedup.lsh_index_meta_path(idx))
+    with pytest.raises(ValueError, match="sidecar"):
+        dedup.incremental_near_dups(spark, docs, docs, idx)
+
+
+def test_staged_lsh_index_reuse_and_probe_query(spark):
+    """The X69 registry pair: _staged_lsh_index publishes atomically and
+    REUSES a staged index (the probe query's recurring cost excludes the
+    build); incremental_near_dups_probe returns a subset of the exact_net
+    oracle entry's pairs at the same threshold."""
+    import os
+
+    from nginx_analytics_spark import registry, registry_dataops as rd
+
+    new_docs, corpus = rd._incr_split(spark, SF)
+    p1 = rd._staged_lsh_index(corpus, SF)
+    assert os.path.exists(dedup.lsh_index_meta_path(p1))
+    mtime = os.path.getmtime(dedup.lsh_index_meta_path(p1))
+    p2 = rd._staged_lsh_index(corpus, SF)
+    assert p2 == p1
+    assert os.path.getmtime(dedup.lsh_index_meta_path(p1)) == mtime  # no rebuild
+
+    q = registry.queries()
+    probe = {
+        (r.new_id, r.old_id)
+        for r in q["incremental_near_dups_probe"](spark, SF).collect()
+    }
+    exact = {
+        (r.new_id, r.old_id)
+        for r in q["incremental_near_dups"](spark, SF).collect()
+    }
+    assert exact and probe <= exact
+    assert len(probe) / len(exact) >= 0.9

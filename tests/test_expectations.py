@@ -37,13 +37,25 @@ def test_rule_semantics_on_edge_rows(spark):
             },
         )
     )
-    # count_distinct skips NULL keys: 5 rows - 3 distinct non-null = 2
-    # (the duplicate AND the null-key row surface; null-freedom is its
-    # own rule, which is why the two are paired)
-    assert got["k_unique"] == (2, False)
+    # struct-wrapped distinct counts NULL as a key VALUE (r5 ADVICE):
+    # 5 rows - 4 distinct keys {1, 2, 3, NULL} = 1 — only the true
+    # duplicate; the null-key row is not_null's finding, not unique's
+    assert got["k_unique"] == (1, False)
     assert got["k_not_null"] == (1, False)
     # NULL v is NOT a range violation (within is null-safe by contract)
     assert got["v_in_0_100"] == (2, False)
+
+
+def test_unique_multi_column_null_semantics(spark):
+    """r5 ADVICE: a composite key containing NULLs must count DUPLICATE
+    null-keys, not every null-containing row — (1, NULL) twice is one
+    violation; a lone (2, NULL) is none."""
+    df = spark.createDataFrame(
+        [Row(a=1, b=None), Row(a=1, b=None), Row(a=2, b=None), Row(a=1, b=1)],
+        "a int, b int",
+    )
+    got = _report(ex.check(df, {"ab_unique": ex.unique("a", "b")}))
+    assert got["ab_unique"] == (1, False)
 
 
 def test_reference_rule_counts_orphans(spark):

@@ -270,3 +270,72 @@ def test_theta_overlap_exact_below_retention(spark):
     assert round(got.n_a_only) == len(a - b)
     assert round(got.n_b_only) == len(b - a)
     assert round(got.n_union) == len(a | b)
+
+
+# ---- X78: incremental dataset card from sketch rollups -------------------
+
+
+def test_corpus_card_incremental_merged_equals_direct(spark):
+    """X78 (r5 verdict item 6): the card computed by merging per-source
+    rollup rows must equal the card computed from a single-group rollup
+    over the whole corpus — EXACTLY for the additive metrics and the
+    below-retention Theta vocabulary; within the estimator's error for
+    HLL distinct texts (a DataSketches HLL union can promote the target
+    representation, so merged and direct estimates may differ by a
+    count or two — the guarantee that merges is the ERROR BOUND, same
+    as KLL's rank error, not the byte-identical sketch)."""
+    from nginx_analytics_spark.operators import text as t
+
+    docs = load_table(spark, SF, "documents")
+    via_groups = {
+        r.metric: r.value
+        for r in t.corpus_report_incremental(t.corpus_rollups(docs)).collect()
+    }
+    one_group = {
+        r.metric: r.value
+        for r in t.corpus_report_incremental(
+            t.corpus_rollups(docs.withColumn("source", F.lit("all")))
+        ).collect()
+    }
+    for m in ("n_docs", "total_ws_tokens", "mean_ws_tokens",
+              "distinct_tokens"):
+        assert via_groups[m] == one_group[m], m
+    rel = abs(via_groups["distinct_texts"] - one_group["distinct_texts"])
+    assert rel / one_group["distinct_texts"] <= 0.01
+    assert abs(
+        via_groups["approx_exact_dup_rate"] - one_group["approx_exact_dup_rate"]
+    ) <= 0.01
+    n = int(via_groups["n_docs"])
+    lens = sorted(
+        r.n for r in docs.select(
+            F.size(F.split("text", " ")).alias("n")).collect()
+    )
+    for p, q in (("p50_ws_tokens", 0.5), ("p95_ws_tokens", 0.95)):
+        for card in (via_groups, one_group):
+            rank = sum(1 for v in lens if v <= card[p]) / n
+            assert abs(rank - q) <= 0.01 + 2.0 / n, (p, rank)
+
+
+def test_corpus_card_incremental_accuracy_vs_exact(spark):
+    """The sketch card's estimates must track ground truth: additive
+    metrics exactly; Theta vocabulary EXACTLY (fixture vocab is far
+    below the 2^12 retention); HLL distinct texts within 5%; and the
+    sketch dup rate within 5 points of X77's exact exact_dup_rate."""
+    from nginx_analytics_spark import registry
+
+    docs = load_table(spark, SF, "documents")
+    q = registry.queries()
+    card = {r.metric: r.value for r in q["corpus_report_incremental"](spark, SF).collect()}
+    exact_card = {r.metric: r.value for r in q["corpus_report"](spark, SF).collect()}
+    assert card["n_docs"] == exact_card["n_docs"]
+    assert card["total_ws_tokens"] == exact_card["total_ws_tokens"]
+    assert card["mean_ws_tokens"] == exact_card["mean_ws_tokens"]
+    true_vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .agg(F.count_distinct("t"))
+        .first()[0]
+    )
+    assert card["distinct_tokens"] == float(true_vocab)
+    true_texts = docs.agg(F.count_distinct("text")).first()[0]
+    assert abs(card["distinct_texts"] - true_texts) / true_texts <= 0.05
+    assert abs(card["approx_exact_dup_rate"] - exact_card["exact_dup_rate"]) <= 0.05
