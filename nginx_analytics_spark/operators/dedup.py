@@ -692,6 +692,79 @@ def write_lsh_index(
     os.replace(tmp, lsh_index_meta_path(path))
 
 
+def _check_lsh_index_meta(index_path: str, want: dict) -> None:
+    """Fail loudly when an index's sidecar is missing or disagrees with
+    the caller's signing parameters (r5 ADVICE: a silent mismatch
+    band-joins incompatible hashes and drops recall to ~0)."""
+    try:
+        have = read_lsh_index_meta(index_path)
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"LSH index at {index_path!r} has no {LSH_INDEX_META} sidecar — "
+            "rebuild it with write_lsh_index (probing an index of unknown "
+            "parameters silently loses recall)"
+        ) from e
+    if have != want:
+        raise ValueError(
+            f"LSH index parameter mismatch at {index_path!r}: index was "
+            f"built with {have}, probe called with {want} — signatures are "
+            "incompatible and the band join would silently miss near-dups"
+        )
+
+
+def append_lsh_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> None:
+    """X79: fold a new batch into an at-rest LSH index WITHOUT touching
+    the existing corpus signatures — the index-maintenance half of the
+    X69 loop (probe a batch, keep the novel docs, APPEND their band
+    keys so the next batch dedups against them too).
+
+    Signs ONLY ``docs`` and Parquet-appends its (id, band_idx,
+    band_hash) rows into the same ``band_idx`` partition layout: each
+    append adds one sorted file per touched band directory, so
+    directory pruning is unchanged and row-group min/max pruning holds
+    per file. Cost scales with the batch, never the index. After many
+    small appends, compaction is simply :func:`write_lsh_index` over
+    the full corpus (or a per-band file rewrite) — the same trade
+    every log-structured index makes.
+
+    The ``_lsh_meta.json`` sidecar is validated FIRST: appending keys
+    signed with different parameters would silently poison the index.
+    Content invariant (property-tested): write(A) then append(B) holds
+    exactly the same rows as write(A ∪ B) — only file layout differs."""
+    _check_lsh_index_meta(
+        path,
+        {
+            "id_col": id_col,
+            "shingle_n": shingle_n,
+            "num_hashes": num_hashes,
+            "rows_per_band": rows_per_band,
+        },
+    )
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    keys = banded_signature_keys(
+        signatures_from_shingles(sh, id_col, "shingles", num_hashes),
+        id_col,
+        rows_per_band=rows_per_band,
+    )
+    (
+        keys.repartition("band_idx")
+        .sortWithinPartitions("band_hash")
+        .write.mode("append")
+        .partitionBy("band_idx")
+        .parquet(path)
+    )
+
+
 def _relational_jaccard_cross(
     sh_new: DataFrame,
     sh_old: DataFrame,
@@ -764,26 +837,15 @@ def incremental_near_dups(
     with mismatched (shingle_n, num_hashes, rows_per_band, id_col)
     hashes into disjoint buckets and would return an empty/near-empty
     result with no error — the worst failure mode for a dedup gate."""
-    want = {
-        "id_col": id_col,
-        "shingle_n": shingle_n,
-        "num_hashes": num_hashes,
-        "rows_per_band": rows_per_band,
-    }
-    try:
-        have = read_lsh_index_meta(index_path)
-    except FileNotFoundError as e:
-        raise ValueError(
-            f"LSH index at {index_path!r} has no {LSH_INDEX_META} sidecar — "
-            "rebuild it with write_lsh_index (probing an index of unknown "
-            "parameters silently loses recall)"
-        ) from e
-    if have != want:
-        raise ValueError(
-            f"LSH index parameter mismatch at {index_path!r}: index was "
-            f"built with {have}, probe called with {want} — signatures are "
-            "incompatible and the band join would silently miss near-dups"
-        )
+    _check_lsh_index_meta(
+        index_path,
+        {
+            "id_col": id_col,
+            "shingle_n": shingle_n,
+            "num_hashes": num_hashes,
+            "rows_per_band": rows_per_band,
+        },
+    )
     new_sh = new_docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
     ).localCheckpoint(eager=True)  # consumed by sign AND verify

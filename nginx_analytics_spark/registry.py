@@ -61,30 +61,32 @@ _ORACLES: dict[str, str] = {}
 #
 # Round 6 (executing the rotation pre-committed in r5 and mandated by
 # the r5 verdict item 1): _CHECK_FIRST = exactly 50 names =
-#   * the 2 NEW r6 queries (the pure X69 probe benched per verdict
-#     item 2, and the X78 sketch-layer dataset card per item 6);
+#   * the 3 NEW r6 queries (the pure X69 probe benched per verdict
+#     item 2, the X78 sketch-layer dataset card per item 6, and the
+#     X79 append-built-index exact gate);
 #   * the 14 r5 additions that have never held a driver row (X66 ×6,
 #     X69/X70/X75/X76/X77 entries, the CMS/KLL/Theta rollups);
 #   * approx_distinct_users — the single oldest record (last row r3;
 #     it was r5's designated 51st-name spill);
-#   * 33 of the 50-query r4 cohort (last green r4).
-# The remaining 17 r4-cohort names are the DESIGNATED r6 SPILL — a
-# 50-row budget cannot hold 66 due names — chosen to cost the record
+#   * 32 of the 50-query r4 cohort (last green r4).
+# The remaining 18 r4-cohort names are the DESIGNATED r6 SPILL — a
+# 50-row budget cannot hold 67 due names — chosen to cost the record
 # least: the 5 rows-only entries whose driver row is only a row-count
 # re-probe with the real accuracy gates in pytest (ann_pq_topk,
 # minhash_lsh_pairs, value_buckets_approx, sketch_distinct_users_7d,
 # latency_percentiles_approx), count_raw (the one double-green r3+r4
-# record), and 11 single-table hash-green aggregates in change-isolated
-# families untouched since r4 (dataset_split_counts, value_deciles,
-# value_trends, daily_event_matrix, purchase_and_error_users,
-# error_only_users, traffic_cube, engaged_users, token_stats,
-# language_id, doc_fingerprint). They remain oracle-verified at both
-# pytest tiers every round, and head r7's _CHECK_FIRST together with
-# whatever r6 adds.
+# record), and 12 single-table hash-green map/agg queries in
+# change-isolated families untouched since r4 (dataset_split_counts,
+# value_deciles, value_trends, daily_event_matrix,
+# purchase_and_error_users, error_only_users, traffic_cube,
+# engaged_users, token_stats, language_id, doc_fingerprint,
+# doc_quality). They remain oracle-verified at both pytest tiers every
+# round, and head r7's _CHECK_FIRST together with whatever r6 adds.
 _CHECK_FIRST = [
-    # --- NEW r6 (verdict items 2 and 6) ---
+    # --- NEW r6 (verdict items 2 and 6, plus the X79 index-append gate) ---
     "incremental_near_dups_probe",
     "corpus_report_incremental",
+    "incremental_index_near_dups",
     # --- the 14 r5 additions, first-ever driver rows (verdict item 1) ---
     "min_cost_supplier",
     "product_profit",
@@ -126,7 +128,6 @@ _CHECK_FIRST = [
     "value_rank_profile",
     "doc_logprob",
     "clean_corpus",
-    "doc_quality",
     "ngram_jaccard_pairs",
     "conversion_funnel",
     "cohort_retention",

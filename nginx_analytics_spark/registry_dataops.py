@@ -241,7 +241,9 @@ def _incr_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     return docs.filter(frac >= _INCR_NEW_FRAC), docs.filter(frac < _INCR_NEW_FRAC)
 
 
-def _staged_lsh_index(corpus: DataFrame, sf_dir: str) -> str:
+def _staged_lsh_index(
+    corpus: DataFrame, sf_dir: str, split: bool = False
+) -> str:
     """Stage (or reuse) the corpus LSH index for the X69 queries and
     return its path. Concurrency/tenancy contract (r5 ADVICE):
 
@@ -261,7 +263,13 @@ def _staged_lsh_index(corpus: DataFrame, sf_dir: str) -> str:
 
     The one-time BUILD amortizes across every later probe — exactly the
     production shape, where the corpus index lives at rest and each
-    incoming batch pays only its own signing + probe + pruned verify."""
+    incoming batch pays only its own signing + probe + pruned verify.
+
+    ``split=True`` stages the X79 variant: the index is built
+    INCREMENTALLY — write_lsh_index over the first ~half of the corpus,
+    then append_lsh_index folds in the rest — exercising the
+    index-maintenance path end-to-end while remaining content-identical
+    to the one-shot build (append only adds files)."""
     import hashlib
     import os
     import shutil
@@ -275,7 +283,8 @@ def _staged_lsh_index(corpus: DataFrame, sf_dir: str) -> str:
             f"LSH staging root {root!r} is owned by uid {st.st_uid}, not "
             f"{os.getuid()} — refusing to stage into a foreign directory"
         )
-    params = f"{sf_dir}|n3|h{dedup.NUM_HASHES}|r{dedup.ROWS_PER_BAND}"
+    kind = "split" if split else "full"
+    params = f"{sf_dir}|{kind}|n3|h{dedup.NUM_HASHES}|r{dedup.ROWS_PER_BAND}"
     tag = hashlib.sha1(params.encode()).hexdigest()[:12]
     final = os.path.join(root, tag)
     idx = os.path.join(final, "idx")
@@ -286,7 +295,12 @@ def _staged_lsh_index(corpus: DataFrame, sf_dir: str) -> str:
         pass
     scratch = os.path.join(root, f".build-{tag}-{os.getpid()}")
     shutil.rmtree(scratch, ignore_errors=True)
-    dedup.write_lsh_index(corpus, os.path.join(scratch, "idx"))
+    if split:
+        half = sampling.portable_frac("doc_id", salt=_INCR_SALT) < F.lit(0.45)
+        dedup.write_lsh_index(corpus.filter(half), os.path.join(scratch, "idx"))
+        dedup.append_lsh_index(corpus.filter(~half), os.path.join(scratch, "idx"))
+    else:
+        dedup.write_lsh_index(corpus, os.path.join(scratch, "idx"))
     try:
         os.rename(scratch, final)
     except OSError:
@@ -295,9 +309,7 @@ def _staged_lsh_index(corpus: DataFrame, sf_dir: str) -> str:
     return idx
 
 
-@query(
-    "incremental_near_dups",
-    f"""
+_INCR_NEAR_DUPS_SQL = f"""
     WITH s AS ({_SHINGLES_SQL}),
     tagged AS (
         SELECT doc_id, sh,
@@ -311,8 +323,10 @@ def _staged_lsh_index(corpus: DataFrame, sf_dir: str) -> str:
                AS jaccard
     FROM tagged a JOIN tagged b ON a.is_new AND NOT b.is_new
     WHERE jaccard >= {JACCARD_THRESHOLD}
-    """,
-)
+    """
+
+
+@query("incremental_near_dups", _INCR_NEAR_DUPS_SQL)
 def incremental_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X69: incremental NEAR-dup of an incoming batch against an
     at-rest LSH signature index — the operational sibling of X43's
@@ -370,6 +384,32 @@ def incremental_near_dups_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, new_docs, corpus, index_path,
         threshold=JACCARD_THRESHOLD, exact_net=False,
     ).select("new_id", "old_id", "jaccard")
+
+
+@query("incremental_index_near_dups", _INCR_NEAR_DUPS_SQL)
+def incremental_index_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79: index MAINTENANCE closes the X69 loop — the at-rest index is
+    built INCREMENTALLY (write_lsh_index over ~half the corpus, then
+    append_lsh_index folds in the rest: sign-batch-only, Parquet append
+    into the same band partitions; dedup.append_lsh_index) and the
+    incoming batch probes that appended index. exact_net=True makes the
+    output equal the brute-force cross-set Jaccard BY CONSTRUCTION
+    (minhash_dedup_pairs contract) so the driver hash is exact while
+    the append-built index carries the probe end-to-end; the
+    append==rebuild content identity and the append-then-reprobe loop
+    are property-tested in tests/test_dataops.py. BENCH-EXCLUDED for
+    the same reason as incremental_near_dups: the recurring-cost
+    headline is incremental_near_dups_probe; this entry is the
+    correctness gate for the maintenance path."""
+    new_docs, corpus = _incr_split(spark, sf_dir)
+    index_path = _staged_lsh_index(corpus, sf_dir, split=True)
+    pairs = dedup.incremental_near_dups(
+        spark, new_docs, corpus, index_path,
+        threshold=0.0, round_to=None, exact_net=True,
+    )
+    return pairs.select(
+        "new_id", "old_id", r6(F.col("jaccard")).alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 @query(

@@ -91,8 +91,10 @@ def test_bench_covers_every_oracle_matched_query():
         "minhash_dedup_pairs",
         # same split for X69 (r5 verdict item 2): the benched headline is
         # incremental_near_dups_probe (pre-staged index, exact_net=False);
-        # this exact_net + index-build variant is the oracle gate
+        # these exact_net + index-build variants are the oracle gates for
+        # the one-shot (X69) and append-built (X79) index paths
         "incremental_near_dups",
+        "incremental_index_near_dups",
     }
     benched = set(bench.BENCH_QUERIES)
     gaps = [

@@ -722,3 +722,61 @@ def test_staged_lsh_index_reuse_and_probe_query(spark):
     }
     assert exact and probe <= exact
     assert len(probe) / len(exact) >= 0.9
+
+
+def test_append_lsh_index_equals_rebuild(spark, tmp_path):
+    """X79 content invariant: write(A) + append(B) holds EXACTLY the
+    same (id, band_idx, band_hash) rows as write(A ∪ B) — append only
+    changes file layout, never index content — and appending with
+    mismatched signing parameters fails loudly."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc, full = f"{tmp_path}/inc", f"{tmp_path}/full"
+    dedup.write_lsh_index(a, inc)
+    dedup.append_lsh_index(b, inc)
+    dedup.write_lsh_index(docs, full)
+
+    key = lambda df: {  # noqa: E731
+        (r.doc_id, r.band_idx, r.band_hash) for r in df.collect()
+    }
+    assert key(spark.read.parquet(inc)) == key(spark.read.parquet(full))
+
+    with pytest.raises(ValueError, match="mismatch"):
+        dedup.append_lsh_index(b, inc, shingle_n=5)
+
+
+def test_append_then_reprobe_loop(spark, tmp_path):
+    """The X79 operational loop: batch1 probes and is APPENDED; batch2
+    must then near-dup against batch1's docs through the index, without
+    anything ever re-signing the original corpus."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [(10, "an entirely different document about spark physical plans")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(20, "an entirely different document about spark physical plans now")],
+        "doc_id long, text string",
+    )
+    idx = f"{tmp_path}/idx"
+    dedup.write_lsh_index(corpus, idx)
+
+    hits1 = dedup.incremental_near_dups(
+        spark, batch1, corpus, idx, threshold=0.3
+    ).collect()
+    assert hits1 == []  # batch1 is novel
+    dedup.append_lsh_index(batch1, idx)
+
+    known = corpus.unionByName(batch1)
+    hits2 = {
+        (r.new_id, r.old_id)
+        for r in dedup.incremental_near_dups(
+            spark, batch2, known, idx, threshold=0.3
+        ).collect()
+    }
+    assert hits2 == {(20, 10)}  # found via the appended signatures
