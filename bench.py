@@ -66,9 +66,10 @@ Methodology:
     PRE-STAGED at-rest index, verify pruned candidates, i.e. the
     recurring per-batch cost — while incremental_near_dups (one-time
     index build + exact_net brute-force union, the driver's exact
-    oracle twin) is excluded like minhash_dedup_pairs. The probe's
-    first-ever run on a fixture builds the index once; best-of-N then
-    reports the warm at-rest path, which is the production shape.
+    oracle twin) and incremental_index_near_dups (X79: the same gate
+    over an append-built index) are excluded like minhash_dedup_pairs.
+    The probe's first-ever run on a fixture builds the index once;
+    best-of-N then reports the warm at-rest path, the production shape.
   * EXCLUDED by design: bpe_merges (X75 — an iterative TRAINER whose
     cost is 12 driver-coordinated rounds, the same reason the MLlib
     fits below are excluded; its correctness is the golden-equivalence

@@ -339,3 +339,36 @@ def test_corpus_card_incremental_accuracy_vs_exact(spark):
     true_texts = docs.agg(F.count_distinct("text")).first()[0]
     assert abs(card["distinct_texts"] - true_texts) / true_texts <= 0.05
     assert abs(card["approx_exact_dup_rate"] - exact_card["exact_dup_rate"]) <= 0.05
+
+
+def test_corpus_card_at_rest_rollup_roundtrip(spark, tmp_path):
+    """X78 operational loop: rollup rows persisted to Parquet, a new
+    batch APPENDS its own rollup rows (no grouping discipline needed —
+    the card's merge aggregate unions any number of rows per source),
+    and the card read from the at-rest table equals the card computed
+    over the full corpus in one pass (within the documented estimator
+    contracts; additive metrics exactly)."""
+    from nginx_analytics_spark.operators import text as t
+
+    docs = load_table(spark, SF, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    path = f"{tmp_path}/rollups"
+    t.corpus_rollups(old).write.mode("overwrite").parquet(path)
+    t.corpus_rollups(batch).write.mode("append").parquet(path)
+
+    at_rest = {
+        r.metric: r.value
+        for r in t.corpus_report_incremental(
+            spark.read.parquet(path)
+        ).collect()
+    }
+    direct = {
+        r.metric: r.value
+        for r in t.corpus_report_incremental(t.corpus_rollups(docs)).collect()
+    }
+    for m in ("n_docs", "total_ws_tokens", "mean_ws_tokens",
+              "distinct_tokens"):
+        assert at_rest[m] == direct[m], m
+    assert abs(at_rest["distinct_texts"] - direct["distinct_texts"]) \
+        / direct["distinct_texts"] <= 0.01
