@@ -48,8 +48,11 @@ Methodology:
     0.81/0.39/0.36/0.35/0.33/0.33 s, converging on the r3 figures. r3's
     smaller groups simply ran them after more same-JVM sort-shaped
     warmup; best-of-2/3 was sampling the still-warming tail, not a plan
-    regression. The plateau rule reports the converged figure for every
-    sub-second query, so round-over-round deltas reflect plans again.
+    regression. The plateau rule reports a converged-or-near-converged
+    figure (sample cap 6, stop under 10%/step improvement — in a busy
+    group it can stop a step or two short of the 6-run asymptote), so
+    round-over-round deltas reflect plans, with the residual bounded by
+    the documented ramp, not unexplained.
   * INGEST THROUGHPUT: a separate fresh-JVM pass streams the fixture's
     events as nginx JSONL through the real foreachBatch parse->warehouse
     ingest (availableNow) and reports events/s end-to-end — the number
