@@ -308,3 +308,16 @@ def test_tpch_completion_plan_hygiene(spark):
     assert "CartesianProduct" not in p21
     assert "LeftSemi" in p21  # EXISTS
     assert "LeftAnti" in p21  # NOT EXISTS
+
+
+def test_important_parts_reuses_fact_exchange(spark):
+    """Q11's scalar-threshold branch must not rescan the fact: the
+    per-part aggregate's shuffle is shared between the HAVING threshold
+    and the output, and AQE's exchange reuse dedups it AT RUNTIME (the
+    static formatted plan prints both branches in full, which is why
+    this asserts on the executed plan after an action)."""
+    df = registry.queries()["important_parts"](spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "ReusedExchange" in executed
