@@ -1255,16 +1255,20 @@ def ann_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X37 oracle tier: the IVFADC+R plan (PQ-encode -> ADC scan ->
     shortlist -> exact-L2 re-rank join) driven to an EXACT top-k so the
     full refine path is hash-checkable against brute-force squared L2.
-    The refine depth exceeds the oracle fixtures' 500-vector corpus, so
-    the shortlist is exhaustive and the re-rank decides everything —
-    exactness is guaranteed, not calibrated (this fixture's near-random
-    geometry would otherwise demand depth ~400 of 499 anyway, see
-    tests/test_pq.py). The re-rank folds dist = qq - 2qv + vv with the
-    deterministic sequential :func:`similarity.dot` and ranks on the
-    half-up-rounded value, mirroring the SQL twin term for term. The
-    production configuration (refine=50) stays the benched headline
-    ``ann_pq_topk``; this query pins the plan's correctness, the
-    headline its cost."""
+    The refine depth is max(600, corpus row count) — derived from the
+    corpus, so the shortlist is exhaustive and the re-rank decides
+    everything AT EVERY FIXTURE SCALE: exactness is structural, not
+    calibrated (r6 fix: the former fixed 600 was exhaustive for the
+    500-vector oracle fixtures but silently fell short of sf0.1's 2000
+    vectors, where an sf0.1 parity sweep caught a missed neighbor; this
+    fixture's near-random geometry would demand depth ~400 of 499 even
+    at the small scales, see tests/test_pq.py). The count() is one
+    cheap job over the corpus ids. The re-rank folds
+    dist = qq - 2qv + vv with the deterministic sequential
+    :func:`similarity.dot` and ranks on the half-up-rounded value,
+    mirroring the SQL twin term for term. The production configuration
+    (refine=50) stays the benched headline ``ann_pq_topk``; this query
+    pins the plan's correctness, the headline its cost."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_QUERY_COUNT).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1275,7 +1279,7 @@ def ann_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=ANN_K,
         m=8,
         n_codes=16,
-        refine=_PQ_REFINE_DEPTH,
+        refine=max(_PQ_REFINE_DEPTH, emb.count()),
         refine_exact_fold=True,
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))

@@ -106,3 +106,38 @@ def test_pq_topk_deterministic(spark, emb):
     a = sorted(map(tuple, similarity.pq_topk(emb, queries, k=5).collect()))
     b = sorted(map(tuple, similarity.pq_topk(emb, queries, k=5).collect()))
     assert a == b
+
+
+def test_exhaustive_refine_exact_beyond_fixture_size(spark):
+    """r6 regression (caught by the sf0.1 parity sweep): a FIXED refine
+    depth that happens to exceed the small fixtures' 500 vectors is not
+    an exactness guarantee — at 2000 vectors it silently missed a true
+    neighbor. The oracle-tier registry entry now derives refine from the
+    corpus row count; this pins the underlying contract on a synthetic
+    corpus LARGER than the old constant: refine >= n ==> the refined
+    top-k equals brute-force exact L2 for every query."""
+    rng = np.random.default_rng(7)
+    n = 700  # > the former fixed depth of 600
+    x = rng.normal(size=(n, 64))
+    # plant unambiguous near neighbors so exactness is a sharp assertion
+    x[650] = x[0] + 0.01
+    x[651] = x[1] + 0.01
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.filter(corpus.vec_id < 5).select(
+        corpus.vec_id.alias("query_id"), "embedding"
+    )
+    got = similarity.pq_topk(
+        corpus, queries, k=5, m=8, refine=n, refine_exact_fold=True
+    ).collect()
+    xe = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in corpus
+                   .orderBy("vec_id").collect()])
+    for q in range(5):
+        d = ((xe - xe[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        exact = list(np.argsort(d, kind="stable")[:5])
+        mine = [r.neighbor_id for r in sorted(
+            (r for r in got if r.query_id == q), key=lambda r: r.rank)]
+        assert mine == exact, (q, mine, exact)
