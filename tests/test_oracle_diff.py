@@ -54,6 +54,50 @@ def gate_con():
     c.close()
 
 
+# Opt-in sf0.1 parity tier (r6): the bench-scale sweep that caught the
+# refined-PQ fixed-depth defect (SCALING.md). OFF by default — it is a
+# per-round deep check, not an inner-loop gate — run with
+# SPARK_GRAFT_SF01=1. Exclusions are principled, not convenience:
+# oracle shapes DuckDB cannot finish at 10x docs (pair joins, the
+# recursive-CTE closure) and the two knife-edge float-order boundaries
+# documented in SCALING.md (64-row averages landing exactly on 6-dp
+# half-up ties, where the engines' summation order flips the last ulp).
+SF_BENCH = "/root/testdata/sf0.1"
+SF01_ORACLE_IMPRACTICAL = {
+    "dedup_clusters",            # recursive CTE: DuckDB ground >15 min
+    "exact_jaccard_pairs",       # pair joins over 10x docs in the oracle
+    "minhash_dedup_pairs",
+    "ngram_jaccard_pairs",       # (matches 0=0 — kept out for runtime only)
+    "embedding_dedup_pairs",
+    "incremental_near_dups",
+    "incremental_index_near_dups",
+}
+SF01_FLOAT_ORDER_BOUNDARY = {"incremental_ip_stats", "rolling_7d_avg"}
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SF01"), reason="SPARK_GRAFT_SF01 not set"
+)
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        set(ORACLES) - SF01_ORACLE_IMPRACTICAL - SF01_FLOAT_ORDER_BOUNDARY
+    ),
+)
+def test_oracle_match_sf01(spark, bench_con, name):
+    _, _, problems = run_query_pair(
+        spark, bench_con, QUERIES[name], ORACLES[name], SF_BENCH
+    )
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.fixture(scope="module")
+def bench_con():
+    c = duckdb_connection(SF_BENCH)
+    yield c
+    c.close()
+
+
 def test_no_bare_round_in_oracle_sql():
     """Lint: DuckDB's round() half-even/half-up behavior diverges from
     Spark's on ties, so every oracle must use the floor(x*1e6+0.5)/1e6
