@@ -81,7 +81,10 @@ _ORACLES: dict[str, str] = {}
 # purchase_and_error_users, error_only_users, traffic_cube,
 # engaged_users, token_stats, language_id, doc_fingerprint,
 # doc_quality). They remain oracle-verified at both pytest tiers every
-# round, and head r7's _CHECK_FIRST together with whatever r6 adds.
+# round, and head r7's _CHECK_FIRST together with whatever r6 adds
+# beyond the budget (currently: dedup_ingest_roundtrip, the X80
+# streaming dedup loop — rows-only, semantics pinned in
+# tests/test_streaming_jobs.py until its r7 row).
 _CHECK_FIRST = [
     # --- NEW r6 (verdict items 2 and 6, plus the X79 index-append gate) ---
     "incremental_near_dups_probe",

@@ -386,6 +386,68 @@ def incremental_near_dups_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("new_id", "old_id", "jaccard")
 
 
+@query("dedup_ingest_roundtrip")  # rows-only: side-effecting streaming
+# loop (corpus + index writes); every stage is deterministic, and the
+# per-path semantics are pinned by tests/test_streaming_jobs.py
+def dedup_ingest_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80 end-to-end: the streaming dedup-ingest loop over the fixture —
+    the documents table split into two deterministic micro-batches
+    (doc_id parity, maxFilesPerTrigger=1), each batch exact-deduped,
+    near-deduped within itself, probed against the at-rest LSH index,
+    and its admissions appended to corpus + index (X69 probe + X79
+    append inside foreachBatch; streaming/dedup_ingest.py). Returns one
+    row per batch (batch_id, n_in, n_novel) plus a final corpus-count
+    row — the admission telemetry a dedup gate monitors. The second
+    batch's novel count is depressed exactly by its cross-parity
+    near-dups, proving the index round-trip on fixture data."""
+    import os
+    import shutil
+    import tempfile
+
+    from nginx_analytics_spark.streaming.dedup_ingest import start_dedup_ingest
+
+    work = tempfile.mkdtemp(prefix="nas_dedup_ingest_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        for i, half in enumerate(
+            (docs.filter(F.col("doc_id") % 2 == 0),
+             docs.filter(F.col("doc_id") % 2 == 1))
+        ):
+            batch_dir = f"{work}/stage{i}"
+            half.coalesce(1).write.mode("overwrite").parquet(batch_dir)
+            part = next(
+                f for f in os.listdir(batch_dir) if f.endswith(".parquet")
+            )
+            dest = f"{src}/batch{i}.parquet"
+            shutil.move(f"{batch_dir}/{part}", dest)
+            os.utime(dest, (1700000000 + i * 60, 1700000000 + i * 60))
+        seen: list[tuple[int, int, int]] = []
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = start_dedup_ingest(
+            stream, f"{work}/corpus", f"{work}/idx", f"{work}/ckpt",
+            threshold=JACCARD_THRESHOLD,
+            trigger={"availableNow": True},
+            on_batch=lambda bid, n_in, n_novel: seen.append(
+                (bid, n_in, n_novel)
+            ),
+        )
+        q.awaitTermination()
+        n_corpus = spark.read.parquet(f"{work}/corpus").count()
+        rows = [(int(b), int(n), int(v)) for b, n, v in sorted(seen)]
+        rows.append((-1, n_corpus, n_corpus))
+        return spark.createDataFrame(
+            rows, "batch_id bigint, n_in bigint, n_novel bigint"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("incremental_index_near_dups", _INCR_NEAR_DUPS_SQL)
 def incremental_index_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X79: index MAINTENANCE closes the X69 loop — the at-rest index is

@@ -1,0 +1,140 @@
+"""X80: streaming corpus ingest with INCREMENTAL near-dedup — the X69
+probe and the X79 index append composed inside ``foreachBatch``, turning
+the batch operators into the continuous pipeline a training corpus
+actually runs:
+
+  for each micro-batch of documents:
+    1. exact-dedup WITHIN the batch (normalized text, deterministic
+       min-id survivor — ``dedup.exact_dedup``);
+    2. near-dedup WITHIN the batch (MinHash-LSH pairs at the production
+       threshold; the GREATER id of each passing pair is dropped — the
+       standard greedy pass, so a chain A~B~C keeps only A);
+    3. near-dedup AGAINST THE CORPUS via the at-rest LSH index
+       (``dedup.incremental_near_dups``, exact_net=False — the pure
+       probe: sign the batch only, band-join the index, exact-verify
+       candidates with the corpus text scan semi-join-pruned to them);
+    4. append the surviving NOVEL docs to the corpus store and their
+       band keys to the index (``dedup.append_lsh_index``), so the NEXT
+       batch dedups against them too.
+
+Per-batch cost scales with the batch and its collision volume, never
+the corpus — the whole point of the at-rest index (SURVEY.md §2.9
+X69/X79/X80). The reference has no corpus pipeline at all; this is the
+engine extension a 100 TB training-data deployment needs.
+
+Delivery semantics: the corpus append is at-least-once (a batch that
+fails between the corpus write and the index append replays and may
+re-append; its docs then band-match THEMSELVES in the replayed probe —
+self-matches are excluded by id inequality, so replay does not
+self-suppress, but duplicates can land). The X73 per-batch-directory
+overwrite trick composes here exactly as in ``start_ingest`` when
+effectively-exactly-once corpus output is required; kept out of this
+module to keep the dedup mechanics legible.
+
+The index bootstrap (first batch ever) writes the index instead of
+appending; both paths stamp/validate the ``_lsh_meta.json`` parameter
+sidecar, so a config change between deployments fails loudly instead
+of silently losing recall.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from nginx_analytics_spark.operators import dedup
+
+
+def dedup_batch_against_corpus(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_dir: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Steps 1-3 for one batch: returns the NOVEL docs (same schema as
+    ``batch``). Pure function over (batch, at-rest state) — the
+    foreachBatch handler below adds the writes."""
+    import os
+
+    b = dedup.exact_dedup(
+        batch.withColumn("_norm", dedup.normalize_text(text_col)),
+        keys=["_norm"],
+        order_col=id_col,
+    ).drop("_norm")
+    b = b.localCheckpoint(eager=True)  # consumed by pairs + anti-joins
+
+    # within-batch near-dups: drop the greater id of each passing pair
+    pairs = dedup.minhash_dedup_pairs(
+        b, id_col=id_col, text_col=text_col, threshold=threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    b = b.join(losers, id_col, "left_anti")
+
+    if os.path.isfile(dedup.lsh_index_meta_path(index_path)):
+        corpus = spark.read.parquet(corpus_dir)
+        hits = dedup.incremental_near_dups(
+            spark, b, corpus, index_path,
+            id_col=id_col, text_col=text_col,
+            threshold=threshold, exact_net=False,
+        )
+        dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
+        b = b.join(dup_ids, id_col, "left_anti")
+    return b
+
+
+def start_dedup_ingest(
+    docs_stream: DataFrame,
+    corpus_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    trigger: dict | None = None,
+    on_batch: Callable[[int, int, int], None] | None = None,
+) -> StreamingQuery:
+    """Run the continuous dedup-ingest loop over a streaming DataFrame of
+    documents. ``on_batch(batch_id, n_in, n_novel)`` surfaces per-batch
+    admission counts (the observability a dedup gate needs: a sudden
+    novel-rate collapse means upstream re-delivery; a 100% novel rate on
+    a known-overlapping feed means the index is being missed)."""
+    import os
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.head(1):
+            if on_batch is not None:
+                on_batch(batch_id, 0, 0)
+            return
+        novel = dedup_batch_against_corpus(
+            spark, batch, corpus_dir, index_path,
+            id_col=id_col, text_col=text_col, threshold=threshold,
+        ).localCheckpoint(eager=True)  # consumed by corpus write + index append
+        n_in = batch.count()
+        n_novel = novel.count()
+        if n_novel:
+            novel.write.mode("append").parquet(corpus_dir)
+            if os.path.isfile(dedup.lsh_index_meta_path(index_path)):
+                dedup.append_lsh_index(
+                    novel, index_path, id_col=id_col, text_col=text_col
+                )
+            else:
+                dedup.write_lsh_index(
+                    novel, index_path, id_col=id_col, text_col=text_col
+                )
+        if on_batch is not None:
+            on_batch(batch_id, n_in, n_novel)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

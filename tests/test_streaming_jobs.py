@@ -252,3 +252,59 @@ def test_listener_reports_watermark_drops(spark, tmp_path):
         assert all(r.window_start.hour != 10 for r in rows)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_dedup_ingest_loop_across_micro_batches(spark, tmp_path):
+    """X80: the streaming dedup-ingest loop — exact dup WITHIN a batch,
+    near-dup WITHIN a batch, near-dup AGAINST the corpus via the at-rest
+    index, and the X79 append so a LATER batch dedups against an earlier
+    batch's admissions. Three deterministic micro-batches
+    (maxFilesPerTrigger=1) prove each path."""
+    import pandas as pd
+
+    from nginx_analytics_spark.operators import dedup
+    from nginx_analytics_spark.streaming.dedup_ingest import start_dedup_ingest
+
+    base_a = "the quick brown fox jumps over the lazy dog near the river"
+    base_g = "completely different subject matter covering spark physical plans and shuffles today"
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(src / name)
+
+    # b1: two novel docs
+    write("a.parquet", [(1, base_a), (2, "unrelated text about parquet row groups and min max statistics here")])
+    # b2: near-dup of corpus doc 1; novel doc 4; exact dup of 4 (case/ws
+    # variant); near-dup of 4 within the same batch
+    write("b.parquet", [
+        (3, base_a + " extra"),
+        (4, base_g),
+        (5, base_g.upper() + "  "),
+        (6, base_g + " appended"),
+    ])
+    # b3: near-dup of doc 4 — caught ONLY via the index appended in b2
+    write("c.parquet", [(7, base_g + " trailer")])
+
+    corpus_dir = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "idx")
+    seen = []
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = start_dedup_ingest(
+        stream, corpus_dir, index_path, str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        on_batch=lambda bid, n_in, n_novel: seen.append((n_in, n_novel)),
+    )
+    q.awaitTermination()
+
+    assert seen == [(2, 2), (4, 1), (1, 0)]
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus_dir).collect())
+    assert got == [1, 2, 4]
+    # the index covers exactly the admitted docs
+    idx_ids = {r.doc_id for r in spark.read.parquet(index_path).collect()}
+    assert idx_ids == {1, 2, 4}
+    assert dedup.read_lsh_index_meta(index_path)["shingle_n"] == 3
