@@ -287,6 +287,32 @@ def _build_parser():
             "exchange-free downstream joins)"
         ),
     )
+
+    di = sub.add_parser(
+        "dedup-ingest",
+        help=(
+            "streaming corpus ingest with incremental near-dedup (X80): "
+            "per micro-batch, exact+near dedup within the batch, probe "
+            "the at-rest LSH index (X69), append admissions to corpus "
+            "and index (X79)"
+        ),
+    )
+    di.add_argument("--source", required=True, help="documents parquet stream dir")
+    di.add_argument("--corpus", required=True, help="admitted-corpus output dir")
+    di.add_argument("--index", required=True, help="at-rest LSH index path")
+    di.add_argument("--checkpoint", required=True, help="stream checkpoint dir")
+    di.add_argument("--trigger", default="available-now")
+    di.add_argument("--threshold", type=float, default=0.6)
+    di.add_argument("--max-files-per-trigger", type=int, default=None)
+    di.add_argument(
+        "--exactly-once",
+        action="store_true",
+        help=(
+            "X73 composition: admissions land under ingest_batch=<id> "
+            "with overwrite semantics, so a retried batch replaces its "
+            "own corpus output; read back via dedup_ingest.read_corpus"
+        ),
+    )
     return p
 
 
@@ -300,7 +326,37 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     spark = get_spark(app_name=f"nginx_analytics_{args.command}")
-    wh = Warehouse(spark, args.warehouse)
+    # dedup-ingest's sinks are its corpus/index dirs, not the warehouse
+    wh = (
+        Warehouse(spark, args.warehouse)
+        if hasattr(args, "warehouse")
+        else None
+    )
+
+    if args.command == "dedup-ingest":
+        from nginx_analytics_spark.streaming.dedup_ingest import (
+            start_dedup_ingest,
+        )
+
+        reader = spark.readStream.schema("doc_id long, text string")
+        if args.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(args.max_files_per_trigger)
+            )
+        q = start_dedup_ingest(
+            reader.parquet(args.source),
+            args.corpus,
+            args.index,
+            args.checkpoint,
+            threshold=args.threshold,
+            trigger=_parse_trigger(args.trigger),
+            exactly_once=args.exactly_once,
+            on_batch=lambda bid, n_in, n_novel: print(
+                f"batch {bid}: {n_in} in, {n_novel} admitted", flush=True
+            ),
+        )
+        q.awaitTermination()
+        return 0
 
     if args.command == "ingest":
         if args.kafka_bootstrap:

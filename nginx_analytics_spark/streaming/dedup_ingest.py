@@ -22,14 +22,20 @@ the corpus — the whole point of the at-rest index (SURVEY.md §2.9
 X69/X79/X80). The reference has no corpus pipeline at all; this is the
 engine extension a 100 TB training-data deployment needs.
 
-Delivery semantics: the corpus append is at-least-once (a batch that
-fails between the corpus write and the index append replays and may
-re-append; its docs then band-match THEMSELVES in the replayed probe —
-self-matches are excluded by id inequality, so replay does not
-self-suppress, but duplicates can land). The X73 per-batch-directory
-overwrite trick composes here exactly as in ``start_ingest`` when
-effectively-exactly-once corpus output is required; kept out of this
-module to keep the dedup mechanics legible.
+Delivery semantics: the default corpus append is at-least-once (a batch
+that fails between the corpus write and the index append replays and
+may re-append; its docs then band-match THEMSELVES in the replayed
+probe — self-matches are excluded by id inequality, so replay does not
+self-suppress, but duplicates can land). ``exactly_once=True`` composes
+the X73 per-batch-directory overwrite trick: each batch's admissions
+land under ``ingest_batch=<id>`` with OVERWRITE semantics, so a retried
+batch (same epoch id — the foreachBatch contract) REPLACES its own
+corpus output instead of duplicating it. The INDEX append is not made
+idempotent the same way, deliberately: a replayed append only adds
+duplicate band-key rows, and the probe's candidate ``distinct()``
+already collapses them — replay costs index bytes (reclaimed by the
+next compaction, i.e. a full ``write_lsh_index`` rebuild), never
+correctness. Read the batch-dir corpus back via :func:`read_corpus`.
 
 The index bootstrap (first batch ever) writes the index instead of
 appending; both paths stamp/validate the ``_lsh_meta.json`` parameter
@@ -46,6 +52,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from nginx_analytics_spark.operators import dedup
+
+
+def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    """Logical view of the admitted corpus regardless of sink mode:
+    plain appended files or the exactly-once ``ingest_batch=<id>``
+    layout (partition discovery exposes the bookkeeping level; drop it
+    so consumers see the document schema either way)."""
+    df = spark.read.parquet(corpus_dir)
+    return df.drop("ingest_batch") if "ingest_batch" in df.columns else df
 
 
 def dedup_batch_against_corpus(
@@ -77,7 +92,7 @@ def dedup_batch_against_corpus(
     b = b.join(losers, id_col, "left_anti")
 
     if os.path.isfile(dedup.lsh_index_meta_path(index_path)):
-        corpus = spark.read.parquet(corpus_dir)
+        corpus = read_corpus(spark, corpus_dir)
         hits = dedup.incremental_near_dups(
             spark, b, corpus, index_path,
             id_col=id_col, text_col=text_col,
@@ -86,6 +101,50 @@ def dedup_batch_against_corpus(
         dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
         b = b.join(dup_ids, id_col, "left_anti")
     return b
+
+
+def process_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    exactly_once: bool = False,
+) -> tuple[int, int]:
+    """One micro-batch of the loop (exposed for retry tests and batch
+    backfills): dedup, admit, append. Returns (n_in, n_novel).
+    ``exactly_once`` lands the admissions under ``ingest_batch=<id>``
+    with overwrite semantics (X73) so a same-id retry replaces rather
+    than duplicates its corpus output — see the module docstring for why
+    the index append needs no such guard."""
+    import os
+
+    if not batch.head(1):
+        return (0, 0)
+    novel = dedup_batch_against_corpus(
+        spark, batch, corpus_dir, index_path,
+        id_col=id_col, text_col=text_col, threshold=threshold,
+    ).localCheckpoint(eager=True)  # consumed by corpus write + index append
+    n_in = batch.count()
+    n_novel = novel.count()
+    if n_novel:
+        if exactly_once:
+            dest = os.path.join(corpus_dir, f"ingest_batch={batch_id}")
+            novel.write.mode("overwrite").parquet(dest)
+        else:
+            novel.write.mode("append").parquet(corpus_dir)
+        if os.path.isfile(dedup.lsh_index_meta_path(index_path)):
+            dedup.append_lsh_index(
+                novel, index_path, id_col=id_col, text_col=text_col
+            )
+        else:
+            dedup.write_lsh_index(
+                novel, index_path, id_col=id_col, text_col=text_col
+            )
+    return (n_in, n_novel)
 
 
 def start_dedup_ingest(
@@ -97,6 +156,7 @@ def start_dedup_ingest(
     text_col: str = "text",
     threshold: float = 0.6,
     trigger: dict | None = None,
+    exactly_once: bool = False,
     on_batch: Callable[[int, int, int], None] | None = None,
 ) -> StreamingQuery:
     """Run the continuous dedup-ingest loop over a streaming DataFrame of
@@ -104,30 +164,13 @@ def start_dedup_ingest(
     admission counts (the observability a dedup gate needs: a sudden
     novel-rate collapse means upstream re-delivery; a 100% novel rate on
     a known-overlapping feed means the index is being missed)."""
-    import os
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        if not batch.head(1):
-            if on_batch is not None:
-                on_batch(batch_id, 0, 0)
-            return
-        novel = dedup_batch_against_corpus(
-            spark, batch, corpus_dir, index_path,
+        n_in, n_novel = process_batch(
+            batch.sparkSession, batch, batch_id, corpus_dir, index_path,
             id_col=id_col, text_col=text_col, threshold=threshold,
-        ).localCheckpoint(eager=True)  # consumed by corpus write + index append
-        n_in = batch.count()
-        n_novel = novel.count()
-        if n_novel:
-            novel.write.mode("append").parquet(corpus_dir)
-            if os.path.isfile(dedup.lsh_index_meta_path(index_path)):
-                dedup.append_lsh_index(
-                    novel, index_path, id_col=id_col, text_col=text_col
-                )
-            else:
-                dedup.write_lsh_index(
-                    novel, index_path, id_col=id_col, text_col=text_col
-                )
+            exactly_once=exactly_once,
+        )
         if on_batch is not None:
             on_batch(batch_id, n_in, n_novel)
 

@@ -34,7 +34,7 @@ def test_cli_help_lists_all_commands():
     assert out.returncode == 0
     for cmd in (
         "ingest", "anomaly", "retrain", "compact", "curate",
-        "export-shards", "handoff",
+        "export-shards", "handoff", "dedup-ingest",
     ):
         assert cmd in out.stdout
 
@@ -262,3 +262,40 @@ def test_cli_handoff_bucketed_layout(spark, tmp_path):
         assert {r.doc_id for r in shards.collect()} == expected_ids
     finally:
         spark.sql("DROP TABLE IF EXISTS curated_corpus")
+
+
+def test_cli_dedup_ingest(spark, tmp_path):
+    """X80 CLI: one job drives the streaming dedup-ingest loop over a
+    documents dir; exact dups are suppressed and the corpus + index
+    land where pointed."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon zeta",  # exact dup of 1
+                "unrelated words about shuffle partitions and joins",
+            ],
+        }
+    ).to_parquet(src / "b.parquet")
+    rc = jobs.main(
+        [
+            "dedup-ingest",
+            "--source", str(src),
+            "--corpus", f"{tmp_path}/corpus",
+            "--index", f"{tmp_path}/idx",
+            "--checkpoint", f"{tmp_path}/ckpt",
+        ]
+    )
+    assert rc == 0
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(f"{tmp_path}/corpus").collect()
+    )
+    assert got == [1, 3]
+    from nginx_analytics_spark.operators import dedup
+
+    assert dedup.read_lsh_index_meta(f"{tmp_path}/idx")["num_hashes"] == 32

@@ -308,3 +308,40 @@ def test_dedup_ingest_loop_across_micro_batches(spark, tmp_path):
     idx_ids = {r.doc_id for r in spark.read.parquet(index_path).collect()}
     assert idx_ids == {1, 2, 4}
     assert dedup.read_lsh_index_meta(index_path)["shingle_n"] == 3
+
+
+def test_dedup_ingest_exactly_once_retry(spark, tmp_path):
+    """X80 + X73 composition: a retried micro-batch (same epoch id) must
+    REPLACE its own corpus output under exactly_once=True — and the
+    replayed index append must not change probe RESULTS (duplicate band
+    rows collapse in the candidate distinct), only index bytes. The
+    plain-append contrast duplicates, pinning why the flag exists."""
+    from nginx_analytics_spark.operators import dedup
+    from nginx_analytics_spark.streaming.dedup_ingest import (
+        process_batch,
+        read_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "totally separate words about broadcast joins and bloom filters")],
+        "doc_id long, text string",
+    )
+    eo = str(tmp_path / "eo")
+    got1 = process_batch(spark, docs, 0, eo, str(tmp_path / "idx_eo"),
+                         exactly_once=True)
+    got2 = process_batch(spark, docs, 0, eo, str(tmp_path / "idx_eo"),
+                         exactly_once=True)  # same-id retry
+    assert got1 == (2, 2)
+    assert got2 == (2, 2)  # replay re-admits (self-matches excluded by id)
+    assert sorted(r.doc_id for r in read_corpus(spark, eo).collect()) == [1, 2]
+    # index holds duplicate band rows after replay — bytes, not results
+    idx = spark.read.parquet(str(tmp_path / "idx_eo"))
+    assert idx.count() == 2 * idx.distinct().count()
+
+    plain = str(tmp_path / "plain")
+    process_batch(spark, docs, 0, plain, str(tmp_path / "idx_p"))
+    process_batch(spark, docs, 0, plain, str(tmp_path / "idx_p"))
+    assert sorted(
+        r.doc_id for r in read_corpus(spark, plain).collect()
+    ) == [1, 1, 2, 2]  # at-least-once append duplicates on replay
