@@ -310,14 +310,17 @@ def test_tpch_completion_plan_hygiene(spark):
     assert "LeftAnti" in p21  # NOT EXISTS
 
 
-def test_important_parts_reuses_fact_exchange(spark):
-    """Q11's scalar-threshold branch must not rescan the fact: the
-    per-part aggregate's shuffle is shared between the HAVING threshold
-    and the output, and AQE's exchange reuse dedups it AT RUNTIME (the
-    static formatted plan prints both branches in full, which is why
-    this asserts on the executed plan after an action)."""
-    df = registry.queries()["important_parts"](spark, SF)
-    df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in executed
-    assert "ReusedExchange" in executed
+def test_multi_branch_shapes_reuse_fact_exchange_at_runtime(spark):
+    """The TPC-H shapes whose SQL references the same fact subplan from
+    two branches (Q11's scalar threshold over its own aggregate, Q20's
+    per-supplier share vs global share, Q21's semi/anti pair) must not
+    pay the fact twice: AQE's exchange reuse dedups the shared shuffle
+    AT RUNTIME (the static formatted plan prints both branches in full,
+    which is why this asserts on the executed plan after an action)."""
+    for name in ("important_parts", "dominant_suppliers", "waiting_suppliers"):
+        df = registry.queries()[name](spark, SF)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        final = executed.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in executed, name
+        assert "ReusedExchange" in final, name
