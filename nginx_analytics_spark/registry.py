@@ -83,8 +83,10 @@ _ORACLES: dict[str, str] = {}
 # doc_quality). They remain oracle-verified at both pytest tiers every
 # round, and head r7's _CHECK_FIRST together with whatever r6 adds
 # beyond the budget (currently: dedup_ingest_roundtrip, the X80
-# streaming dedup loop — rows-only, semantics pinned in
-# tests/test_streaming_jobs.py until its r7 row).
+# streaming dedup loop, and quality_classifier_scores, the X81
+# distilled quality scorer — both rows-only, semantics pinned in
+# tests/test_streaming_jobs.py and tests/test_ml_quality.py until
+# their r7 rows).
 _CHECK_FIRST = [
     # --- NEW r6 (verdict items 2 and 6, plus the X79 index-append gate) ---
     "incremental_near_dups_probe",

@@ -448,6 +448,32 @@ def dedup_ingest_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query("quality_classifier_scores")  # rows-only: MLlib LR fit (float
+# probabilities vary in low bits across fits); AUC/coverage/save-load
+# gates live in tests/test_ml_quality.py; excluded from bench with the
+# other MLlib fits (rt_model_predictions family — fit cost, not engine
+# throughput)
+def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81: the distilled corpus-quality scorer (ml/quality.py) — the
+    expensive X39 gate stack teaches weak labels on the train split, a
+    standardized logistic regression distills them into one cheap
+    linear scorer, and EVERY document (including the benchmark
+    carve-out the teacher never labels) gets a calibrated
+    P(survives-the-gates) from a single shuffle-free feature projection
+    + 8-float dot product. Output: (doc_id, label, quality_prob) with
+    label NULL where the teacher had no verdict — the exact frame a
+    temperature-sampling (X28) or threshold sweep consumes."""
+    from nginx_analytics_spark.ml import quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = quality.train_quality_classifier(docs)
+    return (
+        quality.score_quality(model, docs)
+        .join(quality.weak_labels(docs), "doc_id", "left")
+        .select("doc_id", "label", r6(F.col("quality_prob")).alias("quality_prob"))
+    )
+
+
 @query("incremental_index_near_dups", _INCR_NEAR_DUPS_SQL)
 def incremental_index_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X79: index MAINTENANCE closes the X69 loop — the at-rest index is
