@@ -88,14 +88,32 @@ def quality_features(
                 F.size(F.array_distinct("_t"))
                 / F.greatest(F.col("ws_tokens"), F.lit(1.0))
             ).alias("distinct_token_ratio"),
+            # max token frequency via a single fold over the SORTED array
+            # (state = (prev, current run, best run)): O(n log n) sort +
+            # O(n) fold, all codegen'd — NOT the transform×filter
+            # formulation, whose per-doc cost is O(tokens²) and would
+            # dominate on long documents at scale
             (
-                F.array_max(
-                    F.transform(
-                        F.array_distinct("_t"),
-                        lambda w: F.size(
-                            F.filter("_t", lambda t: t == w)
-                        ).cast("double"),
-                    )
+                F.aggregate(
+                    F.array_sort("_t"),
+                    F.struct(
+                        F.lit("").alias("prev"),
+                        F.lit(0.0).alias("run"),
+                        F.lit(0.0).alias("best"),
+                    ),
+                    lambda acc, t: F.struct(
+                        t.alias("prev"),
+                        F.when(t == acc["prev"], acc["run"] + 1.0)
+                        .otherwise(F.lit(1.0))
+                        .alias("run"),
+                        F.greatest(
+                            acc["best"],
+                            F.when(t == acc["prev"], acc["run"] + 1.0).otherwise(
+                                F.lit(1.0)
+                            ),
+                        ).alias("best"),
+                    ),
+                    lambda acc: acc["best"],
                 )
                 / F.greatest(F.col("ws_tokens"), F.lit(1.0))
             ).alias("top_token_share"),
