@@ -326,13 +326,12 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     spark = get_spark(app_name=f"nginx_analytics_{args.command}")
-    # dedup-ingest's sinks are its corpus/index dirs, not the warehouse
-    wh = (
-        Warehouse(spark, args.warehouse)
-        if hasattr(args, "warehouse")
-        else None
-    )
 
+    # dedup-ingest's sinks are its corpus/index dirs, not the warehouse —
+    # dispatch it BEFORE Warehouse construction so `wh` stays
+    # unconditionally valid for every branch that reaches it (a
+    # hasattr-guarded None would fail deep inside the next
+    # warehouse-less subcommand instead of at the obvious spot)
     if args.command == "dedup-ingest":
         from nginx_analytics_spark.streaming.dedup_ingest import (
             start_dedup_ingest,
@@ -357,6 +356,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         q.awaitTermination()
         return 0
+
+    wh = Warehouse(spark, args.warehouse)
 
     if args.command == "ingest":
         if args.kafka_bootstrap:

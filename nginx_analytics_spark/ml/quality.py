@@ -126,20 +126,26 @@ def weak_labels(
     docs: DataFrame,
     bench_fraction: float = curation.BENCH_FRACTION,
     contam_n: int = curation.CONTAM_N,
-    id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, label) over the TRAIN split only: label 1 iff the doc
+    """(doc_id, label) over the TRAIN split only: label 1 iff the doc
     survives the full X39 curation gate stack. The benchmark carve-out
     is excluded from the teacher signal entirely — those docs are
     dropped for being benchmarks, not for being low quality, and
-    labeling them 0 would teach the student the hash split."""
-    frac = sampling.portable_frac(id_col, salt=7)  # the X39 split salt
+    labeling them 0 would teach the student the hash split.
+
+    The id column is fixed to ``doc_id`` because the TEACHER is: the
+    curation gate stack carves its benchmark split on
+    ``portable_frac("doc_id", salt=7)`` internally, and the train
+    filter here must be the byte-identical predicate — a configurable
+    id would silently desynchronize the two splits and label carve-out
+    docs 0 (r6 review finding)."""
+    frac = sampling.portable_frac("doc_id", salt=7)  # the X39 split salt
     train = docs.filter(frac >= bench_fraction)
     kept = curation.curate_documents(
         docs, bench_fraction=bench_fraction, contam_n=contam_n
-    ).select(id_col)
-    return train.select(id_col).join(
-        kept.withColumn("label", F.lit(1.0)), id_col, "left"
+    ).select("doc_id")
+    return train.select("doc_id").join(
+        kept.withColumn("label", F.lit(1.0)), "doc_id", "left"
     ).fillna({"label": 0.0})
 
 

@@ -109,7 +109,7 @@ _CHECK_FIRST = [
     "theta_user_overlap",
     # --- oldest record on file (last green r3) ---
     "approx_distinct_users",
-    # --- r4 cohort, 33 of 50 (see spill note above) ---
+    # --- r4 cohort, 32 of 50 (see spill note above) ---
     "curate_corpus",
     "order_priority_check",
     "forecast_revenue",

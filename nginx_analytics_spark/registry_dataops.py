@@ -250,16 +250,25 @@ def _staged_lsh_index(
       * the staging ROOT is per-user (``nas_lsh_uid<uid>``, mode 0700)
         and its ownership is verified, so another local user cannot
         pre-create/squat the path;
-      * the index is keyed by (fixture dir, signing parameters) and
-        PUBLISHED ATOMICALLY — built under a per-pid scratch name, then
+      * the index is keyed by (fixture dir, the documents parquet's
+        size+mtime fingerprint, signing parameters) and PUBLISHED
+        ATOMICALLY — built under a per-pid scratch name, then
         ``os.rename``d into place. Readers only ever see a complete
         index + ``_lsh_meta.json``; concurrent builders race on the
         rename and the loser discards its scratch copy. This replaces
         the r5 fixed overwrite-in-place path whose overwrite-vs-read
         window could fail a concurrent pytest/driver/bench run.
       * reuse is sound because the index is a pure deterministic
-        function of (corpus rows, parameters): same fixture + same
-        params => byte-equivalent band keys.
+        function of (corpus rows, parameters), and the FILE FINGERPRINT
+        in the key makes a regenerated fixture at the same path a cache
+        MISS — without it a stale index would band-join new-batch
+        signatures against the old corpus's hashes and silently lose
+        recall, the exact failure mode the meta sidecar guards against
+        for parameter drift (r6 review finding).
+      * crash hygiene: scratch dirs older than an hour are reaped on
+        entry (a builder killed mid-build otherwise leaks a full index
+        under /tmp forever; the age bound keeps a LIVE concurrent
+        builder's scratch safe).
 
     The one-time BUILD amortizes across every later probe — exactly the
     production shape, where the corpus index lives at rest and each
@@ -284,7 +293,15 @@ def _staged_lsh_index(
             f"{os.getuid()} — refusing to stage into a foreign directory"
         )
     kind = "split" if split else "full"
-    params = f"{sf_dir}|{kind}|n3|h{dedup.NUM_HASHES}|r{dedup.ROWS_PER_BAND}"
+    try:
+        st_docs = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        fingerprint = f"{st_docs.st_size}:{st_docs.st_mtime_ns}"
+    except OSError:
+        fingerprint = "nofile"
+    params = (
+        f"{sf_dir}|{fingerprint}|{kind}|n3"
+        f"|h{dedup.NUM_HASHES}|r{dedup.ROWS_PER_BAND}"
+    )
     tag = hashlib.sha1(params.encode()).hexdigest()[:12]
     final = os.path.join(root, tag)
     idx = os.path.join(final, "idx")
@@ -293,6 +310,17 @@ def _staged_lsh_index(
         return idx  # pre-staged and parameter-validated: reuse
     except (FileNotFoundError, ValueError):
         pass
+    # reap crash-orphaned scratch dirs (age-gated: never a live builder's)
+    import time as _time
+
+    for d in os.listdir(root):
+        if d.startswith(".build-"):
+            p = os.path.join(root, d)
+            try:
+                if _time.time() - os.stat(p).st_mtime > 3600:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     scratch = os.path.join(root, f".build-{tag}-{os.getpid()}")
     shutil.rmtree(scratch, ignore_errors=True)
     if split:
@@ -2242,8 +2270,12 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "data_expectations",
     """
     SELECT 'events_event_id_unique' AS rule,
-           CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS violations,
-           count(*) - count(DISTINCT event_id) = 0 AS passed
+           -- ROW() wrap mirrors Spark's struct-wrapped distinct (r6
+           -- unique() semantics): NULL keys compare as VALUES, so both
+           -- engines agree even if the fixture ever carries NULL ids
+           CAST(count(*) - count(DISTINCT ROW(event_id)) AS BIGINT)
+               AS violations,
+           count(*) - count(DISTINCT ROW(event_id)) = 0 AS passed
     FROM events
     UNION ALL
     SELECT 'events_user_id_not_null',

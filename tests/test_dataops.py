@@ -716,6 +716,30 @@ def test_staged_lsh_index_reuse_and_probe_query(spark):
         (r.new_id, r.old_id)
         for r in q["incremental_near_dups_probe"](spark, SF).collect()
     }
+    # regression (r6 review): a REGENERATED fixture at the same path must
+    # be a staging cache MISS — the key carries the documents parquet's
+    # size+mtime fingerprint, so a stale index can never silently serve
+    # a new corpus (the data-drift twin of the parameter sidecar guard)
+    import os
+    import time as _t
+
+    from nginx_analytics_spark import registry_dataops as rd2
+
+    import tempfile
+
+    fx = tempfile.mkdtemp(prefix="nas_fx_")
+    docs_small = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    docs_small.toPandas().to_parquet(f"{fx}/documents.parquet")
+    p_before = rd2._staged_lsh_index(docs_small, fx)
+    _t.sleep(0.01)
+    docs_small.toPandas().to_parquet(f"{fx}/documents.parquet")  # regenerate
+    p_after = rd2._staged_lsh_index(docs_small, fx)
+    assert p_before != p_after
+    import shutil
+
+    shutil.rmtree(fx, ignore_errors=True)
     exact = {
         (r.new_id, r.old_id)
         for r in q["incremental_near_dups"](spark, SF).collect()
