@@ -394,8 +394,9 @@ def main() -> None:
         "loadavg": {"start": load_start, "end": load_end},
         "load_gate": gate,
         "protocol": (
-            "loadavg gate, fresh JVM per group, sequential, "
-            "best-of-2 (best-of-3 sub-second)"
+            "loadavg gate, fresh JVM per group, sequential, best-of-2; "
+            "sub-second: sample to JIT plateau (cap 6, stop when a step "
+            "improves the best by <10%)"
         ),
     }
     full_line = json.dumps(full)

@@ -53,14 +53,22 @@ def quality_features(
     frequency share (a one-expression repetition proxy). Every column is
     a JVM expression over ONE tokenization (let-bound array, the
     ``word_shingles`` hygiene pattern) — the plan is scan + project,
-    shuffle-free at any scale."""
-    toks = F.split(F.col(text_col), " ")
+    shuffle-free at any scale.
+
+    NULL text is coalesced to '' first (r6 ADVICE): split/length
+    propagate NULL, and eight NULL features would hit VectorAssembler's
+    default ``handleInvalid='error'`` at runtime — the scorer
+    advertises pricing EVERY production document, so a NULL-text doc
+    gets the empty-document feature vector (and the teacher's gates
+    reject empty text, so the student learns to score it low)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(txt, " ")
     n_tok = F.size(toks).cast("double")
-    n_chr = F.length(text_col).cast("double")
+    n_chr = F.length(txt).cast("double")
     counted = (
         docs.select(
             F.col(id_col),
-            F.col(text_col),
+            txt.alias(text_col),
             toks.alias("_t"),
             n_tok.alias("ws_tokens"),
             n_chr.alias("n_chars"),

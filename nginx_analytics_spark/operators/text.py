@@ -694,7 +694,13 @@ def corpus_rollups(
         .groupBy(group_col)
         .agg(F.theta_sketch_agg(F.col("token")).alias("vocab_theta"))
     )
-    return per.join(vocab, group_col)
+    # LEFT join (r6 ADVICE): explode drops NULL token arrays, so a group
+    # whose every text is NULL has no vocab side at all — an inner join
+    # would silently drop that group's n_docs/len/HLL rollup row from the
+    # card. The left join keeps it with vocab_theta NULL, which the card
+    # read's theta_union_agg skips like any NULL aggregate input
+    # (verified by test_corpus_rollups_all_null_text_group).
+    return per.join(vocab, group_col, "left")
 
 
 def corpus_report_incremental(

@@ -298,11 +298,18 @@ def _staged_lsh_index(
         fingerprint = f"{st_docs.st_size}:{st_docs.st_mtime_ns}"
     except OSError:
         fingerprint = "nofile"
-    params = (
-        f"{sf_dir}|{fingerprint}|{kind}|n3"
-        f"|h{dedup.NUM_HASHES}|r{dedup.ROWS_PER_BAND}"
-    )
-    tag = hashlib.sha1(params.encode()).hexdigest()[:12]
+    # Two-part tag (r6 ADVICE): the FAMILY prefix hashes everything
+    # stable across fixture regenerations (fixture dir, full/split kind,
+    # signing parameters); the suffix hashes the documents-parquet
+    # size+mtime fingerprint. A regenerated fixture is still a cache
+    # MISS (new suffix), but the stale published index is now
+    # IDENTIFIABLE — it shares the family prefix — and is reaped below
+    # instead of orphaning a full corpus index under /tmp forever.
+    family = hashlib.sha1(
+        f"{sf_dir}|{kind}|n3|h{dedup.NUM_HASHES}|r{dedup.ROWS_PER_BAND}"
+        .encode()
+    ).hexdigest()[:8]
+    tag = f"{family}-{hashlib.sha1(fingerprint.encode()).hexdigest()[:12]}"
     final = os.path.join(root, tag)
     idx = os.path.join(final, "idx")
     try:
@@ -310,17 +317,23 @@ def _staged_lsh_index(
         return idx  # pre-staged and parameter-validated: reuse
     except (FileNotFoundError, ValueError):
         pass
-    # reap crash-orphaned scratch dirs (age-gated: never a live builder's)
     import time as _time
 
     for d in os.listdir(root):
-        if d.startswith(".build-"):
-            p = os.path.join(root, d)
-            try:
-                if _time.time() - os.stat(p).st_mtime > 3600:
+        p = os.path.join(root, d)
+        try:
+            if d.startswith(f"{family}-") and d != tag:
+                # same fixture+params, dead fingerprint: definitionally
+                # stale (the parquet it indexed was replaced) — reap now
+                shutil.rmtree(p, ignore_errors=True)
+            elif _time.time() - os.stat(p).st_mtime > 3600:
+                # crash-orphaned scratch (.build-*) and pre-r7 single-hash
+                # published dirs: age-gated so a LIVE concurrent builder's
+                # scratch (or another fixture's fresh index) is never hit
+                if d.startswith(".build-") or "-" not in d:
                     shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
+        except OSError:
+            pass
     scratch = os.path.join(root, f".build-{tag}-{os.getpid()}")
     shutil.rmtree(scratch, ignore_errors=True)
     if split:

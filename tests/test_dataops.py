@@ -737,6 +737,9 @@ def test_staged_lsh_index_reuse_and_probe_query(spark):
     docs_small.toPandas().to_parquet(f"{fx}/documents.parquet")  # regenerate
     p_after = rd2._staged_lsh_index(docs_small, fx)
     assert p_before != p_after
+    # r6 ADVICE: the stale published dir (same family prefix, dead
+    # fingerprint) is REAPED on the cache miss, not orphaned under /tmp
+    assert not os.path.exists(os.path.dirname(p_before))
     import shutil
 
     shutil.rmtree(fx, ignore_errors=True)

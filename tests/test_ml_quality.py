@@ -84,3 +84,27 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     a = {r.doc_id: r.quality_prob for r in quality.score_quality(model, docs).collect()}
     b = {r.doc_id: r.quality_prob for r in quality.score_quality(back, docs).collect()}
     assert a == b
+
+
+def test_null_text_docs_score_instead_of_crashing(spark):
+    """r6 ADVICE: split/length propagate NULL, and eight NULL features
+    would hit VectorAssembler's default handleInvalid='error'. The
+    scorer advertises pricing EVERY production document, so NULL text
+    coalesces to the empty-document feature vector — features are all
+    non-NULL, training survives, and the NULL-text doc scores in the
+    bottom quality tail (empty text fails every teacher gate)."""
+    docs = load_table(spark, SF, "documents").limit(200)
+    with_null = docs.unionByName(
+        spark.createDataFrame(
+            [(10**9, None, "und", "synthetic", 0)], docs.schema
+        )
+    )
+    feats = quality.quality_features(with_null)
+    row = feats.filter(F.col("doc_id") == 10**9).collect()[0]
+    assert all(row[c] is not None for c in quality.QUALITY_FEATURES)
+
+    model = quality.train_quality_classifier(with_null)
+    scored = quality.score_quality(model, with_null).toPandas()
+    assert len(scored) == with_null.count()
+    p_null = scored.set_index("doc_id").quality_prob[10**9]
+    assert p_null <= scored.quality_prob.median()

@@ -372,3 +372,34 @@ def test_corpus_card_at_rest_rollup_roundtrip(spark, tmp_path):
         assert at_rest[m] == direct[m], m
     assert abs(at_rest["distinct_texts"] - direct["distinct_texts"]) \
         / direct["distinct_texts"] <= 0.01
+
+
+def test_corpus_rollups_all_null_text_group(spark):
+    """r6 ADVICE: explode drops NULL token arrays, so a group whose
+    every text is NULL has no vocab-Theta side; the rollup join must be
+    LEFT or that group's n_docs/len/HLL row silently vanishes from the
+    card. The group survives with vocab_theta NULL, and the card read's
+    union aggregates skip the NULL sketch like any NULL agg input."""
+    from nginx_analytics_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "a"),
+            (2, "alpha beta delta", "a"),
+            (3, None, "b"),
+            (4, None, "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    roll = t.corpus_rollups(docs)
+    rows = {r.source: r for r in roll.collect()}
+    assert set(rows) == {"a", "b"}          # the all-NULL group survives
+    assert rows["b"].n_docs == 2
+    assert rows["b"].vocab_theta is None
+
+    card = {
+        r.metric: r.value
+        for r in t.corpus_report_incremental(roll).collect()
+    }
+    assert card["n_docs"] == 4.0
+    assert card["distinct_tokens"] == 4.0   # alpha beta gamma delta
