@@ -73,17 +73,33 @@ Methodology:
     over an append-built index) are excluded like minhash_dedup_pairs.
     The probe's first-ever run on a fixture builds the index once;
     best-of-N then reports the warm at-rest path, the production shape.
-  * EXCLUDED by design: bpe_merges (X75 — an iterative TRAINER whose
-    cost is 12 driver-coordinated rounds, the same reason the MLlib
-    fits below are excluded; its correctness is the golden-equivalence
-    test) and the side-effecting roundtrip harnesses
+  * EXCLUDED by design — the exhaustive per-name map with reasons is
+    ``BENCH_EXCLUDED`` below (r6 verdict item: every exclusion is NAMED
+    so the contract stays auditable; tests/test_bench_contract.py
+    asserts benched + excluded == registered, no gaps, no overlap).
+    The categories: iterative trainers (bpe_merges — 12
+    driver-coordinated rounds; the MLlib fits rt_model_predictions/
+    rt_scoring_roundtrip/quality_classifier_scores — model-fit cost,
+    not engine throughput), side-effecting roundtrip harnesses
     (windowed_*/session_windows/streaming_ingest_roundtrip/
-    anomaly_job_roundtrip — they stage temp files and drive real
-    StreamingQueries whose trigger/teardown dominates wall time; the
-    ingest path instead gets the dedicated events/s pass above) and the
-    MLlib train/score queries (rt_model_predictions/rt_scoring_roundtrip —
-    RandomForest fit cost, not engine throughput). Their correctness is
+    anomaly_job_roundtrip/stream_stream_*/dedup_ingest_roundtrip —
+    they stage temp files and drive real StreamingQueries whose
+    trigger/teardown dominates wall time; the ingest and dedup-ingest
+    paths instead get the dedicated throughput passes above/below),
+    oracle-gate exactness variants whose cost is O(corpus) by
+    construction (minhash_dedup_pairs / incremental_near_dups /
+    incremental_index_near_dups / ann_pq_topk_refined — each has a
+    separately-benched production headline), and deliberate strawmen
+    (embedding_dedup_pairs). Correctness for every excluded name is
     covered by CORRECTNESS entries and pytest.
+  * DEDUP-INGEST THROUGHPUT (r7, closing the r6 "X80 has no measured
+    number" finding): a separate fresh-JVM pass drives the real X80
+    foreachBatch loop — exact+near within-batch dedup, at-rest index
+    probe, corpus+index append — over >=10 micro-batches of the
+    fixture's documents and reports docs/s admitted, per-batch wall
+    times, and index growth. Reported beside the query suite because
+    its unit differs (docs/s, not sec/query) and its wall time is
+    dominated by the per-batch streaming harness by design.
   * Known benign noise: a terminating StreamingQuery's final micro-batch
     can deliver task-end accumulator updates after its SQL execution is
     unregistered; local-mode Spark logs "Failed to update accumulator
@@ -220,12 +236,66 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_pq_topk",
-        "ann_pq_topk_refined",
         "embedding_lsh_pairs",
     ],
 }
 
 BENCH_QUERIES = [q for grp in BENCH_GROUPS.values() for q in grp]
+
+# Registered-but-not-benched, each with its documented reason — the
+# auditable half of the bench contract (tests/test_bench_contract.py
+# asserts BENCH_QUERIES + BENCH_EXCLUDED == the full registry, disjoint).
+BENCH_EXCLUDED: dict[str, str] = {
+    # --- streaming / side-effecting roundtrip harnesses: temp-file
+    # staging + StreamingQuery trigger/teardown dominates wall time ---
+    "windowed_events": "streaming roundtrip harness",
+    "sliding_windowed_events": "streaming roundtrip harness",
+    "session_windows": "streaming roundtrip harness",
+    "streaming_ingest_roundtrip": (
+        "streaming harness; the ingest path gets the dedicated "
+        "events/s pass instead"
+    ),
+    "anomaly_job_roundtrip": "streaming roundtrip harness",
+    "stream_stream_join": "streaming roundtrip harness",
+    "stream_stream_left_join": "streaming roundtrip harness",
+    "dedup_ingest_roundtrip": (
+        "X80 streaming harness; the loop gets the dedicated docs/s "
+        "dedup-ingest pass instead (r7)"
+    ),
+    # --- iterative trainers / MLlib fits: model-fit cost, not engine
+    # throughput ---
+    "bpe_merges": "X75 iterative trainer (12 driver-coordinated rounds)",
+    "rt_model_predictions": "MLlib RandomForest fit",
+    "rt_scoring_roundtrip": "MLlib fit + warehouse roundtrip",
+    "quality_classifier_scores": (
+        "X81 MLlib LogisticRegression fit; scoring cost is the "
+        "benched quality-feature projection shape"
+    ),
+    # --- oracle-gate exactness variants: cost O(corpus) by
+    # construction so the driver hash-match is exact; each has a
+    # separately-benched production headline ---
+    "minhash_dedup_pairs": (
+        "exact_net=True oracle gate; headline = minhash_lsh_pairs"
+    ),
+    "incremental_near_dups": (
+        "index build + exact_net oracle gate; headline = "
+        "incremental_near_dups_probe"
+    ),
+    "incremental_index_near_dups": (
+        "X79 append-built-index oracle gate; headline = "
+        "incremental_near_dups_probe"
+    ),
+    "ann_pq_topk_refined": (
+        "oracle tier with refine depth = corpus count (r6 structural-"
+        "exactness fix), so its cost grows with scale by construction; "
+        "headline = ann_pq_topk (refine=50)"
+    ),
+    # --- deliberate strawman ---
+    "embedding_dedup_pairs": (
+        "naive O(n^2) verification twin of the LSH path — benching it "
+        "would measure the strawman, not the engine"
+    ),
+}
 
 
 def run_group(group: str, sf_dir: str, cpus: int) -> dict[str, float]:
@@ -315,6 +385,94 @@ def run_ingest_throughput(sf_dir: str, cpus: int) -> dict[str, float]:
     }
 
 
+def run_dedup_ingest_throughput(
+    sf_dir: str, cpus: int, n_batches: int = 10
+) -> dict:
+    """Child-process entry (r7, closing the r6 'X80 has no measured
+    number' finding): end-to-end throughput of the streaming dedup-ingest
+    loop. The fixture's documents are split into ``n_batches``
+    deterministic micro-batch files (portable doc_id hash, so every
+    batch is a representative corpus slice); a file stream with
+    maxFilesPerTrigger=1 drives the REAL X80 foreachBatch handler —
+    exact + near dedup within the batch, probe of the at-rest LSH index,
+    corpus append + X79 index append — so batch k's probe sees batches
+    0..k-1's admissions, exactly the production recurrence. Timed span =
+    stream start -> awaitTermination (the staging write is untimed).
+    Reports docs/s admitted end-to-end, per-batch wall times (the
+    capacity-planning number: it should stay ~flat as the index grows,
+    because probe cost scales with the batch, not the corpus), and the
+    final index size."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nginx_analytics_spark.session import get_spark
+    from nginx_analytics_spark.sources import load_table
+    from nginx_analytics_spark.streaming.dedup_ingest import start_dedup_ingest
+
+    spark = get_spark(
+        app_name="nginx_analytics_bench_dedup_ingest",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    work = tempfile.mkdtemp(prefix="nas_bench_dedup_ingest_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        for k in range(n_batches):
+            batch = docs.filter(
+                F.crc32(F.col("doc_id").cast("string")) % n_batches == k
+            )
+            stage = f"{work}/stage{k}"
+            batch.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            # flat, ordered names; mtime order == write order, which is
+            # the file source's pick order under maxFilesPerTrigger=1
+            shutil.move(f"{stage}/{part}", f"{src}/b{k:02d}.parquet")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        marks: list[tuple[float, int, int]] = []
+        t0 = time.monotonic()
+        q = start_dedup_ingest(
+            stream,
+            f"{work}/corpus",
+            f"{work}/idx",
+            f"{work}/ckpt",
+            trigger={"availableNow": True},
+            on_batch=lambda bid, n_in, n_novel: marks.append(
+                (time.monotonic(), n_in, n_novel)
+            ),
+        )
+        q.awaitTermination()
+        sec = time.monotonic() - t0
+        ends = [t0] + [m[0] for m in marks]
+        batch_walls = [round(ends[i + 1] - ends[i], 3) for i in range(len(marks))]
+        admitted = sum(m[2] for m in marks)
+        idx = spark.read.parquet(f"{work}/idx")
+        idx_rows = idx.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    return {
+        "docs_in": n_docs,
+        "docs_admitted": admitted,
+        "n_batches": len(marks),
+        "sec": round(sec, 3),
+        "docs_per_sec": round(n_docs / sec, 1),
+        "admitted_per_sec": round(admitted / sec, 1),
+        "batch_walls_sec": batch_walls,
+        "index_rows": idx_rows,
+    }
+
+
 def wait_quiet_machine() -> str:
     """Sleep-retry until the 1-min loadavg drops under LOAD_GATE (bounded
     by LOAD_GATE_WAIT_S). Returns 'ok' or 'timeout'."""
@@ -346,6 +504,8 @@ def main() -> None:
     if len(sys.argv) == 3 and sys.argv[1] == "--group":
         if sys.argv[2] == "ingest":
             print(json.dumps(run_ingest_throughput(sf_dir, cpus)))
+        elif sys.argv[2] == "dedup_ingest":
+            print(json.dumps(run_dedup_ingest_throughput(sf_dir, cpus)))
         else:
             print(json.dumps(run_group(sys.argv[2], sf_dir, cpus)))
         return
@@ -379,6 +539,9 @@ def main() -> None:
     print("ingest throughput pass:", file=sys.stderr, flush=True)
     ingest = child("ingest")
     print(f"  ingest: {ingest}", file=sys.stderr, flush=True)
+    print("dedup-ingest throughput pass:", file=sys.stderr, flush=True)
+    dedup_ingest = child("dedup_ingest")
+    print(f"  dedup_ingest: {dedup_ingest}", file=sys.stderr, flush=True)
     load_end = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
@@ -391,6 +554,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "streaming_ingest": ingest,
+        "dedup_ingest": dedup_ingest,
         "loadavg": {"start": load_start, "end": load_end},
         "load_gate": gate,
         "protocol": (
@@ -414,6 +578,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "groups": group_totals,
                 "ingest_events_per_sec": ingest["events_per_sec"],
+                "dedup_ingest_docs_per_sec": dedup_ingest["docs_per_sec"],
                 "load_gate": gate,
                 "queries_detail": "bench_full.json",
             },

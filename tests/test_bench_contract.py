@@ -62,42 +62,22 @@ def test_readme_query_counts_match_registry():
     )
 
 
-def test_bench_covers_every_oracle_matched_query():
-    """Every hash-checked query should be benchmarked unless it is one of
-    the documented side-effecting/harness exclusions (bench.py docstring)."""
+def test_bench_partitions_the_registry():
+    """The r7 bench contract: EVERY registered query — oracle-matched or
+    rows-only — is either in a bench group or in ``BENCH_EXCLUDED`` with
+    a named reason, never both, never neither (r6 verdict: unnamed
+    generic exclusions made the contract unauditable)."""
     import bench
 
     from nginx_analytics_spark import registry
 
-    excluded = {
-        # streaming/side-effecting harnesses + ML fits (see bench.py)
-        "windowed_events",
-        "sliding_windowed_events",
-        "session_windows",
-        "streaming_ingest_roundtrip",
-        "anomaly_job_roundtrip",
-        "stream_stream_join",
-        "stream_stream_left_join",
-        "rt_model_predictions",
-        "rt_scoring_roundtrip",
-        "parse_enrich_smoke",
-        # deliberately-naive O(n^2) verification twin of the LSH path —
-        # benching it would measure the strawman, not the engine
-        "embedding_dedup_pairs",
-        # oracle-gate variant that unions the exact relational plan
-        # (exact_net=True) so the driver hash-match is exact by
-        # construction; the benched headline is the pure-LSH scale path
-        # (minhash_lsh_pairs)
-        "minhash_dedup_pairs",
-        # same split for X69 (r5 verdict item 2): the benched headline is
-        # incremental_near_dups_probe (pre-staged index, exact_net=False);
-        # these exact_net + index-build variants are the oracle gates for
-        # the one-shot (X69) and append-built (X79) index paths
-        "incremental_near_dups",
-        "incremental_index_near_dups",
-    }
+    registered = set(registry.queries())
     benched = set(bench.BENCH_QUERIES)
-    gaps = [
-        q for q in registry.oracle_sql() if q not in benched and q not in excluded
-    ]
-    assert not gaps, f"oracle-matched queries missing from bench: {gaps}"
+    excluded = set(bench.BENCH_EXCLUDED)
+    assert all(bench.BENCH_EXCLUDED.values()), "exclusion without a reason"
+    overlap = benched & excluded
+    assert not overlap, f"both benched and excluded: {sorted(overlap)}"
+    stale = excluded - registered
+    assert not stale, f"excluded names not registered: {sorted(stale)}"
+    gaps = registered - benched - excluded
+    assert not gaps, f"neither benched nor excluded: {sorted(gaps)}"
