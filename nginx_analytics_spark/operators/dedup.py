@@ -28,7 +28,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -731,9 +731,9 @@ def append_lsh_index(
     append adds one sorted file per touched band directory, so
     directory pruning is unchanged and row-group min/max pruning holds
     per file. Cost scales with the batch, never the index. After many
-    small appends, compaction is simply :func:`write_lsh_index` over
-    the full corpus (or a per-band file rewrite) — the same trade
-    every log-structured index makes.
+    small appends, :func:`compact_lsh_index` rewrites ONLY the bands
+    whose file count grew past a threshold — the log-structured
+    maintenance half, costing the oversized bands, never the corpus.
 
     The ``_lsh_meta.json`` sidecar is validated FIRST: appending keys
     signed with different parameters would silently poison the index.
@@ -763,6 +763,86 @@ def append_lsh_index(
         .partitionBy("band_idx")
         .parquet(path)
     )
+
+
+def compact_lsh_index(
+    spark: SparkSession,
+    path: str,
+    max_files_per_band: int = 8,
+    target_files: int = 1,
+) -> dict:
+    """X82: per-band compaction of an append-heavy LSH index — the
+    log-structured maintenance half of X79 (r6 verdict item 4: before
+    this, reclaiming file count cost a full O(corpus)
+    :func:`write_lsh_index` rebuild). Each :func:`append_lsh_index`
+    call adds one file per touched ``band_idx=`` directory; after many
+    small appends a probe pays per-file open/footer cost across an
+    unbounded file population. This job rewrites ONLY the bands whose
+    parquet file count exceeds ``max_files_per_band`` — each into
+    ``target_files`` range-partitioned, band_hash-sorted files
+    (non-overlapping min/max, so row-group pruning is at its best-case
+    after compaction) — and leaves every healthy band's files
+    byte-untouched. Cost scales with the OVERSIZED bands' rows, never
+    the corpus or the healthy bands.
+
+    Content invariant (property-tested like X79's): compaction changes
+    file layout only — the (id, band_idx, band_hash) row multiset and
+    the ``_lsh_meta.json`` sidecar are exactly preserved, so probes
+    before and after return identical pairs.
+
+    Swap discipline: the compacted files are fully written to a scratch
+    dir first, then moved into place via two directory renames (the
+    index paths here are driver-local, like the sidecar's I/O; an
+    HDFS/S3 deployment would do the same commit dance through the
+    FileSystem API). The rename window is not atomic for concurrent
+    READERS — run compaction from the maintenance side of the X80 loop
+    (between micro-batches, same thread as the appends), which is where
+    a log-structured store always runs it.
+
+    Returns ``{"bands_seen", "bands_compacted", "files_before",
+    "files_after"}`` for the caller's telemetry."""
+    import os
+    import shutil
+
+    read_lsh_index_meta(path)  # loud FileNotFoundError on a non-index dir
+
+    def parquet_files(d: str) -> list[str]:
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    stats = {"bands_seen": 0, "bands_compacted": 0,
+             "files_before": 0, "files_after": 0}
+    for band in sorted(d for d in os.listdir(path) if d.startswith("band_idx=")):
+        bdir = os.path.join(path, band)
+        files = parquet_files(bdir)
+        stats["bands_seen"] += 1
+        stats["files_before"] += len(files)
+        if len(files) <= max_files_per_band:
+            stats["files_after"] += len(files)
+            continue
+        # read the band leaf (partition column is implied by the dir),
+        # range-partition on the hash so the compacted files carry
+        # non-overlapping sorted hash ranges
+        rows = spark.read.parquet(bdir)
+        scratch = os.path.join(path, f".compact-{band}-{os.getpid()}")
+        shutil.rmtree(scratch, ignore_errors=True)
+        (
+            rows.repartitionByRange(target_files, "band_hash")
+            .sortWithinPartitions("band_hash")
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        old = os.path.join(path, f".old-{band}-{os.getpid()}")
+        os.rename(bdir, old)
+        os.makedirs(bdir)
+        n_after = 0
+        for f in parquet_files(scratch):
+            os.rename(os.path.join(scratch, f), os.path.join(bdir, f))
+            n_after += 1
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
+        stats["bands_compacted"] += 1
+        stats["files_after"] += n_after
+    return stats
 
 
 def _relational_jaccard_cross(

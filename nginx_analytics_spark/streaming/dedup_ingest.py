@@ -33,9 +33,17 @@ batch (same epoch id — the foreachBatch contract) REPLACES its own
 corpus output instead of duplicating it. The INDEX append is not made
 idempotent the same way, deliberately: a replayed append only adds
 duplicate band-key rows, and the probe's candidate ``distinct()``
-already collapses them — replay costs index bytes (reclaimed by the
-next compaction, i.e. a full ``write_lsh_index`` rebuild), never
-correctness. Read the batch-dir corpus back via :func:`read_corpus`.
+already collapses them — replay costs index bytes (reclaimed by
+per-band compaction, below), never correctness. Read the batch-dir
+corpus back via :func:`read_corpus`.
+
+Index maintenance: every append adds one file per touched band, so a
+long-running loop passes ``compact_every=N`` to fold
+:func:`~nginx_analytics_spark.operators.dedup.compact_lsh_index` (X82)
+into the loop itself — every N batches, bands whose file count grew
+past the threshold are rewritten into sorted range-partitioned files,
+inside the same foreachBatch thread that owns the appends (the one
+place compaction is safe without a reader/writer protocol).
 
 The index bootstrap (first batch ever) writes the index instead of
 appending; both paths stamp/validate the ``_lsh_meta.json`` parameter
@@ -113,13 +121,18 @@ def process_batch(
     text_col: str = "text",
     threshold: float = 0.6,
     exactly_once: bool = False,
+    compact_every: int | None = None,
+    max_files_per_band: int = 8,
 ) -> tuple[int, int]:
     """One micro-batch of the loop (exposed for retry tests and batch
     backfills): dedup, admit, append. Returns (n_in, n_novel).
     ``exactly_once`` lands the admissions under ``ingest_batch=<id>``
     with overwrite semantics (X73) so a same-id retry replaces rather
     than duplicates its corpus output — see the module docstring for why
-    the index append needs no such guard."""
+    the index append needs no such guard. ``compact_every=N`` runs the
+    X82 per-band compaction after every Nth batch (batch ids N-1,
+    2N-1, ...), bounding per-band file growth from inside the only
+    thread that writes the index."""
     import os
 
     if not batch.head(1):
@@ -144,6 +157,14 @@ def process_batch(
             dedup.write_lsh_index(
                 novel, index_path, id_col=id_col, text_col=text_col
             )
+    if (
+        compact_every
+        and (batch_id + 1) % compact_every == 0
+        and os.path.isfile(dedup.lsh_index_meta_path(index_path))
+    ):
+        dedup.compact_lsh_index(
+            spark, index_path, max_files_per_band=max_files_per_band
+        )
     return (n_in, n_novel)
 
 
@@ -157,19 +178,22 @@ def start_dedup_ingest(
     threshold: float = 0.6,
     trigger: dict | None = None,
     exactly_once: bool = False,
+    compact_every: int | None = None,
     on_batch: Callable[[int, int, int], None] | None = None,
 ) -> StreamingQuery:
     """Run the continuous dedup-ingest loop over a streaming DataFrame of
     documents. ``on_batch(batch_id, n_in, n_novel)`` surfaces per-batch
     admission counts (the observability a dedup gate needs: a sudden
     novel-rate collapse means upstream re-delivery; a 100% novel rate on
-    a known-overlapping feed means the index is being missed)."""
+    a known-overlapping feed means the index is being missed).
+    ``compact_every=N`` folds X82 per-band index compaction into every
+    Nth batch — see :func:`process_batch`."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         n_in, n_novel = process_batch(
             batch.sparkSession, batch, batch_id, corpus_dir, index_path,
             id_col=id_col, text_col=text_col, threshold=threshold,
-            exactly_once=exactly_once,
+            exactly_once=exactly_once, compact_every=compact_every,
         )
         if on_batch is not None:
             on_batch(batch_id, n_in, n_novel)

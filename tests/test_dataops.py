@@ -807,3 +807,58 @@ def test_append_then_reprobe_loop(spark, tmp_path):
         ).collect()
     }
     assert hits2 == {(20, 10)}  # found via the appended signatures
+
+
+def test_compact_lsh_index_equals_rebuild(spark, tmp_path):
+    """X82 content invariant (r6 verdict item 4): append x N + compact
+    holds EXACTLY the same (id, band_idx, band_hash) rows as a one-shot
+    rebuild — compaction changes file layout only — while the per-band
+    parquet file count drops to target_files, healthy bands are left
+    byte-untouched, and the parameter sidecar survives."""
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    slices = [docs.filter(F.col("doc_id") % 4 == k) for k in range(4)]
+
+    inc, full = f"{tmp_path}/inc", f"{tmp_path}/full"
+    dedup.write_lsh_index(slices[0], inc)
+    for s in slices[1:]:
+        dedup.append_lsh_index(s, inc)
+    dedup.write_lsh_index(docs, full)
+
+    def band_files(path):
+        return {
+            band: sorted(
+                f for f in os.listdir(os.path.join(path, band))
+                if f.endswith(".parquet")
+            )
+            for band in os.listdir(path)
+            if band.startswith("band_idx=")
+        }
+
+    before = band_files(inc)
+    assert all(len(fs) == 4 for fs in before.values())  # one file/append
+
+    # a no-op pass first: every band is at 4 files, threshold 8 — no
+    # band qualifies and no file is renamed or rewritten
+    noop = dedup.compact_lsh_index(spark, inc, max_files_per_band=8)
+    assert noop["bands_compacted"] == 0
+    assert band_files(inc) == before
+
+    stats = dedup.compact_lsh_index(spark, inc, max_files_per_band=1)
+    assert stats["bands_seen"] == len(before)
+    assert stats["bands_compacted"] == len(before)
+    assert stats["files_before"] == 4 * len(before)
+    assert stats["files_after"] == len(before)
+    after = band_files(inc)
+    assert all(len(fs) == 1 for fs in after.values())
+
+    key = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.band_idx, r.band_hash) for r in df.collect()
+    )
+    assert key(spark.read.parquet(inc)) == key(spark.read.parquet(full))
+    # sidecar preserved => probes keep validating against the same params
+    assert dedup.read_lsh_index_meta(inc) == dedup.read_lsh_index_meta(full)
+
+    with pytest.raises(FileNotFoundError):
+        dedup.compact_lsh_index(spark, f"{tmp_path}/not_an_index")

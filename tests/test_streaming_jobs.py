@@ -345,3 +345,70 @@ def test_dedup_ingest_exactly_once_retry(spark, tmp_path):
     assert sorted(
         r.doc_id for r in read_corpus(spark, plain).collect()
     ) == [1, 1, 2, 2]  # at-least-once append duplicates on replay
+
+
+def test_dedup_ingest_with_in_loop_compaction(spark, tmp_path):
+    """X82 in the X80 loop: compact_every=1 + max_files_per_band=1
+    compacts the index inside the foreachBatch thread after every batch.
+    Admissions are IDENTICAL to the uncompacted loop (compaction is
+    layout-only), the final per-band file count is bounded at 1 + the
+    last batch's append, and the index content equals a one-shot rebuild
+    over the admitted corpus."""
+    import os
+
+    import pandas as pd
+
+    from nginx_analytics_spark.operators import dedup
+    from nginx_analytics_spark.streaming.dedup_ingest import start_dedup_ingest
+
+    base_a = "the quick brown fox jumps over the lazy dog near the river"
+    base_g = "completely different subject matter covering spark physical plans and shuffles today"
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(src / name)
+
+    write("a.parquet", [(1, base_a), (2, "unrelated text about parquet row groups and min max statistics here")])
+    write("b.parquet", [(3, base_a + " extra"), (4, base_g)])
+    write("c.parquet", [(7, base_g + " trailer")])
+
+    corpus_dir = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "idx")
+    seen = []
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = start_dedup_ingest(
+        stream, corpus_dir, index_path, str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        compact_every=1,
+        on_batch=lambda bid, n_in, n_novel: seen.append((n_in, n_novel)),
+    )
+    q.awaitTermination()
+    # compact_every defaults max_files_per_band=8; force a final full
+    # compaction to the 1-file floor to check the invariant end-state
+    dedup.compact_lsh_index(spark, index_path, max_files_per_band=1)
+
+    assert seen == [(2, 2), (2, 1), (1, 0)]  # same admissions as uncompacted
+    admitted = spark.read.parquet(corpus_dir)
+    assert sorted(r.doc_id for r in admitted.collect()) == [1, 2, 4]
+
+    for band in os.listdir(index_path):
+        if band.startswith("band_idx="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(index_path, band))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, band
+
+    rebuilt = str(tmp_path / "rebuilt")
+    dedup.write_lsh_index(admitted, rebuilt)
+    key = lambda p: sorted(  # noqa: E731
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(p).collect()
+    )
+    assert key(index_path) == key(rebuilt)
