@@ -287,6 +287,25 @@ def _build_parser():
             "exchange-free downstream joins)"
         ),
     )
+    ho.add_argument(
+        "--quality-weights",
+        action="store_true",
+        help=(
+            "score every curated doc with the X81 distilled quality "
+            "classifier and carry quality_prob into the landed corpus "
+            "and the training shards — the calibrated sampling weight "
+            "the downstream loader mixes by (r6 verdict item 5)"
+        ),
+    )
+    ho.add_argument(
+        "--quality-model",
+        default=None,
+        help=(
+            "path of a saved X81 PipelineModel to score with; omitted "
+            "=> the scorer is distilled in-job from the source corpus "
+            "(ml.quality.train_quality_classifier)"
+        ),
+    )
 
     di = sub.add_parser(
         "dedup-ingest",
@@ -460,6 +479,23 @@ def main(argv: list[str] | None = None) -> int:
         curated = curation.curate_documents(docs, **kwargs).join(
             docs.select("doc_id", "text"), "doc_id"
         )
+        if args.quality_weights:
+            # X81 wiring (r6 verdict item 5): the hand-off's end product
+            # carries the calibrated sampling weight the classifier
+            # exists to produce. Scoring is one shuffle-free feature
+            # projection + dot product per doc; the equi-join on doc_id
+            # rides the same key as every other hand-off join.
+            from nginx_analytics_spark.ml import quality as qmod
+
+            if args.quality_model:
+                from pyspark.ml import PipelineModel
+
+                model = PipelineModel.load(args.quality_model)
+            else:
+                model = qmod.train_quality_classifier(docs)
+            curated = curated.join(
+                qmod.score_quality(model, docs), "doc_id"
+            )
         # Stage 2 — land the curated corpus. zorder (default): 2-D
         # row-group pruning for selection by length band / quality
         # floor (X59). bucketed: catalog table hash-bucketed by doc_id,

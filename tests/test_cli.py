@@ -299,3 +299,65 @@ def test_cli_dedup_ingest(spark, tmp_path):
     from nginx_analytics_spark.operators import dedup
 
     assert dedup.read_lsh_index_meta(f"{tmp_path}/idx")["num_hashes"] == 32
+
+
+def test_cli_handoff_quality_weights(spark, tmp_path):
+    """X81 -> X67 wiring (r6 verdict item 5): --quality-weights lands
+    quality_prob in the curated corpus AND the training shards, and the
+    sharded scores match score_quality with the same model directly —
+    the weight survives the layout + shard composition bit-for-bit.
+    Uses --quality-model (a saved scorer) so the expected scores are
+    exactly reproducible in-test."""
+    from nginx_analytics_spark.ml import quality as qmod
+
+    docs = load_table(spark, SF, "documents")
+    model = qmod.train_quality_classifier(docs)
+    model_path = f"{tmp_path}/qmodel"
+    model.write().overwrite().save(model_path)
+
+    wh_dir = f"{tmp_path}/warehouse"
+    rc = jobs.main(
+        [
+            "handoff",
+            "--warehouse", wh_dir,
+            "--source", f"{SF}/documents.parquet",
+            "--n-shards", "4",
+            "--quality-weights",
+            "--quality-model", model_path,
+        ]
+    )
+    assert rc == 0
+
+    corpus = spark.read.parquet(f"{wh_dir}/curated_corpus")
+    assert "quality_prob" in corpus.columns
+    shards = spark.read.parquet(f"{wh_dir}/training_shards")
+    assert "quality_prob" in shards.columns
+
+    expected = {
+        r.doc_id: r.quality_prob
+        for r in qmod.score_quality(model, docs).collect()
+    }
+    got = {r.doc_id: r.quality_prob for r in shards.collect()}
+    assert set(got) <= set(expected)
+    assert got  # curation keeps docs
+    assert all(got[d] == expected[d] for d in got)
+    assert all(0.0 <= p <= 1.0 for p in got.values())
+
+
+def test_cli_handoff_quality_weights_trains_in_job(spark, tmp_path):
+    """The --quality-weights default (no --quality-model) distills the
+    scorer in-job from the source corpus; smoke the path end-to-end."""
+    wh_dir = f"{tmp_path}/warehouse"
+    rc = jobs.main(
+        [
+            "handoff",
+            "--warehouse", wh_dir,
+            "--source", f"{SF}/documents.parquet",
+            "--n-shards", "2",
+            "--quality-weights",
+        ]
+    )
+    assert rc == 0
+    shards = spark.read.parquet(f"{wh_dir}/training_shards")
+    assert "quality_prob" in shards.columns
+    assert shards.filter(F.col("quality_prob").isNull()).count() == 0
