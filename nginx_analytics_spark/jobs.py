@@ -324,6 +324,16 @@ def _build_parser():
     di.add_argument("--threshold", type=float, default=0.6)
     di.add_argument("--max-files-per-trigger", type=int, default=None)
     di.add_argument(
+        "--compact-every",
+        type=int,
+        default=None,
+        help=(
+            "run X82 per-band index compaction after every Nth batch, "
+            "bounding per-band file growth from the loop's own writer "
+            "thread (default: never — compact via the API offline)"
+        ),
+    )
+    di.add_argument(
         "--exactly-once",
         action="store_true",
         help=(
@@ -369,6 +379,7 @@ def main(argv: list[str] | None = None) -> int:
             threshold=args.threshold,
             trigger=_parse_trigger(args.trigger),
             exactly_once=args.exactly_once,
+            compact_every=args.compact_every,
             on_batch=lambda bid, n_in, n_novel: print(
                 f"batch {bid}: {n_in} in, {n_novel} admitted", flush=True
             ),

@@ -289,6 +289,7 @@ def test_cli_dedup_ingest(spark, tmp_path):
             "--corpus", f"{tmp_path}/corpus",
             "--index", f"{tmp_path}/idx",
             "--checkpoint", f"{tmp_path}/ckpt",
+            "--compact-every", "1",  # X82 plumbing (no-op at 1 file/band)
         ]
     )
     assert rc == 0
