@@ -301,9 +301,10 @@ def _build_parser():
         "--quality-model",
         default=None,
         help=(
-            "path of a saved X81 PipelineModel to score with; omitted "
-            "=> the scorer is distilled in-job from the source corpus "
-            "(ml.quality.train_quality_classifier)"
+            "path of a saved X81 PipelineModel to score with (implies "
+            "--quality-weights); omitted => the scorer is distilled "
+            "in-job from the source corpus against this handoff's own "
+            "gate parameters (ml.quality.train_quality_classifier)"
         ),
     )
 
@@ -331,6 +332,15 @@ def _build_parser():
             "run X82 per-band index compaction after every Nth batch, "
             "bounding per-band file growth from the loop's own writer "
             "thread (default: never — compact via the API offline)"
+        ),
+    )
+    di.add_argument(
+        "--max-files-per-band",
+        type=int,
+        default=8,
+        help=(
+            "per-band parquet file threshold above which --compact-every "
+            "rewrites a band (X82)"
         ),
     )
     di.add_argument(
@@ -380,6 +390,7 @@ def main(argv: list[str] | None = None) -> int:
             trigger=_parse_trigger(args.trigger),
             exactly_once=args.exactly_once,
             compact_every=args.compact_every,
+            max_files_per_band=args.max_files_per_band,
             on_batch=lambda bid, n_in, n_novel: print(
                 f"batch {bid}: {n_in} in, {n_novel} admitted", flush=True
             ),
@@ -490,12 +501,15 @@ def main(argv: list[str] | None = None) -> int:
         curated = curation.curate_documents(docs, **kwargs).join(
             docs.select("doc_id", "text"), "doc_id"
         )
-        if args.quality_weights:
+        if args.quality_weights or args.quality_model:
             # X81 wiring (r6 verdict item 5): the hand-off's end product
             # carries the calibrated sampling weight the classifier
             # exists to produce. Scoring is one shuffle-free feature
             # projection + dot product per doc; the equi-join on doc_id
             # rides the same key as every other hand-off join.
+            # --quality-model implies --quality-weights (r7 review: a
+            # model-only invocation silently scoring nothing would be a
+            # trap).
             from nginx_analytics_spark.ml import quality as qmod
 
             if args.quality_model:
@@ -503,7 +517,18 @@ def main(argv: list[str] | None = None) -> int:
 
                 model = PipelineModel.load(args.quality_model)
             else:
-                model = qmod.train_quality_classifier(docs)
+                # In-job distillation teaches against THIS handoff's
+                # gates: the CLI's --bench-fraction/--contam-n thread
+                # into the teacher split, and the already-curated
+                # survivor set IS the teacher's keep verdict — persisted
+                # so the expensive gate stack executes once, not once
+                # for landing and again for labels (r7 review).
+                from pyspark import StorageLevel
+
+                curated = curated.persist(StorageLevel.DISK_ONLY)
+                model = qmod.train_quality_classifier(
+                    docs, kept=curated, **kwargs
+                )
             curated = curated.join(
                 qmod.score_quality(model, docs), "doc_id"
             )

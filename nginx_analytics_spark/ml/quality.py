@@ -134,6 +134,7 @@ def weak_labels(
     docs: DataFrame,
     bench_fraction: float = curation.BENCH_FRACTION,
     contam_n: int = curation.CONTAM_N,
+    kept: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, label) over the TRAIN split only: label 1 iff the doc
     survives the full X39 curation gate stack. The benchmark carve-out
@@ -146,27 +147,53 @@ def weak_labels(
     ``portable_frac("doc_id", salt=7)`` internally, and the train
     filter here must be the byte-identical predicate — a configurable
     id would silently desynchronize the two splits and label carve-out
-    docs 0 (r6 review finding)."""
+    docs 0 (r6 review finding).
+
+    ``kept`` lets a caller that ALREADY ran the gate stack (the handoff
+    job curates the same corpus with the same parameters) pass its
+    survivor set instead of paying the expensive gates a second time —
+    it MUST be the output of ``curate_documents(docs,
+    bench_fraction=bench_fraction, contam_n=contam_n)`` or the teacher
+    desynchronizes from the gate the pipeline applies (r7 review)."""
     frac = sampling.portable_frac("doc_id", salt=7)  # the X39 split salt
     train = docs.filter(frac >= bench_fraction)
-    kept = curation.curate_documents(
-        docs, bench_fraction=bench_fraction, contam_n=contam_n
-    ).select("doc_id")
+    if kept is None:
+        kept = curation.curate_documents(
+            docs, bench_fraction=bench_fraction, contam_n=contam_n
+        )
+    kept = kept.select("doc_id")
     return train.select("doc_id").join(
         kept.withColumn("label", F.lit(1.0)), "doc_id", "left"
     ).fillna({"label": 0.0})
 
 
-def train_quality_classifier(docs: DataFrame, seed: int = 42):
+def train_quality_classifier(
+    docs: DataFrame,
+    seed: int = 42,
+    bench_fraction: float = curation.BENCH_FRACTION,
+    contam_n: int = curation.CONTAM_N,
+    kept: DataFrame | None = None,
+):
     """Fit the distilled scorer: features -> standardized logistic
     regression (deterministic LBFGS under a fixed seed and layout).
     Returns the fitted PipelineModel; persist with ``model.save(path)``
-    exactly like the response-time model (S10)."""
+    exactly like the response-time model (S10). ``bench_fraction`` /
+    ``contam_n`` / ``kept`` thread through to :func:`weak_labels` so a
+    caller that curates with non-default gates distills against THOSE
+    gates, not the defaults (r7 review)."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
-    data = quality_features(docs).join(weak_labels(docs), "doc_id")
+    data = quality_features(docs).join(
+        weak_labels(
+            docs,
+            bench_fraction=bench_fraction,
+            contam_n=contam_n,
+            kept=kept,
+        ),
+        "doc_id",
+    )
     pipe = Pipeline(
         stages=[
             VectorAssembler(inputCols=QUALITY_FEATURES, outputCol="raw"),

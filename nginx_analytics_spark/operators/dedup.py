@@ -790,14 +790,20 @@ def compact_lsh_index(
     the ``_lsh_meta.json`` sidecar are exactly preserved, so probes
     before and after return identical pairs.
 
-    Swap discipline: the compacted files are fully written to a scratch
-    dir first, then moved into place via two directory renames (the
-    index paths here are driver-local, like the sidecar's I/O; an
-    HDFS/S3 deployment would do the same commit dance through the
-    FileSystem API). The rename window is not atomic for concurrent
-    READERS — run compaction from the maintenance side of the X80 loop
-    (between micro-batches, same thread as the appends), which is where
-    a log-structured store always runs it.
+    Swap discipline (crash-safe, r7 review): the compacted files are
+    fully written to a ``.compact-…`` scratch dir, then swapped in via
+    two single atomic renames — band dir → ``.old-…``, scratch → band
+    dir — and only then is ``.old-…`` deleted. A crash at ANY point
+    leaves the band's rows intact in exactly one of (band dir, .old),
+    and :func:`_recover_lsh_compaction` — run on entry here — rolls an
+    interrupted swap BACK (restore .old, discard scratch) and reaps
+    completed swaps' leftovers from any pid, so no crash can silently
+    lose a band's recall. (Paths are driver-local like the sidecar's
+    I/O; an HDFS/S3 deployment does the same dance through the
+    FileSystem API.) The rename window is still not atomic for
+    concurrent READERS — run compaction from the maintenance side of
+    the X80 loop (between micro-batches, same thread as the appends),
+    which is where a log-structured store always runs it.
 
     Returns ``{"bands_seen", "bands_compacted", "files_before",
     "files_after"}`` for the caller's telemetry."""
@@ -805,6 +811,7 @@ def compact_lsh_index(
     import shutil
 
     read_lsh_index_meta(path)  # loud FileNotFoundError on a non-index dir
+    _recover_lsh_compaction(path)
 
     def parquet_files(d: str) -> list[str]:
         return [f for f in os.listdir(d) if f.endswith(".parquet")]
@@ -831,18 +838,44 @@ def compact_lsh_index(
             .write.mode("overwrite")
             .parquet(scratch)
         )
+        n_after = len(parquet_files(scratch))
         old = os.path.join(path, f".old-{band}-{os.getpid()}")
         os.rename(bdir, old)
-        os.makedirs(bdir)
-        n_after = 0
-        for f in parquet_files(scratch):
-            os.rename(os.path.join(scratch, f), os.path.join(bdir, f))
-            n_after += 1
+        # the scratch dir becomes the band dir whole — its _SUCCESS /
+        # .crc droppings are _-prefixed/hidden, which parquet readers
+        # skip — so the swap is one rename, never a per-file window
+        os.rename(scratch, bdir)
         shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(scratch, ignore_errors=True)
         stats["bands_compacted"] += 1
         stats["files_after"] += n_after
     return stats
+
+
+def _recover_lsh_compaction(path: str) -> None:
+    """Heal an index whose last compaction crashed mid-swap. For each
+    ``.old-<band>-<pid>`` leftover: the band dir existing means the
+    swap completed (or never detached) — reap the leftover; the band
+    dir missing means the crash hit between the two renames — ROLL
+    BACK by restoring ``.old`` as the band dir (the compaction simply
+    didn't happen; content is exactly the pre-compaction rows). Then
+    every ``.compact-*`` scratch is stale by construction (its band
+    dir exists again) and is reaped, any pid's alike."""
+    import os
+    import shutil
+
+    entries = os.listdir(path)
+    for d in entries:
+        if not d.startswith(".old-"):
+            continue
+        band = d[len(".old-"):d.rfind("-")]
+        bdir = os.path.join(path, band)
+        if os.path.isdir(bdir):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        else:
+            os.rename(os.path.join(path, d), bdir)
+    for d in entries:
+        if d.startswith(".compact-"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def _relational_jaccard_cross(

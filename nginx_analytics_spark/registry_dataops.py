@@ -322,16 +322,19 @@ def _staged_lsh_index(
     for d in os.listdir(root):
         p = os.path.join(root, d)
         try:
-            if d.startswith(f"{family}-") and d != tag:
-                # same fixture+params, dead fingerprint: definitionally
-                # stale (the parquet it indexed was replaced) — reap now
+            stale = _time.time() - os.stat(p).st_mtime > 3600
+            if d.startswith(f"{family}-") and d != tag and stale:
+                # same fixture+params, dead fingerprint: the parquet it
+                # indexed was replaced. Age-gated like every other reap
+                # (r7 review): a process that staged against the OLD
+                # fixture state may still be mid-probe over these files;
+                # an hour bounds the orphan's life without racing a
+                # live reader.
                 shutil.rmtree(p, ignore_errors=True)
-            elif _time.time() - os.stat(p).st_mtime > 3600:
-                # crash-orphaned scratch (.build-*) and pre-r7 single-hash
-                # published dirs: age-gated so a LIVE concurrent builder's
-                # scratch (or another fixture's fresh index) is never hit
-                if d.startswith(".build-") or "-" not in d:
-                    shutil.rmtree(p, ignore_errors=True)
+            elif stale and (d.startswith(".build-") or "-" not in d):
+                # crash-orphaned scratch (.build-*) and pre-r7
+                # single-hash published dirs, same age bound
+                shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass
     scratch = os.path.join(root, f".build-{tag}-{os.getpid()}")

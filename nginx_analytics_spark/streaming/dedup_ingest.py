@@ -132,17 +132,19 @@ def process_batch(
     the index append needs no such guard. ``compact_every=N`` runs the
     X82 per-band compaction after every Nth batch (batch ids N-1,
     2N-1, ...), bounding per-band file growth from inside the only
-    thread that writes the index."""
+    thread that writes the index — the cycle fires even when the batch
+    itself is empty (r7 review: compaction is index-state-driven, not
+    batch-content-driven; an idle feed must not starve it)."""
     import os
 
-    if not batch.head(1):
-        return (0, 0)
-    novel = dedup_batch_against_corpus(
-        spark, batch, corpus_dir, index_path,
-        id_col=id_col, text_col=text_col, threshold=threshold,
-    ).localCheckpoint(eager=True)  # consumed by corpus write + index append
-    n_in = batch.count()
-    n_novel = novel.count()
+    n_in = n_novel = 0
+    if batch.head(1):
+        novel = dedup_batch_against_corpus(
+            spark, batch, corpus_dir, index_path,
+            id_col=id_col, text_col=text_col, threshold=threshold,
+        ).localCheckpoint(eager=True)  # consumed by corpus write + append
+        n_in = batch.count()
+        n_novel = novel.count()
     if n_novel:
         if exactly_once:
             dest = os.path.join(corpus_dir, f"ingest_batch={batch_id}")
@@ -179,6 +181,7 @@ def start_dedup_ingest(
     trigger: dict | None = None,
     exactly_once: bool = False,
     compact_every: int | None = None,
+    max_files_per_band: int = 8,
     on_batch: Callable[[int, int, int], None] | None = None,
 ) -> StreamingQuery:
     """Run the continuous dedup-ingest loop over a streaming DataFrame of
@@ -194,6 +197,7 @@ def start_dedup_ingest(
             batch.sparkSession, batch, batch_id, corpus_dir, index_path,
             id_col=id_col, text_col=text_col, threshold=threshold,
             exactly_once=exactly_once, compact_every=compact_every,
+            max_files_per_band=max_files_per_band,
         )
         if on_batch is not None:
             on_batch(batch_id, n_in, n_novel)

@@ -737,9 +737,17 @@ def test_staged_lsh_index_reuse_and_probe_query(spark):
     docs_small.toPandas().to_parquet(f"{fx}/documents.parquet")  # regenerate
     p_after = rd2._staged_lsh_index(docs_small, fx)
     assert p_before != p_after
-    # r6 ADVICE: the stale published dir (same family prefix, dead
-    # fingerprint) is REAPED on the cache miss, not orphaned under /tmp
-    assert not os.path.exists(os.path.dirname(p_before))
+    # r6 ADVICE + r7 review: the stale published dir (same family
+    # prefix, dead fingerprint) is reaped on a later cache miss once it
+    # ages past the liveness bound — bounded orphan life, never a race
+    # against a reader still probing the old fixture state
+    stale_dir = os.path.dirname(p_before)
+    assert os.path.exists(stale_dir)  # younger than the age gate: kept
+    _backdate = _t.time() - 7200
+    os.utime(stale_dir, (_backdate, _backdate))
+    docs_small.toPandas().to_parquet(f"{fx}/documents.parquet")  # miss again
+    rd2._staged_lsh_index(docs_small, fx)
+    assert not os.path.exists(stale_dir)
     import shutil
 
     shutil.rmtree(fx, ignore_errors=True)
@@ -862,3 +870,40 @@ def test_compact_lsh_index_equals_rebuild(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         dedup.compact_lsh_index(spark, f"{tmp_path}/not_an_index")
+
+
+def test_compact_lsh_index_crash_recovery(spark, tmp_path):
+    """X82 crash safety (r7 review): a compaction killed between the
+    two swap renames must not lose the band — recovery rolls the .old
+    dir back into place and discards the scratch; leftovers from a
+    COMPLETED swap (band dir present) are reaped, any pid's alike."""
+    import os
+    import shutil
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = f"{tmp_path}/idx"
+    dedup.write_lsh_index(docs, idx)
+    before = sorted(
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(idx).collect()
+    )
+    bands = sorted(d for d in os.listdir(idx) if d.startswith("band_idx="))
+
+    # crash state A: band 0 detached to .old, scratch present, band dir
+    # gone — the window between rename #1 and rename #2 (foreign pid)
+    b0 = os.path.join(idx, bands[0])
+    os.rename(b0, os.path.join(idx, f".old-{bands[0]}-99999"))
+    os.makedirs(os.path.join(idx, f".compact-{bands[0]}-99999"))
+    # crash state B: band 1 swap completed but .old never deleted
+    b1 = os.path.join(idx, bands[1])
+    shutil.copytree(b1, os.path.join(idx, f".old-{bands[1]}-99998"))
+
+    stats = dedup.compact_lsh_index(spark, idx, max_files_per_band=999)
+    assert stats["bands_compacted"] == 0  # healthy: nothing to rewrite
+    leftovers = [d for d in os.listdir(idx) if d.startswith((".old-", ".compact-"))]
+    assert leftovers == []
+    after = sorted(
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(idx).collect()
+    )
+    assert after == before  # rollback restored band 0; nothing lost

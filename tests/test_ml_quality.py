@@ -108,3 +108,21 @@ def test_null_text_docs_score_instead_of_crashing(spark):
     assert len(scored) == with_null.count()
     p_null = scored.set_index("doc_id").quality_prob[10**9]
     assert p_null <= scored.quality_prob.median()
+
+
+def test_weak_labels_accept_precomputed_survivors(spark):
+    """r7 review: a caller that already ran the gate stack (the handoff
+    job) passes its survivor set as ``kept``; labels must be identical
+    to the self-curated path at the same gate parameters — including
+    NON-default ones, which train_quality_classifier now threads
+    through instead of silently teaching against the default gates."""
+    from nginx_analytics_spark.operators import curation
+
+    docs = load_table(spark, SF, "documents").limit(300)
+    bf = 0.2  # non-default gate split
+    kept = curation.curate_documents(docs, bench_fraction=bf)
+    via_kept = quality.weak_labels(docs, bench_fraction=bf, kept=kept)
+    direct = quality.weak_labels(docs, bench_fraction=bf)
+    a = {(r.doc_id, r.label) for r in via_kept.collect()}
+    b = {(r.doc_id, r.label) for r in direct.collect()}
+    assert a == b and a

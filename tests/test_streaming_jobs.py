@@ -412,3 +412,40 @@ def test_dedup_ingest_with_in_loop_compaction(spark, tmp_path):
         for r in spark.read.parquet(p).collect()
     )
     assert key(index_path) == key(rebuilt)
+
+
+def test_empty_batch_still_fires_scheduled_compaction(spark, tmp_path):
+    """r7 review: compaction is index-state-driven, not batch-content-
+    driven — an empty micro-batch landing on the compact_every cycle
+    must still compact (an idle feed would otherwise starve maintenance
+    indefinitely)."""
+    import os
+
+    from nginx_analytics_spark.operators import dedup
+    from nginx_analytics_spark.streaming.dedup_ingest import process_batch
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    slices = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    dedup.write_lsh_index(slices[0], idx)
+    for s in slices[1:]:
+        dedup.append_lsh_index(s, idx)
+
+    empty = docs.limit(0)
+    n_in, n_novel = process_batch(
+        spark, empty, 0, str(tmp_path / "corpus"), idx,
+        compact_every=1, max_files_per_band=1,
+    )
+    assert (n_in, n_novel) == (0, 0)
+    for band in os.listdir(idx):
+        if band.startswith("band_idx="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(idx, band))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, band
