@@ -137,6 +137,15 @@ def process_batch(
     batch-content-driven; an idle feed must not starve it)."""
     import os
 
+    if os.path.isfile(dedup.lsh_index_meta_path(index_path)):
+        # heal a compaction interrupted by a crash BEFORE probing (r7):
+        # recovery rolls a half-swapped band back into place, so a
+        # restarted loop never probes an index with a detached band
+        # (bounded-recall window) while waiting for the next compaction
+        # cycle. Safe here because this foreachBatch thread is the
+        # index's only writer — the same contract compaction itself
+        # relies on.
+        dedup._recover_lsh_compaction(index_path)
     n_in = n_novel = 0
     if batch.head(1):
         novel = dedup_batch_against_corpus(

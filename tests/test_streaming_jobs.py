@@ -449,3 +449,48 @@ def test_empty_batch_still_fires_scheduled_compaction(spark, tmp_path):
                 if f.endswith(".parquet")
             ]
             assert len(files) == 1, band
+
+
+def test_loop_heals_crashed_compaction_before_probing(spark, tmp_path):
+    """r7: a loop restarted after a compactor crash (band detached to
+    .old between the swap renames) heals the index on its next batch —
+    BEFORE the probe — so the near-dup gate never runs with a missing
+    band's recall."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from nginx_analytics_spark.operators import dedup
+    from nginx_analytics_spark.streaming.dedup_ingest import process_batch
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    corpus_dir = str(tmp_path / "corpus")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    corpus.write.mode("overwrite").parquet(corpus_dir)
+    dedup.write_lsh_index(corpus, idx)
+    before = sorted(
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(idx).collect()
+    )
+
+    # plant the mid-swap crash state on one band
+    bands = sorted(d for d in os.listdir(idx) if d.startswith("band_idx="))
+    os.rename(
+        os.path.join(idx, bands[0]),
+        os.path.join(idx, f".old-{bands[0]}-424242"),
+    )
+
+    batch = docs.filter(F.col("doc_id") % 10 == 0).limit(5)
+    n_in, n_novel = process_batch(spark, batch, 0, corpus_dir, idx)
+    assert n_in == 5
+    # the planted band is back, plus the batch's appended keys
+    restored = sorted(
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(idx).collect()
+        if r.doc_id in {t[0] for t in before}
+    )
+    assert restored == before
+    assert not any(d.startswith(".old-") for d in os.listdir(idx))
