@@ -529,8 +529,15 @@ def main(argv: list[str] | None = None) -> int:
                 model = qmod.train_quality_classifier(
                     docs, kept=curated, **kwargs
                 )
+            # Score only the SURVIVORS (scoring is row-local, so values
+            # are identical to scoring the full corpus): at scale the
+            # gate drops a large fraction of docs, and their feature
+            # scan would be pure waste.
             curated = curated.join(
-                qmod.score_quality(model, docs), "doc_id"
+                qmod.score_quality(
+                    model, curated.select("doc_id", "text")
+                ),
+                "doc_id",
             )
         # Stage 2 — land the curated corpus. zorder (default): 2-D
         # row-group pruning for selection by length band / quality
