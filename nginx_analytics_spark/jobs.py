@@ -501,6 +501,7 @@ def main(argv: list[str] | None = None) -> int:
         curated = curation.curate_documents(docs, **kwargs).join(
             docs.select("doc_id", "text"), "doc_id"
         )
+        persisted = None  # set iff the in-job distillation branch caches
         if args.quality_weights or args.quality_model:
             # X81 wiring (r6 verdict item 5): the hand-off's end product
             # carries the calibrated sampling weight the classifier
@@ -525,7 +526,7 @@ def main(argv: list[str] | None = None) -> int:
                 # for landing and again for labels (r7 review).
                 from pyspark import StorageLevel
 
-                curated = curated.persist(StorageLevel.DISK_ONLY)
+                curated = persisted = curated.persist(StorageLevel.DISK_ONLY)
                 model = qmod.train_quality_classifier(
                     docs, kept=curated, **kwargs
                 )
@@ -556,6 +557,12 @@ def main(argv: list[str] | None = None) -> int:
             # Stage 3 reads the LANDED corpus (curation runs once; the
             # at-rest table is the stage boundary, as in a real pipeline).
             landed = spark.read.parquet(corpus_dest)
+        if persisted is not None:
+            # every consumer of the cached survivor set (teacher labels,
+            # scoring join, corpus write) has executed — release the
+            # blocks so an in-session caller doesn't leak them (r7
+            # ADVICE; a CLI run exits anyway)
+            persisted.unpersist()
         n = write_shards(
             landed, wh.path("training_shards"), key="doc_id",
             n_shards=args.n_shards,

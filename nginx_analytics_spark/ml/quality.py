@@ -60,7 +60,12 @@ def quality_features(
     default ``handleInvalid='error'`` at runtime — the scorer
     advertises pricing EVERY production document, so a NULL-text doc
     gets the empty-document feature vector (and the teacher's gates
-    reject empty text, so the student learns to score it low)."""
+    reject empty text, so the student learns to score it low).
+
+    Output contract (r7 ADVICE): the returned projection is
+    ``(id_col,)`` + :data:`QUALITY_FEATURES` ONLY — the coalesced text
+    is an internal let-binding and is never propagated, so no caller
+    can mistake '' for the corpus's NULL."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.split(txt, " ")
     n_tok = F.size(toks).cast("double")

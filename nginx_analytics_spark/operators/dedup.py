@@ -770,6 +770,8 @@ def compact_lsh_index(
     path: str,
     max_files_per_band: int = 8,
     target_files: int = 1,
+    target_file_bytes: int = 128 << 20,
+    max_concurrency: int = 4,
 ) -> dict:
     """X82: per-band compaction of an append-heavy LSH index — the
     log-structured maintenance half of X79 (r6 verdict item 4: before
@@ -779,11 +781,23 @@ def compact_lsh_index(
     small appends a probe pays per-file open/footer cost across an
     unbounded file population. This job rewrites ONLY the bands whose
     parquet file count exceeds ``max_files_per_band`` — each into
-    ``target_files`` range-partitioned, band_hash-sorted files
-    (non-overlapping min/max, so row-group pruning is at its best-case
-    after compaction) — and leaves every healthy band's files
-    byte-untouched. Cost scales with the OVERSIZED bands' rows, never
-    the corpus or the healthy bands.
+    range-partitioned, band_hash-sorted files (non-overlapping
+    min/max, so row-group pruning is at its best-case after
+    compaction) — and leaves every healthy band's files byte-untouched.
+    Cost scales with the OVERSIZED bands' rows, never the corpus or
+    the healthy bands.
+
+    Output sizing (r7 ADVICE): a band is rewritten into
+    ``max(target_files, ceil(band_bytes / target_file_bytes))`` files,
+    so a band that has grown past one healthy file's worth of rows is
+    split across several sorted ranges instead of funneling into a
+    single task — the rewrite parallelism scales with the band, and
+    the compacted files stay row-group-pruning-sized. Oversized bands
+    are compacted CONCURRENTLY (up to ``max_concurrency`` driver
+    threads, each submitting an independent Spark job on its own band
+    dir), so the in-loop pause tracks the largest band, not the sum of
+    all oversized bands. Bands are disjoint directories and the swap
+    below is per-band, so concurrency does not change crash semantics.
 
     Content invariant (property-tested like X79's): compaction changes
     file layout only — the (id, band_idx, band_hash) row multiset and
@@ -798,17 +812,26 @@ def compact_lsh_index(
     and :func:`_recover_lsh_compaction` — run on entry here — rolls an
     interrupted swap BACK (restore .old, discard scratch) and reaps
     completed swaps' leftovers from any pid, so no crash can silently
-    lose a band's recall. (Paths are driver-local like the sidecar's
-    I/O; an HDFS/S3 deployment does the same dance through the
-    FileSystem API.) The rename window is still not atomic for
-    concurrent READERS — run compaction from the maintenance side of
-    the X80 loop (between micro-batches, same thread as the appends),
-    which is where a log-structured store always runs it.
+    lose a band's recall. ``.old`` names carry a wall-clock-ns
+    sequence (``.old-<band>-<seq>-<pid>``) so that if a completed
+    swap's leftover ever survives a failed delete AND a later
+    compaction of the same band crashes mid-swap, recovery restores
+    the NEWEST detached content — never an older leftover that would
+    silently drop rows appended between the two compactions (r7
+    ADVICE). (Paths are driver-local like the sidecar's I/O; an
+    HDFS/S3 deployment does the same dance through the FileSystem
+    API.) The rename window is still not atomic for concurrent
+    READERS — run compaction from the maintenance side of the X80
+    loop (between micro-batches, same thread as the appends), which
+    is where a log-structured store always runs it.
 
     Returns ``{"bands_seen", "bands_compacted", "files_before",
     "files_after"}`` for the caller's telemetry."""
+    import math
     import os
     import shutil
+    import time
+    from concurrent.futures import ThreadPoolExecutor
 
     read_lsh_index_meta(path)  # loud FileNotFoundError on a non-index dir
     _recover_lsh_compaction(path)
@@ -818,6 +841,7 @@ def compact_lsh_index(
 
     stats = {"bands_seen": 0, "bands_compacted": 0,
              "files_before": 0, "files_after": 0}
+    oversized: list[tuple[str, int]] = []  # (band, band_target_files)
     for band in sorted(d for d in os.listdir(path) if d.startswith("band_idx=")):
         bdir = os.path.join(path, band)
         files = parquet_files(bdir)
@@ -826,6 +850,16 @@ def compact_lsh_index(
         if len(files) <= max_files_per_band:
             stats["files_after"] += len(files)
             continue
+        band_bytes = sum(
+            os.path.getsize(os.path.join(bdir, f)) for f in files
+        )
+        oversized.append(
+            (band, max(target_files, math.ceil(band_bytes / target_file_bytes)))
+        )
+
+    def compact_band(job: tuple[str, int]) -> int:
+        band, n_target = job
+        bdir = os.path.join(path, band)
         # read the band leaf (partition column is implied by the dir),
         # range-partition on the hash so the compacted files carry
         # non-overlapping sorted hash ranges
@@ -833,46 +867,70 @@ def compact_lsh_index(
         scratch = os.path.join(path, f".compact-{band}-{os.getpid()}")
         shutil.rmtree(scratch, ignore_errors=True)
         (
-            rows.repartitionByRange(target_files, "band_hash")
+            rows.repartitionByRange(n_target, "band_hash")
             .sortWithinPartitions("band_hash")
             .write.mode("overwrite")
             .parquet(scratch)
         )
         n_after = len(parquet_files(scratch))
-        old = os.path.join(path, f".old-{band}-{os.getpid()}")
+        old = os.path.join(path, f".old-{band}-{time.time_ns()}-{os.getpid()}")
         os.rename(bdir, old)
         # the scratch dir becomes the band dir whole — its _SUCCESS /
         # .crc droppings are _-prefixed/hidden, which parquet readers
         # skip — so the swap is one rename, never a per-file window
         os.rename(scratch, bdir)
         shutil.rmtree(old, ignore_errors=True)
-        stats["bands_compacted"] += 1
-        stats["files_after"] += n_after
+        return n_after
+
+    if oversized:
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(max_concurrency, len(oversized)))
+        ) as pool:
+            for n_after in pool.map(compact_band, oversized):
+                stats["bands_compacted"] += 1
+                stats["files_after"] += n_after
     return stats
+
+
+def _parse_old_leftover(name: str) -> tuple[str, int]:
+    """``.old-<band>-<seq>-<pid>`` (current) or ``.old-<band>-<pid>``
+    (pre-r8 legacy, seq 0) -> (band, seq). Band dirs are
+    ``band_idx=<int>`` — no ``-`` — so splitting on ``-`` is exact."""
+    parts = name[len(".old-"):].split("-")
+    return parts[0], (int(parts[1]) if len(parts) >= 3 else 0)
 
 
 def _recover_lsh_compaction(path: str) -> None:
     """Heal an index whose last compaction crashed mid-swap. For each
-    ``.old-<band>-<pid>`` leftover: the band dir existing means the
-    swap completed (or never detached) — reap the leftover; the band
-    dir missing means the crash hit between the two renames — ROLL
-    BACK by restoring ``.old`` as the band dir (the compaction simply
-    didn't happen; content is exactly the pre-compaction rows). Then
-    every ``.compact-*`` scratch is stale by construction (its band
-    dir exists again) and is reaped, any pid's alike."""
+    band with ``.old-<band>-<seq>-<pid>`` leftovers: the band dir
+    existing means the swap completed (or never detached) — reap them;
+    the band dir missing means the crash hit between the two renames —
+    ROLL BACK by restoring the NEWEST leftover (max seq) as the band
+    dir (the compaction simply didn't happen; content is exactly the
+    pre-compaction rows — and if an older completed-swap leftover had
+    survived a failed delete, its content is a stale subset that must
+    NOT win, r7 ADVICE) and reaping the rest. Then every
+    ``.compact-*`` scratch is stale by construction (its band dir
+    exists again) and is reaped, any pid's alike."""
     import os
     import shutil
 
     entries = os.listdir(path)
+    by_band: dict[str, list[tuple[int, str]]] = {}
     for d in entries:
-        if not d.startswith(".old-"):
-            continue
-        band = d[len(".old-"):d.rfind("-")]
+        if d.startswith(".old-"):
+            band, seq = _parse_old_leftover(d)
+            by_band.setdefault(band, []).append((seq, d))
+    for band, olds in by_band.items():
         bdir = os.path.join(path, band)
-        if os.path.isdir(bdir):
+        if not os.path.isdir(bdir):
+            # restore the newest detached content; ties (legacy names,
+            # same-ns clocks) break on the full name for determinism
+            newest = max(olds)[1]
+            os.rename(os.path.join(path, newest), bdir)
+            olds = [o for o in olds if o[1] != newest]
+        for _, d in olds:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-        else:
-            os.rename(os.path.join(path, d), bdir)
     for d in entries:
         if d.startswith(".compact-"):
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)

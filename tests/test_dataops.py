@@ -907,3 +907,80 @@ def test_compact_lsh_index_crash_recovery(spark, tmp_path):
         for r in spark.read.parquet(idx).collect()
     )
     assert after == before  # rollback restored band 0; nothing lost
+
+
+def test_compact_lsh_recovery_newest_old_wins(spark, tmp_path):
+    """X82 double-leftover disambiguation (r7 ADVICE): if a completed
+    swap's .old survived a failed delete AND a later compaction of the
+    same band crashed mid-swap, the band dir is missing and TWO .old
+    leftovers exist. Recovery must restore the NEWEST (max seq) — the
+    one holding rows appended between the two compactions — and reap
+    the stale one; restoring by listdir order could silently lose the
+    appended rows."""
+    import os
+    import shutil
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = f"{tmp_path}/idx"
+    dedup.write_lsh_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    bands = sorted(d for d in os.listdir(idx) if d.startswith("band_idx="))
+    band = bands[0]
+    bdir = os.path.join(idx, band)
+
+    # stale leftover: the band's content BEFORE the append (a completed
+    # earlier swap whose delete failed), with an older sequence stamp
+    shutil.copytree(bdir, os.path.join(idx, f".old-{band}-1000-111"))
+    # the index then grows — these rows exist only in the band dir
+    dedup.append_lsh_index(docs.filter(F.col("doc_id") % 2 == 1), idx)
+    expect = sorted(
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(idx).collect()
+    )
+    # second compaction of the same band crashes between rename #1 and
+    # rename #2: band dir detached under a NEWER sequence stamp
+    os.rename(bdir, os.path.join(idx, f".old-{band}-2000-222"))
+
+    stats = dedup.compact_lsh_index(spark, idx, max_files_per_band=999)
+    assert stats["bands_compacted"] == 0
+    assert [d for d in os.listdir(idx) if d.startswith(".old-")] == []
+    after = sorted(
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(idx).collect()
+    )
+    assert after == expect  # newest restored: appended rows survive
+
+
+def test_compact_lsh_index_multi_file_target(spark, tmp_path):
+    """X82 output sizing (r7 ADVICE): target_files > 1 threads through
+    repartitionByRange so a large band rewrites into several sorted
+    range files (parallel rewrite, bounded file sizes), with content
+    exactly preserved — the concurrent per-band path is exercised too
+    (every band oversized, max_concurrency default > 1)."""
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = f"{tmp_path}/idx"
+    dedup.write_lsh_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    dedup.append_lsh_index(docs.filter(F.col("doc_id") % 2 == 1), idx)
+    before = sorted(
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(idx).collect()
+    )
+    stats = dedup.compact_lsh_index(
+        spark, idx, max_files_per_band=1, target_files=2
+    )
+    assert stats["bands_compacted"] == stats["bands_seen"]
+    assert stats["files_after"] == 2 * stats["bands_seen"]
+    for band in os.listdir(idx):
+        if band.startswith("band_idx="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(idx, band))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 2
+    after = sorted(
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(idx).collect()
+    )
+    assert after == before
