@@ -225,6 +225,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "grouped_split_users",
         "per_source_sample",
         "temperature_sample_docs",
+        "quality_weighted_sample",
         "value_deciles",
         "value_buckets_approx",
         "embedding_centroids",

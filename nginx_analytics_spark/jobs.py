@@ -307,6 +307,21 @@ def _build_parser():
             "gate parameters (ml.quality.train_quality_classifier)"
         ),
     )
+    ho.add_argument(
+        "--quality-sample",
+        type=float,
+        default=None,
+        metavar="FRAC",
+        help=(
+            "X83 (r7 verdict item 2): after scoring, KEEP only a "
+            "quality_prob-weighted ~FRAC of the curated corpus — "
+            "deterministic portable-hash membership at rate ∝ "
+            "quality_prob (operators.sampling.quality_weighted_sample), "
+            "so the calibrated score actually selects the documents "
+            "that land in the shards; requires --quality-weights or "
+            "--quality-model"
+        ),
+    )
 
     di = sub.add_parser(
         "dedup-ingest",
@@ -501,7 +516,7 @@ def main(argv: list[str] | None = None) -> int:
         curated = curation.curate_documents(docs, **kwargs).join(
             docs.select("doc_id", "text"), "doc_id"
         )
-        persisted = None  # set iff the in-job distillation branch caches
+        persisted = []  # frames to release once every consumer has run
         if args.quality_weights or args.quality_model:
             # X81 wiring (r6 verdict item 5): the hand-off's end product
             # carries the calibrated sampling weight the classifier
@@ -526,7 +541,8 @@ def main(argv: list[str] | None = None) -> int:
                 # for landing and again for labels (r7 review).
                 from pyspark import StorageLevel
 
-                curated = persisted = curated.persist(StorageLevel.DISK_ONLY)
+                curated = curated.persist(StorageLevel.DISK_ONLY)
+                persisted.append(curated)
                 model = qmod.train_quality_classifier(
                     docs, kept=curated, **kwargs
                 )
@@ -539,6 +555,31 @@ def main(argv: list[str] | None = None) -> int:
                     model, curated.select("doc_id", "text")
                 ),
                 "doc_id",
+            )
+            if args.quality_sample is not None:
+                # X83: the calibrated probability SELECTS the corpus —
+                # rate ∝ quality_prob, normalized to ~FRAC of the
+                # survivors, membership on the portable doc_id hash so
+                # a re-run (or another engine) lands the same shards.
+                # Cache the scored frame first: the normalization agg
+                # is a second pass, and without this it would re-run
+                # the whole gate stack + scoring join.
+                from pyspark import StorageLevel
+
+                from nginx_analytics_spark.operators.sampling import (
+                    quality_weighted_sample,
+                )
+
+                scored = curated.persist(StorageLevel.DISK_ONLY)
+                persisted.append(scored)
+                curated = quality_weighted_sample(
+                    scored, "quality_prob", "doc_id",
+                    target_frac=args.quality_sample,
+                ).drop("rate")
+        elif args.quality_sample is not None:
+            raise SystemExit(
+                "--quality-sample needs a quality_prob column: pass "
+                "--quality-weights or --quality-model"
             )
         # Stage 2 — land the curated corpus. zorder (default): 2-D
         # row-group pruning for selection by length band / quality
@@ -557,12 +598,12 @@ def main(argv: list[str] | None = None) -> int:
             # Stage 3 reads the LANDED corpus (curation runs once; the
             # at-rest table is the stage boundary, as in a real pipeline).
             landed = spark.read.parquet(corpus_dest)
-        if persisted is not None:
-            # every consumer of the cached survivor set (teacher labels,
-            # scoring join, corpus write) has executed — release the
-            # blocks so an in-session caller doesn't leak them (r7
-            # ADVICE; a CLI run exits anyway)
-            persisted.unpersist()
+        for frame in persisted:
+            # every consumer of the cached frames (teacher labels,
+            # scoring join, sampling normalization, corpus write) has
+            # executed — release the blocks so an in-session caller
+            # doesn't leak them (r7 ADVICE; a CLI run exits anyway)
+            frame.unpersist()
         n = write_shards(
             landed, wh.path("training_shards"), key="doc_id",
             n_shards=args.n_shards,

@@ -176,6 +176,62 @@ def temperature_sample(
     )
 
 
+def quality_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key: str,
+    target_frac: float | None = None,
+    beta: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """X83: quality-weighted document selection — each row is kept iff
+    its portable key hash falls under a per-row rate proportional to
+    ``weight^beta`` (GPT-3 Appendix A's quality-score-weighted
+    inclusion, the composition X81's calibrated ``quality_prob`` exists
+    for — re-expressed on the X35 portable-hash grid so membership is a
+    pure function of (key, weight), reproducible across engines,
+    partitionings, and cluster sizes, unlike Pareto-draw RNG sampling).
+
+    ``beta`` sharpens the preference (beta>1 concentrates on the
+    highest-quality docs; beta=0 degrades to uniform). With
+    ``target_frac=None`` the weight IS the keep probability
+    (rate = min(1, w^beta) — one narrow scan + filter, zero extra
+    passes). With ``target_frac`` set, rates are normalized so the
+    expected output is ~target_frac * |df|:
+
+        rate = min(1, round6(target_frac * N / Σ w^beta) * w^beta)
+
+    — one tiny 2-value global aggregate (broadcast back), so the corpus
+    side is still scan + filter with no shuffle; the normalization adds
+    exactly one extra pass over ``weight_col`` (column-pruned at the
+    scan). Rates are 6-dp half-up rounded like X35's: Σ w^beta and pow
+    are float ops whose ulps differ between engines, and rounding
+    collapses the difference so a SQL twin computes the SAME rate.
+
+    Consistency property (tested): because the hash is fixed and rate
+    is monotone in target_frac, the target-25% sample is a strict
+    subset of the target-50% sample. Output carries ``rate`` for
+    auditability."""
+    from nginx_analytics_spark.functions.rounding import half_up
+
+    wq = F.pow(F.col(weight_col).cast("double"), F.lit(float(beta)))
+    if target_frac is None:
+        rated = df.withColumn("rate", half_up(F.least(F.lit(1.0), wq), 6))
+    else:
+        totals = df.agg(
+            F.sum(wq).alias("__s"), F.count(F.lit(1)).alias("__n")
+        )
+        scale = half_up(
+            F.lit(float(target_frac)) * F.col("__n") / F.col("__s"), 6
+        )
+        rated = (
+            df.crossJoin(F.broadcast(totals))
+            .withColumn("rate", half_up(F.least(F.lit(1.0), scale * wq), 6))
+            .drop("__s", "__n")
+        )
+    return rated.filter(portable_frac(key, salt) < F.col("rate"))
+
+
 def per_group_sample(
     df: DataFrame,
     group_col: str,

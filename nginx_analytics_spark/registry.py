@@ -59,93 +59,42 @@ _ORACLES: dict[str, str] = {}
 # row from the PREVIOUS round — re-checking them adds wall time, not
 # record. A doc-lint test pins every listed name to a registered query.
 #
-# Round 7 (executing the rotation pre-committed in r6 and mandated by
-# the r6 verdict item 1). The due set is 70 names: the 2 queries added
-# after the r6 driver run (first-ever rows), the 18-name r4 spill
-# (latest row r4, documented in r6's comment), and the 50-query r5
-# cohort (latest row r5). A 50-row budget cannot hold 70, so
-# _CHECK_FIRST lists ALL 70 in priority order — the driver records the
-# first ~50 and any extra budget falls exactly on the designated spill
-# instead of on already-fresh r6 rows:
-#   * positions 1-2: dedup_ingest_roundtrip (X80) and
-#     quality_classifier_scores (X81) — never held a driver row;
-#   * positions 3-20: the 18-name r4 spill, oldest records on file;
-#   * positions 21-50: 30 of the r5 cohort, chosen to refresh the
-#     reference-surface core (parse/agg/anomaly/feature chains,
-#     pricing_summary, the streaming oracle twins), the expensive
-#     hash-green pair/iterative queries deliberately starved in r6
-#     (minhash_dedup_pairs, exact_jaccard_pairs, dedup_clusters,
-#     embedding_dedup_pairs, bpe_pair_counts — their record must not
-#     go 3 rounds stale), and ann_pq_topk_refined (fresh row proves the
-#     r7 bench-exclusion move changed placement, not semantics);
-#   * positions 51-70: the DESIGNATED r7 SPILL = the 20 r5-cohort names
-#     that cost the record least — the 7 rows-only entries whose driver
-#     row is only a row-count re-probe with the real accuracy gates in
-#     pytest (streaming_ingest_roundtrip, rt_model_predictions,
-#     rt_scoring_roundtrip, embedding_lsh_pairs, ann_lsh_topk,
-#     ann_ivf_topk, simhash_near_dup) and 13 hash-green variant shapes
-#     whose operator families hold fresher representatives
-#     (TPC-H Q3/Q5/Q10 beside 17 r6-green TPC-H rows; bounded/sliding/
-#     session/left-join/salted/sample variants beside their checked
-#     heads). They stay oracle-verified at both pytest tiers every
-#     round and head r8's _CHECK_FIRST together with whatever r7 adds.
+# Round 8 (executing the rotation pre-committed in r7 and mandated by
+# the r7 verdict item 1). The due set is 71 names: quality_weighted_sample
+# (X83, added this round — never held a driver row), the 20-name r7 spill
+# (latest row r5 — the oldest records on file, listed at r7's positions
+# 51-70 exactly), and the 50-name r6 cohort (latest row r6). A ~50-row
+# budget cannot hold 71, so _CHECK_FIRST lists ALL 71 in priority order —
+# the driver records the first ~50 and any extra budget falls exactly on
+# the designated spill instead of on already-fresh r7 rows:
+#   * position 1: quality_weighted_sample (X83) — never held a row;
+#   * positions 2-21: the r7 spill, in the pre-committed order;
+#   * positions 22-50: 29 of the r6 cohort — the TPC-H core (including
+#     the three drift-flagged supplier shapes: a fresh hash row proves
+#     the r7-r8 bench variance is timing, not semantics) and the
+#     corpus/temporal heads;
+#   * positions 51-71: the DESIGNATED r8 SPILL = the 21 r6 names that
+#     cost the record least — the 7 rows-only entries whose driver row
+#     is only a row-count re-probe with the real gates in pytest
+#     (approx_distinct_users, cms_user_counts_7d,
+#     kll_latency_percentiles_7d, theta_user_overlap,
+#     incremental_near_dups_probe, corpus_report_incremental,
+#     bpe_merges), the expensive index-build/iterative trio
+#     (incremental_near_dups, incremental_index_near_dups,
+#     min_cost_supplier), and 11 hash-green variant shapes whose
+#     operator families hold fresher or same-round representatives
+#     (forecast_revenue~traffic_forecast, multimodal/frame_features,
+#     data_expectations, shard_manifest~training_handoff,
+#     doc_logprob, value_rank_profile~value_deciles,
+#     purchase_window_counts, grouped_split_users~dataset_split_counts,
+#     stratified_sample_events~per_source_sample,
+#     doc_chunks~pack_chunks). They stay oracle-verified at both pytest
+#     tiers every round and head r9's _CHECK_FIRST together with
+#     whatever r8 adds.
 _CHECK_FIRST = [
-    # --- first-ever rows (added after the r6 driver run) ---
-    "dedup_ingest_roundtrip",
-    "quality_classifier_scores",
-    # --- the 18-name r4 spill (oldest records on file) ---
-    "count_raw",
-    "minhash_lsh_pairs",
-    "ann_pq_topk",
-    "token_stats",
-    "language_id",
-    "doc_quality",
-    "doc_fingerprint",
-    "dataset_split_counts",
-    "latency_percentiles_approx",
-    "value_deciles",
-    "value_buckets_approx",
-    "daily_event_matrix",
-    "purchase_and_error_users",
-    "value_trends",
-    "sketch_distinct_users_7d",
-    "error_only_users",
-    "traffic_cube",
-    "engaged_users",
-    # --- 30 of the r5 cohort: reference-surface core ---
-    "parse_enrich",
-    "batch_ip_stats",
-    "hourly_reagg",
-    "zscore_anomaly",
-    "anomaly_detail",
-    "training_features",
-    "predict_features",
-    "top_endpoints",
-    "distinct_users",
-    "exact_dedup_events",
-    "pricing_summary",
-    "windowed_events",
-    "anomaly_job_roundtrip",
-    # --- r5 cohort: the r6-starved expensive hash-green set ---
-    "minhash_dedup_pairs",
-    "exact_jaccard_pairs",
-    "dedup_clusters",
-    "embedding_dedup_pairs",
-    "bpe_pair_counts",
-    # --- r5 cohort: corpus/temporal/ANN/stateful heads ---
-    "contamination_check",
-    "pii_redaction",
-    "repetition_stats",
-    "temperature_sample_docs",
-    "stateful_key_profiles",
-    "traffic_forecast",
-    "ann_cosine_topk",
-    "ann_pq_topk_refined",
-    "training_handoff",
-    "stream_stream_join",
-    "rolling_7d_avg",
-    "scd2_user_plans",
-    # --- positions 51-70: the designated r7 spill (rows-only first) ---
+    # --- position 1: first-ever row (added in r8) ---
+    "quality_weighted_sample",
+    # --- positions 2-21: the pre-committed r7 spill (latest row r5) ---
     "streaming_ingest_roundtrip",
     "rt_model_predictions",
     "rt_scoring_roundtrip",
@@ -166,17 +115,72 @@ _CHECK_FIRST = [
     "incremental_new_docs",
     "pack_chunks",
     "traffic_rollup",
-]
-# Expensive index-build/iterative queries holding a FRESH green row
-# (r6) — re-checking them within the same budget would only displace
-# due rows, so they sit last, after the r6-green middle.
-_CHECK_LAST = [
-    "incremental_near_dups",
-    "incremental_index_near_dups",
+    # --- positions 22-50: r6 cohort, TPC-H core first (the three
+    # drift-flagged supplier shapes up front) ---
+    "supplier_part_counts",
+    "dominant_suppliers",
+    "waiting_suppliers",
+    "order_priority_check",
+    "priority_shipping",
+    "promo_revenue",
+    "large_volume_customers",
+    "volume_shipping",
+    "top_supplier",
+    "small_quantity_revenue",
+    "brand_size_revenue",
+    "idle_customers",
+    "market_share",
+    "customer_order_distribution",
+    "product_profit",
+    "important_parts",
+    # --- r6 cohort: corpus/LLM heads ---
+    "ngram_jaccard_pairs",
+    "clean_corpus",
+    "curate_corpus",
+    "corpus_report",
+    "tfidf_top_terms",
+    "heavy_tokens",
+    "embedding_centroids",
+    # --- r6 cohort: events/temporal heads ---
+    "conversion_funnel",
+    "cohort_retention",
+    "asof_last_purchase",
+    "user_sessions",
+    "latency_percentiles",
+    "incremental_ip_stats",
+    # --- positions 51-71: the designated r8 spill (rows-only first) ---
+    "approx_distinct_users",
+    "cms_user_counts_7d",
+    "kll_latency_percentiles_7d",
+    "theta_user_overlap",
     "incremental_near_dups_probe",
     "corpus_report_incremental",
     "bpe_merges",
+    "incremental_near_dups",
+    "incremental_index_near_dups",
     "min_cost_supplier",
+    "forecast_revenue",
+    "multimodal_features",
+    "frame_features",
+    "data_expectations",
+    "shard_manifest",
+    "doc_logprob",
+    "value_rank_profile",
+    "purchase_window_counts",
+    "grouped_split_users",
+    "stratified_sample_events",
+    "doc_chunks",
+]
+# Expensive pair/iterative queries holding a FRESH green row (r7) —
+# re-checking them within the same budget would only displace due rows,
+# so they sit last, after the r7-green middle.
+_CHECK_LAST = [
+    "dedup_clusters",
+    "minhash_dedup_pairs",
+    "exact_jaccard_pairs",
+    "embedding_dedup_pairs",
+    "bpe_pair_counts",
+    "ann_pq_topk_refined",
 ]
 
 

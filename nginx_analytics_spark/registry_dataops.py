@@ -1569,10 +1569,10 @@ def corpus_report_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_quality",
-    f"""
-    WITH t AS (
+# The length/diversity/punctuation/stopword rubric CTEs + combined score
+# expression, shared by the doc_quality and quality_weighted_sample
+# oracles (the DuckDB twin of operators.text.quality_components).
+_QUALITY_RUBRIC_CTES = f"""t AS (
         SELECT doc_id,
                string_split(text, ' ') AS w,
                length(text) AS n_chars,
@@ -1589,15 +1589,22 @@ def corpus_report_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    [{", ".join(f"'{w}'" for w in text.STOPWORD_PROFILES["en"])}],
                    x)))::DOUBLE / len(w) AS stop
         FROM t
-    )
+    )"""
+_QUALITY_EXPR_SQL = (
+    "0.4 * least(1.0, ws_tokens / 100.0) + 0.3 * ttr"
+    " + 0.2 * (1 - punct) + 0.1 * least(1.0, 4 * stop)"
+)
+
+
+@query(
+    "doc_quality",
+    f"""
+    WITH {_QUALITY_RUBRIC_CTES}
     SELECT doc_id, ws_tokens, n_chars,
            {R6_SQL.format(x="ttr")} AS type_token_ratio,
            {R6_SQL.format(x="punct")} AS punct_ratio,
            {R6_SQL.format(x="stop")} AS stopword_ratio,
-           {R6_SQL.format(
-               x="0.4 * least(1.0, ws_tokens / 100.0) + 0.3 * ttr"
-                 " + 0.2 * (1 - punct) + 0.1 * least(1.0, 4 * stop)")}
-               AS quality
+           {R6_SQL.format(x=_QUALITY_EXPR_SQL)} AS quality
     FROM m
     """,
 )
@@ -1629,6 +1636,47 @@ def doc_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(stop).alias("stopword_ratio"),
         r6(quality).alias("quality"),
     )
+
+
+@query(
+    "quality_weighted_sample",
+    f"""
+    WITH {_QUALITY_RUBRIC_CTES},
+    q AS (
+        SELECT doc_id, {R6_SQL.format(x=_QUALITY_EXPR_SQL)} AS quality
+        FROM m
+    ),
+    w AS (SELECT doc_id, quality, pow(quality, 2.0) AS wq FROM q),
+    tot AS (
+        SELECT {R6_SQL.format(x="0.5 * count(*) / sum(wq)")} AS scale
+        FROM w
+    ),
+    rated AS (
+        SELECT doc_id, quality,
+               {R6_SQL.format(x="least(1.0, scale * wq)")} AS rate
+        FROM w, tot
+    )
+    SELECT doc_id, quality, rate
+    FROM rated
+    WHERE {portable_frac_sql("doc_id", 9)} < rate
+    """,
+)
+def quality_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83: quality-weighted corpus selection (r7 verdict item 2 — the
+    sampler the X81 score exists for). Weight = the SQL-twinned X26
+    rubric score, beta=2 sharpening, normalized to target half the
+    corpus; membership by the portable Knuth hash (salt 9), so the
+    selection is reproducible across engines and partitionings. One
+    tiny normalization agg broadcast back; the corpus side is scan +
+    filter, no shuffle. (The production handoff path samples on the
+    X81 calibrated ``quality_prob`` instead — ``jobs handoff
+    --quality-sample``; this registry entry uses the deterministic
+    rubric weight so the oracle can replicate the weights exactly.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    return sampling.quality_weighted_sample(
+        q, "quality", "doc_id", target_frac=0.5, beta=2.0, salt=9
+    ).select("doc_id", "quality", "rate")
 
 
 @query(

@@ -345,6 +345,64 @@ def test_cli_handoff_quality_weights(spark, tmp_path):
     assert all(0.0 <= p <= 1.0 for p in got.values())
 
 
+def test_cli_handoff_quality_sample(spark, tmp_path):
+    """X83 -> X67 wiring (r7 verdict item 2): --quality-sample keeps a
+    quality_prob-weighted ~FRAC of the curated corpus, deterministically
+    — the sharded ids are exactly quality_weighted_sample over the
+    scored survivors, so a re-run lands identical shards."""
+    from nginx_analytics_spark.ml import quality as qmod
+    from nginx_analytics_spark.operators import curation
+    from nginx_analytics_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    model = qmod.train_quality_classifier(docs)
+    model_path = f"{tmp_path}/qmodel"
+    model.write().overwrite().save(model_path)
+
+    wh_dir = f"{tmp_path}/warehouse"
+    rc = jobs.main(
+        [
+            "handoff",
+            "--warehouse", wh_dir,
+            "--source", f"{SF}/documents.parquet",
+            "--n-shards", "2",
+            "--quality-model", model_path,
+            "--quality-sample", "0.5",
+        ]
+    )
+    assert rc == 0
+
+    shards = spark.read.parquet(f"{wh_dir}/training_shards")
+    got = {r.doc_id for r in shards.select("doc_id").collect()}
+
+    survivors = curation.curate_documents(docs).select("doc_id")
+    scored = survivors.join(qmod.score_quality(model, docs), "doc_id")
+    want = {
+        r.doc_id
+        for r in quality_weighted_sample(
+            scored, "quality_prob", "doc_id", target_frac=0.5
+        ).collect()
+    }
+    assert got == want
+    n_survivors = survivors.count()
+    assert abs(len(got) / n_survivors - 0.5) < 0.15  # ~FRAC of survivors
+
+    # guard: sampling without a score column is a loud config error
+    import pytest
+
+    with pytest.raises(SystemExit, match="quality-sample"):
+        jobs.main(
+            [
+                "handoff",
+                "--warehouse", f"{tmp_path}/wh2",
+                "--source", f"{SF}/documents.parquet",
+                "--quality-sample", "0.5",
+            ]
+        )
+
+
 def test_cli_handoff_quality_weights_trains_in_job(spark, tmp_path):
     """The --quality-weights default (no --quality-model) distills the
     scorer in-job from the source corpus; smoke the path end-to-end."""

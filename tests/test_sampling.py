@@ -91,3 +91,66 @@ def test_per_group_sample_exact_counts_and_prefix(spark):
     # partition-invariance
     k10b = {tuple(r) for r in per_group_sample(df.repartition(7), "g", "k", 10).collect()}
     assert k10 == k10b
+
+
+def test_quality_weighted_sample_properties(spark):
+    """X83: keep-probability tracks the weight (monotone in quality),
+    the normalized variant hits its target size, lower targets nest
+    inside higher ones, and membership is partition-invariant."""
+    from nginx_analytics_spark.operators.text import quality_score
+
+    docs = load_table(spark, SF, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    n = q.count()
+
+    out = sampling.quality_weighted_sample(
+        q, "quality", "doc_id", target_frac=0.5, beta=2.0, salt=9
+    )
+    kept = out.collect()
+    # target rate: expected 0.5 * n, binomial-ish tolerance
+    assert abs(len(kept) / n - 0.5) < 0.08, len(kept) / n
+
+    # monotone preference: keep-rate in the top quality quartile must
+    # beat the bottom quartile (beta=2 sharpens the contrast)
+    qs = sorted(r.quality for r in q.collect())
+    lo_cut, hi_cut = qs[n // 4], qs[3 * n // 4]
+    kept_ids = {r.doc_id for r in kept}
+    lo = [r for r in q.collect() if r.quality <= lo_cut]
+    hi = [r for r in q.collect() if r.quality >= hi_cut]
+    lo_rate = sum(r.doc_id in kept_ids for r in lo) / len(lo)
+    hi_rate = sum(r.doc_id in kept_ids for r in hi) / len(hi)
+    assert hi_rate > lo_rate + 0.2, (lo_rate, hi_rate)
+
+    # nesting: fixed hash + rate monotone in target_frac
+    kept25 = {
+        r.doc_id
+        for r in sampling.quality_weighted_sample(
+            q, "quality", "doc_id", target_frac=0.25, beta=2.0, salt=9
+        ).collect()
+    }
+    assert kept25 <= kept_ids
+    assert len(kept25) < len(kept_ids)
+
+    # partition-invariance (the property RNG samplers lack)
+    kept_rep = {
+        r.doc_id
+        for r in sampling.quality_weighted_sample(
+            q.repartition(13), "quality", "doc_id",
+            target_frac=0.5, beta=2.0, salt=9,
+        ).collect()
+    }
+    assert kept_rep == kept_ids
+
+
+def test_quality_weighted_sample_unnormalized_rate_is_weight(spark):
+    """target_frac=None: the weight IS the keep probability — empirical
+    keep-rate per weight band tracks the band's weight, single pass."""
+    rows = [(i, w) for i, w in enumerate([0.1] * 400 + [0.9] * 400)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    kept = sampling.quality_weighted_sample(df, "w", "k").collect()
+    lo = sum(1 for r in kept if r.w == 0.1) / 400
+    hi = sum(1 for r in kept if r.w == 0.9) / 400
+    assert abs(lo - 0.1) < 0.06, lo
+    assert abs(hi - 0.9) < 0.06, hi
+    # rate column carries the audit value: exactly the weight here
+    assert {r.rate for r in kept} == {0.1, 0.9}
