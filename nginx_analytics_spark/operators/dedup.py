@@ -823,17 +823,59 @@ def compact_lsh_index(
     API.) The rename window is still not atomic for concurrent
     READERS — run compaction from the maintenance side of the X80
     loop (between micro-batches, same thread as the appends), which
-    is where a log-structured store always runs it.
+    is where a log-structured store always runs it; a probe racing a
+    compaction can observe a detached band and silently lose that
+    band's candidates for the probe (negative-tested in
+    tests/test_dataops.py). Compaction itself IS guarded: an exclusive
+    ``flock`` on ``<path>/.compact.lock`` (r7 verdict item 6) makes a
+    second concurrent compactor — another thread or another process —
+    fail LOUDLY instead of interleaving renames on the same bands;
+    the lock dies with its holder, so no stale-lock recovery is
+    needed. (flock is driver-local like the rest of the swap; an
+    HDFS/S3 deployment substitutes a lease or job-scheduler mutex.)
 
     Returns ``{"bands_seen", "bands_compacted", "files_before",
     "files_after"}`` for the caller's telemetry."""
+    import fcntl
+    import os
+
+    read_lsh_index_meta(path)  # loud FileNotFoundError on a non-index dir
+    lock_fd = os.open(os.path.join(path, ".compact.lock"),
+                      os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except BlockingIOError:
+        os.close(lock_fd)
+        raise RuntimeError(
+            f"another compaction holds {path!r}/.compact.lock — X82 is "
+            "single-compactor by design (interleaved band swaps would "
+            "corrupt the two-rename discipline); run compaction from "
+            "the X80 loop's one writer thread"
+        ) from None
+    try:
+        return _compact_lsh_index_locked(
+            spark, path, max_files_per_band, target_files,
+            target_file_bytes, max_concurrency,
+        )
+    finally:
+        fcntl.flock(lock_fd, fcntl.LOCK_UN)
+        os.close(lock_fd)
+
+
+def _compact_lsh_index_locked(
+    spark: SparkSession,
+    path: str,
+    max_files_per_band: int,
+    target_files: int,
+    target_file_bytes: int,
+    max_concurrency: int,
+) -> dict:
     import math
     import os
     import shutil
     import time
     from concurrent.futures import ThreadPoolExecutor
 
-    read_lsh_index_meta(path)  # loud FileNotFoundError on a non-index dir
     _recover_lsh_compaction(path)
 
     def parquet_files(d: str) -> list[str]:

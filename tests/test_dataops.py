@@ -950,6 +950,74 @@ def test_compact_lsh_recovery_newest_old_wins(spark, tmp_path):
     assert after == expect  # newest restored: appended rows survive
 
 
+def test_compact_lsh_index_rejects_concurrent_compactor(spark, tmp_path):
+    """X82 single-compactor guard (r7 verdict item 6): while one
+    compaction holds <index>/.compact.lock, a second compactor —
+    another thread or process — fails loudly instead of interleaving
+    band swaps; the lock releases with its holder, after which
+    compaction proceeds normally."""
+    import fcntl
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = f"{tmp_path}/idx"
+    dedup.write_lsh_index(docs, idx)
+
+    fd = os.open(os.path.join(idx, ".compact.lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(RuntimeError, match="single-compactor"):
+            dedup.compact_lsh_index(spark, idx, max_files_per_band=999)
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    # released -> the same call succeeds
+    stats = dedup.compact_lsh_index(spark, idx, max_files_per_band=999)
+    assert stats["bands_seen"] > 0
+
+
+def test_probe_racing_compaction_documents_reader_race(spark, tmp_path):
+    """X82's documented reader race, as a negative test (r7 verdict
+    item 6): a probe that reads the index DURING the two-rename swap
+    window (band dir detached) silently loses that band's candidates —
+    exactly why compaction must run from the X80 loop's writer thread,
+    between micro-batches. Recovery rolls the band back and the probe
+    is whole again."""
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = f"{tmp_path}/idx"
+    dedup.write_lsh_index(corpus, idx)
+
+    def probe_pairs():
+        return {
+            (r.new_id, r.old_id)
+            for r in dedup.incremental_near_dups(
+                spark, batch, corpus, idx, threshold=0.0
+            ).collect()
+        }
+
+    whole = probe_pairs()
+    assert whole  # the fixture corpus has cross-parity near-dups
+
+    # the mid-swap window: one band detached to .old (rename #1 done,
+    # rename #2 not yet) — a racing probe sees a smaller index
+    bands = sorted(d for d in os.listdir(idx) if d.startswith("band_idx="))
+    os.rename(
+        os.path.join(idx, bands[0]),
+        os.path.join(idx, f".old-{bands[0]}-1000-1"),
+    )
+    racing = probe_pairs()
+    assert racing <= whole  # never invents pairs...
+    # ...but CAN drop them (the race this test documents). Not asserted
+    # strictly `<`: the surviving bands may re-cover every true pair.
+
+    dedup._recover_lsh_compaction(idx)
+    assert probe_pairs() == whole
+
+
 def test_compact_lsh_index_multi_file_target(spark, tmp_path):
     """X82 output sizing (r7 ADVICE): target_files > 1 threads through
     repartitionByRange so a large band rewrites into several sorted
