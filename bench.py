@@ -387,7 +387,7 @@ def run_ingest_throughput(sf_dir: str, cpus: int) -> dict[str, float]:
 
 
 def run_dedup_ingest_throughput(
-    sf_dir: str, cpus: int, n_batches: int = 10
+    sf_dir: str, cpus: int, n_batches: int = 10, pregrow: int = 0
 ) -> dict:
     """Child-process entry (r7, closing the r6 'X80 has no measured
     number' finding): end-to-end throughput of the streaming dedup-ingest
@@ -402,7 +402,18 @@ def run_dedup_ingest_throughput(
     Reports docs/s admitted end-to-end, per-batch wall times (the
     capacity-planning number: it should stay ~flat as the index grows,
     because probe cost scales with the batch, not the corpus), and the
-    final index size."""
+    final index size.
+
+    ``pregrow=K`` (opt-in, ``--group dedup_ingest_pregrown``; r7 verdict
+    item 5) seeds the corpus + index with K dissimilar synthetic
+    variants of the whole fixture BEFORE the loop runs — the same
+    10-batch loop then probes an index ~K× the size the baseline run
+    ever reaches. Variants reverse the word order and prepend a
+    per-copy token, so they share ~no shingles with the real batches
+    (admission counts stay comparable to the baseline) while the band
+    directories carry K×-deep row populations — the direct measurement
+    of 'probe cost never scales with the corpus' at an index size where
+    it could plausibly start to."""
     import shutil
     import tempfile
 
@@ -423,6 +434,34 @@ def run_dedup_ingest_throughput(
         os.makedirs(src)
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         n_docs = docs.count()
+        idx_rows_start = 0
+        if pregrow:
+            from functools import reduce
+
+            from nginx_analytics_spark.operators import dedup as _dedup
+
+            variants = reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    docs.select(
+                        (F.col("doc_id") + (i + 1) * 100_000_000).alias(
+                            "doc_id"
+                        ),
+                        F.concat_ws(
+                            " ",
+                            F.concat(
+                                F.lit(f"cp{i}x"),
+                                F.col("doc_id").cast("string"),
+                            ),
+                            F.reverse(F.split(F.col("text"), " ")),
+                        ).alias("text"),
+                    )
+                    for i in range(pregrow)
+                ],
+            )
+            variants.write.mode("overwrite").parquet(f"{work}/corpus")
+            _dedup.write_lsh_index(variants, f"{work}/idx")
+            idx_rows_start = spark.read.parquet(f"{work}/idx").count()
         for k in range(n_batches):
             batch = docs.filter(
                 F.crc32(F.col("doc_id").cast("string")) % n_batches == k
@@ -462,7 +501,7 @@ def run_dedup_ingest_throughput(
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
-    return {
+    out = {
         "docs_in": n_docs,
         "docs_admitted": admitted,
         "n_batches": len(marks),
@@ -472,6 +511,10 @@ def run_dedup_ingest_throughput(
         "batch_walls_sec": batch_walls,
         "index_rows": idx_rows,
     }
+    if pregrow:
+        out["pregrow"] = pregrow
+        out["index_rows_start"] = idx_rows_start
+    return out
 
 
 def wait_quiet_machine() -> str:
@@ -507,6 +550,12 @@ def main() -> None:
             print(json.dumps(run_ingest_throughput(sf_dir, cpus)))
         elif sys.argv[2] == "dedup_ingest":
             print(json.dumps(run_dedup_ingest_throughput(sf_dir, cpus)))
+        elif sys.argv[2] == "dedup_ingest_pregrown":
+            # opt-in corpus-growth probe (r7 verdict item 5); NOT part
+            # of the per-round artifact — numbers land in SCALING.md
+            print(json.dumps(
+                run_dedup_ingest_throughput(sf_dir, cpus, pregrow=10)
+            ))
         else:
             print(json.dumps(run_group(sys.argv[2], sf_dir, cpus)))
         return
