@@ -627,14 +627,20 @@ def lsh_index_meta_path(path: str) -> str:
     return f"{path.rstrip('/')}/{LSH_INDEX_META}"
 
 
-def read_lsh_index_meta(path: str) -> dict:
+def read_lsh_index_meta(path: str, fs=None) -> dict:
     """Load the index's parameter sidecar. Raises FileNotFoundError for a
     pre-sidecar (or foreign) index — probing such an index would silently
-    band-join against unknown hash parameters, so callers fail loudly."""
+    band-join against unknown hash parameters, so callers fail loudly.
+
+    ``fs`` (here and on every index-maintenance entry point below)
+    is the driver-side filesystem seam — defaults to local disk; an
+    HDFS deployment swaps in its own
+    :mod:`~nginx_analytics_spark.operators.index_fs` implementation."""
     import json
 
-    with open(lsh_index_meta_path(path)) as f:
-        return json.load(f)
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    return json.loads((fs or LOCAL_FS).read_text(lsh_index_meta_path(path)))
 
 
 def write_lsh_index(
@@ -645,6 +651,7 @@ def write_lsh_index(
     shingle_n: int = 3,
     num_hashes: int = NUM_HASHES,
     rows_per_band: int = ROWS_PER_BAND,
+    fs=None,
 ) -> None:
     """Materialize the corpus's LSH index: (id, band_idx, band_hash) rows,
     partitioned by band_idx and sorted by band_hash within each band —
@@ -659,11 +666,13 @@ def write_lsh_index(
     rows_per_band, id_col) with the data; ``incremental_near_dups``
     validates it, because a probe signed with different parameters
     band-joins against incompatible hashes and silently drops recall to
-    ~0 instead of erroring. (Sidecar I/O is plain ``open`` — the staging
-    paths here are driver-local; an HDFS/S3 deployment would route it
-    through the Hadoop FileSystem API like any _SUCCESS-style marker.)"""
+    ~0 instead of erroring. (Sidecar I/O goes through the ``fs`` seam —
+    local disk by default; an HDFS/S3 deployment routes it through the
+    FileSystem API like any _SUCCESS-style marker, see
+    :mod:`~nginx_analytics_spark.operators.index_fs`.)"""
     import json
-    import os
+
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
     sh = docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
@@ -686,18 +695,17 @@ def write_lsh_index(
         "num_hashes": num_hashes,
         "rows_per_band": rows_per_band,
     }
-    tmp = lsh_index_meta_path(path) + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, lsh_index_meta_path(path))
+    (fs or LOCAL_FS).write_text_atomic(
+        lsh_index_meta_path(path), json.dumps(meta)
+    )
 
 
-def _check_lsh_index_meta(index_path: str, want: dict) -> None:
+def _check_lsh_index_meta(index_path: str, want: dict, fs=None) -> None:
     """Fail loudly when an index's sidecar is missing or disagrees with
     the caller's signing parameters (r5 ADVICE: a silent mismatch
     band-joins incompatible hashes and drops recall to ~0)."""
     try:
-        have = read_lsh_index_meta(index_path)
+        have = read_lsh_index_meta(index_path, fs=fs)
     except FileNotFoundError as e:
         raise ValueError(
             f"LSH index at {index_path!r} has no {LSH_INDEX_META} sidecar — "
@@ -720,6 +728,7 @@ def append_lsh_index(
     shingle_n: int = 3,
     num_hashes: int = NUM_HASHES,
     rows_per_band: int = ROWS_PER_BAND,
+    fs=None,
 ) -> None:
     """X79: fold a new batch into an at-rest LSH index WITHOUT touching
     the existing corpus signatures — the index-maintenance half of the
@@ -747,6 +756,7 @@ def append_lsh_index(
             "num_hashes": num_hashes,
             "rows_per_band": rows_per_band,
         },
+        fs=fs,
     )
     sh = docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
@@ -772,6 +782,7 @@ def compact_lsh_index(
     target_files: int = 1,
     target_file_bytes: int = 128 << 20,
     max_concurrency: int = 4,
+    fs=None,
 ) -> dict:
     """X82: per-band compaction of an append-heavy LSH index — the
     log-structured maintenance half of X79 (r6 verdict item 4: before
@@ -818,9 +829,12 @@ def compact_lsh_index(
     compaction of the same band crashes mid-swap, recovery restores
     the NEWEST detached content — never an older leftover that would
     silently drop rows appended between the two compactions (r7
-    ADVICE). (Paths are driver-local like the sidecar's I/O; an
-    HDFS/S3 deployment does the same dance through the FileSystem
-    API.) The rename window is still not atomic for concurrent
+    ADVICE). (All driver-side metadata I/O here goes through the
+    ``fs`` seam — :mod:`~nginx_analytics_spark.operators.index_fs` —
+    local disk by default; HDFS maps the swap onto its own atomic
+    rename, and the module docstring spells out why an S3 port must
+    replace the swap with a manifest flip rather than shim rename.)
+    The rename window is still not atomic for concurrent
     READERS — run compaction from the maintenance side of the X80
     loop (between micro-batches, same thread as the appends), which
     is where a log-structured store always runs it; a probe racing a
@@ -836,30 +850,22 @@ def compact_lsh_index(
 
     Returns ``{"bands_seen", "bands_compacted", "files_before",
     "files_after"}`` for the caller's telemetry."""
-    import fcntl
     import os
 
-    read_lsh_index_meta(path)  # loud FileNotFoundError on a non-index dir
-    lock_fd = os.open(os.path.join(path, ".compact.lock"),
-                      os.O_CREAT | os.O_RDWR, 0o644)
-    try:
-        fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-    except BlockingIOError:
-        os.close(lock_fd)
-        raise RuntimeError(
-            f"another compaction holds {path!r}/.compact.lock — X82 is "
-            "single-compactor by design (interleaved band swaps would "
-            "corrupt the two-rename discipline); run compaction from "
-            "the X80 loop's one writer thread"
-        ) from None
-    try:
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    read_lsh_index_meta(path, fs=fs)  # loud on a non-index dir
+    with fs.exclusive_lock(
+        os.path.join(path, ".compact.lock"),
+        "X82 is single-compactor by design (interleaved band swaps "
+        "would corrupt the two-rename discipline); run compaction "
+        "from the X80 loop's one writer thread",
+    ):
         return _compact_lsh_index_locked(
             spark, path, max_files_per_band, target_files,
-            target_file_bytes, max_concurrency,
+            target_file_bytes, max_concurrency, fs,
         )
-    finally:
-        fcntl.flock(lock_fd, fcntl.LOCK_UN)
-        os.close(lock_fd)
 
 
 def _compact_lsh_index_locked(
@@ -869,22 +875,22 @@ def _compact_lsh_index_locked(
     target_files: int,
     target_file_bytes: int,
     max_concurrency: int,
+    fs,
 ) -> dict:
     import math
     import os
-    import shutil
     import time
     from concurrent.futures import ThreadPoolExecutor
 
-    _recover_lsh_compaction(path)
+    _recover_lsh_compaction(path, fs=fs)
 
     def parquet_files(d: str) -> list[str]:
-        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+        return [f for f in fs.listdir(d) if f.endswith(".parquet")]
 
     stats = {"bands_seen": 0, "bands_compacted": 0,
              "files_before": 0, "files_after": 0}
     oversized: list[tuple[str, int]] = []  # (band, band_target_files)
-    for band in sorted(d for d in os.listdir(path) if d.startswith("band_idx=")):
+    for band in sorted(d for d in fs.listdir(path) if d.startswith("band_idx=")):
         bdir = os.path.join(path, band)
         files = parquet_files(bdir)
         stats["bands_seen"] += 1
@@ -893,7 +899,7 @@ def _compact_lsh_index_locked(
             stats["files_after"] += len(files)
             continue
         band_bytes = sum(
-            os.path.getsize(os.path.join(bdir, f)) for f in files
+            fs.getsize(os.path.join(bdir, f)) for f in files
         )
         oversized.append(
             (band, max(target_files, math.ceil(band_bytes / target_file_bytes)))
@@ -907,7 +913,7 @@ def _compact_lsh_index_locked(
         # non-overlapping sorted hash ranges
         rows = spark.read.parquet(bdir)
         scratch = os.path.join(path, f".compact-{band}-{os.getpid()}")
-        shutil.rmtree(scratch, ignore_errors=True)
+        fs.rmtree(scratch)
         (
             rows.repartitionByRange(n_target, "band_hash")
             .sortWithinPartitions("band_hash")
@@ -916,12 +922,12 @@ def _compact_lsh_index_locked(
         )
         n_after = len(parquet_files(scratch))
         old = os.path.join(path, f".old-{band}-{time.time_ns()}-{os.getpid()}")
-        os.rename(bdir, old)
+        fs.rename(bdir, old)
         # the scratch dir becomes the band dir whole — its _SUCCESS /
         # .crc droppings are _-prefixed/hidden, which parquet readers
         # skip — so the swap is one rename, never a per-file window
-        os.rename(scratch, bdir)
-        shutil.rmtree(old, ignore_errors=True)
+        fs.rename(scratch, bdir)
+        fs.rmtree(old)
         return n_after
 
     if oversized:
@@ -942,7 +948,7 @@ def _parse_old_leftover(name: str) -> tuple[str, int]:
     return parts[0], (int(parts[1]) if len(parts) >= 3 else 0)
 
 
-def _recover_lsh_compaction(path: str) -> None:
+def _recover_lsh_compaction(path: str, fs=None) -> None:
     """Heal an index whose last compaction crashed mid-swap. For each
     band with ``.old-<band>-<seq>-<pid>`` leftovers: the band dir
     existing means the swap completed (or never detached) — reap them;
@@ -955,9 +961,11 @@ def _recover_lsh_compaction(path: str) -> None:
     ``.compact-*`` scratch is stale by construction (its band dir
     exists again) and is reaped, any pid's alike."""
     import os
-    import shutil
 
-    entries = os.listdir(path)
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    entries = fs.listdir(path)
     by_band: dict[str, list[tuple[int, str]]] = {}
     for d in entries:
         if d.startswith(".old-"):
@@ -965,17 +973,17 @@ def _recover_lsh_compaction(path: str) -> None:
             by_band.setdefault(band, []).append((seq, d))
     for band, olds in by_band.items():
         bdir = os.path.join(path, band)
-        if not os.path.isdir(bdir):
+        if not fs.isdir(bdir):
             # restore the newest detached content; ties (legacy names,
             # same-ns clocks) break on the full name for determinism
             newest = max(olds)[1]
-            os.rename(os.path.join(path, newest), bdir)
+            fs.rename(os.path.join(path, newest), bdir)
             olds = [o for o in olds if o[1] != newest]
         for _, d in olds:
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            fs.rmtree(os.path.join(path, d))
     for d in entries:
         if d.startswith(".compact-"):
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            fs.rmtree(os.path.join(path, d))
 
 
 def _relational_jaccard_cross(

@@ -1052,3 +1052,84 @@ def test_compact_lsh_index_multi_file_target(spark, tmp_path):
         for r in spark.read.parquet(idx).collect()
     )
     assert after == before
+
+
+def test_compact_lsh_index_routes_through_fs_seam(spark, tmp_path):
+    """X82 portability seam (r7 verdict residual #5): every driver-side
+    metadata operation of the index-maintenance path — sidecar
+    read/write, band listing/sizing, the two swap renames, leftover
+    deletion, the single-compactor mutex — goes through the pluggable
+    ``index_fs`` object, so an HDFS deployment swaps ONE class instead
+    of patching scattered os calls (and ``index_fs``'s docstring records
+    why an S3 port must replace the rename swap with a manifest flip).
+    A recording wrapper observes the swap discipline itself: per band,
+    rename(band -> .old-…) strictly before rename(scratch -> band)."""
+    import os
+
+    from nginx_analytics_spark.operators.index_fs import LocalIndexFS
+
+    class RecordingFS(LocalIndexFS):
+        def __init__(self):
+            self.ops = []  # list.append is atomic under the GIL, so the
+            # concurrent per-band compactions record safely
+
+        def listdir(self, path):
+            self.ops.append(("listdir", path))
+            return super().listdir(path)
+
+        def isdir(self, path):
+            self.ops.append(("isdir", path))
+            return super().isdir(path)
+
+        def getsize(self, path):
+            self.ops.append(("getsize", path))
+            return super().getsize(path)
+
+        def rename(self, src, dst):
+            self.ops.append(("rename", src, dst))
+            super().rename(src, dst)
+
+        def rmtree(self, path):
+            self.ops.append(("rmtree", path))
+            super().rmtree(path)
+
+        def read_text(self, path):
+            self.ops.append(("read_text", path))
+            return super().read_text(path)
+
+        def write_text_atomic(self, path, data):
+            self.ops.append(("write_text_atomic", path))
+            super().write_text_atomic(path, data)
+
+        def exclusive_lock(self, path, purpose):
+            self.ops.append(("lock", path))
+            return super().exclusive_lock(path, purpose)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = f"{tmp_path}/idx"
+    fs = RecordingFS()
+    dedup.write_lsh_index(docs.filter(F.col("doc_id") % 2 == 0), idx, fs=fs)
+    dedup.append_lsh_index(docs.filter(F.col("doc_id") % 2 == 1), idx, fs=fs)
+    stats = dedup.compact_lsh_index(spark, idx, max_files_per_band=1, fs=fs)
+    assert stats["bands_compacted"] == stats["bands_seen"] > 0
+
+    kinds = {op[0] for op in fs.ops}
+    # every metadata op class of the path was exercised through the seam
+    assert {"write_text_atomic", "read_text", "lock", "listdir",
+            "getsize", "rename", "rmtree"} <= kinds
+
+    # swap discipline per band: detach strictly before swap-in
+    renames = [op for op in fs.ops if op[0] == "rename"]
+    for band_dir in (
+        os.path.join(idx, d) for d in os.listdir(idx)
+        if d.startswith("band_idx=")
+    ):
+        detach = [i for i, (_, src, dst) in enumerate(renames)
+                  if src == band_dir and "/.old-" in dst]
+        swap_in = [i for i, (_, src, dst) in enumerate(renames)
+                   if dst == band_dir and "/.compact-" in src]
+        assert len(detach) == 1 and len(swap_in) == 1
+        assert detach[0] < swap_in[0]
+
+    # the compacted index is intact and still probe-able with defaults
+    assert dedup.read_lsh_index_meta(idx, fs=fs) == dedup.read_lsh_index_meta(idx)
