@@ -517,6 +517,7 @@ def main(argv: list[str] | None = None) -> int:
             docs.select("doc_id", "text"), "doc_id"
         )
         persisted = []  # frames to release once every consumer has run
+        pre_score = None  # the distillation branch's gate-stack cache
         if args.quality_weights or args.quality_model:
             # X81 wiring (r6 verdict item 5): the hand-off's end product
             # carries the calibrated sampling weight the classifier
@@ -543,6 +544,7 @@ def main(argv: list[str] | None = None) -> int:
 
                 curated = curated.persist(StorageLevel.DISK_ONLY)
                 persisted.append(curated)
+                pre_score = curated
                 model = qmod.train_quality_classifier(
                     docs, kept=curated, **kwargs
                 )
@@ -572,6 +574,16 @@ def main(argv: list[str] | None = None) -> int:
 
                 scored = curated.persist(StorageLevel.DISK_ONLY)
                 persisted.append(scored)
+                if pre_score is not None:
+                    # r8 review: the pre-score gate-stack cache's last
+                    # consumer is scored's own fill — materialize
+                    # scored now and release the pre-score blocks, so
+                    # the landing stage never holds TWO disk copies of
+                    # the corpus text at once.
+                    scored.count()
+                    pre_score.unpersist()
+                    persisted.remove(pre_score)
+                    pre_score = None
                 curated = quality_weighted_sample(
                     scored, "quality_prob", "doc_id",
                     target_frac=args.quality_sample,

@@ -823,13 +823,14 @@ def compact_lsh_index(
     and :func:`_recover_lsh_compaction` — run on entry here — rolls an
     interrupted swap BACK (restore .old, discard scratch) and reaps
     completed swaps' leftovers from any pid, so no crash can silently
-    lose a band's recall. ``.old`` names carry a wall-clock-ns
-    sequence (``.old-<band>-<seq>-<pid>``) so that if a completed
-    swap's leftover ever survives a failed delete AND a later
-    compaction of the same band crashes mid-swap, recovery restores
-    the NEWEST detached content — never an older leftover that would
-    silently drop rows appended between the two compactions (r7
-    ADVICE). (All driver-side metadata I/O here goes through the
+    lose a band's recall. ``.old`` names carry a monotonic per-band
+    sequence (``.old-<band>-<seq>-<pid>``, seq = one above any
+    surviving leftover's — clock-step-immune, r8 review) so that if a
+    completed swap's leftover ever survives a failed delete AND a
+    later compaction of the same band crashes mid-swap, recovery
+    restores the NEWEST detached content — never an older leftover
+    that would silently drop rows appended between the two compactions
+    (r7 ADVICE). (All driver-side metadata I/O here goes through the
     ``fs`` seam — :mod:`~nginx_analytics_spark.operators.index_fs` —
     local disk by default; HDFS maps the swap onto its own atomic
     rename, and the module docstring spells out why an S3 port must
@@ -857,7 +858,7 @@ def compact_lsh_index(
     fs = fs or LOCAL_FS
     read_lsh_index_meta(path, fs=fs)  # loud on a non-index dir
     with fs.exclusive_lock(
-        os.path.join(path, ".compact.lock"),
+        _lsh_compact_lock_path(path),
         "X82 is single-compactor by design (interleaved band swaps "
         "would corrupt the two-rename discipline); run compaction "
         "from the X80 loop's one writer thread",
@@ -866,6 +867,12 @@ def compact_lsh_index(
             spark, path, max_files_per_band, target_files,
             target_file_bytes, max_concurrency, fs,
         )
+
+
+def _lsh_compact_lock_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, ".compact.lock")
 
 
 def _compact_lsh_index_locked(
@@ -879,10 +886,9 @@ def _compact_lsh_index_locked(
 ) -> dict:
     import math
     import os
-    import time
     from concurrent.futures import ThreadPoolExecutor
 
-    _recover_lsh_compaction(path, fs=fs)
+    _recover_lsh_compaction_locked(path, fs)
 
     def parquet_files(d: str) -> list[str]:
         return [f for f in fs.listdir(d) if f.endswith(".parquet")]
@@ -912,8 +918,9 @@ def _compact_lsh_index_locked(
         # range-partition on the hash so the compacted files carry
         # non-overlapping sorted hash ranges
         rows = spark.read.parquet(bdir)
+        # no stale scratch can exist here: recovery-on-entry reaped
+        # every .compact-*, and the write below is mode("overwrite")
         scratch = os.path.join(path, f".compact-{band}-{os.getpid()}")
-        fs.rmtree(scratch)
         (
             rows.repartitionByRange(n_target, "band_hash")
             .sortWithinPartitions("band_hash")
@@ -921,7 +928,23 @@ def _compact_lsh_index_locked(
             .parquet(scratch)
         )
         n_after = len(parquet_files(scratch))
-        old = os.path.join(path, f".old-{band}-{time.time_ns()}-{os.getpid()}")
+        # monotonic per-band sequence: one above any surviving leftover
+        # (r8 review: wall-clock ns could step BACKWARDS under an NTP
+        # correction, letting a stale completed-swap leftover outrank a
+        # fresh mid-swap one in recovery; a counter seeded from the
+        # existing leftovers cannot — and it lands above legacy
+        # time_ns-named leftovers too, preserving cross-version order)
+        seq = max(
+            (
+                s
+                for d in fs.listdir(path)
+                if d.startswith(".old-")
+                for b, s in [_parse_old_leftover(d)]
+                if b == band
+            ),
+            default=0,
+        ) + 1
+        old = os.path.join(path, f".old-{band}-{seq}-{os.getpid()}")
         fs.rename(bdir, old)
         # the scratch dir becomes the band dir whole — its _SUCCESS /
         # .crc droppings are _-prefixed/hidden, which parquet readers
@@ -948,23 +971,49 @@ def _parse_old_leftover(name: str) -> tuple[str, int]:
     return parts[0], (int(parts[1]) if len(parts) >= 3 else 0)
 
 
-def _recover_lsh_compaction(path: str, fs=None) -> None:
-    """Heal an index whose last compaction crashed mid-swap. For each
-    band with ``.old-<band>-<seq>-<pid>`` leftovers: the band dir
-    existing means the swap completed (or never detached) — reap them;
-    the band dir missing means the crash hit between the two renames —
-    ROLL BACK by restoring the NEWEST leftover (max seq) as the band
-    dir (the compaction simply didn't happen; content is exactly the
-    pre-compaction rows — and if an older completed-swap leftover had
-    survived a failed delete, its content is a stale subset that must
-    NOT win, r7 ADVICE) and reaping the rest. Then every
-    ``.compact-*`` scratch is stale by construction (its band dir
-    exists again) and is reaped, any pid's alike."""
-    import os
+def _recover_lsh_compaction(path: str, fs=None) -> bool:
+    """Heal an index whose last compaction crashed mid-swap — under the
+    same single-compactor mutex compaction itself holds (r8 review: an
+    UNLOCKED heal racing a LIVE out-of-band compactor would reap its
+    in-progress ``.compact-*`` scratch mid-write and swap a truncated
+    band in). If another holder owns the lock, there is a live
+    compactor, not a crashed one — nothing to heal; returns False and
+    does nothing. Returns True after an (possibly no-op) heal.
+
+    For each band with ``.old-<band>-<seq>-<pid>`` leftovers: the band
+    dir existing means the swap completed (or never detached) — reap
+    them; the band dir missing means the crash hit between the two
+    renames — ROLL BACK by restoring the NEWEST leftover (max seq) as
+    the band dir (the compaction simply didn't happen; content is
+    exactly the pre-compaction rows — and if an older completed-swap
+    leftover had survived a failed delete, its content is a stale
+    subset that must NOT win, r7 ADVICE) and reaping the rest. Then
+    every ``.compact-*`` scratch is stale by construction (its band
+    dir exists again) and is reaped, any pid's alike."""
+    from contextlib import ExitStack
 
     from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
     fs = fs or LOCAL_FS
+    stack = ExitStack()
+    try:
+        stack.enter_context(
+            fs.exclusive_lock(
+                _lsh_compact_lock_path(path),
+                "a live compaction owns the index; recovery heals "
+                "CRASHED compactions only",
+            )
+        )
+    except RuntimeError:
+        return False
+    with stack:
+        _recover_lsh_compaction_locked(path, fs)
+    return True
+
+
+def _recover_lsh_compaction_locked(path: str, fs) -> None:
+    import os
+
     entries = fs.listdir(path)
     by_band: dict[str, list[tuple[int, str]]] = {}
     for d in entries:
@@ -1037,6 +1086,7 @@ def incremental_near_dups(
     rows_per_band: int = ROWS_PER_BAND,
     round_to: int | None = 6,
     exact_net: bool = False,
+    fs=None,
 ) -> DataFrame:
     """Near-dup pairs (new_id, old_id, jaccard) of an incoming batch
     against an indexed corpus, WITHOUT re-signing the corpus:
@@ -1066,6 +1116,7 @@ def incremental_near_dups(
             "num_hashes": num_hashes,
             "rows_per_band": rows_per_band,
         },
+        fs=fs,
     )
     new_sh = new_docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")

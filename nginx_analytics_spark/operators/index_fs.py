@@ -13,6 +13,7 @@ the driver with no new dependency (``spark._jvm.org.apache.hadoop.fs``):
 ========================  =====================================================
 ``listdir(path)``         ``fs.listStatus(Path)`` → ``getPath().getName()``
 ``isdir(path)``           ``fs.getFileStatus(Path).isDirectory()``
+``isfile(path)``          ``fs.exists(Path) && fs.getFileStatus(Path).isFile()``
 ``getsize(path)``         ``fs.getFileStatus(Path).getLen()``
 ``rename(src, dst)``      ``fs.rename(Path, Path)`` — **atomic on HDFS**, same
                           contract as POSIX; this is the operation the X82
@@ -60,6 +61,9 @@ class LocalIndexFS:
 
     def isdir(self, path: str) -> bool:
         return os.path.isdir(path)
+
+    def isfile(self, path: str) -> bool:
+        return os.path.isfile(path)
 
     def getsize(self, path: str) -> int:
         return os.path.getsize(path)

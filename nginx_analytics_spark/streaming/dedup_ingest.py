@@ -79,12 +79,18 @@ def dedup_batch_against_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.6,
+    fs=None,
 ) -> DataFrame:
     """Steps 1-3 for one batch: returns the NOVEL docs (same schema as
     ``batch``). Pure function over (batch, at-rest state) — the
-    foreachBatch handler below adds the writes."""
-    import os
+    foreachBatch handler below adds the writes. ``fs`` is the
+    driver-side index-metadata seam (here and on the loop entries
+    below) — local disk by default, see
+    :mod:`~nginx_analytics_spark.operators.index_fs`; the parquet row
+    I/O goes through Spark's own Hadoop FileSystem regardless."""
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
+    fs = fs or LOCAL_FS
     b = dedup.exact_dedup(
         batch.withColumn("_norm", dedup.normalize_text(text_col)),
         keys=["_norm"],
@@ -99,12 +105,12 @@ def dedup_batch_against_corpus(
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     b = b.join(losers, id_col, "left_anti")
 
-    if os.path.isfile(dedup.lsh_index_meta_path(index_path)):
+    if fs.isfile(dedup.lsh_index_meta_path(index_path)):
         corpus = read_corpus(spark, corpus_dir)
         hits = dedup.incremental_near_dups(
             spark, b, corpus, index_path,
             id_col=id_col, text_col=text_col,
-            threshold=threshold, exact_net=False,
+            threshold=threshold, exact_net=False, fs=fs,
         )
         dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
         b = b.join(dup_ids, id_col, "left_anti")
@@ -123,6 +129,7 @@ def process_batch(
     exactly_once: bool = False,
     compact_every: int | None = None,
     max_files_per_band: int = 8,
+    fs=None,
 ) -> tuple[int, int]:
     """One micro-batch of the loop (exposed for retry tests and batch
     backfills): dedup, admit, append. Returns (n_in, n_novel).
@@ -137,20 +144,24 @@ def process_batch(
     batch-content-driven; an idle feed must not starve it)."""
     import os
 
-    if os.path.isfile(dedup.lsh_index_meta_path(index_path)):
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    if fs.isfile(dedup.lsh_index_meta_path(index_path)):
         # heal a compaction interrupted by a crash BEFORE probing (r7):
         # recovery rolls a half-swapped band back into place, so a
         # restarted loop never probes an index with a detached band
         # (bounded-recall window) while waiting for the next compaction
-        # cycle. Safe here because this foreachBatch thread is the
-        # index's only writer — the same contract compaction itself
-        # relies on.
-        dedup._recover_lsh_compaction(index_path)
+        # cycle. Recovery takes the single-compactor mutex itself (r8
+        # review) — if an out-of-band compactor is LIVE, healing is
+        # skipped rather than reaping its in-progress scratch.
+        dedup._recover_lsh_compaction(index_path, fs=fs)
     n_in = n_novel = 0
     if batch.head(1):
         novel = dedup_batch_against_corpus(
             spark, batch, corpus_dir, index_path,
             id_col=id_col, text_col=text_col, threshold=threshold,
+            fs=fs,
         ).localCheckpoint(eager=True)  # consumed by corpus write + append
         n_in = batch.count()
         n_novel = novel.count()
@@ -160,21 +171,21 @@ def process_batch(
             novel.write.mode("overwrite").parquet(dest)
         else:
             novel.write.mode("append").parquet(corpus_dir)
-        if os.path.isfile(dedup.lsh_index_meta_path(index_path)):
+        if fs.isfile(dedup.lsh_index_meta_path(index_path)):
             dedup.append_lsh_index(
-                novel, index_path, id_col=id_col, text_col=text_col
+                novel, index_path, id_col=id_col, text_col=text_col, fs=fs
             )
         else:
             dedup.write_lsh_index(
-                novel, index_path, id_col=id_col, text_col=text_col
+                novel, index_path, id_col=id_col, text_col=text_col, fs=fs
             )
     if (
         compact_every
         and (batch_id + 1) % compact_every == 0
-        and os.path.isfile(dedup.lsh_index_meta_path(index_path))
+        and fs.isfile(dedup.lsh_index_meta_path(index_path))
     ):
         dedup.compact_lsh_index(
-            spark, index_path, max_files_per_band=max_files_per_band
+            spark, index_path, max_files_per_band=max_files_per_band, fs=fs
         )
     return (n_in, n_novel)
 
@@ -192,6 +203,7 @@ def start_dedup_ingest(
     compact_every: int | None = None,
     max_files_per_band: int = 8,
     on_batch: Callable[[int, int, int], None] | None = None,
+    fs=None,
 ) -> StreamingQuery:
     """Run the continuous dedup-ingest loop over a streaming DataFrame of
     documents. ``on_batch(batch_id, n_in, n_novel)`` surfaces per-batch
@@ -206,7 +218,7 @@ def start_dedup_ingest(
             batch.sparkSession, batch, batch_id, corpus_dir, index_path,
             id_col=id_col, text_col=text_col, threshold=threshold,
             exactly_once=exactly_once, compact_every=compact_every,
-            max_files_per_band=max_files_per_band,
+            max_files_per_band=max_files_per_band, fs=fs,
         )
         if on_batch is not None:
             on_batch(batch_id, n_in, n_novel)

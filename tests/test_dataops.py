@@ -1133,3 +1133,33 @@ def test_compact_lsh_index_routes_through_fs_seam(spark, tmp_path):
 
     # the compacted index is intact and still probe-able with defaults
     assert dedup.read_lsh_index_meta(idx, fs=fs) == dedup.read_lsh_index_meta(idx)
+
+
+def test_recover_skips_while_compactor_live(spark, tmp_path):
+    """r8 review: a heal racing a LIVE out-of-band compactor must not
+    reap its in-progress scratch (the compactor would then swap a
+    silently truncated band in). _recover_lsh_compaction now takes the
+    same single-compactor mutex non-blocking: lock held -> no-op,
+    returns False, scratch untouched; lock free -> heals, returns
+    True, stale scratch reaped."""
+    import fcntl
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = f"{tmp_path}/idx"
+    dedup.write_lsh_index(docs, idx)
+
+    # a live compactor mid-write: lock held, scratch dir half-written
+    scratch = os.path.join(idx, ".compact-band_idx=0-99999")
+    os.makedirs(scratch)
+    fd = os.open(os.path.join(idx, ".compact.lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        assert dedup._recover_lsh_compaction(idx) is False
+        assert os.path.isdir(scratch)  # live scratch survives the race
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    # holder gone -> the same scratch IS stale now; recovery reaps it
+    assert dedup._recover_lsh_compaction(idx) is True
+    assert not os.path.isdir(scratch)
