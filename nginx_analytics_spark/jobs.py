@@ -581,7 +581,10 @@ def main(argv: list[str] | None = None) -> int:
                     # the landing stage never holds TWO disk copies of
                     # the corpus text at once.
                     scored.count()
-                    pre_score.unpersist()
+                    # blocking: the async default only SCHEDULES block
+                    # removal, which would let the landing start while
+                    # both disk copies still exist (r8 review)
+                    pre_score.unpersist(blocking=True)
                     persisted.remove(pre_score)
                     pre_score = None
                 curated = quality_weighted_sample(

@@ -878,12 +878,19 @@ def _lsh_compact_lock_path(path: str) -> str:
 def _compact_lsh_index_locked(
     spark: SparkSession,
     path: str,
-    max_files_per_band: int,
-    target_files: int,
-    target_file_bytes: int,
-    max_concurrency: int,
-    fs,
+    max_files_per_band: int = 8,
+    target_files: int = 1,
+    target_file_bytes: int = 128 << 20,
+    max_concurrency: int = 4,
+    fs=None,
 ) -> dict:
+    """Compaction body, caller already holds the single-compactor
+    mutex — the X80 loop enters here directly because it takes the
+    mutex once per micro-batch (r8 review); everyone else goes through
+    :func:`compact_lsh_index`. Defaults mirror the public entry."""
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
     import math
     import os
     from concurrent.futures import ThreadPoolExecutor

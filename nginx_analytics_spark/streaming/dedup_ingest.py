@@ -42,8 +42,12 @@ long-running loop passes ``compact_every=N`` to fold
 :func:`~nginx_analytics_spark.operators.dedup.compact_lsh_index` (X82)
 into the loop itself — every N batches, bands whose file count grew
 past the threshold are rewritten into sorted range-partitioned files,
-inside the same foreachBatch thread that owns the appends (the one
-place compaction is safe without a reader/writer protocol).
+inside the same foreachBatch thread that owns the appends. That
+single-writer contract is enforced, not assumed (r8): each micro-batch
+holds the index's single-compactor mutex across heal + probe + append
++ compaction, so an out-of-band compactor fails loudly against the
+running loop (and vice versa) instead of racing its band swaps with
+the loop's probes and appends.
 
 The index bootstrap (first batch ever) writes the index instead of
 appending; both paths stamp/validate the ``_lsh_meta.json`` parameter
@@ -141,52 +145,76 @@ def process_batch(
     2N-1, ...), bounding per-band file growth from inside the only
     thread that writes the index — the cycle fires even when the batch
     itself is empty (r7 review: compaction is index-state-driven, not
-    batch-content-driven; an idle feed must not starve it)."""
+    batch-content-driven; an idle feed must not starve it).
+
+    Concurrency (r8 review): the loop is the index's SINGLE writer, and
+    this function enforces it — when the index exists it holds the
+    single-compactor mutex for the WHOLE batch, so heal, probe, append,
+    and the in-loop compaction cycle all run under it. An out-of-band
+    compactor can then neither detach a band mid-probe (silently missed
+    near-dups admitted forever — dedup is a one-shot gate) nor sweep
+    this batch's fresh band-key appends into a ``.old`` it deletes. If
+    someone else holds the mutex, THIS batch fails loudly instead
+    (foreachBatch surfaces it and the retried batch re-runs whole):
+    refusing to run beats silently corrupting the index."""
     import os
+    from contextlib import ExitStack
 
     from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
     fs = fs or LOCAL_FS
-    if fs.isfile(dedup.lsh_index_meta_path(index_path)):
-        # heal a compaction interrupted by a crash BEFORE probing (r7):
-        # recovery rolls a half-swapped band back into place, so a
-        # restarted loop never probes an index with a detached band
-        # (bounded-recall window) while waiting for the next compaction
-        # cycle. Recovery takes the single-compactor mutex itself (r8
-        # review) — if an out-of-band compactor is LIVE, healing is
-        # skipped rather than reaping its in-progress scratch.
-        dedup._recover_lsh_compaction(index_path, fs=fs)
-    n_in = n_novel = 0
-    if batch.head(1):
-        novel = dedup_batch_against_corpus(
-            spark, batch, corpus_dir, index_path,
-            id_col=id_col, text_col=text_col, threshold=threshold,
-            fs=fs,
-        ).localCheckpoint(eager=True)  # consumed by corpus write + append
-        n_in = batch.count()
-        n_novel = novel.count()
-    if n_novel:
-        if exactly_once:
-            dest = os.path.join(corpus_dir, f"ingest_batch={batch_id}")
-            novel.write.mode("overwrite").parquet(dest)
-        else:
-            novel.write.mode("append").parquet(corpus_dir)
-        if fs.isfile(dedup.lsh_index_meta_path(index_path)):
-            dedup.append_lsh_index(
-                novel, index_path, id_col=id_col, text_col=text_col, fs=fs
+    stack = ExitStack()
+    if fs.isdir(index_path):
+        stack.enter_context(
+            fs.exclusive_lock(
+                dedup._lsh_compact_lock_path(index_path),
+                "the X80 loop holds the index mutex for each "
+                "micro-batch; out-of-band compaction must wait for "
+                "the loop to stop",
             )
-        else:
-            dedup.write_lsh_index(
-                novel, index_path, id_col=id_col, text_col=text_col, fs=fs
-            )
-    if (
-        compact_every
-        and (batch_id + 1) % compact_every == 0
-        and fs.isfile(dedup.lsh_index_meta_path(index_path))
-    ):
-        dedup.compact_lsh_index(
-            spark, index_path, max_files_per_band=max_files_per_band, fs=fs
         )
+    with stack:
+        if fs.isfile(dedup.lsh_index_meta_path(index_path)):
+            # heal a compaction interrupted by a crash BEFORE probing
+            # (r7): recovery rolls a half-swapped band back into place,
+            # so a restarted loop never probes an index with a detached
+            # band (bounded-recall window) while waiting for the next
+            # compaction cycle. The mutex is already held above.
+            dedup._recover_lsh_compaction_locked(index_path, fs)
+        n_in = n_novel = 0
+        if batch.head(1):
+            novel = dedup_batch_against_corpus(
+                spark, batch, corpus_dir, index_path,
+                id_col=id_col, text_col=text_col, threshold=threshold,
+                fs=fs,
+            ).localCheckpoint(eager=True)  # for corpus write + append
+            n_in = batch.count()
+            n_novel = novel.count()
+        if n_novel:
+            if exactly_once:
+                dest = os.path.join(corpus_dir, f"ingest_batch={batch_id}")
+                novel.write.mode("overwrite").parquet(dest)
+            else:
+                novel.write.mode("append").parquet(corpus_dir)
+            if fs.isfile(dedup.lsh_index_meta_path(index_path)):
+                dedup.append_lsh_index(
+                    novel, index_path, id_col=id_col, text_col=text_col,
+                    fs=fs,
+                )
+            else:
+                dedup.write_lsh_index(
+                    novel, index_path, id_col=id_col, text_col=text_col,
+                    fs=fs,
+                )
+        if (
+            compact_every
+            and (batch_id + 1) % compact_every == 0
+            and fs.isfile(dedup.lsh_index_meta_path(index_path))
+        ):
+            dedup._compact_lsh_index_locked(
+                spark, index_path,
+                max_files_per_band=max_files_per_band, fs=fs,
+            )
     return (n_in, n_novel)
 
 

@@ -494,3 +494,46 @@ def test_loop_heals_crashed_compaction_before_probing(spark, tmp_path):
     )
     assert restored == before
     assert not any(d.startswith(".old-") for d in os.listdir(idx))
+
+
+def test_process_batch_refuses_foreign_mutex_holder(spark, tmp_path):
+    """r8 review follow-up: when the index exists, process_batch holds
+    the single-compactor mutex for the WHOLE batch — if someone else
+    (an out-of-band compactor) owns it, the batch fails LOUDLY instead
+    of probing an index whose bands may detach mid-swap and appending
+    band keys the compactor would sweep into a reaped .old. Corpus and
+    index are untouched by the refused batch; release the mutex and the
+    same call succeeds."""
+    import fcntl
+    import os
+
+    import pytest
+
+    from nginx_analytics_spark.operators import dedup
+    from nginx_analytics_spark.streaming.dedup_ingest import process_batch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "other entirely unrelated words about shuffle partitions")],
+        "doc_id long, text string",
+    )
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    assert process_batch(spark, docs, 0, corpus, idx) == (2, 2)
+
+    more = spark.createDataFrame(
+        [(3, "third document with its own fresh vocabulary and tokens")],
+        "doc_id long, text string",
+    )
+    fd = os.open(dedup._lsh_compact_lock_path(idx), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(RuntimeError, match="X80 loop"):
+            process_batch(spark, more, 1, corpus, idx)
+        # the refused batch admitted nothing anywhere
+        assert spark.read.parquet(corpus).count() == 2
+        assert spark.read.parquet(idx).select("doc_id").distinct().count() == 2
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    assert process_batch(spark, more, 1, corpus, idx) == (1, 1)
+    assert spark.read.parquet(corpus).count() == 3
