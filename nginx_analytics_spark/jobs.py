@@ -367,6 +367,30 @@ def _build_parser():
             "own corpus output; read back via dedup_ingest.read_corpus"
         ),
     )
+
+    ci = sub.add_parser(
+        "compact-index",
+        help=(
+            "X82 offline: per-band compaction of an at-rest LSH index "
+            "(the standalone twin of dedup-ingest --compact-every, for "
+            "an index whose loop is stopped). Holds the "
+            "single-compactor mutex; fails loudly if a dedup-ingest "
+            "loop or another compactor owns the index right now"
+        ),
+    )
+    ci.add_argument("--index", required=True, help="at-rest LSH index path")
+    ci.add_argument(
+        "--max-files-per-band",
+        type=int,
+        default=8,
+        help="rewrite only bands with more parquet files than this",
+    )
+    ci.add_argument(
+        "--target-files",
+        type=int,
+        default=1,
+        help="minimum output files per rewritten band",
+    )
     return p
 
 
@@ -411,6 +435,23 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         q.awaitTermination()
+        return 0
+
+    # compact-index is warehouse-less for the same reason
+    if args.command == "compact-index":
+        from nginx_analytics_spark.operators import dedup
+
+        stats = dedup.compact_lsh_index(
+            spark,
+            args.index,
+            max_files_per_band=args.max_files_per_band,
+            target_files=args.target_files,
+        )
+        print(
+            f"index compacted: {stats['bands_compacted']} of "
+            f"{stats['bands_seen']} bands, {stats['files_before']} -> "
+            f"{stats['files_after']} files"
+        )
         return 0
 
     wh = Warehouse(spark, args.warehouse)

@@ -420,3 +420,53 @@ def test_cli_handoff_quality_weights_trains_in_job(spark, tmp_path):
     shards = spark.read.parquet(f"{wh_dir}/training_shards")
     assert "quality_prob" in shards.columns
     assert shards.filter(F.col("quality_prob").isNull()).count() == 0
+
+
+def test_cli_compact_index(spark, tmp_path):
+    """X82 offline CLI: compact a stopped loop's index standalone —
+    warehouse-less subcommand, content preserved, file floor applied;
+    a foreign mutex holder makes it fail loudly (the dedup-ingest loop
+    holds that mutex per batch, so racing a live loop cannot corrupt)."""
+    import fcntl
+    import os
+
+    import pytest
+
+    from nginx_analytics_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"document {i} with words {i % 3} {i % 5} {i % 7} endings")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    idx = f"{tmp_path}/idx"
+    dedup.write_lsh_index(docs.filter("doc_id % 2 = 0"), idx)
+    dedup.append_lsh_index(docs.filter("doc_id % 2 = 1"), idx)
+    before = sorted(
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(idx).collect()
+    )
+
+    rc = jobs.main(
+        ["compact-index", "--index", idx, "--max-files-per-band", "1"]
+    )
+    assert rc == 0
+    after = sorted(
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(idx).collect()
+    )
+    assert after == before
+    for band in os.listdir(idx):
+        if band.startswith("band_idx="):
+            files = [f for f in os.listdir(os.path.join(idx, band))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1
+
+    fd = os.open(dedup._lsh_compact_lock_path(idx), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(RuntimeError, match="single-compactor"):
+            jobs.main(["compact-index", "--index", idx])
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
