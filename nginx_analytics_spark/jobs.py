@@ -373,9 +373,13 @@ def _build_parser():
         help=(
             "X82 offline: per-band compaction of an at-rest LSH index "
             "(the standalone twin of dedup-ingest --compact-every, for "
-            "an index whose loop is stopped). Holds the "
-            "single-compactor mutex; fails loudly if a dedup-ingest "
-            "loop or another compactor owns the index right now"
+            "an index whose loop is stopped). Takes the "
+            "single-compactor mutex: fails loudly against a live "
+            "`jobs dedup-ingest` loop (which holds it for the stream's "
+            "lifetime) or another compactor; a library-embedded loop "
+            "holds it only per micro-batch, so do not run this against "
+            "one — whichever side loses the race fails loudly (never "
+            "corrupts)"
         ),
     )
     ci.add_argument("--index", required=True, help="at-rest LSH index path")
@@ -411,6 +415,8 @@ def main(argv: list[str] | None = None) -> int:
     # hasattr-guarded None would fail deep inside the next
     # warehouse-less subcommand instead of at the obvious spot)
     if args.command == "dedup-ingest":
+        from nginx_analytics_spark.operators import dedup
+        from nginx_analytics_spark.operators.index_fs import LOCAL_FS
         from nginx_analytics_spark.streaming.dedup_ingest import (
             start_dedup_ingest,
         )
@@ -420,21 +426,32 @@ def main(argv: list[str] | None = None) -> int:
             reader = reader.option(
                 "maxFilesPerTrigger", str(args.max_files_per_trigger)
             )
-        q = start_dedup_ingest(
-            reader.parquet(args.source),
-            args.corpus,
-            args.index,
-            args.checkpoint,
-            threshold=args.threshold,
-            trigger=_parse_trigger(args.trigger),
-            exactly_once=args.exactly_once,
-            compact_every=args.compact_every,
-            max_files_per_band=args.max_files_per_band,
-            on_batch=lambda bid, n_in, n_novel: print(
-                f"batch {bid}: {n_in} in, {n_novel} admitted", flush=True
-            ),
-        )
-        q.awaitTermination()
+        # Hold the index's single-compactor mutex for the STREAM's
+        # whole lifetime, not just each micro-batch (r8 review): an
+        # offline `jobs compact-index` racing this loop then loses even
+        # between micro-batches — the maintenance tool fails loudly,
+        # never the production loop.
+        with LOCAL_FS.exclusive_lock(
+            dedup._lsh_compact_lock_path(args.index),
+            "a dedup-ingest loop owns this index for its lifetime; "
+            "stop the loop before compacting offline",
+        ):
+            q = start_dedup_ingest(
+                reader.parquet(args.source),
+                args.corpus,
+                args.index,
+                args.checkpoint,
+                threshold=args.threshold,
+                trigger=_parse_trigger(args.trigger),
+                exactly_once=args.exactly_once,
+                compact_every=args.compact_every,
+                max_files_per_band=args.max_files_per_band,
+                on_batch=lambda bid, n_in, n_novel: print(
+                    f"batch {bid}: {n_in} in, {n_novel} admitted", flush=True
+                ),
+                lock_held=True,
+            )
+            q.awaitTermination()
         return 0
 
     # compact-index is warehouse-less for the same reason

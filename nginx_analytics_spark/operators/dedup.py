@@ -775,13 +775,22 @@ def append_lsh_index(
     )
 
 
+# X82 compaction defaults, shared by the public entry and the
+# already-locked body the X80 loop enters (r8 review: duplicated
+# literals in the two signatures could silently drift apart)
+COMPACT_MAX_FILES_PER_BAND = 8
+COMPACT_TARGET_FILES = 1
+COMPACT_TARGET_FILE_BYTES = 128 << 20
+COMPACT_MAX_CONCURRENCY = 4
+
+
 def compact_lsh_index(
     spark: SparkSession,
     path: str,
-    max_files_per_band: int = 8,
-    target_files: int = 1,
-    target_file_bytes: int = 128 << 20,
-    max_concurrency: int = 4,
+    max_files_per_band: int = COMPACT_MAX_FILES_PER_BAND,
+    target_files: int = COMPACT_TARGET_FILES,
+    target_file_bytes: int = COMPACT_TARGET_FILE_BYTES,
+    max_concurrency: int = COMPACT_MAX_CONCURRENCY,
     fs=None,
 ) -> dict:
     """X82: per-band compaction of an append-heavy LSH index — the
@@ -842,7 +851,9 @@ def compact_lsh_index(
     compaction can observe a detached band and silently lose that
     band's candidates for the probe (negative-tested in
     tests/test_dataops.py). Compaction itself IS guarded: an exclusive
-    ``flock`` on ``<path>/.compact.lock`` (r7 verdict item 6) makes a
+    ``flock`` on the sibling ``<path>.compact.lock`` (r7 verdict item
+    6; moved out of the index dir in r8 so the bootstrap overwrite
+    cannot unlink it) makes a
     second concurrent compactor — another thread or another process —
     fail LOUDLY instead of interleaving renames on the same bands;
     the lock dies with its holder, so no stale-lock recovery is
@@ -870,24 +881,28 @@ def compact_lsh_index(
 
 
 def _lsh_compact_lock_path(path: str) -> str:
-    import os
-
-    return os.path.join(path, ".compact.lock")
+    """SIBLING of the index dir, not inside it (r8 review): the
+    bootstrap ``write_lsh_index`` is ``mode("overwrite")`` and would
+    delete an in-dir lock file out from under its holder's flock,
+    silently voiding the mutex; a sibling also lets the X80 loop take
+    the lock BEFORE the index first exists."""
+    return path.rstrip("/") + ".compact.lock"
 
 
 def _compact_lsh_index_locked(
     spark: SparkSession,
     path: str,
-    max_files_per_band: int = 8,
-    target_files: int = 1,
-    target_file_bytes: int = 128 << 20,
-    max_concurrency: int = 4,
+    max_files_per_band: int = COMPACT_MAX_FILES_PER_BAND,
+    target_files: int = COMPACT_TARGET_FILES,
+    target_file_bytes: int = COMPACT_TARGET_FILE_BYTES,
+    max_concurrency: int = COMPACT_MAX_CONCURRENCY,
     fs=None,
 ) -> dict:
     """Compaction body, caller already holds the single-compactor
     mutex — the X80 loop enters here directly because it takes the
     mutex once per micro-batch (r8 review); everyone else goes through
-    :func:`compact_lsh_index`. Defaults mirror the public entry."""
+    :func:`compact_lsh_index`. Defaults are the shared module
+    constants above."""
     from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
     fs = fs or LOCAL_FS

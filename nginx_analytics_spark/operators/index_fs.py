@@ -90,9 +90,14 @@ class LocalIndexFS:
     def exclusive_lock(self, path: str, purpose: str) -> Iterator[None]:
         """Non-blocking exclusive mutex; raises RuntimeError (mentioning
         ``purpose``) if another holder exists. The local flock dies with
-        its holder, so there is no stale-lock state to recover."""
+        its holder, so there is no stale-lock state to recover. The
+        lock file's parent dir is created if missing — callers may lock
+        a resource (e.g. an LSH index) before it first exists."""
         import fcntl
 
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
         try:
             try:

@@ -44,10 +44,12 @@ into the loop itself — every N batches, bands whose file count grew
 past the threshold are rewritten into sorted range-partitioned files,
 inside the same foreachBatch thread that owns the appends. That
 single-writer contract is enforced, not assumed (r8): each micro-batch
-holds the index's single-compactor mutex across heal + probe + append
-+ compaction, so an out-of-band compactor fails loudly against the
-running loop (and vice versa) instead of racing its band swaps with
-the loop's probes and appends.
+holds the index's single-compactor mutex (a SIBLING lock file, so the
+bootstrap overwrite cannot unlink it) across heal + probe + append +
+bootstrap + compaction, and the ``jobs dedup-ingest`` CLI holds it for
+the stream's whole lifetime — an out-of-band ``jobs compact-index``
+always loses loudly against a live CLI loop instead of racing its band
+swaps with the loop's probes and appends.
 
 The index bootstrap (first batch ever) writes the index instead of
 appending; both paths stamp/validate the ``_lsh_meta.json`` parameter
@@ -134,6 +136,7 @@ def process_batch(
     compact_every: int | None = None,
     max_files_per_band: int = 8,
     fs=None,
+    lock_held: bool = False,
 ) -> tuple[int, int]:
     """One micro-batch of the loop (exposed for retry tests and batch
     backfills): dedup, admit, append. Returns (n_in, n_novel).
@@ -148,15 +151,22 @@ def process_batch(
     batch-content-driven; an idle feed must not starve it).
 
     Concurrency (r8 review): the loop is the index's SINGLE writer, and
-    this function enforces it — when the index exists it holds the
-    single-compactor mutex for the WHOLE batch, so heal, probe, append,
-    and the in-loop compaction cycle all run under it. An out-of-band
-    compactor can then neither detach a band mid-probe (silently missed
-    near-dups admitted forever — dedup is a one-shot gate) nor sweep
-    this batch's fresh band-key appends into a ``.old`` it deletes. If
-    someone else holds the mutex, THIS batch fails loudly instead
-    (foreachBatch surfaces it and the retried batch re-runs whole):
-    refusing to run beats silently corrupting the index."""
+    this function enforces it — it holds the single-compactor mutex
+    (the sibling ``<index>.compact.lock``, acquirable before the index
+    first exists) for the WHOLE batch, so heal, probe, append,
+    bootstrap, and the in-loop compaction cycle all run under it. An
+    out-of-band compactor can then neither detach a band mid-probe
+    (silently missed near-dups admitted forever — dedup is a one-shot
+    gate) nor sweep this batch's fresh band-key appends into a ``.old``
+    it deletes. If someone else holds the mutex, THIS batch fails
+    loudly instead (foreachBatch surfaces it and the retried batch
+    re-runs whole): refusing to run beats silently corrupting the
+    index. ``lock_held=True`` skips the acquisition — for a caller
+    (like the ``jobs dedup-ingest`` CLI) that already holds the mutex
+    for the stream's whole lifetime, which also means an offline
+    ``jobs compact-index`` racing a live CLI loop loses even BETWEEN
+    micro-batches, so the production loop never dies to a maintenance
+    tool."""
     import os
     from contextlib import ExitStack
 
@@ -164,7 +174,7 @@ def process_batch(
 
     fs = fs or LOCAL_FS
     stack = ExitStack()
-    if fs.isdir(index_path):
+    if not lock_held:
         stack.enter_context(
             fs.exclusive_lock(
                 dedup._lsh_compact_lock_path(index_path),
@@ -232,6 +242,7 @@ def start_dedup_ingest(
     max_files_per_band: int = 8,
     on_batch: Callable[[int, int, int], None] | None = None,
     fs=None,
+    lock_held: bool = False,
 ) -> StreamingQuery:
     """Run the continuous dedup-ingest loop over a streaming DataFrame of
     documents. ``on_batch(batch_id, n_in, n_novel)`` surfaces per-batch
@@ -247,6 +258,7 @@ def start_dedup_ingest(
             id_col=id_col, text_col=text_col, threshold=threshold,
             exactly_once=exactly_once, compact_every=compact_every,
             max_files_per_band=max_files_per_band, fs=fs,
+            lock_held=lock_held,
         )
         if on_batch is not None:
             on_batch(batch_id, n_in, n_novel)

@@ -952,7 +952,7 @@ def test_compact_lsh_recovery_newest_old_wins(spark, tmp_path):
 
 def test_compact_lsh_index_rejects_concurrent_compactor(spark, tmp_path):
     """X82 single-compactor guard (r7 verdict item 6): while one
-    compaction holds <index>/.compact.lock, a second compactor —
+    compaction holds the sibling <index>.compact.lock, a second compactor —
     another thread or process — fails loudly instead of interleaving
     band swaps; the lock releases with its holder, after which
     compaction proceeds normally."""
@@ -963,7 +963,7 @@ def test_compact_lsh_index_rejects_concurrent_compactor(spark, tmp_path):
     idx = f"{tmp_path}/idx"
     dedup.write_lsh_index(docs, idx)
 
-    fd = os.open(os.path.join(idx, ".compact.lock"), os.O_CREAT | os.O_RDWR)
+    fd = os.open(dedup._lsh_compact_lock_path(idx), os.O_CREAT | os.O_RDWR)
     fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
     try:
         with pytest.raises(RuntimeError, match="single-compactor"):
@@ -1152,7 +1152,7 @@ def test_recover_skips_while_compactor_live(spark, tmp_path):
     # a live compactor mid-write: lock held, scratch dir half-written
     scratch = os.path.join(idx, ".compact-band_idx=0-99999")
     os.makedirs(scratch)
-    fd = os.open(os.path.join(idx, ".compact.lock"), os.O_CREAT | os.O_RDWR)
+    fd = os.open(dedup._lsh_compact_lock_path(idx), os.O_CREAT | os.O_RDWR)
     fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
     try:
         assert dedup._recover_lsh_compaction(idx) is False
