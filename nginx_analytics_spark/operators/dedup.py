@@ -885,7 +885,14 @@ def _lsh_compact_lock_path(path: str) -> str:
     bootstrap ``write_lsh_index`` is ``mode("overwrite")`` and would
     delete an in-dir lock file out from under its holder's flock,
     silently voiding the mutex; a sibling also lets the X80 loop take
-    the lock BEFORE the index first exists."""
+    the lock BEFORE the index first exists.
+
+    Upgrade note: pre-r8 builds locked ``<path>/.compact.lock`` INSIDE
+    the dir — the two lock locations do not exclude each other, so do
+    not run an old loop and a new compactor (or vice versa) against
+    the same index across the upgrade; drain loops first. The stale
+    in-dir file is inert afterwards (dot-prefixed, skipped by parquet
+    readers and by every ``band_idx=``/``.old-``/``.compact-`` scan)."""
     return path.rstrip("/") + ".compact.lock"
 
 

@@ -23,7 +23,13 @@ the driver with no new dependency (``spark._jvm.org.apache.hadoop.fs``):
                           same dance any ``_SUCCESS``-style marker does)
 ``exclusive_lock(path)``  no flock on HDFS — substitute a lease file created
                           with ``CreateFlag.CREATE`` (fails if present) plus a
-                          TTL, or the job scheduler's own mutex
+                          TTL, or the job scheduler's own mutex. Contract an
+                          implementation must honor: (a) the lock may be taken
+                          BEFORE the locked resource exists — create missing
+                          parent dirs; (b) record the holder's identity in the
+                          lock (the local impl stamps its pid) so a delegating
+                          caller can verify "the holder is my own process"
+                          (see ``process_batch``'s ``lock_held``)
 ========================  =====================================================
 
 **Object stores without atomic rename (S3) must not reuse the two-rename
@@ -106,6 +112,10 @@ class LocalIndexFS:
                 raise RuntimeError(
                     f"another process holds {path!r} — {purpose}"
                 ) from None
+            # stamp the holder so a caller claiming "my caller holds
+            # this lock" can be verified against the recorded pid
+            os.ftruncate(fd, 0)
+            os.write(fd, str(os.getpid()).encode())
             yield
         finally:
             with contextlib.suppress(OSError):

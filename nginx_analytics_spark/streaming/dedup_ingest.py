@@ -161,12 +161,18 @@ def process_batch(
     it deletes. If someone else holds the mutex, THIS batch fails
     loudly instead (foreachBatch surfaces it and the retried batch
     re-runs whole): refusing to run beats silently corrupting the
-    index. ``lock_held=True`` skips the acquisition — for a caller
-    (like the ``jobs dedup-ingest`` CLI) that already holds the mutex
-    for the stream's whole lifetime, which also means an offline
-    ``jobs compact-index`` racing a live CLI loop loses even BETWEEN
+    index. ``lock_held=True`` declares that the CALLER already holds
+    the mutex for the stream's whole lifetime (the ``jobs
+    dedup-ingest`` CLI does), which also means an offline ``jobs
+    compact-index`` racing a live CLI loop loses even BETWEEN
     micro-batches, so the production loop never dies to a maintenance
-    tool."""
+    tool. The declaration is VERIFIED, not trusted (r8 review): the
+    batch still attempts the acquisition — if the lock turns out free
+    it is simply held per-batch (a caller that lied gets the guard
+    anyway), and if the recorded holder is a FOREIGN process the batch
+    fails loudly despite the flag. (A foreign thread inside this
+    process is indistinguishable from the caller — in-process writer
+    discipline stays the caller's own contract.)"""
     import os
     from contextlib import ExitStack
 
@@ -174,15 +180,23 @@ def process_batch(
 
     fs = fs or LOCAL_FS
     stack = ExitStack()
-    if not lock_held:
+    lock_path = dedup._lsh_compact_lock_path(index_path)
+    try:
         stack.enter_context(
             fs.exclusive_lock(
-                dedup._lsh_compact_lock_path(index_path),
+                lock_path,
                 "the X80 loop holds the index mutex for each "
                 "micro-batch; out-of-band compaction must wait for "
                 "the loop to stop",
             )
         )
+    except RuntimeError:
+        try:
+            holder = fs.read_text(lock_path).strip()
+        except OSError:
+            holder = ""
+        if not (lock_held and holder == str(os.getpid())):
+            raise
     with stack:
         if fs.isfile(dedup.lsh_index_meta_path(index_path)):
             # heal a compaction interrupted by a crash BEFORE probing

@@ -537,3 +537,71 @@ def test_process_batch_refuses_foreign_mutex_holder(spark, tmp_path):
         os.close(fd)
     assert process_batch(spark, more, 1, corpus, idx) == (1, 1)
     assert spark.read.parquet(corpus).count() == 3
+
+
+def test_lock_held_is_verified_not_trusted(spark, tmp_path):
+    """r8 review: lock_held=True is a verified declaration. (a) With
+    the lock actually held by this process (the CLI pattern), batches
+    run under it and an offline compact_lsh_index fails loudly for the
+    whole stream lifetime, even between batches. (b) A caller that
+    passes lock_held=True WITHOUT holding gets the per-batch guard
+    anyway. (c) A FOREIGN process holding the lock refuses the batch
+    despite the flag."""
+    import subprocess
+    import sys
+    import textwrap
+
+    import pytest
+
+    from nginx_analytics_spark.operators import dedup
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+    from nginx_analytics_spark.streaming.dedup_ingest import process_batch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "other entirely unrelated words about shuffle partitions")],
+        "doc_id long, text string",
+    )
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    lock = dedup._lsh_compact_lock_path(idx)
+
+    # (a) lifetime hold: batches run, offline compaction is refused
+    # between them — the CLI semantics
+    with LOCAL_FS.exclusive_lock(lock, "stream-lifetime hold (test)"):
+        assert process_batch(
+            spark, docs, 0, corpus, idx, lock_held=True
+        ) == (2, 2)
+        with pytest.raises(RuntimeError, match="single-compactor"):
+            dedup.compact_lsh_index(spark, idx)  # "between batches"
+        assert process_batch(
+            spark, docs.limit(0), 1, corpus, idx, lock_held=True
+        ) == (0, 0)
+
+    # (b) lying caller: lock free -> the batch acquires it itself
+    more = spark.createDataFrame(
+        [(3, "third document with its own fresh vocabulary and tokens")],
+        "doc_id long, text string",
+    )
+    assert process_batch(
+        spark, more, 2, corpus, idx, lock_held=True
+    ) == (1, 1)
+
+    # (c) foreign PROCESS holder: refused despite lock_held=True
+    prog = textwrap.dedent("""
+        import fcntl, os, sys, time
+        fd = os.open(sys.argv[1], os.O_CREAT | os.O_RDWR)
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        os.ftruncate(fd, 0); os.write(fd, str(os.getpid()).encode())
+        print("locked", flush=True)
+        time.sleep(60)
+    """)
+    holder = subprocess.Popen(
+        [sys.executable, "-c", prog, lock], stdout=subprocess.PIPE
+    )
+    try:
+        assert holder.stdout.readline().strip() == b"locked"
+        with pytest.raises(RuntimeError, match="X80 loop"):
+            process_batch(spark, more, 3, corpus, idx, lock_held=True)
+    finally:
+        holder.kill()
+        holder.wait()
