@@ -382,18 +382,41 @@ def _build_parser():
             "corrupts)"
         ),
     )
+    # argparse defaults ARE the shared module constants (r8 ADVICE: a
+    # literal 8/1 here is exactly the drift the constants exist to stop)
+    from nginx_analytics_spark.operators import dedup as _dedup
+
     ci.add_argument("--index", required=True, help="at-rest LSH index path")
     ci.add_argument(
         "--max-files-per-band",
         type=int,
-        default=8,
+        default=_dedup.COMPACT_MAX_FILES_PER_BAND,
         help="rewrite only bands with more parquet files than this",
     )
     ci.add_argument(
         "--target-files",
         type=int,
-        default=1,
+        default=_dedup.COMPACT_TARGET_FILES,
         help="minimum output files per rewritten band",
+    )
+    ci.add_argument(
+        "--target-file-bytes",
+        type=int,
+        default=_dedup.COMPACT_TARGET_FILE_BYTES,
+        help=(
+            "split a rewritten band into ceil(band_bytes / this) sorted "
+            "range files (bounds compacted file sizes)"
+        ),
+    )
+    ci.add_argument(
+        "--max-concurrency",
+        type=int,
+        default=_dedup.COMPACT_MAX_CONCURRENCY,
+        help=(
+            "compact up to this many oversized bands concurrently "
+            "(driver threads, one Spark job each; the pause tracks the "
+            "largest band, not the sum)"
+        ),
     )
     return p
 
@@ -463,6 +486,8 @@ def main(argv: list[str] | None = None) -> int:
             args.index,
             max_files_per_band=args.max_files_per_band,
             target_files=args.target_files,
+            target_file_bytes=args.target_file_bytes,
+            max_concurrency=args.max_concurrency,
         )
         print(
             f"index compacted: {stats['bands_compacted']} of "

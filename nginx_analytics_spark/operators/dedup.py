@@ -1018,10 +1018,15 @@ def _recover_lsh_compaction(path: str, fs=None) -> bool:
     leftover had survived a failed delete, its content is a stale
     subset that must NOT win, r7 ADVICE) and reaping the rest. Then
     every ``.compact-*`` scratch is stale by construction (its band
-    dir exists again) and is reaped, any pid's alike."""
+    dir exists again) and is reaped, any pid's alike.
+
+    Only :class:`~nginx_analytics_spark.operators.index_fs.LockHeldError`
+    means "live compactor, back off" — any other error from the fs seam
+    propagates (r8 ADVICE: a custom seam's unrelated RuntimeError must
+    not silently suppress recovery)."""
     from contextlib import ExitStack
 
-    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS, LockHeldError
 
     fs = fs or LOCAL_FS
     stack = ExitStack()
@@ -1033,7 +1038,7 @@ def _recover_lsh_compaction(path: str, fs=None) -> bool:
                 "CRASHED compactions only",
             )
         )
-    except RuntimeError:
+    except LockHeldError:
         return False
     with stack:
         _recover_lsh_compaction_locked(path, fs)

@@ -26,10 +26,23 @@ the driver with no new dependency (``spark._jvm.org.apache.hadoop.fs``):
                           TTL, or the job scheduler's own mutex. Contract an
                           implementation must honor: (a) the lock may be taken
                           BEFORE the locked resource exists — create missing
-                          parent dirs; (b) record the holder's identity in the
-                          lock (the local impl stamps its pid) so a delegating
-                          caller can verify "the holder is my own process"
-                          (see ``process_batch``'s ``lock_held``)
+                          parent dirs; (b) a failed acquisition raises
+                          :class:`LockHeldError` — callers that mean "someone
+                          else is live, back off" catch exactly that, so an
+                          unrelated ``RuntimeError`` from a custom seam is
+                          never mistaken for a held lock (r8 ADVICE); (c)
+                          record the holder's identity — ``holder_id()``, in
+                          whatever format the implementation defines — in the
+                          lock WHILE held and erase it on release, so a
+                          delegating caller can verify "the recorded holder is
+                          me" (see ``process_batch``'s ``lock_held``)
+``holder_id()``           this process's identity in the lock-stamp format the
+                          implementation uses (local: the pid; a lease-based
+                          port might use host+pid or a lease UUID). Callers
+                          compare the recorded holder against THIS, never
+                          against ``str(os.getpid())`` directly (r8 ADVICE:
+                          the identity format belongs to the fs, not the
+                          caller)
 ========================  =====================================================
 
 **Object stores without atomic rename (S3) must not reuse the two-rename
@@ -52,6 +65,16 @@ import contextlib
 import os
 import shutil
 from collections.abc import Iterator
+
+
+class LockHeldError(RuntimeError):
+    """``exclusive_lock`` could not acquire because another holder owns
+    the lock. A dedicated type (r8 ADVICE): recovery's "a live compactor
+    owns the index — nothing to heal" branch catches exactly this, so an
+    unrelated ``RuntimeError`` bubbling out of a custom fs seam
+    propagates instead of silently suppressing the heal. Subclasses
+    ``RuntimeError`` so pre-r9 callers that caught the base type keep
+    working."""
 
 
 class LocalIndexFS:
@@ -92,13 +115,33 @@ class LocalIndexFS:
             f.write(data)
         os.replace(tmp, path)
 
+    def holder_id(self) -> str:
+        """This process's identity in the format ``exclusive_lock``
+        stamps — the pid, locally. Delegating callers compare the
+        recorded lock holder against THIS (the identity format is the
+        fs implementation's to define, r8 ADVICE)."""
+        return str(os.getpid())
+
     @contextlib.contextmanager
     def exclusive_lock(self, path: str, purpose: str) -> Iterator[None]:
-        """Non-blocking exclusive mutex; raises RuntimeError (mentioning
-        ``purpose``) if another holder exists. The local flock dies with
-        its holder, so there is no stale-lock state to recover. The
-        lock file's parent dir is created if missing — callers may lock
-        a resource (e.g. an LSH index) before it first exists."""
+        """Non-blocking exclusive mutex; raises :class:`LockHeldError`
+        (mentioning ``purpose``) if another holder exists. The local
+        flock dies with its holder, so there is no stale-lock state to
+        recover. The lock file's parent dir is created if missing —
+        callers may lock a resource (e.g. an LSH index) before it first
+        exists.
+
+        Holder stamp discipline (r8 ADVICE TOCTOU): the stamp is
+        written only while the flock is held and ERASED before release,
+        so the file never carries a released holder's stale identity.
+        A verifier that reads the stamp while some other process has
+        acquired-but-not-yet-stamped therefore sees an empty stamp
+        (→ verification fails loudly), never its own pid left over
+        from an earlier hold. Residual window, documented not closed:
+        a holder killed between acquire and erase (SIGKILL releases
+        the flock but leaves the stamp) whose pid the OS then recycles
+        to the verifying process — pid-reuse within one crashed-lock
+        lifetime, accepted for a driver-local mutex."""
         import fcntl
 
         parent = os.path.dirname(path)
@@ -109,17 +152,22 @@ class LocalIndexFS:
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
             except BlockingIOError:
-                raise RuntimeError(
+                raise LockHeldError(
                     f"another process holds {path!r} — {purpose}"
                 ) from None
-            # stamp the holder so a caller claiming "my caller holds
-            # this lock" can be verified against the recorded pid
-            os.ftruncate(fd, 0)
-            os.write(fd, str(os.getpid()).encode())
-            yield
+            try:
+                # stamp the holder so a caller claiming "my caller
+                # holds this lock" can be verified against the record
+                os.ftruncate(fd, 0)
+                os.write(fd, self.holder_id().encode())
+                yield
+            finally:
+                # erase the stamp BEFORE releasing (see docstring)
+                with contextlib.suppress(OSError):
+                    os.ftruncate(fd, 0)
+                with contextlib.suppress(OSError):
+                    fcntl.flock(fd, fcntl.LOCK_UN)
         finally:
-            with contextlib.suppress(OSError):
-                fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
 
 

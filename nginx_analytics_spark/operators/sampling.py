@@ -211,7 +211,15 @@ def quality_weighted_sample(
     Consistency property (tested): because the hash is fixed and rate
     is monotone in target_frac, the target-25% sample is a strict
     subset of the target-50% sample. Output carries ``rate`` for
-    auditability."""
+    auditability.
+
+    Degenerate-scorer guard (r8 ADVICE): with ``target_frac`` set, a
+    weight column whose Σ w^beta comes out NULL/NaN/<=0 over a
+    NON-empty frame (all-null, all-zero, or NaN scores) would make
+    every rate NULL and silently empty the handoff corpus — instead
+    the normalization raises at execution time, like the repo's other
+    misconfig paths. An empty input frame stays a legal empty output
+    (nothing is evaluated, nothing raises)."""
     from nginx_analytics_spark.functions.rounding import half_up
 
     wq = F.pow(F.col(weight_col).cast("double"), F.lit(float(beta)))
@@ -221,8 +229,28 @@ def quality_weighted_sample(
         totals = df.agg(
             F.sum(wq).alias("__s"), F.count(F.lit(1)).alias("__n")
         )
+        # loud guard, evaluated lazily per row against the broadcast
+        # 1-row totals: CaseWhen only fires raise_error when the sum is
+        # genuinely degenerate, so the happy path costs one comparison
+        checked_sum = F.when(
+            (F.col("__n") > 0)
+            & (
+                F.col("__s").isNull()
+                | F.isnan(F.col("__s"))
+                | (F.col("__s") <= 0)
+            ),
+            F.raise_error(
+                F.lit(
+                    f"quality_weighted_sample: sum({weight_col}^beta) is "
+                    "NULL/NaN/<=0 over a non-empty frame — a degenerate "
+                    "quality scorer would silently drop every row; fix "
+                    f"{weight_col} (finite nonnegative weights with a "
+                    "positive sum) or pass target_frac=None"
+                )
+            ).cast("double"),
+        ).otherwise(F.col("__s"))
         scale = half_up(
-            F.lit(float(target_frac)) * F.col("__n") / F.col("__s"), 6
+            F.lit(float(target_frac)) * F.col("__n") / checked_sum, 6
         )
         rated = (
             df.crossJoin(F.broadcast(totals))

@@ -169,14 +169,19 @@ def process_batch(
     tool. The declaration is VERIFIED, not trusted (r8 review): the
     batch still attempts the acquisition — if the lock turns out free
     it is simply held per-batch (a caller that lied gets the guard
-    anyway), and if the recorded holder is a FOREIGN process the batch
-    fails loudly despite the flag. (A foreign thread inside this
+    anyway), and if the recorded holder is not THIS process (compared
+    via ``fs.holder_id()``, the seam-defined identity format — r8
+    ADVICE) the batch fails loudly despite the flag. The stamp is
+    erased on release (index_fs r9), so the only way the record can
+    name this process is the caller genuinely holding it — the r8
+    TOCTOU (a foreign acquirer not yet stamped over OUR stale pid) now
+    reads an empty stamp and refuses. (A foreign thread inside this
     process is indistinguishable from the caller — in-process writer
     discipline stays the caller's own contract.)"""
     import os
     from contextlib import ExitStack
 
-    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS, LockHeldError
 
     fs = fs or LOCAL_FS
     stack = ExitStack()
@@ -190,12 +195,12 @@ def process_batch(
                 "the loop to stop",
             )
         )
-    except RuntimeError:
+    except LockHeldError:
         try:
             holder = fs.read_text(lock_path).strip()
         except OSError:
             holder = ""
-        if not (lock_held and holder == str(os.getpid())):
+        if not (lock_held and holder and holder == fs.holder_id()):
             raise
     with stack:
         if fs.isfile(dedup.lsh_index_meta_path(index_path)):

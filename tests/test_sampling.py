@@ -154,3 +154,32 @@ def test_quality_weighted_sample_unnormalized_rate_is_weight(spark):
     assert abs(hi - 0.9) < 0.06, hi
     # rate column carries the audit value: exactly the weight here
     assert {r.rate for r in kept} == {0.1, 0.9}
+
+
+def test_quality_weighted_sample_degenerate_weights_fail_loudly(spark):
+    """r8 ADVICE: with target_frac set, an all-zero / all-null / NaN
+    weight column over a NON-empty frame must raise at execution time
+    instead of computing NULL rates and silently emptying the handoff
+    corpus. An empty input frame stays a legal empty output."""
+    import pytest
+
+    for weights in ([0.0, 0.0, 0.0], [None, None, None], [float("nan"), 0.5, 0.5]):
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(weights)], "k long, w double"
+        )
+        out = sampling.quality_weighted_sample(df, "w", "k", target_frac=0.5)
+        with pytest.raises(Exception, match="degenerate quality scorer"):
+            out.collect()
+
+    # empty frame: nothing evaluated, nothing raised, empty output
+    empty = spark.createDataFrame([], "k long, w double")
+    assert (
+        sampling.quality_weighted_sample(empty, "w", "k", target_frac=0.5).count()
+        == 0
+    )
+
+    # the guard costs the happy path nothing observable: a healthy
+    # frame still hits its target rate
+    ok = spark.createDataFrame([(i, 0.5) for i in range(400)], ["k", "w"])
+    n = sampling.quality_weighted_sample(ok, "w", "k", target_frac=0.5).count()
+    assert abs(n / 400 - 0.5) < 0.08, n

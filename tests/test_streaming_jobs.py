@@ -605,3 +605,101 @@ def test_lock_held_is_verified_not_trusted(spark, tmp_path):
     finally:
         holder.kill()
         holder.wait()
+
+
+def test_lock_stamp_erased_on_release(tmp_path):
+    """r8 ADVICE TOCTOU: the holder stamp lives in the lock file only
+    WHILE the flock is held — releasing erases it, so a later verifier
+    can never read this process's stale pid off a free lock (the
+    window that let a lying lock_held=True proceed alongside a
+    foreign acquirer that hadn't stamped yet)."""
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS, LockHeldError
+
+    lock = str(tmp_path / "x.lock")
+    with LOCAL_FS.exclusive_lock(lock, "stamp test"):
+        assert LOCAL_FS.read_text(lock).strip() == LOCAL_FS.holder_id()
+        # and the failure type is the dedicated one
+        import pytest
+
+        with pytest.raises(LockHeldError):
+            import fcntl
+            import os
+
+            fd = os.open(lock, os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                raise AssertionError("second flock should have failed")
+            except BlockingIOError:
+                raise LockHeldError("held") from None
+            finally:
+                os.close(fd)
+    assert LOCAL_FS.read_text(lock) == ""
+
+
+def test_lock_held_refuses_unstamped_foreign_acquirer(spark, tmp_path):
+    """The closed r8 TOCTOU, end to end: a foreign flock holder that
+    has NOT stamped its identity yet (the race window) leaves an empty
+    stamp — a batch declaring lock_held=True must refuse, not read its
+    own stale pid from a previous per-batch hold and proceed unlocked
+    alongside the foreign compactor."""
+    import fcntl
+    import os
+
+    import pytest
+
+    from nginx_analytics_spark.operators import dedup
+    from nginx_analytics_spark.operators.index_fs import LockHeldError
+    from nginx_analytics_spark.streaming.dedup_ingest import process_batch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    # a normal per-batch hold first: pre-r9 this left our pid in the
+    # lock file, which is exactly what the TOCTOU fed on
+    assert process_batch(spark, docs, 0, corpus, idx) == (1, 1)
+
+    lock = dedup._lsh_compact_lock_path(idx)
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)  # acquired, NOT stamped
+    try:
+        more = spark.createDataFrame(
+            [(2, "second document with its own fresh vocabulary")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(LockHeldError, match="X80 loop"):
+            process_batch(spark, more, 1, corpus, idx, lock_held=True)
+        assert spark.read.parquet(corpus).count() == 1  # nothing admitted
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def test_recovery_backs_off_only_on_lock_held_error(tmp_path):
+    """r8 ADVICE: _recover_lsh_compaction's 'live compactor, skip heal'
+    branch catches exactly LockHeldError — an unrelated RuntimeError
+    from a custom fs seam propagates instead of silently suppressing
+    recovery."""
+    import contextlib
+
+    import pytest
+
+    from nginx_analytics_spark.operators import dedup
+    from nginx_analytics_spark.operators.index_fs import LockHeldError
+
+    class BoomFS:
+        @contextlib.contextmanager
+        def exclusive_lock(self, path, purpose):
+            raise RuntimeError("seam exploded for an unrelated reason")
+            yield
+
+    class HeldFS:
+        @contextlib.contextmanager
+        def exclusive_lock(self, path, purpose):
+            raise LockHeldError("a live compactor owns it")
+            yield
+
+    with pytest.raises(RuntimeError, match="unrelated reason"):
+        dedup._recover_lsh_compaction(str(tmp_path / "idx"), fs=BoomFS())
+    assert dedup._recover_lsh_compaction(str(tmp_path / "idx"), fs=HeldFS()) is False
