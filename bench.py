@@ -487,7 +487,7 @@ def run_dedup_ingest_throughput(
             f"{work}/idx",
             f"{work}/ckpt",
             trigger={"availableNow": True},
-            on_batch=lambda bid, n_in, n_novel: marks.append(
+            on_batch=lambda bid, n_in, n_novel, lock_wait: marks.append(
                 (time.monotonic(), n_in, n_novel)
             ),
         )

@@ -349,13 +349,25 @@ def _build_parser():
             "thread (default: never — compact via the API offline)"
         ),
     )
+    from nginx_analytics_spark.operators import dedup as _dedup
+
     di.add_argument(
         "--max-files-per-band",
         type=int,
-        default=8,
+        default=_dedup.COMPACT_MAX_FILES_PER_BAND,
         help=(
             "per-band parquet file threshold above which --compact-every "
             "rewrites a band (X82)"
+        ),
+    )
+    di.add_argument(
+        "--lock-timeout",
+        type=float,
+        default=0.0,
+        help=(
+            "seconds each micro-batch will wait for the index mutex "
+            "before failing (0 = refuse immediately); waits surface as "
+            "lock_wait in the per-batch telemetry line"
         ),
     )
     di.add_argument(
@@ -384,8 +396,6 @@ def _build_parser():
     )
     # argparse defaults ARE the shared module constants (r8 ADVICE: a
     # literal 8/1 here is exactly the drift the constants exist to stop)
-    from nginx_analytics_spark.operators import dedup as _dedup
-
     ci.add_argument("--index", required=True, help="at-rest LSH index path")
     ci.add_argument(
         "--max-files-per-band",
@@ -469,8 +479,11 @@ def main(argv: list[str] | None = None) -> int:
                 exactly_once=args.exactly_once,
                 compact_every=args.compact_every,
                 max_files_per_band=args.max_files_per_band,
-                on_batch=lambda bid, n_in, n_novel: print(
-                    f"batch {bid}: {n_in} in, {n_novel} admitted", flush=True
+                lock_timeout_s=args.lock_timeout,
+                on_batch=lambda bid, n_in, n_novel, lock_wait: print(
+                    f"batch {bid}: {n_in} in, {n_novel} admitted, "
+                    f"lock_wait={lock_wait:.3f}s",
+                    flush=True,
                 ),
                 lock_held=True,
             )

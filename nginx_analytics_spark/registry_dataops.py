@@ -477,7 +477,7 @@ def dedup_ingest_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, f"{work}/corpus", f"{work}/idx", f"{work}/ckpt",
             threshold=JACCARD_THRESHOLD,
             trigger={"availableNow": True},
-            on_batch=lambda bid, n_in, n_novel: seen.append(
+            on_batch=lambda bid, n_in, n_novel, lock_wait: seen.append(
                 (bid, n_in, n_novel)
             ),
         )

@@ -134,9 +134,11 @@ def process_batch(
     threshold: float = 0.6,
     exactly_once: bool = False,
     compact_every: int | None = None,
-    max_files_per_band: int = 8,
+    max_files_per_band: int = dedup.COMPACT_MAX_FILES_PER_BAND,
     fs=None,
     lock_held: bool = False,
+    lock_timeout_s: float = 0.0,
+    telemetry: dict | None = None,
 ) -> tuple[int, int]:
     """One micro-batch of the loop (exposed for retry tests and batch
     backfills): dedup, admit, append. Returns (n_in, n_novel).
@@ -177,8 +179,21 @@ def process_batch(
     TOCTOU (a foreign acquirer not yet stamped over OUR stale pid) now
     reads an empty stamp and refuses. (A foreign thread inside this
     process is indistinguishable from the caller — in-process writer
-    discipline stays the caller's own contract.)"""
+    discipline stays the caller's own contract.)
+
+    Observability (r8 verdict item 6): ``lock_timeout_s > 0`` turns the
+    fail-fast refusal into a bounded wait — the batch polls the mutex
+    until the foreign holder (say, an offline compactor finishing up)
+    releases, and the seconds spent waiting land in
+    ``telemetry["lock_wait_s"]`` (an optional caller-supplied dict; the
+    X80 loop forwards the field to ``on_batch``). Without the field a
+    stalled compactor holding the lock is indistinguishable from a slow
+    batch in the admission telemetry. The wait polls through the fs
+    seam's own non-blocking acquisition, so any seam implementation
+    gets it unchanged; the deadline is checked BEFORE each sleep so
+    ``lock_timeout_s=0`` still refuses on the first failed attempt."""
     import os
+    import time
     from contextlib import ExitStack
 
     from nginx_analytics_spark.operators.index_fs import LOCAL_FS, LockHeldError
@@ -186,22 +201,31 @@ def process_batch(
     fs = fs or LOCAL_FS
     stack = ExitStack()
     lock_path = dedup._lsh_compact_lock_path(index_path)
-    try:
-        stack.enter_context(
-            fs.exclusive_lock(
-                lock_path,
-                "the X80 loop holds the index mutex for each "
-                "micro-batch; out-of-band compaction must wait for "
-                "the loop to stop",
-            )
-        )
-    except LockHeldError:
+    t0 = time.monotonic()
+    deadline = t0 + lock_timeout_s
+    while True:
         try:
-            holder = fs.read_text(lock_path).strip()
-        except OSError:
-            holder = ""
-        if not (lock_held and holder and holder == fs.holder_id()):
-            raise
+            stack.enter_context(
+                fs.exclusive_lock(
+                    lock_path,
+                    "the X80 loop holds the index mutex for each "
+                    "micro-batch; out-of-band compaction must wait for "
+                    "the loop to stop",
+                )
+            )
+            break
+        except LockHeldError:
+            try:
+                holder = fs.read_text(lock_path).strip()
+            except OSError:
+                holder = ""
+            if lock_held and holder and holder == fs.holder_id():
+                break  # verified delegation: the caller's lifetime hold
+            if time.monotonic() >= deadline:
+                raise
+            time.sleep(0.1)
+    if telemetry is not None:
+        telemetry["lock_wait_s"] = round(time.monotonic() - t0, 3)
     with stack:
         if fs.isfile(dedup.lsh_index_meta_path(index_path)):
             # heal a compaction interrupted by a crash BEFORE probing
@@ -258,29 +282,35 @@ def start_dedup_ingest(
     trigger: dict | None = None,
     exactly_once: bool = False,
     compact_every: int | None = None,
-    max_files_per_band: int = 8,
-    on_batch: Callable[[int, int, int], None] | None = None,
+    max_files_per_band: int = dedup.COMPACT_MAX_FILES_PER_BAND,
+    on_batch: Callable[[int, int, int, float], None] | None = None,
     fs=None,
     lock_held: bool = False,
+    lock_timeout_s: float = 0.0,
 ) -> StreamingQuery:
     """Run the continuous dedup-ingest loop over a streaming DataFrame of
-    documents. ``on_batch(batch_id, n_in, n_novel)`` surfaces per-batch
-    admission counts (the observability a dedup gate needs: a sudden
-    novel-rate collapse means upstream re-delivery; a 100% novel rate on
-    a known-overlapping feed means the index is being missed).
-    ``compact_every=N`` folds X82 per-band index compaction into every
-    Nth batch — see :func:`process_batch`."""
+    documents. ``on_batch(batch_id, n_in, n_novel, lock_wait_s)``
+    surfaces per-batch admission counts plus mutex wait (the
+    observability a dedup gate needs: a sudden novel-rate collapse means
+    upstream re-delivery; a 100% novel rate on a known-overlapping feed
+    means the index is being missed; a nonzero lock_wait_s means an
+    out-of-band compactor is contending for the index — without the
+    field that contention masquerades as a slow batch, r8 verdict item
+    6). ``compact_every=N`` folds X82 per-band index compaction into
+    every Nth batch — see :func:`process_batch`."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        tele: dict = {}
         n_in, n_novel = process_batch(
             batch.sparkSession, batch, batch_id, corpus_dir, index_path,
             id_col=id_col, text_col=text_col, threshold=threshold,
             exactly_once=exactly_once, compact_every=compact_every,
             max_files_per_band=max_files_per_band, fs=fs,
-            lock_held=lock_held,
+            lock_held=lock_held, lock_timeout_s=lock_timeout_s,
+            telemetry=tele,
         )
         if on_batch is not None:
-            on_batch(batch_id, n_in, n_novel)
+            on_batch(batch_id, n_in, n_novel, tele.get("lock_wait_s", 0.0))
 
     writer = (
         docs_stream.writeStream.foreachBatch(handle)

@@ -297,7 +297,7 @@ def test_dedup_ingest_loop_across_micro_batches(spark, tmp_path):
     q = start_dedup_ingest(
         stream, corpus_dir, index_path, str(tmp_path / "ckpt"),
         trigger={"availableNow": True},
-        on_batch=lambda bid, n_in, n_novel: seen.append((n_in, n_novel)),
+        on_batch=lambda bid, n_in, n_novel, lock_wait: seen.append((n_in, n_novel)),
     )
     q.awaitTermination()
 
@@ -385,7 +385,7 @@ def test_dedup_ingest_with_in_loop_compaction(spark, tmp_path):
         stream, corpus_dir, index_path, str(tmp_path / "ckpt"),
         trigger={"availableNow": True},
         compact_every=1,
-        on_batch=lambda bid, n_in, n_novel: seen.append((n_in, n_novel)),
+        on_batch=lambda bid, n_in, n_novel, lock_wait: seen.append((n_in, n_novel)),
     )
     q.awaitTermination()
     # compact_every defaults max_files_per_band=8; force a final full
@@ -703,3 +703,69 @@ def test_recovery_backs_off_only_on_lock_held_error(tmp_path):
     with pytest.raises(RuntimeError, match="unrelated reason"):
         dedup._recover_lsh_compaction(str(tmp_path / "idx"), fs=BoomFS())
     assert dedup._recover_lsh_compaction(str(tmp_path / "idx"), fs=HeldFS()) is False
+
+
+def test_lock_wait_telemetry_surfaces_contention(spark, tmp_path):
+    """r8 verdict item 6: with lock_timeout_s set, a batch blocked on a
+    foreign mutex holder WAITS (bounded) instead of dying, and the wait
+    lands in telemetry["lock_wait_s"] — so a stalled out-of-band
+    compactor shows up as lock contention, not as a mysteriously slow
+    batch. A holder that never releases still fails loudly at the
+    deadline; the uncontended path records ~0 wait."""
+    import fcntl
+    import os
+    import threading
+    import time
+
+    import pytest
+
+    from nginx_analytics_spark.operators import dedup
+    from nginx_analytics_spark.operators.index_fs import LockHeldError
+    from nginx_analytics_spark.streaming.dedup_ingest import process_batch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    tele = {}
+    assert process_batch(
+        spark, docs, 0, corpus, idx, telemetry=tele
+    ) == (1, 1)
+    assert tele["lock_wait_s"] < 0.5  # uncontended
+
+    lock = dedup._lsh_compact_lock_path(idx)
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+
+    # (a) holder releases mid-wait: the batch rides through and the
+    # wait is visible in telemetry
+    def release_later():
+        time.sleep(0.6)
+        fcntl.flock(fd, fcntl.LOCK_UN)
+
+    t = threading.Thread(target=release_later)
+    t.start()
+    more = spark.createDataFrame(
+        [(2, "second document with its own fresh vocabulary and tokens")],
+        "doc_id long, text string",
+    )
+    tele = {}
+    assert process_batch(
+        spark, more, 1, corpus, idx, lock_timeout_s=10.0, telemetry=tele
+    ) == (1, 1)
+    t.join()
+    assert tele["lock_wait_s"] > 0.3, tele
+
+    # (b) holder never releases: loud failure at the bounded deadline
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        t0 = time.monotonic()
+        with pytest.raises(LockHeldError, match="X80 loop"):
+            process_batch(
+                spark, more, 2, corpus, idx, lock_timeout_s=0.5
+            )
+        assert 0.4 < time.monotonic() - t0 < 5.0
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
