@@ -669,11 +669,18 @@ def write_lsh_index(
     ~0 instead of erroring. (Sidecar I/O goes through the ``fs`` seam —
     local disk by default; an HDFS/S3 deployment routes it through the
     FileSystem API like any _SUCCESS-style marker, see
-    :mod:`~nginx_analytics_spark.operators.index_fs`.)"""
+    :mod:`~nginx_analytics_spark.operators.index_fs`.)
+
+    Storage layout is the fs seam's to own (r8 verdict item 2): a seam
+    exposing the ``store_*`` family (``ManifestIndexFS`` — the S3
+    manifest-pointer port) gets the row writes/reads/compaction
+    delegated to it wholesale; the default local layout is the
+    partitioned directory tree below."""
     import json
 
     from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
+    fs = fs or LOCAL_FS
     sh = docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
     )
@@ -682,22 +689,23 @@ def write_lsh_index(
         id_col,
         rows_per_band=rows_per_band,
     )
-    (
-        keys.repartition("band_idx")
-        .sortWithinPartitions("band_hash")
-        .write.mode("overwrite")
-        .partitionBy("band_idx")
-        .parquet(path)
-    )
+    if hasattr(fs, "store_write"):
+        fs.store_write(keys, path)
+    else:
+        (
+            keys.repartition("band_idx")
+            .sortWithinPartitions("band_hash")
+            .write.mode("overwrite")
+            .partitionBy("band_idx")
+            .parquet(path)
+        )
     meta = {
         "id_col": id_col,
         "shingle_n": shingle_n,
         "num_hashes": num_hashes,
         "rows_per_band": rows_per_band,
     }
-    (fs or LOCAL_FS).write_text_atomic(
-        lsh_index_meta_path(path), json.dumps(meta)
-    )
+    fs.write_text_atomic(lsh_index_meta_path(path), json.dumps(meta))
 
 
 def _check_lsh_index_meta(index_path: str, want: dict, fs=None) -> None:
@@ -766,13 +774,37 @@ def append_lsh_index(
         id_col,
         rows_per_band=rows_per_band,
     )
-    (
-        keys.repartition("band_idx")
-        .sortWithinPartitions("band_hash")
-        .write.mode("append")
-        .partitionBy("band_idx")
-        .parquet(path)
-    )
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    if hasattr(fs, "store_append"):
+        fs.store_append(keys, path)
+    else:
+        (
+            keys.repartition("band_idx")
+            .sortWithinPartitions("band_hash")
+            .write.mode("append")
+            .partitionBy("band_idx")
+            .parquet(path)
+        )
+
+
+def read_lsh_index_rows(spark: SparkSession, path: str, fs=None) -> DataFrame:
+    """The index's logical row view (id, band_idx, band_hash),
+    whatever the storage layout: the local partitioned directory tree
+    (one whole-root partition-discovered read) or a ``store_*`` seam's
+    own resolution (the manifest-pointer layout reads each unit's live
+    band directories through the manifest — the Iceberg-style "readers
+    resolve data through the commit pointer" contract an object store
+    without atomic rename needs). Probes and tests read through THIS,
+    never ``spark.read.parquet(path)`` directly, so the layout stays
+    swappable."""
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    if hasattr(fs, "store_read"):
+        return fs.store_read(spark, path)
+    return spark.read.parquet(path)
 
 
 # X82 compaction defaults, shared by the public entry and the
@@ -918,6 +950,13 @@ def _compact_lsh_index_locked(
     from concurrent.futures import ThreadPoolExecutor
 
     _recover_lsh_compaction_locked(path, fs)
+    if hasattr(fs, "store_compact"):
+        # layout-owning seam (manifest-pointer): compaction is a
+        # write-new-unit + single manifest flip, not a rename swap
+        return fs.store_compact(
+            spark, path, max_files_per_band, target_files,
+            target_file_bytes,
+        )
 
     def parquet_files(d: str) -> list[str]:
         return [f for f in fs.listdir(d) if f.endswith(".parquet")]
@@ -1048,6 +1087,12 @@ def _recover_lsh_compaction(path: str, fs=None) -> bool:
 def _recover_lsh_compaction_locked(path: str, fs) -> None:
     import os
 
+    if hasattr(fs, "store_recover"):
+        # layout-owning seam: its flip-last protocol leaves only
+        # orphan (never-referenced) unit dirs behind a crash — no
+        # rollback state exists, reaping is the whole heal
+        fs.store_recover(path)
+        return
     entries = fs.listdir(path)
     by_band: dict[str, list[tuple[int, str]]] = {}
     for d in entries:
@@ -1160,7 +1205,9 @@ def incremental_near_dups(
         id_col,
         rows_per_band=rows_per_band,
     ).withColumnRenamed(id_col, "new_id")
-    idx = spark.read.parquet(index_path).withColumnRenamed(id_col, "old_id")
+    idx = read_lsh_index_rows(spark, index_path, fs=fs).withColumnRenamed(
+        id_col, "old_id"
+    )
     cands = (
         new_keys.join(idx, ["band_idx", "band_hash"])
         .filter(F.col("new_id") != F.col("old_id"))
