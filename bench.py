@@ -386,8 +386,45 @@ def run_ingest_throughput(sf_dir: str, cpus: int) -> dict[str, float]:
     }
 
 
+def _doc_variants(docs, k: int, offset: int = 1):
+    """``k`` dissimilar synthetic variants of a documents frame: word
+    order reversed + a per-copy token prepended, so variants share ~no
+    3-word shingles with the originals (index/corpus mass grows without
+    perturbing dedup decisions). Shared by the pregrown / batch-size /
+    grown-corpus probes."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            docs.select(
+                (F.col("doc_id") + (i + offset) * 100_000_000).alias(
+                    "doc_id"
+                ),
+                F.concat_ws(
+                    " ",
+                    F.concat(
+                        F.lit(f"cp{i + offset - 1}x"),
+                        F.col("doc_id").cast("string"),
+                    ),
+                    F.reverse(F.split(F.col("text"), " ")),
+                ).alias("text"),
+            )
+            for i in range(k)
+        ],
+    )
+
+
 def run_dedup_ingest_throughput(
-    sf_dir: str, cpus: int, n_batches: int = 10, pregrow: int = 0
+    sf_dir: str,
+    cpus: int,
+    n_batches: int = 10,
+    pregrow: int = 0,
+    replicate: int = 1,
+    compact_every: int | None = None,
+    max_files_per_band: int = 8,
 ) -> dict:
     """Child-process entry (r7, closing the r6 'X80 has no measured
     number' finding): end-to-end throughput of the streaming dedup-ingest
@@ -435,30 +472,18 @@ def run_dedup_ingest_throughput(
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         n_docs = docs.count()
         idx_rows_start = 0
+        if replicate > 1:
+            # batch-size probe: grow the doc POOL with dissimilar
+            # variants so per-batch volume scales while dedup behavior
+            # per doc stays representative
+            docs = docs.unionByName(
+                _doc_variants(docs, replicate - 1)
+            ).localCheckpoint(eager=True)
+            n_docs = docs.count()
         if pregrow:
-            from functools import reduce
-
             from nginx_analytics_spark.operators import dedup as _dedup
 
-            variants = reduce(
-                lambda a, b: a.unionByName(b),
-                [
-                    docs.select(
-                        (F.col("doc_id") + (i + 1) * 100_000_000).alias(
-                            "doc_id"
-                        ),
-                        F.concat_ws(
-                            " ",
-                            F.concat(
-                                F.lit(f"cp{i}x"),
-                                F.col("doc_id").cast("string"),
-                            ),
-                            F.reverse(F.split(F.col("text"), " ")),
-                        ).alias("text"),
-                    )
-                    for i in range(pregrow)
-                ],
-            )
+            variants = _doc_variants(docs, pregrow, offset=replicate)
             variants.write.mode("overwrite").parquet(f"{work}/corpus")
             _dedup.write_lsh_index(variants, f"{work}/idx")
             idx_rows_start = spark.read.parquet(f"{work}/idx").count()
@@ -487,6 +512,8 @@ def run_dedup_ingest_throughput(
             f"{work}/idx",
             f"{work}/ckpt",
             trigger={"availableNow": True},
+            compact_every=compact_every,
+            max_files_per_band=max_files_per_band,
             on_batch=lambda bid, n_in, n_novel, lock_wait: marks.append(
                 (time.monotonic(), n_in, n_novel)
             ),
@@ -514,7 +541,71 @@ def run_dedup_ingest_throughput(
     if pregrow:
         out["pregrow"] = pregrow
         out["index_rows_start"] = idx_rows_start
+    if replicate > 1:
+        out["replicate"] = replicate
+        out["docs_per_batch"] = round(n_docs / max(1, n_batches))
+    if compact_every:
+        out["compact_every"] = compact_every
+        out["max_files_per_band"] = max_files_per_band
     return out
+
+
+def run_corpus_grown(sf_dir: str, cpus: int, grow: int = 10) -> dict:
+    """Child-process entry (r8 verdict item 5): the at-rest corpus
+    query group measured against a ~``grow``x documents table — the
+    cross-scale method the pregrown dedup-ingest probe uses, applied to
+    the batch text/curation surface. A scratch fixture dir holds
+    documents = originals + (grow-1) dissimilar variants (full schema:
+    word order reversed + per-copy token, lang/source kept, n_chars
+    recomputed); every other table is symlinked unchanged. The regular
+    ``run_group("corpus", ...)`` protocol then runs over it, so
+    per-query walls are directly comparable to a same-session 1x run —
+    the per-query growth exponent vs the 10x row count is the SCALING.md
+    payload. (Variant doc_ids have no embeddings rows, so
+    embedding-joined queries grow on the documents side only — stated
+    with the numbers.)"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nginx_analytics_spark.session import get_spark
+    from nginx_analytics_spark.sources import load_table
+
+    work = tempfile.mkdtemp(prefix="nas_bench_corpus_grown_")
+    try:
+        spark = get_spark(
+            app_name="nginx_analytics_bench_corpus_grow",
+            master=f"local[{cpus}]",
+            shuffle_partitions=cpus,
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        variants = [
+            docs.select(
+                (F.col("doc_id") + (i + 1) * 100_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.concat(F.lit(f"cp{i}x"), F.col("doc_id").cast("string")),
+                    F.reverse(F.split(F.col("text"), " ")),
+                ).alias("text"),
+                "lang",
+                "source",
+            ).withColumn("n_chars", F.length("text").cast("long"))
+            for i in range(grow - 1)
+        ]
+        grown = docs
+        for v in variants:
+            grown = grown.unionByName(v)
+        grown.write.mode("overwrite").parquet(f"{work}/documents.parquet")
+        n_rows = spark.read.parquet(f"{work}/documents.parquet").count()
+        for t in os.listdir(sf_dir):
+            if t != "documents.parquet":
+                os.symlink(os.path.join(sf_dir, t), os.path.join(work, t))
+        spark.stop()  # run_group starts its own fresh session
+        timings = run_group("corpus", work, cpus)
+        return {"grow": grow, "documents_rows": n_rows, "queries": timings}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def wait_quiet_machine() -> str:
@@ -556,6 +647,32 @@ def main() -> None:
             print(json.dumps(
                 run_dedup_ingest_throughput(sf_dir, cpus, pregrow=10)
             ))
+        elif sys.argv[2] == "dedup_ingest_batchsize":
+            # opt-in batch-size throughput curve (r8 verdict item 4):
+            # same loop, 1x/10x/100x docs per micro-batch (per-batch
+            # volume = replicate*N/n_batches) — shows docs/s scaling
+            # with batch size past the fixed per-batch harness floor;
+            # numbers land in SCALING.md
+            print(json.dumps({"sizes": [
+                run_dedup_ingest_throughput(
+                    sf_dir, cpus, n_batches=nb, replicate=rep
+                )
+                for rep, nb in ((1, 10), (10, 10), (30, 3))
+            ]}))
+        elif sys.argv[2] == "dedup_ingest_compact":
+            # opt-in in-loop compaction pause probe (r8 verdict item 3):
+            # the punitive forcing config (compact_every=3,
+            # max_files_per_band=2) vs an uncompacted baseline, with
+            # the CONCURRENT per-band rewrite path; SCALING.md payload
+            print(json.dumps({
+                "baseline": run_dedup_ingest_throughput(sf_dir, cpus),
+                "compacting": run_dedup_ingest_throughput(
+                    sf_dir, cpus, compact_every=3, max_files_per_band=2
+                ),
+            }))
+        elif sys.argv[2] == "corpus_grown":
+            # opt-in at-rest corpus scale curve (r8 verdict item 5)
+            print(json.dumps(run_corpus_grown(sf_dir, cpus)))
         else:
             print(json.dumps(run_group(sys.argv[2], sf_dir, cpus)))
         return

@@ -193,3 +193,38 @@ def test_x80_loop_runs_identically_over_manifest_layout(spark, tmp_path):
         )
     assert admitted["local"] == admitted["manifest"]
     assert admitted["local"][0][0] > (0, 0)  # something actually ran
+
+
+def test_concurrent_compaction_matches_sequential(spark, tmp_path):
+    """X82 concurrency parity (r8 verdict item 3): compacting with
+    max_concurrency=1 and with the default thread pool produce the
+    identical row multiset, identical stats, and identical per-band
+    file layout — concurrency changes wall time only. (Bands are
+    disjoint directories and each band's swap is self-contained, so
+    interleaving cannot change outcomes; this pins it.)"""
+    docs = _docs(spark)
+    layouts = {}
+    for name, conc in (("seq", 1), ("conc", 4)):
+        idx = str(tmp_path / f"idx_{name}")
+        dedup.write_lsh_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+        dedup.append_lsh_index(docs.filter(F.col("doc_id") % 2 == 1), idx)
+        stats = dedup.compact_lsh_index(
+            spark, idx, max_files_per_band=1, target_files=2,
+            max_concurrency=conc,
+        )
+        files = {
+            band: sorted(
+                f
+                for f in os.listdir(os.path.join(idx, band))
+                if f.endswith(".parquet")
+            )
+            for band in os.listdir(idx)
+            if band.startswith("band_idx=")
+        }
+        layouts[name] = (
+            stats,
+            {b: len(fs_) for b, fs_ in files.items()},
+            _rows(spark, idx, LocalIndexFS()),
+        )
+    assert layouts["seq"] == layouts["conc"]
+    assert layouts["seq"][0]["bands_compacted"] > 1  # pool actually fanned out
