@@ -386,34 +386,47 @@ def run_ingest_throughput(sf_dir: str, cpus: int) -> dict[str, float]:
     }
 
 
-def _doc_variants(docs, k: int, offset: int = 1):
+def _doc_variants(docs, k: int, offset: int = 1, stride: int = 1,
+                  keep_cols: tuple = ()):
     """``k`` dissimilar synthetic variants of a documents frame: word
     order reversed + a per-copy token prepended, so variants share ~no
     3-word shingles with the originals (index/corpus mass grows without
     perturbing dedup decisions). Shared by the pregrown / batch-size /
-    grown-corpus probes."""
+    grown-corpus probes.
+
+    Variant ids land at ``doc_id + (i*stride + offset) * 100_000_000``.
+    ``stride`` must span the id-slot width of the INPUT pool so
+    composed probes stay collision-free (r9 review: a pool already
+    holding ``replicate`` id-slots, pregrown with the old flat
+    ``offset=replicate`` scheme, gave two different documents the same
+    doc_id — slot(r) + i collides across r). ``keep_cols`` pass
+    through unchanged, except ``n_chars`` which is recomputed from the
+    variant text (the grown-corpus fixture keeps the full schema)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
-    return reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            docs.select(
-                (F.col("doc_id") + (i + offset) * 100_000_000).alias(
-                    "doc_id"
+    def variant(i):
+        v = docs.select(
+            (
+                F.col("doc_id") + (i * stride + offset) * 100_000_000
+            ).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat(
+                    F.lit(f"cp{i * stride + offset - 1}x"),
+                    F.col("doc_id").cast("string"),
                 ),
-                F.concat_ws(
-                    " ",
-                    F.concat(
-                        F.lit(f"cp{i + offset - 1}x"),
-                        F.col("doc_id").cast("string"),
-                    ),
-                    F.reverse(F.split(F.col("text"), " ")),
-                ).alias("text"),
-            )
-            for i in range(k)
-        ],
+                F.reverse(F.split(F.col("text"), " ")),
+            ).alias("text"),
+            *[F.col(c) for c in keep_cols if c != "n_chars"],
+        )
+        if "n_chars" in keep_cols:
+            v = v.withColumn("n_chars", F.length("text").cast("long"))
+        return v
+
+    return reduce(
+        lambda a, b: a.unionByName(b), [variant(i) for i in range(k)]
     )
 
 
@@ -483,7 +496,13 @@ def run_dedup_ingest_throughput(
         if pregrow:
             from nginx_analytics_spark.operators import dedup as _dedup
 
-            variants = _doc_variants(docs, pregrow, offset=replicate)
+            # stride=replicate: the pool already occupies id-slots
+            # 0..replicate-1, so each pregrow copy must step a whole
+            # pool-width — slots stay disjoint for any (replicate,
+            # pregrow) combination (r9 review)
+            variants = _doc_variants(
+                docs, pregrow, offset=replicate, stride=replicate
+            )
             variants.write.mode("overwrite").parquet(f"{work}/corpus")
             _dedup.write_lsh_index(variants, f"{work}/idx")
             idx_rows_start = spark.read.parquet(f"{work}/idx").count()
@@ -563,11 +582,17 @@ def run_corpus_grown(sf_dir: str, cpus: int, grow: int = 10) -> dict:
     the per-query growth exponent vs the 10x row count is the SCALING.md
     payload. (Variant doc_ids have no embeddings rows, so
     embedding-joined queries grow on the documents side only — stated
-    with the numbers.)"""
+    with the numbers.)
+
+    The timed group runs in a FRESH subprocess JVM (r9 review): the
+    fixture build is itself a Spark job, and timing the group in the
+    same warm JVM — spark.stop() stops the context, not the JVM —
+    violates the bench's own protocol (same-JVM class accumulation
+    drifts unchanged queries 1.5-2x, exactly the band the SCALING.md
+    ratio table reads as signal). The 1x comparator must be a plain
+    ``--group corpus`` child in the same session."""
     import shutil
     import tempfile
-
-    from pyspark.sql import functions as F
 
     from nginx_analytics_spark.session import get_spark
     from nginx_analytics_spark.sources import load_table
@@ -580,29 +605,30 @@ def run_corpus_grown(sf_dir: str, cpus: int, grow: int = 10) -> dict:
             shuffle_partitions=cpus,
         )
         docs = load_table(spark, sf_dir, "documents")
-        variants = [
-            docs.select(
-                (F.col("doc_id") + (i + 1) * 100_000_000).alias("doc_id"),
-                F.concat_ws(
-                    " ",
-                    F.concat(F.lit(f"cp{i}x"), F.col("doc_id").cast("string")),
-                    F.reverse(F.split(F.col("text"), " ")),
-                ).alias("text"),
-                "lang",
-                "source",
-            ).withColumn("n_chars", F.length("text").cast("long"))
-            for i in range(grow - 1)
-        ]
-        grown = docs
-        for v in variants:
-            grown = grown.unionByName(v)
+        grown = docs.unionByName(
+            _doc_variants(
+                docs, grow - 1, keep_cols=("lang", "source", "n_chars")
+            )
+        )
         grown.write.mode("overwrite").parquet(f"{work}/documents.parquet")
         n_rows = spark.read.parquet(f"{work}/documents.parquet").count()
         for t in os.listdir(sf_dir):
             if t != "documents.parquet":
                 os.symlink(os.path.join(sf_dir, t), os.path.join(work, t))
-        spark.stop()  # run_group starts its own fresh session
-        timings = run_group("corpus", work, cpus)
+        spark.stop()
+        # fresh-JVM child over the grown fixture (see docstring)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--group", "corpus"],
+            stdout=subprocess.PIPE,
+            env=dict(
+                os.environ,
+                SPARK_GRAFT_SF_DIR=work,
+                SPARK_GRAFT_CPUS=str(cpus),
+            ),
+            check=True,
+            text=True,
+        )
+        timings = json.loads(proc.stdout.strip().splitlines()[-1])
         return {"grow": grow, "documents_rows": n_rows, "queries": timings}
     finally:
         shutil.rmtree(work, ignore_errors=True)

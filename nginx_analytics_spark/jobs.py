@@ -365,9 +365,14 @@ def _build_parser():
         type=float,
         default=0.0,
         help=(
-            "seconds each micro-batch will wait for the index mutex "
-            "before failing (0 = refuse immediately); waits surface as "
-            "lock_wait in the per-batch telemetry line"
+            "seconds to wait for the index mutex before failing (0 = "
+            "refuse immediately). The CLI loop holds the mutex for the "
+            "stream's whole lifetime, so here the wait applies to that "
+            "STARTUP acquisition — e.g. riding out an offline "
+            "compactor finishing up — and the wait is printed; "
+            "library callers without a lifetime hold get the same "
+            "bounded wait per micro-batch, surfaced as lock_wait in "
+            "the telemetry line"
         ),
     )
     di.add_argument(
@@ -463,12 +468,29 @@ def main(argv: list[str] | None = None) -> int:
         # whole lifetime, not just each micro-batch (r8 review): an
         # offline `jobs compact-index` racing this loop then loses even
         # between micro-batches — the maintenance tool fails loudly,
-        # never the production loop.
-        with LOCAL_FS.exclusive_lock(
+        # never the production loop. Because of that lifetime hold,
+        # the per-batch acquisitions inside process_batch can never
+        # contend (lock_wait prints 0.000 by construction) — the one
+        # acquisition that CAN contend is this startup one, so
+        # --lock-timeout applies HERE (r9 review): the loop rides out
+        # a finishing offline compactor instead of dying instantly.
+        from nginx_analytics_spark.operators.index_fs import (
+            acquire_lock_wait,
+        )
+
+        lifetime_lock, waited = acquire_lock_wait(
+            LOCAL_FS,
             dedup._lsh_compact_lock_path(args.index),
             "a dedup-ingest loop owns this index for its lifetime; "
             "stop the loop before compacting offline",
-        ):
+            timeout_s=args.lock_timeout,
+        )
+        if waited >= 0.05:
+            print(
+                f"index mutex acquired after {waited:.3f}s wait",
+                flush=True,
+            )
+        with lifetime_lock:
             q = start_dedup_ingest(
                 reader.parquet(args.source),
                 args.corpus,

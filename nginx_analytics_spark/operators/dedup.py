@@ -955,7 +955,7 @@ def _compact_lsh_index_locked(
         # write-new-unit + single manifest flip, not a rename swap
         return fs.store_compact(
             spark, path, max_files_per_band, target_files,
-            target_file_bytes,
+            target_file_bytes, max_concurrency,
         )
 
     def parquet_files(d: str) -> list[str]:

@@ -200,19 +200,26 @@ class ManifestIndexFS(LocalIndexFS):
         PUT (atomic per object) — emulated here by the same
         write-temp-then-replace ``write_text_atomic`` used for every
         ``_SUCCESS``-style marker;
-      * compaction (``store_compact``) reads the oversized bands'
-        rows, writes ONE new unit covering exactly those bands (a
-        single Spark job — the "group bands into one job" bound:
-        in-loop pause is one rewrite of the oversized rows), then one
+      * compaction (``store_compact``) rewrites each oversized band's
+        rows into ONE new unit (per-band range-partitioned Spark jobs,
+        submitted concurrently like the local layout's — the pause
+        bound is O(largest band rewrite), and each band lands exactly
+        its target count of sorted non-overlapping files), then one
         flip that simultaneously adds the new unit and removes those
-        bands from every older unit's coverage, dropping (and then
-        physically deleting) units left covering nothing;
+        bands from every older unit's coverage. Units left covering
+        nothing are physically deleted whole, and — r9 review — the
+        stripped ``band_idx=`` dirs inside units that stay live for
+        OTHER bands are deleted too: without that reap every
+        compaction cycle leaks the dereferenced band files forever
+        (readers can't see them, but disk grows O(batches));
       * crash recovery (``store_recover``) is therefore trivial by
         construction: the flip-last protocol means a crash anywhere
         leaves either the OLD manifest (new unit dir is an orphan) or
-        the NEW manifest (dropped unit dirs are orphans) — never a
-        half state. Recovery reaps directories the manifest does not
-        reference; there is no rollback, because nothing was ever
+        the NEW manifest (dropped unit dirs — and stripped band dirs
+        inside still-live units — are orphans), never a half state.
+        Recovery reaps whole directories the manifest does not
+        reference AND band dirs a live unit's coverage no longer
+        lists; there is no rollback, because nothing was ever
         detached.
 
     The rows written through this layout are identical to the local
@@ -312,6 +319,7 @@ class ManifestIndexFS(LocalIndexFS):
         max_files_per_band: int,
         target_files: int,
         target_file_bytes: int,
+        max_concurrency: int = 1,
     ) -> dict:
         """Caller (compact_lsh_index / the X80 loop) already holds the
         single-compactor mutex and has run recovery."""
@@ -345,90 +353,122 @@ class ManifestIndexFS(LocalIndexFS):
             )
         if not oversized:
             return stats
-        # one Spark job over exactly the oversized bands' rows: per
-        # unit, read only the dirs of bands being compacted
-        parts = []
-        for unit, bands in sorted(man["units"].items()):
-            dirs = [
-                os.path.join(path, unit, f"band_idx={b}")
-                for b in bands
-                if b in oversized
-            ]
-            if dirs:
-                parts.append(
-                    spark.read.option(
-                        "basePath", os.path.join(path, unit)
-                    ).parquet(*dirs)
-                )
-        rows = parts[0]
-        for p in parts[1:]:
-            rows = rows.unionByName(p)
         unit = f"c{man['seq']:06d}"
         udir = os.path.join(path, unit)
-        # exact per-band output sizing: rank rows within each band by
-        # hash and cut the rank range into that band's target number of
-        # contiguous buckets — each (band, bucket) becomes one sorted
-        # file with non-overlapping band_hash min/max (best-case
-        # row-group pruning), and a band lands EXACTLY its target count,
-        # which a global repartitionByRange's sampled boundaries cannot
-        # guarantee (a boundary inside a band splits it off-target)
-        from pyspark.sql import functions as F
-        from pyspark.sql.window import Window
+        # Per-band rewrites into the new unit, mirroring the local
+        # layout's measured path: each oversized band's rows are read
+        # from exactly the unit dirs covering it and range-partitioned
+        # on the hash into that band's target count of sorted,
+        # non-overlapping files (best-case row-group pruning). One
+        # Spark job per band, submitted concurrently — the in-loop
+        # pause is O(largest band rewrite), same bound as the local
+        # layout. (An earlier single-job variant hash-repartitioned on
+        # (band_idx, rank-bucket); murmur3 collisions between a band's
+        # buckets merged them into one ~2x-target file with probability
+        # ~1/target per band — r9 review. Per-band repartitionByRange
+        # is the spelling that actually guarantees the size bound.)
+        from concurrent.futures import ThreadPoolExecutor
 
-        tgt = F.create_map(
-            *[F.lit(x) for pair in oversized.items() for x in pair]
-        )[F.col("band_idx")]
-        wb = Window.partitionBy("band_idx")
-        bucket = F.floor(
-            (F.row_number().over(wb.orderBy("band_hash")) - 1)
-            * tgt
-            / F.count(F.lit(1)).over(wb)
-        )
-        (
-            rows.withColumn("__bucket", bucket)
-            .repartition(sum(oversized.values()), "band_idx", "__bucket")
-            .sortWithinPartitions("band_hash")
-            .drop("__bucket")
-            .write.mode("overwrite")
-            .partitionBy("band_idx")
-            .parquet(udir)
-        )
+        def compact_band(item: tuple[int, int]) -> int:
+            b, n_target = item
+            # leaf dirs: the partition column lives in the dir name,
+            # so rows come back (band_hash, doc_id) — exactly what the
+            # new unit's band leaf stores
+            rows = spark.read.parquet(*coverage[b])
+            bdir = os.path.join(udir, f"band_idx={b}")
+            (
+                rows.repartitionByRange(n_target, "band_hash")
+                .sortWithinPartitions("band_hash")
+                .write.mode("overwrite")
+                .parquet(bdir)
+            )
+            return len(
+                [f for f in self.listdir(bdir) if f.endswith(".parquet")]
+            )
+
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(max_concurrency, len(oversized)))
+        ) as pool:
+            n_after = list(pool.map(compact_band, sorted(oversized.items())))
         # ONE flip: add the compacted unit, strip its bands from every
         # older unit's coverage, drop units left covering nothing
         units: dict[str, list[int]] = {}
-        dropped = []
+        dropped: list[str] = []
+        stripped: list[str] = []  # band dirs inside units that stay live
         for u, bands in man["units"].items():
             live = [b for b in bands if b not in oversized]
             if live:
                 units[u] = live
+                stripped += [
+                    os.path.join(path, u, f"band_idx={b}")
+                    for b in bands
+                    if b in oversized
+                ]
             else:
                 dropped.append(u)
         units[unit] = sorted(oversized)
         self._flip(path, {"seq": man["seq"] + 1, "units": units})
-        for u in dropped:  # dereferenced; reap best-effort
+        for u in dropped:  # dereferenced whole; reap best-effort
             self.rmtree(os.path.join(path, u))
+        for d in stripped:  # r9 review: unreaped, these leak forever —
+            self.rmtree(d)  # the unit stays live for its OTHER bands
         stats["bands_compacted"] = len(oversized)
-        for b in sorted(oversized):
-            bdir = os.path.join(udir, f"band_idx={b}")
-            stats["files_after"] += len(
-                [f for f in self.listdir(bdir) if f.endswith(".parquet")]
-            )
+        stats["files_after"] += sum(n_after)
         return stats
 
     def store_recover(self, path: str) -> None:
-        """Reap unit dirs the manifest does not reference (crash
-        orphans from a write that never flipped, or dereferenced units
-        whose best-effort delete died). Runs under the mutex like the
-        local recovery; the flip-last protocol guarantees referenced
-        state is always complete, so reaping IS the whole heal."""
+        """Reap directories the manifest does not reference: whole unit
+        dirs (crash orphans from a write that never flipped, or
+        dereferenced units whose best-effort delete died) AND band dirs
+        inside still-live units that compaction stripped from their
+        coverage before its post-flip reap died (r9 review). Runs under
+        the mutex like the local recovery; the flip-last protocol
+        guarantees referenced state is always complete, so reaping IS
+        the whole heal."""
         import re
 
         if not self.isdir(path):
             return
-        live = set(self._load(path)["units"])
+        live = self._load(path)["units"]
         for d in self.listdir(path):
-            if re.fullmatch(r"[uc]\d{6}", d) and d not in live:
+            if not re.fullmatch(r"[uc]\d{6}", d):
+                continue
+            if d not in live:
                 self.rmtree(os.path.join(path, d))
+                continue
+            covered = {f"band_idx={b}" for b in live[d]}
+            for sub in self.listdir(os.path.join(path, d)):
+                if sub.startswith("band_idx=") and sub not in covered:
+                    self.rmtree(os.path.join(path, d, sub))
+
+
+def acquire_lock_wait(fs, path: str, purpose: str, timeout_s: float = 0.0):
+    """Bounded-wait acquisition over any seam's non-blocking
+    ``exclusive_lock``: poll until acquired or ``timeout_s`` elapses
+    (0 = one attempt, refuse immediately — the plain fail-fast
+    semantics). Returns ``(lock, waited_s)`` where ``lock`` is an
+    entered context manager the caller must exit (``with lock:``) and
+    ``waited_s`` is the seconds spent waiting — the contention
+    observability number (r9 review: the ``jobs dedup-ingest`` CLI
+    holds the mutex for the stream's lifetime, so the only acquisition
+    that can ever contend there is this STARTUP one — e.g. an offline
+    compactor finishing up — and it must honor ``--lock-timeout``
+    instead of dying instantly). The deadline is checked before each
+    sleep, and only :class:`LockHeldError` triggers a retry."""
+    import time
+    from contextlib import ExitStack
+
+    stack = ExitStack()
+    t0 = time.monotonic()
+    deadline = t0 + timeout_s
+    while True:
+        try:
+            stack.enter_context(fs.exclusive_lock(path, purpose))
+            return stack, round(time.monotonic() - t0, 3)
+        except LockHeldError:
+            if time.monotonic() >= deadline:
+                raise
+            time.sleep(0.1)
 
 
 #: Default seam used by operators/dedup.py when the caller passes no

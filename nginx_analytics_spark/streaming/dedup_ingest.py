@@ -191,7 +191,14 @@ def process_batch(
     batch in the admission telemetry. The wait polls through the fs
     seam's own non-blocking acquisition, so any seam implementation
     gets it unchanged; the deadline is checked BEFORE each sleep so
-    ``lock_timeout_s=0`` still refuses on the first failed attempt."""
+    ``lock_timeout_s=0`` still refuses on the first failed attempt.
+    Under a caller's LIFETIME hold (``lock_held=True``, the CLI) the
+    per-batch acquisition can never contend — lock_wait reads 0.0 by
+    construction, and the acquisition that can actually wait is the
+    caller's own startup one (the CLI routes ``--lock-timeout`` there
+    via :func:`~nginx_analytics_spark.operators.index_fs.acquire_lock_wait`,
+    r9 review); nonzero per-batch lock_wait is the LIBRARY-embedded
+    loop's signal."""
     import os
     import time
     from contextlib import ExitStack

@@ -1,4 +1,5 @@
-"""bench.py contract lints — no Spark session needed."""
+"""bench.py contract lints (plus the r9 variant-composition pin,
+which is the one test here that needs the shared Spark session)."""
 
 from __future__ import annotations
 
@@ -81,3 +82,30 @@ def test_bench_partitions_the_registry():
     assert not stale, f"excluded names not registered: {sorted(stale)}"
     gaps = registered - benched - excluded
     assert not gaps, f"neither benched nor excluded: {sorted(gaps)}"
+
+
+def test_doc_variants_compose_without_id_collisions(spark):
+    """r9 review: bench's replicate (grow the doc POOL) and pregrow
+    (grow the at-rest index) probes compose through _doc_variants —
+    the flat offset scheme gave two DIFFERENT documents the same
+    doc_id when both were set (pool slot r + copy i collides across
+    r), silently corrupting id-based self-match exclusion and
+    admission accounting. The stride scheme keeps every id-slot
+    disjoint; this pins it at the exact call shapes bench uses."""
+    import bench
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(7)],
+        "doc_id long, text string",
+    )
+    replicate = 2
+    pool = docs.unionByName(bench._doc_variants(docs, replicate - 1))
+    pregrown = bench._doc_variants(
+        pool, 3, offset=replicate, stride=replicate
+    )
+    everything = pool.unionByName(pregrown)
+    n = everything.count()
+    assert n == 7 * replicate * (3 + 1)
+    assert everything.select("doc_id").distinct().count() == n
+    # and the texts are all mutually distinct too (dissimilar variants)
+    assert everything.select("text").distinct().count() == n

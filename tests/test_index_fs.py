@@ -195,6 +195,93 @@ def test_x80_loop_runs_identically_over_manifest_layout(spark, tmp_path):
     assert admitted["local"][0][0] > (0, 0)  # something actually ran
 
 
+def _keys(spark, band_idxs, lo, n=40):
+    """Direct store-level key frame: n rows per band, distinct hashes."""
+    return spark.createDataFrame(
+        [(lo + i, b, (lo + i) * 13 + b) for b in band_idxs for i in range(n)],
+        "doc_id long, band_idx int, band_hash long",
+    )
+
+
+def _store_rows(spark, fs, idx):
+    return sorted(
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in fs.store_read(spark, idx).collect()
+    )
+
+
+def test_manifest_compaction_reaps_stripped_band_dirs(spark, tmp_path):
+    """r9 review pair: (a) a band compacted OUT of a unit that stays
+    live for its other bands must have its physical ``band_idx=`` dir
+    deleted after the flip — unreaped, every compaction cycle leaks
+    the dereferenced files forever (invisible to readers AND to the
+    files_before/after stats, which count only manifest-covered
+    files); (b) the compacted band lands exactly its target file
+    count — the earlier global hash-repartition on (band, rank-bucket)
+    could murmur3-collide a band's buckets into one ~2x-target file."""
+    fs = ManifestIndexFS()
+    idx = str(tmp_path / "idx")
+    fs.store_write(_keys(spark, [0, 1], 0), idx)  # u000000: bands 0+1
+    fs.store_append(_keys(spark, [0], 1000), idx)  # u000001: band 0 only
+    fs.store_append(_keys(spark, [0], 2000), idx)  # u000002: band 0 only
+    before = _store_rows(spark, fs, idx)
+
+    # band 0 holds 3 files (one per unit), band 1 holds 1 — only band 0
+    # compacts, so u000000 must stay live for band 1
+    stats = fs.store_compact(
+        spark, idx, max_files_per_band=2, target_files=3,
+        target_file_bytes=1 << 30, max_concurrency=2,
+    )
+    assert stats["bands_compacted"] == 1
+
+    man = fs._load(idx)
+    assert man["units"]["u000000"] == [1]  # stripped of band 0, still live
+    # the leak fix: the stripped dir is physically gone, the units left
+    # covering nothing are gone whole
+    assert "band_idx=0" not in os.listdir(os.path.join(idx, "u000000"))
+    assert "u000001" not in os.listdir(idx)
+    assert "u000002" not in os.listdir(idx)
+    # exact per-band sizing: the compacted band lands EXACTLY its target
+    cdir = os.path.join(idx, "c000003", "band_idx=0")
+    n_files = len([f for f in os.listdir(cdir) if f.endswith(".parquet")])
+    assert n_files == 3
+    assert stats["files_after"] == 3 + 1  # compacted band 0 + intact band 1
+    # disk holds no parquet outside manifest coverage (the leak, stated
+    # as the invariant): every band dir on disk is a covered one
+    on_disk = {
+        (u, d)
+        for u in os.listdir(idx)
+        if os.path.isdir(os.path.join(idx, u))
+        for d in os.listdir(os.path.join(idx, u))
+        if d.startswith("band_idx=")
+    }
+    covered = {
+        (u, f"band_idx={b}") for u, bs in man["units"].items() for b in bs
+    }
+    assert on_disk == covered
+    assert _store_rows(spark, fs, idx) == before
+
+
+def test_manifest_recover_reaps_uncovered_band_dir(spark, tmp_path):
+    """The crash window between compaction's flip and its physical
+    reap leaves a live unit holding a band dir its coverage no longer
+    lists; store_recover (r9) reaps exactly that dir and leaves
+    covered data untouched."""
+    fs = ManifestIndexFS()
+    idx = str(tmp_path / "idx")
+    fs.store_write(_keys(spark, [0, 1], 0), idx)
+    before = _store_rows(spark, fs, idx)
+
+    man = fs._load(idx)
+    man["units"]["u000000"] = [0]  # the flip happened; the reap did not
+    fs._flip(idx, man)
+    assert "band_idx=1" in os.listdir(os.path.join(idx, "u000000"))
+
+    fs.store_recover(idx)
+    assert "band_idx=1" not in os.listdir(os.path.join(idx, "u000000"))
+    assert _store_rows(spark, fs, idx) == [r for r in before if r[1] == 0]
+
+
 def test_concurrent_compaction_matches_sequential(spark, tmp_path):
     """X82 concurrency parity (r8 verdict item 3): compacting with
     max_concurrency=1 and with the default thread pool produce the

@@ -769,3 +769,65 @@ def test_lock_wait_telemetry_surfaces_contention(spark, tmp_path):
     finally:
         fcntl.flock(fd, fcntl.LOCK_UN)
         os.close(fd)
+
+
+def test_acquire_lock_wait_bounds_the_startup_acquisition(tmp_path):
+    """r9 review: `jobs dedup-ingest --lock-timeout N` was inert — the
+    CLI's LIFETIME mutex acquisition died instantly on a held lock and
+    the per-batch acquisitions (where the timeout WAS wired) can never
+    contend under that lifetime hold. acquire_lock_wait is the startup
+    path's bounded wait: rides out a holder that releases within the
+    deadline (reporting the wait), refuses immediately at timeout 0,
+    and fails loudly at the deadline against a holder that never lets
+    go."""
+    import fcntl
+    import os
+    import threading
+    import time
+
+    import pytest
+
+    from nginx_analytics_spark.operators.index_fs import (
+        LOCAL_FS,
+        LockHeldError,
+        acquire_lock_wait,
+    )
+
+    lock_path = str(tmp_path / "idx.compact.lock")
+
+    # uncontended: acquires at once, ~0 wait, and actually holds
+    lock, waited = acquire_lock_wait(LOCAL_FS, lock_path, "test", 5.0)
+    with lock:
+        assert waited < 0.5
+        with pytest.raises(LockHeldError):
+            LOCAL_FS.exclusive_lock(lock_path, "probe").__enter__()
+
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        # timeout 0 = the plain fail-fast semantics, one attempt
+        with pytest.raises(LockHeldError):
+            acquire_lock_wait(LOCAL_FS, lock_path, "test", 0.0)
+
+        # holder releases mid-wait: acquisition rides through and the
+        # wait is visible (the number the CLI prints at startup)
+        t = threading.Thread(
+            target=lambda: (time.sleep(0.6), fcntl.flock(fd, fcntl.LOCK_UN))
+        )
+        t.start()
+        lock, waited = acquire_lock_wait(LOCAL_FS, lock_path, "test", 10.0)
+        t.join()
+        with lock:
+            assert waited > 0.3
+
+        # holder never releases: loud failure at the bounded deadline
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        t0 = time.monotonic()
+        with pytest.raises(LockHeldError):
+            acquire_lock_wait(LOCAL_FS, lock_path, "test", 0.5)
+        assert 0.4 < time.monotonic() - t0 < 5.0
+    finally:
+        import contextlib
+
+        with contextlib.suppress(OSError):
+            os.close(fd)
