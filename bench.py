@@ -299,10 +299,14 @@ BENCH_EXCLUDED: dict[str, str] = {
 }
 
 
-def run_group(group: str, sf_dir: str, cpus: int) -> dict[str, float]:
+def run_group(
+    group: str, sf_dir: str, cpus: int, names: list[str] | None = None
+) -> dict[str, float]:
     """Child-process entry: fresh SparkSession, warmup, best-of-2 per
     query (best-of-3 sub-second). Prints a JSON object of {query: sec}
-    on stdout's LAST line."""
+    on stdout's LAST line. ``names`` overrides the group's query list
+    (the opt-in probes time ad-hoc subsets — e.g. the ANN queries —
+    under the exact same protocol; ``group`` then only names the app)."""
     from nginx_analytics_spark import registry
     from nginx_analytics_spark.session import get_spark
 
@@ -322,7 +326,7 @@ def run_group(group: str, sf_dir: str, cpus: int) -> dict[str, float]:
     run("count_raw")  # warmup (untimed)
 
     timings: dict[str, float] = {}
-    for name in BENCH_GROUPS[group]:
+    for name in (names if names is not None else BENCH_GROUPS[group]):
         samples = [run(name), run(name)]
         if max(samples) > 2 * min(samples):  # JIT deopt suspected
             samples.append(run(name))
@@ -388,11 +392,21 @@ def run_ingest_throughput(sf_dir: str, cpus: int) -> dict[str, float]:
 
 def _doc_variants(docs, k: int, offset: int = 1, stride: int = 1,
                   keep_cols: tuple = ()):
-    """``k`` dissimilar synthetic variants of a documents frame: word
-    order reversed + a per-copy token prepended, so variants share ~no
-    3-word shingles with the originals (index/corpus mass grows without
-    perturbing dedup decisions). Shared by the pregrown / batch-size /
-    grown-corpus probes.
+    """``k`` dissimilar synthetic variants of a documents frame: words
+    deterministically PERMUTED with a per-copy hash key + a per-copy
+    token prepended, so variants share ~no 3-word shingles with the
+    originals, with EACH OTHER, or with variants-of-variants
+    (index/corpus mass grows without perturbing dedup decisions).
+    Shared by the pregrown / batch-size / grown-corpus probes.
+
+    The permutation sorts the word array by ``xxhash64(word, position,
+    slot)`` — deterministic, but keyed per copy-slot, so composing the
+    transform (a pregrow variant OF a pool variant) re-shuffles under a
+    DIFFERENT key instead of undoing itself. The earlier spelling
+    reversed the word order, an involution: a pregrow variant of a pool
+    variant re-reversed back to ~original word order and shared N-2 of
+    N 3-word shingles with the real doc, so the pregrown index silently
+    rejected the streamed originals as near-dups (r9 ADVICE medium).
 
     Variant ids land at ``doc_id + (i*stride + offset) * 100_000_000``.
     ``stride`` must span the id-slot width of the INPUT pool so
@@ -407,17 +421,31 @@ def _doc_variants(docs, k: int, offset: int = 1, stride: int = 1,
     from pyspark.sql import functions as F
 
     def variant(i):
+        slot = i * stride + offset
+        permuted = F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w, pos: F.struct(
+                            F.xxhash64(w, pos, F.lit(slot)).alias("k"),
+                            w.alias("w"),
+                        ),
+                    )
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        )
         v = docs.select(
-            (
-                F.col("doc_id") + (i * stride + offset) * 100_000_000
-            ).alias("doc_id"),
+            (F.col("doc_id") + slot * 100_000_000).alias("doc_id"),
             F.concat_ws(
                 " ",
                 F.concat(
-                    F.lit(f"cp{i * stride + offset - 1}x"),
+                    F.lit(f"cp{slot - 1}x"),
                     F.col("doc_id").cast("string"),
                 ),
-                F.reverse(F.split(F.col("text"), " ")),
+                permuted,
             ).alias("text"),
             *[F.col(c) for c in keep_cols if c != "n_chars"],
         )
@@ -438,6 +466,7 @@ def run_dedup_ingest_throughput(
     replicate: int = 1,
     compact_every: int | None = None,
     max_files_per_band: int = 8,
+    track_files: bool = False,
 ) -> dict:
     """Child-process entry (r7, closing the r6 'X80 has no measured
     number' finding): end-to-end throughput of the streaming dedup-ingest
@@ -458,9 +487,12 @@ def run_dedup_ingest_throughput(
     item 5) seeds the corpus + index with K dissimilar synthetic
     variants of the whole fixture BEFORE the loop runs — the same
     10-batch loop then probes an index ~K× the size the baseline run
-    ever reaches. Variants reverse the word order and prepend a
-    per-copy token, so they share ~no shingles with the real batches
-    (admission counts stay comparable to the baseline) while the band
+    ever reaches. Variants hash-permute the word order under a
+    per-copy key and prepend a per-copy token, so they share ~no
+    shingles with the real batches — including when composed with
+    ``replicate`` (a variant of a variant re-shuffles under a new key
+    rather than undoing itself; r9 ADVICE) — so admission counts stay
+    comparable to the baseline while the band
     directories carry K×-deep row populations — the direct measurement
     of 'probe cost never scales with the corpus' at an index size where
     it could plausibly start to."""
@@ -523,7 +555,20 @@ def run_dedup_ingest_throughput(
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        marks: list[tuple[float, int, int]] = []
+        def _index_files() -> int:
+            # sustained-run telemetry (r9 verdict item 5): parquet file
+            # population of the at-rest index — the log-structured
+            # health number (flat sawtooth under periodic compaction =
+            # steady state; monotonic growth = compaction not keeping
+            # up). Driver-side os.walk over a local dir, untimed-cheap.
+            return sum(
+                1
+                for root, _, files in os.walk(f"{work}/idx")
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        marks: list[tuple[float, int, int, float, int]] = []
         t0 = time.monotonic()
         q = start_dedup_ingest(
             stream,
@@ -534,7 +579,13 @@ def run_dedup_ingest_throughput(
             compact_every=compact_every,
             max_files_per_band=max_files_per_band,
             on_batch=lambda bid, n_in, n_novel, lock_wait: marks.append(
-                (time.monotonic(), n_in, n_novel)
+                (
+                    time.monotonic(),
+                    n_in,
+                    n_novel,
+                    lock_wait,
+                    _index_files() if track_files else -1,
+                )
             ),
         )
         q.awaitTermination()
@@ -566,6 +617,9 @@ def run_dedup_ingest_throughput(
     if compact_every:
         out["compact_every"] = compact_every
         out["max_files_per_band"] = max_files_per_band
+    if track_files:
+        out["lock_wait_s"] = [round(m[3], 3) for m in marks]
+        out["index_files"] = [m[4] for m in marks]
     return out
 
 
@@ -630,6 +684,174 @@ def run_corpus_grown(sf_dir: str, cpus: int, grow: int = 10) -> dict:
         )
         timings = json.loads(proc.stdout.strip().splitlines()[-1])
         return {"grow": grow, "documents_rows": n_rows, "queries": timings}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# The embeddings/ANN cross-scale subset (r9 verdict item 3): the one
+# operator group the 10x corpus probe deliberately left unmeasured
+# (variant doc_ids carry no embeddings rows). NOT a BENCH_GROUPS entry —
+# every name here is already benched in "analytics"; this list only
+# feeds the opt-in grown-fixture probe.
+ANN_GROWN_QUERIES = [
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "embedding_centroids",
+    "embedding_lsh_pairs",
+]
+
+
+def _emb_variants(emb, k: int, offset: int = 1, stride: int = 1):
+    """``k`` DISSIMILAR synthetic variants of the embeddings frame:
+    deterministic pseudo-random vectors keyed by (vec_id, dim, slot) —
+    uniform [-1, 1] per component via xxhash64, so variants are
+    near-orthogonal to the originals and to each other (64-dim random
+    geometry: E[cosine]=0, sd~1/8). Corpus mass grows without planting
+    synthetic near-neighbors, so ANN walls measure scan/index growth
+    and the recall-vs-brute-force gates stay meaningful (same design
+    choice as _doc_variants' shingle-disjoint texts). Ids follow the
+    same slot scheme as _doc_variants; labels pass through so
+    label-grouped shapes keep their group count."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    def variant(i):
+        slot = i * stride + offset
+        return emb.select(
+            (F.col("vec_id") + slot * 100_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, d: (
+                    (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), d, F.lit(slot)),
+                            F.lit(2001),
+                        )
+                        - 1000
+                    ).cast("double")
+                    / 1000.0
+                ).cast("float"),
+            ).alias("embedding"),
+            F.col("label"),
+        )
+
+    return reduce(
+        lambda a, b: a.unionByName(b), [variant(i) for i in range(k)]
+    )
+
+
+def run_embeddings_grown(sf_dir: str, cpus: int, grow: int = 10) -> dict:
+    """Child-process entry (r9 verdict item 3): the ANN/embeddings
+    query subset measured against a ~``grow``x embeddings table — the
+    grown-fixture cross-scale method extended to the last unmeasured
+    group. A scratch fixture holds embeddings = originals + (grow-1)
+    dissimilar pseudo-random variants (labels kept, variant vec_ids
+    out of the query-id range so the SAME 10 queries probe both
+    scales); every other table is symlinked. Both timed passes run in
+    fresh subprocess JVMs (the r9 protocol lesson), base fixture first.
+
+    Beyond walls, the probe re-measures the ANN quality gates at the
+    grown scale (untimed, one extra session): recall@k of the LSH /
+    IVF / PQ paths against the brute-force cosine baseline ON THE SAME
+    fixture, at 1x and at ``grow``x — the direct check that the fixed
+    heuristics (16 IVF cells / nprobe 6, PQ refine=50) hold as the
+    corpus grows — plus embedding_lsh_pairs' TRUE output rows at both
+    scales, so a super-linear wall can be attributed to output growth
+    (random-geometry pair density is quadratic by nature) rather than
+    scan cost."""
+    import shutil
+    import tempfile
+
+    from nginx_analytics_spark.session import get_spark
+    from nginx_analytics_spark.sources import load_table
+
+    work = tempfile.mkdtemp(prefix="nas_bench_emb_grown_")
+    try:
+        spark = get_spark(
+            app_name="nginx_analytics_bench_emb_grow",
+            master=f"local[{cpus}]",
+            shuffle_partitions=cpus,
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        grown = emb.unionByName(_emb_variants(emb, grow - 1))
+        grown.write.mode("overwrite").parquet(f"{work}/embeddings.parquet")
+        n_base = emb.count()
+        n_grown = spark.read.parquet(f"{work}/embeddings.parquet").count()
+        for t in os.listdir(sf_dir):
+            if t != "embeddings.parquet":
+                os.symlink(os.path.join(sf_dir, t), os.path.join(work, t))
+        spark.stop()
+
+        def child(fixture_dir: str) -> dict:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--group",
+                    "embeddings_ann",
+                ],
+                stdout=subprocess.PIPE,
+                env=dict(
+                    os.environ,
+                    SPARK_GRAFT_SF_DIR=fixture_dir,
+                    SPARK_GRAFT_CPUS=str(cpus),
+                ),
+                check=True,
+                text=True,
+            )
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+
+        base_walls = child(sf_dir)
+        grown_walls = child(work)
+
+        # untimed quality pass: recall gates + true output rows
+        from nginx_analytics_spark import registry
+
+        spark = get_spark(
+            app_name="nginx_analytics_bench_emb_recall",
+            master=f"local[{cpus}]",
+            shuffle_partitions=cpus,
+        )
+        qs = registry.queries()
+
+        def topk_set(name: str, fixture: str) -> set:
+            return {
+                (r.query_id, r.neighbor_id)
+                for r in qs[name](spark, fixture).collect()
+            }
+
+        recall = {}
+        for fixture, tag in ((sf_dir, "base"), (work, "grown")):
+            exact = topk_set("ann_cosine_topk", fixture)
+            for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk"):
+                got = topk_set(name, fixture)
+                recall.setdefault(name, {})[tag] = round(
+                    len(exact & got) / len(exact), 3
+                )
+        pairs_rows = {
+            tag: qs["embedding_lsh_pairs"](spark, fixture).count()
+            for fixture, tag in ((sf_dir, "base"), (work, "grown"))
+        }
+        spark.stop()
+        return {
+            "grow": grow,
+            "embeddings_rows": {"base": n_base, "grown": n_grown},
+            "walls": {
+                name: {
+                    "base": base_walls[name],
+                    "grown": grown_walls[name],
+                    "ratio": round(
+                        grown_walls[name] / max(base_walls[name], 1e-9), 2
+                    ),
+                }
+                for name in ANN_GROWN_QUERIES
+            },
+            "recall_at_k": recall,
+            "embedding_lsh_pairs_rows": pairs_rows,
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -699,6 +921,29 @@ def main() -> None:
         elif sys.argv[2] == "corpus_grown":
             # opt-in at-rest corpus scale curve (r8 verdict item 5)
             print(json.dumps(run_corpus_grown(sf_dir, cpus)))
+        elif sys.argv[2] == "embeddings_ann":
+            # inner timed child of the embeddings_grown probe: the ANN
+            # subset under the standard group protocol, over whatever
+            # fixture SPARK_GRAFT_SF_DIR points at
+            print(json.dumps(
+                run_group("embeddings_ann", sf_dir, cpus,
+                          names=ANN_GROWN_QUERIES)
+            ))
+        elif sys.argv[2] == "embeddings_grown":
+            # opt-in ANN/embeddings cross-scale curve (r9 verdict
+            # item 3) — the last group without a grown-fixture
+            # measurement; numbers land in SCALING.md
+            print(json.dumps(run_embeddings_grown(sf_dir, cpus)))
+        elif sys.argv[2] == "dedup_ingest_sustained":
+            # opt-in long-horizon X80 probe (r9 verdict item 5):
+            # ~100 micro-batches with in-loop compaction at the
+            # production threshold; per-batch wall, lock_wait_s, and
+            # index file count over time — flat sawtooth = healthy
+            # log-structured steady state; SCALING.md payload
+            print(json.dumps(run_dedup_ingest_throughput(
+                sf_dir, cpus, n_batches=100, compact_every=10,
+                track_files=True,
+            )))
         else:
             print(json.dumps(run_group(sys.argv[2], sf_dir, cpus)))
         return

@@ -478,19 +478,22 @@ def main(argv: list[str] | None = None) -> int:
             acquire_lock_wait,
         )
 
-        lifetime_lock, waited = acquire_lock_wait(
+        # acquire_lock_wait is un-entered until the `with` (r9 ADVICE
+        # low: acquiring before the with left the mutex held with no
+        # release path if anything failed in between — the print sat
+        # exactly in that window)
+        with acquire_lock_wait(
             LOCAL_FS,
             dedup._lsh_compact_lock_path(args.index),
             "a dedup-ingest loop owns this index for its lifetime; "
             "stop the loop before compacting offline",
             timeout_s=args.lock_timeout,
-        )
-        if waited >= 0.05:
-            print(
-                f"index mutex acquired after {waited:.3f}s wait",
-                flush=True,
-            )
-        with lifetime_lock:
+        ) as waited:
+            if waited >= 0.05:
+                print(
+                    f"index mutex acquired after {waited:.3f}s wait",
+                    flush=True,
+                )
             q = start_dedup_ingest(
                 reader.parquet(args.source),
                 args.corpus,

@@ -70,6 +70,7 @@ from __future__ import annotations
 import contextlib
 import os
 import shutil
+import sys
 from collections.abc import Iterator
 
 
@@ -358,7 +359,7 @@ class ManifestIndexFS(LocalIndexFS):
         # Per-band rewrites into the new unit, mirroring the local
         # layout's measured path: each oversized band's rows are read
         # from exactly the unit dirs covering it and range-partitioned
-        # on the hash into that band's target count of sorted,
+        # on the hash into AT MOST that band's target count of sorted,
         # non-overlapping files (best-case row-group pruning). One
         # Spark job per band, submitted concurrently — the in-loop
         # pause is O(largest band rewrite), same bound as the local
@@ -366,7 +367,12 @@ class ManifestIndexFS(LocalIndexFS):
         # (band_idx, rank-bucket); murmur3 collisions between a band's
         # buckets merged them into one ~2x-target file with probability
         # ~1/target per band — r9 review. Per-band repartitionByRange
-        # is the spelling that actually guarantees the size bound.)
+        # guarantees the size UPPER bound — never more than n_target
+        # files — but not exact equality: its sampled range boundaries
+        # can land empty partitions when band_hash values are skewed or
+        # heavily duplicated, and an empty partition writes no file
+        # (r9 ADVICE low). Stats stay accurate either way because
+        # compact_band recounts files from disk.)
         from concurrent.futures import ThreadPoolExecutor
 
         def compact_band(item: tuple[int, int]) -> int:
@@ -442,33 +448,54 @@ class ManifestIndexFS(LocalIndexFS):
                     self.rmtree(os.path.join(path, d, sub))
 
 
+@contextlib.contextmanager
 def acquire_lock_wait(fs, path: str, purpose: str, timeout_s: float = 0.0):
     """Bounded-wait acquisition over any seam's non-blocking
     ``exclusive_lock``: poll until acquired or ``timeout_s`` elapses
     (0 = one attempt, refuse immediately — the plain fail-fast
-    semantics). Returns ``(lock, waited_s)`` where ``lock`` is an
-    entered context manager the caller must exit (``with lock:``) and
-    ``waited_s`` is the seconds spent waiting — the contention
-    observability number (r9 review: the ``jobs dedup-ingest`` CLI
-    holds the mutex for the stream's lifetime, so the only acquisition
-    that can ever contend there is this STARTUP one — e.g. an offline
-    compactor finishing up — and it must honor ``--lock-timeout``
-    instead of dying instantly). The deadline is checked before each
-    sleep, and only :class:`LockHeldError` triggers a retry."""
-    import time
-    from contextlib import ExitStack
+    semantics). Returns an UN-entered context manager; the mutex is
+    acquired inside ``__enter__`` (after the bounded wait) and
+    ``with acquire_lock_wait(...) as waited_s:`` yields the seconds
+    spent waiting — the contention observability number (r9 review:
+    the ``jobs dedup-ingest`` CLI holds the mutex for the stream's
+    lifetime, so the only acquisition that can ever contend there is
+    this STARTUP one — e.g. an offline compactor finishing up — and it
+    must honor ``--lock-timeout`` instead of dying instantly). The
+    deadline is checked before each sleep, and only
+    :class:`LockHeldError` triggers a retry.
 
-    stack = ExitStack()
+    The earlier spelling returned an ALREADY-entered ExitStack plus
+    waited_s as a tuple: any caller code that could fail between the
+    return and its ``with lock:`` (jobs.py printed in that window)
+    left the mutex held until process exit with no release path (r9
+    ADVICE low). Acquiring inside ``__enter__`` closes the window by
+    construction — before entry nothing is held, after entry the
+    ``with`` body owns the release."""
+    import time
+
     t0 = time.monotonic()
     deadline = t0 + timeout_s
     while True:
+        lock = fs.exclusive_lock(path, purpose)
         try:
-            stack.enter_context(fs.exclusive_lock(path, purpose))
-            return stack, round(time.monotonic() - t0, 3)
+            lock.__enter__()
         except LockHeldError:
+            # retry ONLY acquisition failures — a LockHeldError raised
+            # by the caller's body (a nested per-batch acquisition, say)
+            # must propagate, not trigger a second yield
             if time.monotonic() >= deadline:
                 raise
             time.sleep(0.1)
+            continue
+        break
+    waited = round(time.monotonic() - t0, 3)
+    try:
+        yield waited
+    except BaseException:
+        if not lock.__exit__(*sys.exc_info()):
+            raise
+    else:
+        lock.__exit__(None, None, None)
 
 
 #: Default seam used by operators/dedup.py when the caller passes no

@@ -745,6 +745,18 @@ def pq_topk(
     re-ranking recovers it for the cost of R random vector lookups per
     query. ``dist`` is then exact squared L2, not the ADC estimate.
 
+    Calibration rule (r10 grown-fixture measurement, SCALING.md): when
+    quantization error dominates neighbor margins, the ADC shortlist
+    carries ~no ranking signal, so recall tracks the FRACTION R/n, not
+    the absolute depth — measured on the near-random sf0.1 fixture,
+    recall@5 at R=50 fell 0.54 (n=2,000, R/n=2.5%) → 0.00 (n=20,000,
+    R/n=0.25%). A fixed R is only valid on clustered real embeddings
+    whose margins exceed the quantization noise; on unstructured data
+    R must scale with the corpus (the structural-exactness tier,
+    refine >= n, is ``registry_dataops.ann_pq_topk_refined``). Callers
+    sizing R for a new corpus should measure recall against
+    :func:`brute_force_topk` on a sample first.
+
     ``refine_exact_fold=True`` additionally makes the re-rank
     oracle-bit-exact: dist = dot(q,q) - 2*dot(q,v) + dot(v,v) with the
     deterministic sequential-fold :func:`dot` (the numpy kernel's

@@ -1340,7 +1340,16 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank (IVFADC+R) recovers the ranking the quantization noise
     blurs — mandatory on this fixture, whose near-random geometry puts
     neighbor margins below the quantization error. Recall vs exact L2
-    asserted in tests; seeded codebooks make the result reproducible."""
+    asserted in tests; seeded codebooks make the result reproducible.
+
+    Scale caveat (r10, measured — SCALING.md embeddings-grown probe):
+    refine=50 is a FIXED depth, and on this unstructured geometry
+    recall tracks the refine/corpus fraction (0.54 at n=2,000 → 0.00
+    at n=20,000). This query stays the benched cost headline for the
+    compressed-domain plan shape; recall-correct PQ at arbitrary scale
+    is ann_pq_topk_refined (refine >= corpus count, hash-green), and
+    production deployments must calibrate refine per corpus (see
+    similarity.pq_topk's calibration rule)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_QUERY_COUNT).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -91,11 +91,23 @@ def test_doc_variants_compose_without_id_collisions(spark):
     doc_id when both were set (pool slot r + copy i collides across
     r), silently corrupting id-based self-match exclusion and
     admission accounting. The stride scheme keeps every id-slot
-    disjoint; this pins it at the exact call shapes bench uses."""
+    disjoint; this pins it at the exact call shapes bench uses.
+
+    r9 ADVICE medium follow-up: distinct ids/texts are NOT enough —
+    the old word-REVERSAL transform was an involution, so a pregrow
+    variant of a pool variant restored ~original word order and shared
+    N-2 of N 3-word shingles with the real doc (Jaccard ~1 ≫ 0.6),
+    making the pregrown index silently reject the streamed originals.
+    The hash-permutation transform re-shuffles under a per-slot key
+    instead; this test now also pins SHINGLE disjointness across every
+    (original, variant, variant-of-variant) pair."""
     import bench
 
     docs = spark.createDataFrame(
-        [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(7)],
+        [
+            (i, " ".join(f"tok{i}w{j}" for j in range(30)))
+            for i in range(7)
+        ],
         "doc_id long, text string",
     )
     replicate = 2
@@ -109,3 +121,46 @@ def test_doc_variants_compose_without_id_collisions(spark):
     assert everything.select("doc_id").distinct().count() == n
     # and the texts are all mutually distinct too (dissimilar variants)
     assert everything.select("text").distinct().count() == n
+    # the shingle-overlap gate: across ALL pairs of distinct docs in
+    # the composed universe (original×variant, variant×variant,
+    # original×variant-of-variant), pairwise 3-shingle Jaccard must sit
+    # far below the 0.6 dedup threshold — the invariant the pregrown
+    # probe's 'admission counts stay comparable' claim rests on
+    from pyspark.sql import functions as F
+
+    sh = everything.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.split("text", " "),
+                    1,
+                    F.greatest(
+                        F.size(F.split("text", " ")) - 2, F.lit(0)
+                    ),
+                ),
+                lambda w, i: F.concat_ws(
+                    " ",
+                    F.element_at(F.split("text", " "), i + 1),
+                    F.element_at(F.split("text", " "), i + 2),
+                    F.element_at(F.split("text", " "), i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    worst = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy("a.doc_id", "b.doc_id")
+        .agg(F.count("*").alias("inter"))
+        .agg(F.max("inter").alias("m"))
+        .collect()[0]["m"]
+    )
+    # 30 words → 28 shingles per doc (+2 from the prepended token);
+    # any cross-doc intersection ≥ half the shingle count would mean
+    # the transform partially undid itself. Expect ~0 shared shingles.
+    assert worst is None or worst <= 2, (
+        f"variant pair shares {worst} 3-shingles — the per-slot "
+        "permutation is leaking adjacency back through composition"
+    )

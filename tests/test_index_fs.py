@@ -216,9 +216,15 @@ def test_manifest_compaction_reaps_stripped_band_dirs(spark, tmp_path):
     deleted after the flip — unreaped, every compaction cycle leaks
     the dereferenced files forever (invisible to readers AND to the
     files_before/after stats, which count only manifest-covered
-    files); (b) the compacted band lands exactly its target file
+    files); (b) the compacted band lands AT MOST its target file
     count — the earlier global hash-repartition on (band, rank-bucket)
-    could murmur3-collide a band's buckets into one ~2x-target file."""
+    could murmur3-collide a band's buckets into one ~2x-target file.
+    The bound is <= target, not ==: repartitionByRange's sampled range
+    boundaries can leave empty partitions on skewed/duplicated
+    band_hash values, and an empty partition writes no file (r9 ADVICE
+    low — the earlier == assertion could flake on skewed real data).
+    We still require >= 2 so a collapse back into one giant file — the
+    original bug shape — would fail loudly."""
     fs = ManifestIndexFS()
     idx = str(tmp_path / "idx")
     fs.store_write(_keys(spark, [0, 1], 0), idx)  # u000000: bands 0+1
@@ -241,11 +247,13 @@ def test_manifest_compaction_reaps_stripped_band_dirs(spark, tmp_path):
     assert "band_idx=0" not in os.listdir(os.path.join(idx, "u000000"))
     assert "u000001" not in os.listdir(idx)
     assert "u000002" not in os.listdir(idx)
-    # exact per-band sizing: the compacted band lands EXACTLY its target
+    # per-band sizing: <= target (range boundaries may leave an empty
+    # partition that writes no file), >= 2 (never the one-giant-file
+    # collapse); stats recount from disk so they track whatever landed
     cdir = os.path.join(idx, "c000003", "band_idx=0")
     n_files = len([f for f in os.listdir(cdir) if f.endswith(".parquet")])
-    assert n_files == 3
-    assert stats["files_after"] == 3 + 1  # compacted band 0 + intact band 1
+    assert 2 <= n_files <= 3
+    assert stats["files_after"] == n_files + 1  # band 0 + intact band 1
     # disk holds no parquet outside manifest coverage (the leak, stated
     # as the invariant): every band dir on disk is a covered one
     on_disk = {
@@ -315,3 +323,87 @@ def test_concurrent_compaction_matches_sequential(spark, tmp_path):
         )
     assert layouts["seq"] == layouts["conc"]
     assert layouts["seq"][0]["bands_compacted"] > 1  # pool actually fanned out
+
+
+def test_mid_compact_reader_view_per_layout(spark, tmp_path, index_fs):
+    """r9 verdict item 4: what a CONCURRENT reader sees mid-compaction
+    is the one behavior the two layouts legitimately differ on, so
+    prove each layout's claim instead of leaving it prose.
+
+    * Local (rename-swap): the documented reader race — a probe that
+      lands inside the two-rename window (band detached to ``.old``,
+      scratch not yet attached) sees a SUBSET of the index (never
+      invented rows, possibly missing the mid-swap band). This is why
+      X80 compacts from the writer thread between micro-batches.
+    * Manifest (flip-last): readers resolve data through the commit
+      pointer, so a probe racing ``store_compact`` — even one landing
+      the instant before the flip, with the whole compacted unit
+      already on disk — returns the COMPLETE old view. The new unit is
+      invisible until the single atomic flip, after which the view is
+      the complete new one. No partial band view exists at any instant.
+
+    The injection is deterministic, not a sleep race: the probe runs
+    inside a spy on the layout's own commit primitive (``rename`` for
+    local — after rename #1, the exact window; ``_flip`` for manifest
+    — after the unit write, before the pointer moves)."""
+    from collections import Counter
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx")
+    dedup.write_lsh_index(docs.filter(F.col("doc_id") % 2 == 0), idx,
+                          fs=index_fs)
+    dedup.append_lsh_index(docs.filter(F.col("doc_id") % 2 == 1), idx,
+                           fs=index_fs)
+    before = _rows(spark, idx, index_fs)
+    assert before
+
+    mid_views: list[list] = []
+    if isinstance(index_fs, ManifestIndexFS):
+        orig_flip = index_fs._flip
+
+        def spy_flip(path, manifest):
+            # the compacted unit dir is fully written at this point;
+            # the manifest still references the OLD units
+            mid_views.append(_rows(spark, idx, index_fs))
+            orig_flip(path, manifest)
+
+        index_fs._flip = spy_flip
+    else:
+        orig_rename = index_fs.rename
+
+        def spy_rename(src, dst):
+            orig_rename(src, dst)
+            if ".old-" in os.path.basename(dst) and not mid_views:
+                # rename #1 done, rename #2 not: the band is detached
+                mid_views.append(_rows(spark, idx, index_fs))
+
+        index_fs.rename = spy_rename
+
+    try:
+        stats = dedup.compact_lsh_index(
+            spark, idx, max_files_per_band=1, target_files=2,
+            max_concurrency=1, fs=index_fs,
+        )
+    finally:
+        if isinstance(index_fs, ManifestIndexFS):
+            index_fs._flip = orig_flip
+        else:
+            index_fs.rename = orig_rename
+    assert stats["bands_compacted"] > 0
+    assert len(mid_views) == 1
+    mid = mid_views[0]
+
+    # both layouts: a racing reader NEVER sees invented or duplicated
+    # rows — the mid view is a sub-multiset of the committed content
+    assert not (Counter(mid) - Counter(before)), "mid-compact read invented rows"
+    if isinstance(index_fs, ManifestIndexFS):
+        # the flip-last claim, proven: complete old view, not partial
+        assert mid == before
+    else:
+        # the documented local race: the detached band's rows are gone
+        # from the racing view (strictly — the fixture puts rows in
+        # every band), which is exactly the window recovery rolls back
+        assert len(mid) < len(before)
+
+    # after compaction: content invariant holds through either layout
+    assert _rows(spark, idx, index_fs) == before

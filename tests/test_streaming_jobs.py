@@ -779,7 +779,15 @@ def test_acquire_lock_wait_bounds_the_startup_acquisition(tmp_path):
     path's bounded wait: rides out a holder that releases within the
     deadline (reporting the wait), refuses immediately at timeout 0,
     and fails loudly at the deadline against a holder that never lets
-    go."""
+    go.
+
+    r9 ADVICE low: the old API returned an ALREADY-entered lock plus
+    waited_s as a tuple — caller code failing between the return and
+    its `with lock:` (jobs.py printed in that window) left the mutex
+    held until process exit with no release path. The manager is now
+    un-entered until `with`: constructing it holds NOTHING, the
+    bounded wait + acquisition happen inside __enter__, and the
+    `as waited:` value is the seconds spent waiting."""
     import fcntl
     import os
     import threading
@@ -795,19 +803,30 @@ def test_acquire_lock_wait_bounds_the_startup_acquisition(tmp_path):
 
     lock_path = str(tmp_path / "idx.compact.lock")
 
-    # uncontended: acquires at once, ~0 wait, and actually holds
-    lock, waited = acquire_lock_wait(LOCAL_FS, lock_path, "test", 5.0)
-    with lock:
+    # the r9 ADVICE regression: constructing the manager acquires
+    # nothing — a foreign acquisition between construction and entry
+    # succeeds, so a caller that dies in that window leaks no mutex
+    cm = acquire_lock_wait(LOCAL_FS, lock_path, "test", 5.0)
+    with LOCAL_FS.exclusive_lock(lock_path, "free until entered"):
+        pass
+
+    # uncontended: enters at once, ~0 wait, and actually holds
+    with cm as waited:
         assert waited < 0.5
         with pytest.raises(LockHeldError):
             LOCAL_FS.exclusive_lock(lock_path, "probe").__enter__()
+    # and releases on exit
+    with LOCAL_FS.exclusive_lock(lock_path, "released after with"):
+        pass
 
     fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
     fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
     try:
-        # timeout 0 = the plain fail-fast semantics, one attempt
+        # timeout 0 = the plain fail-fast semantics, one attempt; the
+        # refusal surfaces at ENTRY (construction still holds nothing)
         with pytest.raises(LockHeldError):
-            acquire_lock_wait(LOCAL_FS, lock_path, "test", 0.0)
+            with acquire_lock_wait(LOCAL_FS, lock_path, "test", 0.0):
+                raise AssertionError("must not enter against a holder")
 
         # holder releases mid-wait: acquisition rides through and the
         # wait is visible (the number the CLI prints at startup)
@@ -815,17 +834,27 @@ def test_acquire_lock_wait_bounds_the_startup_acquisition(tmp_path):
             target=lambda: (time.sleep(0.6), fcntl.flock(fd, fcntl.LOCK_UN))
         )
         t.start()
-        lock, waited = acquire_lock_wait(LOCAL_FS, lock_path, "test", 10.0)
-        t.join()
-        with lock:
+        with acquire_lock_wait(LOCAL_FS, lock_path, "test", 10.0) as waited:
             assert waited > 0.3
+        t.join()
 
         # holder never releases: loud failure at the bounded deadline
         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
         t0 = time.monotonic()
         with pytest.raises(LockHeldError):
-            acquire_lock_wait(LOCAL_FS, lock_path, "test", 0.5)
+            with acquire_lock_wait(LOCAL_FS, lock_path, "test", 0.5):
+                raise AssertionError("must not enter against a holder")
         assert 0.4 < time.monotonic() - t0 < 5.0
+
+        # a LockHeldError raised by the BODY propagates instead of
+        # triggering a bogus re-acquisition/second-yield
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        with pytest.raises(LockHeldError, match="from the body"):
+            with acquire_lock_wait(LOCAL_FS, lock_path, "test", 0.5):
+                raise LockHeldError("from the body")
+        # and the mutex was still released on that error path
+        with LOCAL_FS.exclusive_lock(lock_path, "released after error"):
+            pass
     finally:
         import contextlib
 
