@@ -59,94 +59,46 @@ _ORACLES: dict[str, str] = {}
 # row from the PREVIOUS round — re-checking them adds wall time, not
 # record. A doc-lint test pins every listed name to a registered query.
 #
-# Round 9 (executing the rotation pre-committed in r8 and mandated by
-# the r8 verdict item 1). The due set is 71 names: the 21-name r8 spill
-# (latest row r6 — the oldest records on file, listed at r8's positions
-# 51-71 exactly) and the 50-name r7 cohort (latest row r7). A ~50-row
+# Round 10 (executing the rotation pre-committed in r9 and mandated by
+# the r9 verdict item 1). The due set is 71 names: the 21-name r9 spill
+# (latest row r7 — the oldest records on file, listed at r9's positions
+# 51-71 exactly) and the 50-name r8 cohort (latest row r8). A ~50-row
 # budget cannot hold 71, so _CHECK_FIRST lists ALL 71 in priority order
 # — the driver records the first ~50 and any extra budget falls exactly
-# on the designated spill instead of on already-fresh r8 rows:
-#   * positions 1-21: the r8 spill, in the pre-committed order;
-#   * positions 22-50: 29 of the r7 cohort — the reference-core named
-#     queries (SURVEY §2.8), the streaming/roundtrip representatives,
-#     and each operator family's HEAD shape (minhash_dedup_pairs,
-#     training_handoff, the four text-analysis heads, contamination/
-#     redaction, temporal heads);
-#   * positions 51-71: the DESIGNATED r9 SPILL = the 21 r7 names that
-#     cost the record least — the 8 rows-only entries whose driver row
-#     is only a row-count re-probe with the real gates in pytest
-#     (latency_percentiles_approx, ann_pq_topk, minhash_lsh_pairs,
-#     value_buckets_approx, sketch_distinct_users_7d,
-#     dedup_ingest_roundtrip, quality_classifier_scores), the expensive
-#     pair/iterative shapes that sat in r8's _CHECK_LAST
-#     (dedup_clusters, exact_jaccard_pairs, embedding_dedup_pairs,
-#     bpe_pair_counts, ann_pq_topk_refined), and 9 hash-green variant
-#     shapes whose operator families hold fresher or same-round
-#     representatives (traffic_forecast~forecast_revenue,
-#     dataset_split_counts~grouped_split_users,
-#     temperature_sample_docs~stratified/per_source samples,
-#     value_deciles~value_rank_profile, traffic_cube~traffic_rollup,
-#     error_only_users & engaged_users~purchase_and_error_users,
-#     value_trends~rolling_7d_avg, ann_cosine_topk~ann_lsh/ivf_topk).
-#     They stay oracle-verified at both pytest tiers every round and
-#     head r10's _CHECK_FIRST together with whatever r9 adds.
+# on the designated spill instead of on already-fresh r9 rows:
+#   * positions 1-21: the r9 spill, in the pre-committed order
+#     (rows-only re-probes first, then the expensive pair/iterative
+#     shapes, then the variant shapes);
+#   * positions 22-50: 29 of the r8 cohort — the TPC-H named queries
+#     (SURVEY SS2.8 relational core), the curation/text heads
+#     (clean_corpus, tfidf_top_terms, heavy_tokens,
+#     embedding_centroids), the temporal/funnel heads
+#     (conversion_funnel, cohort_retention, asof_last_purchase,
+#     user_sessions, incremental_ip_stats), and
+#     quality_weighted_sample (X83, the newest operator's only row);
+#   * positions 51-71: the DESIGNATED r10 SPILL = the 21 r8 names that
+#     cost the record least — the 7 rows-only entries whose driver row
+#     is only a row-count re-probe with the real recall/property gates
+#     in pytest (streaming_ingest_roundtrip, rt_model_predictions,
+#     rt_scoring_roundtrip, embedding_lsh_pairs, ann_lsh_topk,
+#     ann_ivf_topk, simhash_near_dup), the expensive pair/iterative
+#     shapes that sat in r9's _CHECK_LAST (curate_corpus,
+#     ngram_jaccard_pairs), and 12 hash-green variant shapes whose
+#     operator families hold fresher or same-round representatives
+#     (top_endpoints_bounded~top_endpoints r9,
+#     sliding_windowed_events & session_windows~windowed_events r9,
+#     stream_stream_left_join~stream_stream_join r9,
+#     salted_user_join & salted_ip_stats~batch_ip_stats r9,
+#     per_source_sample~stratified_sample_events r9,
+#     incremental_new_docs~incremental_near_dups r9,
+#     pack_chunks~doc_chunks r9, traffic_rollup~traffic_cube r10,
+#     corpus_report~corpus_report_incremental r9,
+#     latency_percentiles~latency_percentiles_approx r10 /
+#     kll_latency_percentiles_7d r9). They stay oracle-verified at
+#     both pytest tiers every round and head r11's _CHECK_FIRST
+#     together with whatever r10 adds.
 _CHECK_FIRST = [
-    # --- positions 1-21: the pre-committed r8 spill (latest row r6) ---
-    "approx_distinct_users",
-    "cms_user_counts_7d",
-    "kll_latency_percentiles_7d",
-    "theta_user_overlap",
-    "incremental_near_dups_probe",
-    "corpus_report_incremental",
-    "bpe_merges",
-    "incremental_near_dups",
-    "incremental_index_near_dups",
-    "min_cost_supplier",
-    "forecast_revenue",
-    "multimodal_features",
-    "frame_features",
-    "data_expectations",
-    "shard_manifest",
-    "doc_logprob",
-    "value_rank_profile",
-    "purchase_window_counts",
-    "grouped_split_users",
-    "stratified_sample_events",
-    "doc_chunks",
-    # --- positions 22-50: r7 cohort, reference core first ---
-    "count_raw",
-    "parse_enrich",
-    "batch_ip_stats",
-    "hourly_reagg",
-    "zscore_anomaly",
-    "anomaly_detail",
-    "training_features",
-    "predict_features",
-    "pricing_summary",
-    "top_endpoints",
-    "distinct_users",
-    "windowed_events",
-    # --- r7 cohort: streaming / stateful representatives ---
-    "anomaly_job_roundtrip",
-    "stream_stream_join",
-    "stateful_key_profiles",
-    # --- r7 cohort: dedup / corpus / LLM family heads ---
-    "exact_dedup_events",
-    "minhash_dedup_pairs",
-    "token_stats",
-    "language_id",
-    "doc_quality",
-    "doc_fingerprint",
-    "contamination_check",
-    "pii_redaction",
-    "repetition_stats",
-    "training_handoff",
-    # --- r7 cohort: temporal / relational heads ---
-    "rolling_7d_avg",
-    "scd2_user_plans",
-    "daily_event_matrix",
-    "purchase_and_error_users",
-    # --- positions 51-71: the designated r9 spill (rows-only first) ---
+    # --- positions 1-21: the pre-committed r9 spill (latest row r7) ---
     "latency_percentiles_approx",
     "ann_pq_topk",
     "minhash_lsh_pairs",
@@ -168,17 +120,71 @@ _CHECK_FIRST = [
     "engaged_users",
     "value_trends",
     "ann_cosine_topk",
-]
-# Expensive pair/iterative/windowed queries holding a FRESH green row
-# (r8) — re-checking them within the same budget would only displace
-# due rows, so they sit last, after the r8-green middle.
-_CHECK_LAST = [
+    # --- positions 22-50: r8 cohort, TPC-H relational core first ---
+    "shipping_priority",
+    "local_supplier_volume",
+    "returned_items",
+    "supplier_part_counts",
+    "dominant_suppliers",
+    "waiting_suppliers",
+    "order_priority_check",
+    "priority_shipping",
+    "promo_revenue",
+    "large_volume_customers",
+    "volume_shipping",
+    "top_supplier",
+    "small_quantity_revenue",
+    "brand_size_revenue",
+    "idle_customers",
+    "market_share",
+    "customer_order_distribution",
+    "product_profit",
+    "important_parts",
+    # --- r8 cohort: curation / text heads ---
+    "clean_corpus",
+    "tfidf_top_terms",
+    "heavy_tokens",
+    "embedding_centroids",
+    "quality_weighted_sample",
+    # --- r8 cohort: temporal / funnel heads ---
+    "conversion_funnel",
+    "cohort_retention",
+    "asof_last_purchase",
+    "user_sessions",
+    "incremental_ip_stats",
+    # --- positions 51-71: the designated r10 spill (rows-only first) ---
+    "streaming_ingest_roundtrip",
+    "rt_model_predictions",
+    "rt_scoring_roundtrip",
+    "embedding_lsh_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "simhash_near_dup",
     "curate_corpus",
     "ngram_jaccard_pairs",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "embedding_lsh_pairs",
+    "top_endpoints_bounded",
+    "sliding_windowed_events",
+    "session_windows",
+    "stream_stream_left_join",
+    "salted_user_join",
+    "salted_ip_stats",
+    "per_source_sample",
+    "incremental_new_docs",
+    "pack_chunks",
+    "traffic_rollup",
+    "corpus_report",
+    "latency_percentiles",
+]
+# Expensive pair/iterative/stateful queries holding a FRESH green row
+# (r9) — re-checking them within the same budget would only displace
+# due rows, so they sit last, after the r9-green middle.
+_CHECK_LAST = [
+    "incremental_near_dups_probe",
+    "incremental_near_dups",
+    "incremental_index_near_dups",
+    "stateful_key_profiles",
+    "training_handoff",
+    "pii_redaction",
 ]
 
 
