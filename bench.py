@@ -623,28 +623,59 @@ def run_dedup_ingest_throughput(
     return out
 
 
+def _stage_grown_fixture(spark, sf_dir: str, table: str, grown, work: str) -> int:
+    """Shared grown-fixture scaffolding (r10 review: the corpus and
+    embeddings probes duplicated it, including a latent relative-path
+    symlink bug): write the grown table into the scratch dir, symlink
+    every OTHER table with an ABSOLUTE target (a relative ``sf_dir``
+    would otherwise dangle from /tmp), return the grown row count."""
+    grown.write.mode("overwrite").parquet(os.path.join(work, table))
+    n_rows = spark.read.parquet(os.path.join(work, table)).count()
+    src = os.path.abspath(sf_dir)
+    for t in os.listdir(src):
+        if t != table:
+            os.symlink(os.path.join(src, t), os.path.join(work, t))
+    return n_rows
+
+
+def _child_group(group: str, fixture_dir: str, cpus: int) -> dict:
+    """Shared fresh-JVM timed child (r9 review lesson): the fixture
+    build is itself a Spark job, and timing a group in the same warm
+    JVM — spark.stop() stops the context, not the JVM — violates the
+    bench's own protocol (same-JVM class accumulation drifts unchanged
+    queries 1.5-2x, exactly the band the SCALING.md ratio tables read
+    as signal). Every timed pass of the grown-fixture probes goes
+    through here, over whatever fixture dir is passed."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--group", group],
+        stdout=subprocess.PIPE,
+        env=dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=os.path.abspath(fixture_dir),
+            SPARK_GRAFT_CPUS=str(cpus),
+        ),
+        check=True,
+        text=True,
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def run_corpus_grown(sf_dir: str, cpus: int, grow: int = 10) -> dict:
     """Child-process entry (r8 verdict item 5): the at-rest corpus
     query group measured against a ~``grow``x documents table — the
     cross-scale method the pregrown dedup-ingest probe uses, applied to
     the batch text/curation surface. A scratch fixture dir holds
     documents = originals + (grow-1) dissimilar variants (full schema:
-    word order reversed + per-copy token, lang/source kept, n_chars
-    recomputed); every other table is symlinked unchanged. The regular
-    ``run_group("corpus", ...)`` protocol then runs over it, so
-    per-query walls are directly comparable to a same-session 1x run —
-    the per-query growth exponent vs the 10x row count is the SCALING.md
-    payload. (Variant doc_ids have no embeddings rows, so
-    embedding-joined queries grow on the documents side only — stated
-    with the numbers.)
-
-    The timed group runs in a FRESH subprocess JVM (r9 review): the
-    fixture build is itself a Spark job, and timing the group in the
-    same warm JVM — spark.stop() stops the context, not the JVM —
-    violates the bench's own protocol (same-JVM class accumulation
-    drifts unchanged queries 1.5-2x, exactly the band the SCALING.md
-    ratio table reads as signal). The 1x comparator must be a plain
-    ``--group corpus`` child in the same session."""
+    per-copy hash-permuted word order + per-copy token, lang/source
+    kept, n_chars recomputed — see ``_doc_variants``); every other
+    table is symlinked unchanged. The regular ``run_group("corpus",
+    ...)`` protocol then runs over it in a fresh subprocess JVM
+    (``_child_group``), so per-query walls are directly comparable to
+    a same-session 1x ``--group corpus`` child — the per-query growth
+    exponent vs the 10x row count is the SCALING.md payload. (Variant
+    doc_ids have no embeddings rows, so embedding-joined queries grow
+    on the documents side only — stated with the numbers; the
+    embeddings side has its own probe, ``run_embeddings_grown``.)"""
     import shutil
     import tempfile
 
@@ -664,25 +695,11 @@ def run_corpus_grown(sf_dir: str, cpus: int, grow: int = 10) -> dict:
                 docs, grow - 1, keep_cols=("lang", "source", "n_chars")
             )
         )
-        grown.write.mode("overwrite").parquet(f"{work}/documents.parquet")
-        n_rows = spark.read.parquet(f"{work}/documents.parquet").count()
-        for t in os.listdir(sf_dir):
-            if t != "documents.parquet":
-                os.symlink(os.path.join(sf_dir, t), os.path.join(work, t))
-        spark.stop()
-        # fresh-JVM child over the grown fixture (see docstring)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--group", "corpus"],
-            stdout=subprocess.PIPE,
-            env=dict(
-                os.environ,
-                SPARK_GRAFT_SF_DIR=work,
-                SPARK_GRAFT_CPUS=str(cpus),
-            ),
-            check=True,
-            text=True,
+        n_rows = _stage_grown_fixture(
+            spark, sf_dir, "documents.parquet", grown, work
         )
-        timings = json.loads(proc.stdout.strip().splitlines()[-1])
+        spark.stop()
+        timings = _child_group("corpus", work, cpus)
         return {"grow": grow, "documents_rows": n_rows, "queries": timings}
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -776,36 +793,15 @@ def run_embeddings_grown(sf_dir: str, cpus: int, grow: int = 10) -> dict:
             shuffle_partitions=cpus,
         )
         emb = load_table(spark, sf_dir, "embeddings")
-        grown = emb.unionByName(_emb_variants(emb, grow - 1))
-        grown.write.mode("overwrite").parquet(f"{work}/embeddings.parquet")
         n_base = emb.count()
-        n_grown = spark.read.parquet(f"{work}/embeddings.parquet").count()
-        for t in os.listdir(sf_dir):
-            if t != "embeddings.parquet":
-                os.symlink(os.path.join(sf_dir, t), os.path.join(work, t))
+        grown = emb.unionByName(_emb_variants(emb, grow - 1))
+        n_grown = _stage_grown_fixture(
+            spark, sf_dir, "embeddings.parquet", grown, work
+        )
         spark.stop()
 
-        def child(fixture_dir: str) -> dict:
-            proc = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--group",
-                    "embeddings_ann",
-                ],
-                stdout=subprocess.PIPE,
-                env=dict(
-                    os.environ,
-                    SPARK_GRAFT_SF_DIR=fixture_dir,
-                    SPARK_GRAFT_CPUS=str(cpus),
-                ),
-                check=True,
-                text=True,
-            )
-            return json.loads(proc.stdout.strip().splitlines()[-1])
-
-        base_walls = child(sf_dir)
-        grown_walls = child(work)
+        base_walls = _child_group("embeddings_ann", sf_dir, cpus)
+        grown_walls = _child_group("embeddings_ann", work, cpus)
 
         # untimed quality pass: recall gates + true output rows
         from nginx_analytics_spark import registry

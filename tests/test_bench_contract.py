@@ -164,3 +164,71 @@ def test_doc_variants_compose_without_id_collisions(spark):
         f"variant pair shares {worst} 3-shingles — the per-slot "
         "permutation is leaking adjacency back through composition"
     )
+
+
+def test_emb_variants_stay_out_of_query_range_and_dissimilar(spark):
+    """r10 review: the embeddings-grown probe's recall gates rest on
+    two _emb_variants invariants that were untested (unlike the
+    _doc_variants twin): (a) variant vec_ids land far above the ANN
+    query-id range, so the SAME queries probe both fixture scales —
+    an offset/stride regression planting variants inside vec_id <
+    ANN_QUERY_COUNT would silently corrupt the 1x-vs-10x comparison;
+    (b) variants are genuinely pseudo-random and near-orthogonal to
+    the originals and to EACH OTHER — a pmod/cast mistake producing
+    constant or degenerate vectors would plant synthetic
+    near-neighbors and invalidate the recall-vs-scale numbers
+    SCALING.md records. Deterministic (xxhash-keyed), so no flake."""
+    import math
+
+    import bench
+    from pyspark.sql import functions as F
+
+    from nginx_analytics_spark.registry_dataops import ANN_QUERY_COUNT
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 40)
+    n = emb.count()
+    k = 3
+    variants = bench._emb_variants(emb, k)
+
+    rows = variants.collect()
+    assert len(rows) == n * k
+    # (a) id discipline: disjoint slots, all far above the query range
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == len(ids)
+    assert min(ids) >= 100_000_000 > ANN_QUERY_COUNT
+    base = {r.vec_id: r.embedding for r in emb.collect()}
+    dim = len(next(iter(base.values())))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return num / (da * db)
+
+    # (b) non-degenerate: every variant vector varies across components
+    # and stays inside the documented [-1, 1] component range
+    for r in rows:
+        assert len(r.embedding) == dim
+        assert len({round(x, 6) for x in r.embedding}) > dim // 4
+        assert all(-1.0 <= x <= 1.0 for x in r.embedding)
+    # near-orthogonal to the original they derive from AND to sibling
+    # variants of the same original (64-dim random geometry: |cos|
+    # concentrates near 0 with sd ~ 1/8; 0.55 leaves a wide margin and
+    # sits far below any similarity threshold in use)
+    by_orig: dict = {}
+    for r in rows:
+        orig_id = r.vec_id % 100_000_000
+        by_orig.setdefault(orig_id, []).append(list(r.embedding))
+    worst = 0.0
+    for orig_id, vs in by_orig.items():
+        for v in vs:
+            worst = max(worst, abs(cos(v, list(base[orig_id]))))
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                worst = max(worst, abs(cos(vs[i], vs[j])))
+    assert worst < 0.55, (
+        f"variant cosine {worst:.3f} — _emb_variants is planting "
+        "synthetic near-neighbors"
+    )
