@@ -722,36 +722,46 @@ ANN_GROWN_QUERIES = [
 
 def _emb_variants(emb, k: int, offset: int = 1, stride: int = 1):
     """``k`` DISSIMILAR synthetic variants of the embeddings frame:
-    deterministic pseudo-random vectors keyed by (vec_id, dim, slot) —
-    uniform [-1, 1] per component via xxhash64, so variants are
-    near-orthogonal to the originals and to each other (64-dim random
-    geometry: E[cosine]=0, sd~1/8). Corpus mass grows without planting
-    synthetic near-neighbors, so ANN walls measure scan/index growth
-    and the recall-vs-brute-force gates stay meaningful (same design
-    choice as _doc_variants' shingle-disjoint texts). Ids follow the
-    same slot scheme as _doc_variants; labels pass through so
-    label-grouped shapes keep their group count."""
+    deterministic pseudo-random UNIT vectors keyed by (vec_id, dim,
+    slot) — uniform [-1, 1] per component via xxhash64, then normalized
+    to unit length. Unit norm matters, not just direction (r10 probe
+    debugging): the fixture's embeddings are unit-norm, which is what
+    makes cosine and L2 rankings coincide — un-normalized variants
+    (norm ~sqrt(dim/3) ≈ 4.6) silently broke that equivalence on the
+    grown fixture, so the L2-ranked PQ path was being graded against a
+    cosine baseline it could never match even with an exhaustive
+    refine. Variants are near-orthogonal to the originals and to each
+    other (64-dim random geometry: E[cosine]=0, sd~1/8), so corpus
+    mass grows without planting synthetic near-neighbors and the
+    recall-vs-brute-force gates stay meaningful (same design choice as
+    _doc_variants' shingle-disjoint texts). Ids follow the same slot
+    scheme as _doc_variants; labels pass through so label-grouped
+    shapes keep their group count."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
     def variant(i):
         slot = i * stride + offset
+        raw = F.transform(
+            F.col("embedding"),
+            lambda x, d: (
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), d, F.lit(slot)),
+                    F.lit(2001),
+                )
+                - 1000
+            ).cast("double")
+            / 1000.0,
+        )
+        norm = F.sqrt(
+            F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
         return emb.select(
             (F.col("vec_id") + slot * 100_000_000).alias("vec_id"),
-            F.transform(
-                F.col("embedding"),
-                lambda x, d: (
-                    (
-                        F.pmod(
-                            F.xxhash64(F.col("vec_id"), d, F.lit(slot)),
-                            F.lit(2001),
-                        )
-                        - 1000
-                    ).cast("double")
-                    / 1000.0
-                ).cast("float"),
-            ).alias("embedding"),
+            F.transform(raw, lambda x: (x / norm).cast("float")).alias(
+                "embedding"
+            ),
             F.col("label"),
         )
 

@@ -746,16 +746,20 @@ def pq_topk(
     query. ``dist`` is then exact squared L2, not the ADC estimate.
 
     Calibration rule (r10 grown-fixture measurement, SCALING.md): when
-    quantization error dominates neighbor margins, the ADC shortlist
-    carries ~no ranking signal, so recall tracks the FRACTION R/n, not
-    the absolute depth — measured on the near-random sf0.1 fixture,
-    recall@5 at R=50 fell 0.54 (n=2,000, R/n=2.5%) → 0.00 (n=20,000,
-    R/n=0.25%). A fixed R is only valid on clustered real embeddings
-    whose margins exceed the quantization noise; on unstructured data
-    R must scale with the corpus (the structural-exactness tier,
-    refine >= n, is ``registry_dataops.ann_pq_topk_refined``). Callers
-    sizing R for a new corpus should measure recall against
-    :func:`brute_force_topk` on a sample first.
+    quantization error dominates neighbor margins, recall tracks the
+    FRACTION R/n, not the absolute depth — measured on the near-random
+    unit-sphere sf0.1 fixture at 2,000 vs 20,000 vectors, the same
+    R/n=2.5% gives ~the same recall@5 at both scales (0.54 and 0.58),
+    a fixed R=50 falls 0.54 → 0.22 as n grows 10×, R/n=10% gives
+    0.86, and R >= n gives exactly 1.00. A fixed R is only valid on
+    clustered real embeddings whose margins exceed the quantization
+    noise; on unstructured data R must scale with the corpus (the
+    structural-exactness tier, refine >= n, is
+    ``registry_dataops.ann_pq_topk_refined``). Callers sizing R for a
+    new corpus should measure recall against :func:`brute_force_topk`
+    on a sample first — and note the comparison is only meaningful on
+    norm-consistent vectors (cosine and L2 rankings coincide only at
+    unit norm; the r10 probe's first cut learned this the hard way).
 
     ``refine_exact_fold=True`` additionally makes the re-rank
     oracle-bit-exact: dist = dot(q,q) - 2*dot(q,v) + dot(v,v) with the

@@ -1344,12 +1344,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale caveat (r10, measured — SCALING.md embeddings-grown probe):
     refine=50 is a FIXED depth, and on this unstructured geometry
-    recall tracks the refine/corpus fraction (0.54 at n=2,000 → 0.00
-    at n=20,000). This query stays the benched cost headline for the
-    compressed-domain plan shape; recall-correct PQ at arbitrary scale
-    is ann_pq_topk_refined (refine >= corpus count, hash-green), and
-    production deployments must calibrate refine per corpus (see
-    similarity.pq_topk's calibration rule)."""
+    recall tracks the refine/corpus FRACTION (same 2.5% fraction →
+    ~same recall at 2,000 and 20,000 vectors; fixed 50 → 0.54 falls
+    to 0.22 at 10×). This query stays the benched cost headline for
+    the compressed-domain plan shape; recall-correct PQ at arbitrary
+    scale is ann_pq_topk_refined (refine >= corpus count, hash-green,
+    measured exactly 1.00 at 10×), and production deployments must
+    calibrate refine per corpus (see similarity.pq_topk's calibration
+    rule)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_QUERY_COUNT).select(
         F.col("vec_id").alias("query_id"), "embedding"

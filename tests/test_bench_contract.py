@@ -207,12 +207,16 @@ def test_emb_variants_stay_out_of_query_range_and_dissimilar(spark):
         db = math.sqrt(sum(x * x for x in b))
         return num / (da * db)
 
-    # (b) non-degenerate: every variant vector varies across components
-    # and stays inside the documented [-1, 1] component range
+    # (b) non-degenerate AND unit-norm: every variant vector varies
+    # across components and has |v| = 1 like the fixture's embeddings —
+    # the property that makes cosine and L2 rankings coincide. The r10
+    # probe originally shipped un-normalized variants (|v| ≈ 4.6) and
+    # the L2-ranked PQ path was silently graded against a cosine
+    # baseline it could never match even at exhaustive refine.
     for r in rows:
         assert len(r.embedding) == dim
         assert len({round(x, 6) for x in r.embedding}) > dim // 4
-        assert all(-1.0 <= x <= 1.0 for x in r.embedding)
+        assert abs(math.sqrt(sum(x * x for x in r.embedding)) - 1.0) < 1e-4
     # near-orthogonal to the original they derive from AND to sibling
     # variants of the same original (64-dim random geometry: |cos|
     # concentrates near 0 with sd ~ 1/8; 0.55 leaves a wide margin and
