@@ -754,15 +754,29 @@ def _emb_variants(emb, k: int, offset: int = 1, stride: int = 1):
             ).cast("double")
             / 1000.0,
         )
-        norm = F.sqrt(
-            F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x)
-        )
-        return emb.select(
+        # Two-step projection (r10 review): the hash transform is
+        # aliased to a column and the norm computed OVER THAT ATTRIBUTE
+        # — embedding sqrt(aggregate(raw_expr)) directly inside the
+        # normalize lambda re-evaluates the full 64-hash generation per
+        # ELEMENT (dim² xxhash64 calls per row; Catalyst's
+        # CollapseProject keeps a multiply-referenced expensive alias
+        # as a real projection, so the hashes run once per row here).
+        staged = emb.select(
             (F.col("vec_id") + slot * 100_000_000).alias("vec_id"),
-            F.transform(raw, lambda x: (x / norm).cast("float")).alias(
-                "embedding"
-            ),
+            raw.alias("_raw"),
             F.col("label"),
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                F.col("_raw"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        return staged.select(
+            "vec_id",
+            F.transform(
+                F.col("_raw"), lambda x: (x / norm).cast("float")
+            ).alias("embedding"),
+            "label",
         )
 
     return reduce(

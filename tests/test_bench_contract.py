@@ -1,5 +1,6 @@
-"""bench.py contract lints (plus the r9 variant-composition pin,
-which is the one test here that needs the shared Spark session)."""
+"""bench.py contract lints, plus the fixture-variant pins that need
+the shared Spark session: the r9 doc-variant composition/shingle test
+and the r10 embedding-variant id-range/unit-norm test."""
 
 from __future__ import annotations
 
