@@ -497,6 +497,23 @@ def ivf_topk(
     never touches the other cells' files; here the same pruning is a hash
     join on ``cell``. Recall depends on (n_cells, nprobe) — measured
     against brute force in the test suite.
+
+    Calibration rule (r10 grown-fixture measurement, SCALING.md): on
+    unstructured (uniform-sphere) geometry, recall tracks the SCAN
+    FRACTION nprobe/n_cells, not either knob alone — measured at 10×
+    the fixture corpus, 38% fraction gives recall@5 ≈ 0.76 at 16, 45,
+    and 64 cells alike, while dropping the fraction to 13% at fixed 45
+    cells drops recall to 0.50. So hold the fraction for recall and
+    size n_cells for partition granularity (n_cells ~ sqrt(n) is the
+    standard choice; more, smaller cells = finer at-rest pruning and
+    better rewrite parallelism at the same recall). Two caveats: on
+    CLUSTERED real embeddings the fraction needed for a target recall
+    is far lower (that is IVF's design case), and the centroid fit
+    itself adds run sensitivity on unstructured data — the seeded
+    KMeans samples per partition, so the same row multiset in a
+    different physical order can fit different cells (observed recall
+    spread ~±0.1-0.2 at a fixed config at 10×). Calibrate against
+    :func:`brute_force_topk` on a sample, like PQ's refine rule.
     """
     centroids = ivf_centroids(corpus, n_cells, vec_col, seed, max_iter)
     cv = corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
