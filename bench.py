@@ -236,6 +236,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "ann_cosine_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_ivf_indexed",
         "ann_pq_topk",
         "embedding_lsh_pairs",
     ],
@@ -714,6 +715,7 @@ ANN_GROWN_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_indexed",
     "ann_pq_topk",
     "embedding_centroids",
     "embedding_lsh_pairs",
@@ -846,7 +848,12 @@ def run_embeddings_grown(sf_dir: str, cpus: int, grow: int = 10) -> dict:
         recall = {}
         for fixture, tag in ((sf_dir, "base"), (work, "grown")):
             exact = topk_set("ann_cosine_topk", fixture)
-            for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk"):
+            for name in (
+                "ann_lsh_topk",
+                "ann_ivf_topk",
+                "ann_ivf_indexed",
+                "ann_pq_topk",
+            ):
                 got = topk_set(name, fixture)
                 recall.setdefault(name, {})[tag] = round(
                     len(exact & got) / len(exact), 3

@@ -436,20 +436,43 @@ def ivf_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    id_col: str = "vec_id",
+    sample_cap: int = 4096,
 ) -> np.ndarray:
-    """Fit the IVF coarse quantizer: seeded MLlib KMeans over the corpus.
+    """Fit the IVF coarse quantizer: seeded k-means over a DETERMINISTIC
+    corpus sample, so the fit is layout-invariant.
+
+    The pre-r11 fit (seeded MLlib KMeans over the distributed corpus)
+    sampled per partition, so the same row multiset in a different
+    physical order could fit different centroids — measured recall
+    spread ~±0.1-0.2 at a fixed config on unstructured geometry
+    (SCALING.md r10 sweep). Now the sample is chosen by PORTABLE HASH —
+    order by (xxhash64(id), id), a pure function of the rows in the
+    spirit of operators/sampling.py (the hash IS the rank: there is no
+    need for portable_frac's [0,1) mapping here, and its Weyl multiply
+    is domain-bounded to row-id-sized keys anyway) — and the fit runs
+    the seeded driver-side Lloyd kernel PQ already uses (:func:`_lloyd`),
+    so (row multiset, params) -> centroids is a pure function: permuting
+    or repartitioning the corpus yields bit-identical centroids
+    (tests/test_dataops.py::test_ivf_centroids_layout_invariant).
 
     The model is (n_cells x dim) — a driver-side constant like the SRP
-    hyperplanes, shipped to executors in UDF closures. At 100 TB fit on a
-    ``.sample()`` of the corpus (KMeans converges on a sketch of the
-    distribution); the fixture corpus is small enough to fit on directly.
+    hyperplanes, shipped to executors in UDF closures. A quantizer
+    converges on a sketch of the distribution, so ``sample_cap`` rows
+    suffice at any corpus scale (the pq_codebooks rationale); the
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    top-k merged on the driver, never a full sort shuffle.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(array_to_vector(as_double(vec_col)).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
-    return np.asarray(model.clusterCenters(), dtype=np.float64)
+    ranked = (
+        corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(sample_cap)
+    )
+    rows = ranked.collect()
+    if not rows:
+        raise ValueError("empty corpus")
+    x = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return _lloyd(x, n_cells, seed, max_iter)
 
 
 def nearest_cells(vec: Column, centroids: np.ndarray, nprobe: int) -> Column:
@@ -492,11 +515,15 @@ def ivf_topk(
 
     vs LSH: cells partition the corpus, so candidates need no ``distinct``
     (a corpus vector meets a query at most once) and the scanned fraction
-    is a hard ~nprobe/n_cells. At rest, writing the corpus partitioned or
-    bucketed by ``cell`` turns the probe into partition pruning — the scan
-    never touches the other cells' files; here the same pruning is a hash
-    join on ``cell``. Recall depends on (n_cells, nprobe) — measured
-    against brute force in the test suite.
+    is a hard ~nprobe/n_cells. At rest this pruning is storage-level:
+    :func:`ivf_write_bucketed` materializes the corpus partitioned by
+    ``cell`` with the centroids in a validated sidecar, and
+    :func:`ivf_topk_bucketed` probes it with an ``IN`` partition filter
+    so unprobed cells' files are never opened (proven at the file level
+    by tests/test_dataops.py::test_ivf_bucketed_at_rest_prunes_files);
+    here, in-memory, the same pruning is a hash join on ``cell``. Recall
+    depends on (n_cells, nprobe) — measured against brute force in the
+    test suite.
 
     Calibration rule (r10 grown-fixture measurement, SCALING.md): on
     unstructured (uniform-sphere) geometry, recall tracks the SCAN
@@ -506,16 +533,15 @@ def ivf_topk(
     cells drops recall to 0.50. So hold the fraction for recall and
     size n_cells for partition granularity (n_cells ~ sqrt(n) is the
     standard choice; more, smaller cells = finer at-rest pruning and
-    better rewrite parallelism at the same recall). Two caveats: on
+    better rewrite parallelism at the same recall). One caveat: on
     CLUSTERED real embeddings the fraction needed for a target recall
-    is far lower (that is IVF's design case), and the centroid fit
-    itself adds run sensitivity on unstructured data — the seeded
-    KMeans samples per partition, so the same row multiset in a
-    different physical order can fit different cells (observed recall
-    spread ~±0.1-0.2 at a fixed config at 10×). Calibrate against
-    :func:`brute_force_topk` on a sample, like PQ's refine rule.
+    is far lower (that is IVF's design case). Calibrate against
+    :func:`brute_force_topk` on a sample, like PQ's refine rule. (The
+    r10 sweep's second caveat — fit sensitivity to physical row order —
+    is gone: :func:`ivf_centroids` now fits on a portable-hash sample,
+    so centroids are a pure function of the row multiset.)
     """
-    centroids = ivf_centroids(corpus, n_cells, vec_col, seed, max_iter)
+    centroids = ivf_centroids(corpus, n_cells, vec_col, seed, max_iter, id_col)
     cv = corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
     assigned = cv.select(
         id_col, "cv", nearest_cells(F.col("cv"), centroids, 1)[0].alias("cell")
@@ -570,6 +596,41 @@ def _ivf_score_topk(
     )
 
 
+IVF_INDEX_META = "_ivf_meta.json"
+
+
+def ivf_index_meta_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{IVF_INDEX_META}"
+
+
+def read_ivf_index_meta(path: str, fs=None) -> dict:
+    """Load the at-rest IVF index's sidecar — the fitted centroids plus
+    the layout parameters they were fitted under — with ``centroids``
+    already validated and converted to a (n_cells x dim) float64 array.
+
+    Raises FileNotFoundError for a pre-sidecar (or foreign) directory
+    and ValueError for a corrupt one: probing with centroids that are
+    not the ones the corpus was PARTITIONED BY assigns queries to cells
+    the data doesn't live in and silently zeroes recall instead of
+    erroring — the same failure mode ``_lsh_meta.json`` guards against
+    for the LSH index (dedup.read_lsh_index_meta)."""
+    import json
+
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    meta = json.loads((fs or LOCAL_FS).read_text(ivf_index_meta_path(path)))
+    cents = np.asarray(meta.get("centroids"), dtype=np.float64)
+    if cents.ndim != 2 or cents.shape != (meta.get("n_cells"), meta.get("dim")):
+        raise ValueError(
+            f"IVF index at {path!r}: sidecar centroids shape "
+            f"{cents.shape} disagrees with its own (n_cells, dim) = "
+            f"({meta.get('n_cells')}, {meta.get('dim')}) — rebuild with "
+            "ivf_write_bucketed"
+        )
+    meta["centroids"] = cents
+    return meta
+
+
 def ivf_write_bucketed(
     corpus: DataFrame,
     path: str,
@@ -578,11 +639,16 @@ def ivf_write_bucketed(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 8,
+    fs=None,
 ) -> np.ndarray:
     """Materialize the IVF index AT REST: the corpus written to Parquet
-    partitioned by ``cell`` (one directory per inverted list). Returns the
-    fitted centroids — persist them alongside the index (they are the
-    index's metadata; ~n_cells x dim floats).
+    partitioned by ``cell`` (one directory per inverted list), with the
+    fitted centroids in a ``_ivf_meta.json`` sidecar (they ARE the
+    index's metadata — ~n_cells x dim floats; json float repr
+    round-trips float64 exactly, so the sidecar is bit-faithful). The
+    sidecar is written atomically AFTER the data, so a complete sidecar
+    marks a complete index. Also returns the centroids for callers that
+    probe immediately.
 
     This is the storage layout the in-memory :func:`ivf_topk` docstring
     promises: a probe becomes PARTITION PRUNING, so a query's scan opens
@@ -591,19 +657,32 @@ def ivf_write_bucketed(
     tests/test_dataops.py). At 100 TB this is the difference between
     scanning ~nprobe/n_cells of the corpus and scanning all of it;
     re-cluster periodically as the corpus drifts, like any IVF index.
-    """
-    centroids = ivf_centroids(corpus, n_cells, vec_col, seed, max_iter)
+    The registered probe is ``registry_dataops.ann_ivf_indexed``."""
+    import json
+
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    centroids = ivf_centroids(corpus, n_cells, vec_col, seed, max_iter, id_col)
     assigned = corpus.select(
         F.col(id_col), as_double(vec_col).alias("cv")
     ).withColumn("cell", nearest_cells(F.col("cv"), centroids, 1)[0])
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    meta = {
+        "id_col": id_col,
+        "n_cells": int(n_cells),
+        "dim": int(centroids.shape[1]),
+        "seed": int(seed),
+        "centroids": centroids.tolist(),
+    }
+    fs.write_text_atomic(ivf_index_meta_path(path), json.dumps(meta))
     return centroids
 
 
 def ivf_topk_bucketed(
     spark,
     path: str,
-    centroids: np.ndarray,
+    centroids: np.ndarray | None,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
@@ -611,6 +690,7 @@ def ivf_topk_bucketed(
     query_id_col: str = "query_id",
     nprobe: int = 4,
     round_to: int = 6,
+    fs=None,
 ) -> DataFrame:
     """Probe a bucketed-at-rest IVF index (written by
     :func:`ivf_write_bucketed`): compute the query batch's union of probe
@@ -618,10 +698,28 @@ def ivf_topk_bucketed(
     serving batch, not a second corpus), then scan the index with an
     ``IN`` partition filter so only those cells' files are opened.
 
+    ``centroids=None`` loads them from the index's validated sidecar —
+    the normal path. Passing centroids explicitly is allowed only if
+    they MATCH the sidecar (bit-equal after the json round-trip):
+    foreign centroids would probe cells the corpus wasn't partitioned
+    by, a silent-recall-zero bug, so the mismatch raises.
+
     Identical output to :func:`ivf_topk` given the same centroids — only
     the candidate-scan path differs (partition pruning vs hash join
     against an in-memory assignment).
     """
+    meta = read_ivf_index_meta(path, fs=fs)
+    if centroids is None:
+        centroids = meta["centroids"]
+    elif not np.array_equal(
+        np.asarray(centroids, dtype=np.float64), meta["centroids"]
+    ):
+        raise ValueError(
+            f"IVF index at {path!r}: caller-supplied centroids disagree "
+            "with the index's sidecar — the corpus is partitioned by the "
+            "sidecar's cells, so probing with foreign centroids silently "
+            "zeroes recall. Pass centroids=None to use the sidecar's."
+        )
     qv = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv"))
     probe_cells = sorted(
         int(r.cell)

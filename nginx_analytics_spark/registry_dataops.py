@@ -241,30 +241,34 @@ def _incr_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     return docs.filter(frac >= _INCR_NEW_FRAC), docs.filter(frac < _INCR_NEW_FRAC)
 
 
-def _staged_lsh_index(
-    corpus: DataFrame, sf_dir: str, split: bool = False
+def _staged_index(
+    sf_dir: str, table: str, family_key: str, validate, build
 ) -> str:
-    """Stage (or reuse) the corpus LSH index for the X69 queries and
-    return its path. Concurrency/tenancy contract (r5 ADVICE):
+    """Stage (or reuse) an at-rest index derived from one fixture table
+    and return its path — the shared mechanics of the X69 LSH staging
+    (generalized in r11 so the IVF at-rest index reuses the identical
+    contract instead of duplicating it). Concurrency/tenancy contract
+    (r5 ADVICE):
 
       * the staging ROOT is per-user (``nas_lsh_uid<uid>``, mode 0700)
         and its ownership is verified, so another local user cannot
         pre-create/squat the path;
-      * the index is keyed by (fixture dir, the documents parquet's
-        size+mtime fingerprint, signing parameters) and PUBLISHED
-        ATOMICALLY — built under a per-pid scratch name, then
-        ``os.rename``d into place. Readers only ever see a complete
-        index + ``_lsh_meta.json``; concurrent builders race on the
-        rename and the loser discards its scratch copy. This replaces
-        the r5 fixed overwrite-in-place path whose overwrite-vs-read
-        window could fail a concurrent pytest/driver/bench run.
+      * the index is keyed by (``family_key`` — fixture dir + build
+        parameters — and the source ``table`` parquet's size+mtime
+        fingerprint) and PUBLISHED ATOMICALLY — built under a per-pid
+        scratch name, then ``os.rename``d into place. Readers only ever
+        see a complete index + meta sidecar; concurrent builders race
+        on the rename and the loser discards its scratch copy. This
+        replaces the r5 fixed overwrite-in-place path whose
+        overwrite-vs-read window could fail a concurrent
+        pytest/driver/bench run.
       * reuse is sound because the index is a pure deterministic
-        function of (corpus rows, parameters), and the FILE FINGERPRINT
+        function of (source rows, parameters), and the FILE FINGERPRINT
         in the key makes a regenerated fixture at the same path a cache
-        MISS — without it a stale index would band-join new-batch
-        signatures against the old corpus's hashes and silently lose
-        recall, the exact failure mode the meta sidecar guards against
-        for parameter drift (r6 review finding).
+        MISS — without it a stale index would be probed against the old
+        corpus's contents and silently lose recall, the exact failure
+        mode the meta sidecars guard against for parameter drift (r6
+        review finding).
       * crash hygiene: scratch dirs older than an hour are reaped on
         entry (a builder killed mid-build otherwise leaks a full index
         under /tmp forever; the age bound keeps a LIVE concurrent
@@ -272,13 +276,12 @@ def _staged_lsh_index(
 
     The one-time BUILD amortizes across every later probe — exactly the
     production shape, where the corpus index lives at rest and each
-    incoming batch pays only its own signing + probe + pruned verify.
+    incoming batch/query pays only its own probe.
 
-    ``split=True`` stages the X79 variant: the index is built
-    INCREMENTALLY — write_lsh_index over the first ~half of the corpus,
-    then append_lsh_index folds in the rest — exercising the
-    index-maintenance path end-to-end while remaining content-identical
-    to the one-shot build (append only adds files)."""
+    ``validate(idx_path)`` must return normally for a reusable
+    published index and raise FileNotFoundError/ValueError otherwise
+    (the meta-sidecar readers do exactly this); ``build(idx_path)``
+    materializes the index at the given scratch path."""
     import hashlib
     import os
     import shutil
@@ -289,31 +292,27 @@ def _staged_lsh_index(
     st = os.stat(root)
     if st.st_uid != os.getuid():
         raise RuntimeError(
-            f"LSH staging root {root!r} is owned by uid {st.st_uid}, not "
+            f"index staging root {root!r} is owned by uid {st.st_uid}, not "
             f"{os.getuid()} — refusing to stage into a foreign directory"
         )
-    kind = "split" if split else "full"
     try:
-        st_docs = os.stat(os.path.join(sf_dir, "documents.parquet"))
-        fingerprint = f"{st_docs.st_size}:{st_docs.st_mtime_ns}"
+        st_src = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+        fingerprint = f"{st_src.st_size}:{st_src.st_mtime_ns}"
     except OSError:
         fingerprint = "nofile"
     # Two-part tag (r6 ADVICE): the FAMILY prefix hashes everything
-    # stable across fixture regenerations (fixture dir, full/split kind,
-    # signing parameters); the suffix hashes the documents-parquet
+    # stable across fixture regenerations (fixture dir, index kind,
+    # build parameters); the suffix hashes the source parquet's
     # size+mtime fingerprint. A regenerated fixture is still a cache
     # MISS (new suffix), but the stale published index is now
     # IDENTIFIABLE — it shares the family prefix — and is reaped below
     # instead of orphaning a full corpus index under /tmp forever.
-    family = hashlib.sha1(
-        f"{sf_dir}|{kind}|n3|h{dedup.NUM_HASHES}|r{dedup.ROWS_PER_BAND}"
-        .encode()
-    ).hexdigest()[:8]
+    family = hashlib.sha1(family_key.encode()).hexdigest()[:8]
     tag = f"{family}-{hashlib.sha1(fingerprint.encode()).hexdigest()[:12]}"
     final = os.path.join(root, tag)
     idx = os.path.join(final, "idx")
     try:
-        dedup.read_lsh_index_meta(idx)
+        validate(idx)
         return idx  # pre-staged and parameter-validated: reuse
     except (FileNotFoundError, ValueError):
         pass
@@ -339,18 +338,66 @@ def _staged_lsh_index(
             pass
     scratch = os.path.join(root, f".build-{tag}-{os.getpid()}")
     shutil.rmtree(scratch, ignore_errors=True)
-    if split:
-        half = sampling.portable_frac("doc_id", salt=_INCR_SALT) < F.lit(0.45)
-        dedup.write_lsh_index(corpus.filter(half), os.path.join(scratch, "idx"))
-        dedup.append_lsh_index(corpus.filter(~half), os.path.join(scratch, "idx"))
-    else:
-        dedup.write_lsh_index(corpus, os.path.join(scratch, "idx"))
+    build(os.path.join(scratch, "idx"))
     try:
         os.rename(scratch, final)
     except OSError:
         # a concurrent builder published first; its copy is equivalent
         shutil.rmtree(scratch, ignore_errors=True)
     return idx
+
+
+def _staged_lsh_index(
+    corpus: DataFrame, sf_dir: str, split: bool = False
+) -> str:
+    """Stage (or reuse) the corpus LSH index for the X69 queries
+    (mechanics: :func:`_staged_index`). ``split=True`` stages the X79
+    variant: the index is built INCREMENTALLY — write_lsh_index over
+    the first ~half of the corpus, then append_lsh_index folds in the
+    rest — exercising the index-maintenance path end-to-end while
+    remaining content-identical to the one-shot build (append only adds
+    files)."""
+    kind = "split" if split else "full"
+
+    def build(idx: str) -> None:
+        if split:
+            half = sampling.portable_frac("doc_id", salt=_INCR_SALT) < F.lit(0.45)
+            dedup.write_lsh_index(corpus.filter(half), idx)
+            dedup.append_lsh_index(corpus.filter(~half), idx)
+        else:
+            dedup.write_lsh_index(corpus, idx)
+
+    return _staged_index(
+        sf_dir,
+        "documents",
+        f"{sf_dir}|{kind}|n3|h{dedup.NUM_HASHES}|r{dedup.ROWS_PER_BAND}",
+        dedup.read_lsh_index_meta,
+        build,
+    )
+
+
+_IVF_INDEX_CELLS = 16  # the ann_ivf_topk configuration, kept identical
+
+
+def _staged_ivf_index(emb: DataFrame, sf_dir: str) -> str:
+    """Stage (or reuse) the at-rest IVF index for ``ann_ivf_indexed``
+    (mechanics: :func:`_staged_index`): the embeddings corpus written
+    cell-partitioned with the layout-invariant centroids in the
+    validated ``_ivf_meta.json`` sidecar (similarity.ivf_write_bucketed).
+    Fit determinism (ivf_centroids is a pure function of the row
+    multiset) is what makes the cache key sound — same fixture, same
+    parameters, same index, bit for bit."""
+
+    def build(idx: str) -> None:
+        similarity.ivf_write_bucketed(emb, idx, n_cells=_IVF_INDEX_CELLS)
+
+    return _staged_index(
+        sf_dir,
+        "embeddings",
+        f"{sf_dir}|ivf|c{_IVF_INDEX_CELLS}|s42|cap4096",
+        similarity.read_ivf_index_meta,
+        build,
+    )
 
 
 _INCR_NEAR_DUPS_SQL = f"""
@@ -1330,6 +1377,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_topk(emb, queries, k=ANN_K, n_cells=16, nprobe=6)
+
+
+@query("ann_ivf_indexed")  # approximate — identity-vs-ann_ivf_topk tested
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index AT REST (r10 verdict item 1, the ANN analogue of
+    X69/X79): the corpus lives cell-PARTITIONED on storage with the
+    centroids in a validated sidecar (similarity.ivf_write_bucketed,
+    staged once per fixture like the LSH index), and the probe is an
+    ``IN`` partition filter — only the nprobe probed cells' files are
+    ever OPENED, proven at the file level by deleting unprobed cells
+    mid-plan in tests/test_dataops.py::test_ivf_bucketed_at_rest_prunes_files.
+    Same (n_cells=16, nprobe=6) configuration as the in-memory
+    ``ann_ivf_topk``; because the r11 centroid fit is a pure function of
+    the row multiset, the two paths share centroids EXACTLY, so this
+    query's output is row-identical to ann_ivf_topk's (asserted in
+    tests/test_dataops.py) — recall is therefore the same 0.72/0.76
+    (sf0.001/sf0.1) at the same 6/16 scan fraction, and the at-rest
+    path's only delta is WHERE the candidates are read from. At 100 TB
+    this is the serving shape: the scan touches ~nprobe/n_cells of the
+    corpus's files, not all of them."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_COUNT).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = _staged_ivf_index(emb, sf_dir)
+    return similarity.ivf_topk_bucketed(
+        spark, idx, None, queries, k=ANN_K, nprobe=6
+    )
 
 
 @query("ann_pq_topk")  # approximate — recall-tested, not oracle-matched

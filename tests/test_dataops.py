@@ -201,11 +201,13 @@ def test_ivf_recall_vs_brute_force(spark):
         ).collect()
     }
     recall = len(brute & approx) / len(brute)
-    # Measured 0.76 on the seeded fixture at (16 cells, nprobe 6) — the
-    # corpus is near-uniform 64-dim noise, the hard case for IVF (true
-    # neighbors scatter across cells); gate leaves margin for a fixture
-    # regeneration. KMeans and the fixture are both seeded, so the value
-    # is deterministic per fixture.
+    # Measured 0.72 on the seeded fixture at (16 cells, nprobe 6) with the
+    # r11 layout-invariant fit (portable-hash sample + seeded Lloyd; the
+    # r10 MLlib fit read 0.76 here but moved ±0.1-0.2 with physical row
+    # order) — the corpus is near-uniform 64-dim noise, the hard case for
+    # IVF (true neighbors scatter across cells); gate leaves margin for a
+    # fixture regeneration. The fit and fixture are both pure functions of
+    # seeds, so the value is deterministic per fixture.
     assert recall >= 0.65, f"IVF recall {recall:.2f} below calibrated gate"
 
 
@@ -226,6 +228,64 @@ def test_ivf_cells_partition_corpus(spark):
     assert assigned.select("vec_id").distinct().count() == n
     cells = [r.cell for r in assigned.select("cell").distinct().collect()]
     assert all(0 <= c < 16 for c in cells)
+
+
+def test_ivf_centroids_layout_invariant(spark):
+    """(row multiset, params) -> centroids is a pure function (r10 verdict
+    item 2): repartitioning or physically permuting the corpus yields
+    BIT-IDENTICAL centroids, because the fit sample is chosen by id hash
+    (not per-partition) and Lloyd runs driver-side from a fixed seed."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = similarity.ivf_centroids(emb, n_cells=16)
+    shuffled = similarity.ivf_centroids(
+        emb.repartition(7).orderBy(F.rand(1)), n_cells=16
+    )
+    coalesced = similarity.ivf_centroids(
+        emb.orderBy(F.col("vec_id").desc()).coalesce(1), n_cells=16
+    )
+    assert np.array_equal(base, shuffled)
+    assert np.array_equal(base, coalesced)
+
+
+def test_ivf_sidecar_roundtrip_and_validation(spark, tmp_path):
+    """The at-rest index's _ivf_meta.json sidecar: (1) centroids survive
+    the json round-trip bit-exactly and centroids=None probes with them;
+    (2) foreign centroids are rejected loudly (probing cells the corpus
+    wasn't partitioned by would silently zero recall); (3) a sidecar-less
+    directory refuses to be probed at all."""
+    import numpy as np
+    import pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf_index")
+    cents = similarity.ivf_write_bucketed(emb, idx, n_cells=16)
+
+    meta = similarity.read_ivf_index_meta(idx)
+    assert np.array_equal(meta["centroids"], cents)  # bit-exact round-trip
+    assert meta["n_cells"] == 16 and meta["dim"] == 64
+
+    from_sidecar = similarity.ivf_topk_bucketed(
+        spark, idx, None, queries, k=5, nprobe=4
+    ).collect()
+    explicit = similarity.ivf_topk_bucketed(
+        spark, idx, cents, queries, k=5, nprobe=4
+    ).collect()
+    assert sorted(map(tuple, from_sidecar)) == sorted(map(tuple, explicit))
+    assert len(from_sidecar) == 3 * 5
+
+    foreign = cents + 1e-9  # a refit drifts centroids by far more
+    with pytest.raises(ValueError, match="disagree with the index's sidecar"):
+        similarity.ivf_topk_bucketed(spark, idx, foreign, queries, k=5)
+
+    bare = str(tmp_path / "not_an_index")
+    emb.write.mode("overwrite").parquet(bare)
+    with pytest.raises(FileNotFoundError):
+        similarity.ivf_topk_bucketed(spark, bare, None, queries, k=5)
 
 
 def test_ivf_bucketed_at_rest_prunes_files(spark, tmp_path):
@@ -302,6 +362,22 @@ def test_ivf_bucketed_at_rest_prunes_files(spark, tmp_path):
         (r.query_id, r.neighbor_id, r.cosine, r.rn) for r in out.collect()
     }
     assert got == expected
+
+
+def test_ann_ivf_indexed_matches_in_memory(spark):
+    """The registered at-rest probe (ann_ivf_indexed) returns EXACTLY the
+    in-memory ann_ivf_topk rows: both fit the same layout-invariant
+    centroids from the same (rows, params), so the cell partition is
+    identical and only the candidate-read path differs (partition-pruned
+    file scan vs in-memory hash join). Identity is the strongest form of
+    the 'recall >= in-memory at the same scan fraction' gate."""
+    from nginx_analytics_spark import registry
+
+    qs = registry.queries()
+    in_mem = {tuple(r) for r in qs["ann_ivf_topk"](spark, SF).collect()}
+    at_rest = {tuple(r) for r in qs["ann_ivf_indexed"](spark, SF).collect()}
+    assert at_rest == in_mem
+    assert len(at_rest) == 10 * 5  # 10 queries x k=5
 
 
 def test_embedding_lsh_pairs_recall(spark):
