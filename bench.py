@@ -799,9 +799,10 @@ def run_embeddings_grown(sf_dir: str, cpus: int, grow: int = 10) -> dict:
     Beyond walls, the probe re-measures the ANN quality gates at the
     grown scale (untimed, one extra session): recall@k of the LSH /
     IVF / PQ paths against the brute-force cosine baseline ON THE SAME
-    fixture, at 1x and at ``grow``x — the direct check that the fixed
-    heuristics (16 IVF cells / nprobe 6, PQ refine=50) hold as the
-    corpus grows — plus embedding_lsh_pairs' TRUE output rows at both
+    fixture, at 1x and at ``grow``x — the direct check that the
+    configured heuristics (16 IVF cells / nprobe 6, in-memory and
+    at-rest; PQ's default fraction-sized refine) hold as the corpus
+    grows — plus embedding_lsh_pairs' TRUE output rows at both
     scales, so a super-linear wall can be attributed to output growth
     (random-geometry pair density is quadratic by nature) rather than
     scan cost."""

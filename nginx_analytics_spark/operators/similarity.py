@@ -843,6 +843,8 @@ def pq_topk(
     seed: int = 42,
     round_to: int = 6,
     refine: int | None = None,
+    refine_frac: float | None = 0.025,
+    refine_floor: int = 50,
     refine_exact_fold: bool = False,
 ) -> DataFrame:
     """Approximate L2 top-k in the COMPRESSED domain (ADC): corpus
@@ -851,30 +853,39 @@ def pq_topk(
     corpus code scores with m table gathers + a sum — no original
     vectors touched during the scan.
 
-    ``refine=R`` adds the standard exact re-rank stage (IVFADC+R,
-    Jégou et al. 2011 §VI): the ADC scan keeps an R-deep shortlist per
-    query, the shortlist (R rows per query — tiny) joins back to the raw
-    vectors, and exact L2 decides the final top-k. On data whose
-    neighbors are separated by margins smaller than the quantization
-    noise (e.g. near-random fixtures), pure ADC ranking saturates;
-    re-ranking recovers it for the cost of R random vector lookups per
-    query. ``dist`` is then exact squared L2, not the ADC estimate.
+    The exact re-rank stage (IVFADC+R, Jégou et al. 2011 §VI) is ON BY
+    DEFAULT and FRACTION-SIZED: the ADC scan keeps a shortlist of
+    ``max(k, refine_floor, ceil(refine_frac * n))`` per query (n = the
+    corpus count — one cheap job over the checkpointed codes), the
+    shortlist joins back to the raw vectors, and exact L2 decides the
+    final top-k. On data whose neighbors are separated by margins
+    smaller than the quantization noise (e.g. near-random fixtures),
+    pure ADC ranking saturates; re-ranking recovers it for the cost of
+    shortlist-depth random vector lookups per query. ``dist`` is then
+    exact squared L2, not the ADC estimate. ``refine=R`` overrides with
+    an absolute depth (the pre-r11 interface — valid on clustered real
+    embeddings whose margins exceed the quantization noise, where a
+    constant R suffices); ``refine_frac=None`` with no ``refine``
+    disables re-ranking entirely (pure ADC).
 
-    Calibration rule (r10 grown-fixture measurement, SCALING.md): when
+    Why fraction-sized is the default (r10 grown-fixture measurement,
+    SCALING.md, re-confirmed under this default in r11): when
     quantization error dominates neighbor margins, recall tracks the
     FRACTION R/n, not the absolute depth — measured on the near-random
     unit-sphere sf0.1 fixture at 2,000 vs 20,000 vectors, the same
     R/n=2.5% gives ~the same recall@5 at both scales (0.54 and 0.58),
     a fixed R=50 falls 0.54 → 0.22 as n grows 10×, R/n=10% gives
-    0.86, and R >= n gives exactly 1.00. A fixed R is only valid on
-    clustered real embeddings whose margins exceed the quantization
-    noise; on unstructured data R must scale with the corpus (the
-    structural-exactness tier, refine >= n, is
-    ``registry_dataops.ann_pq_topk_refined``). Callers sizing R for a
-    new corpus should measure recall against :func:`brute_force_topk`
-    on a sample first — and note the comparison is only meaningful on
-    norm-consistent vectors (cosine and L2 rankings coincide only at
-    unit norm; the r10 probe's first cut learned this the hard way).
+    0.86, and R >= n gives exactly 1.00. So the default 2.5% holds
+    recall flat as the corpus grows, while ``refine_floor`` keeps small
+    corpora from under-refining (below 2,000 rows the floor, not the
+    fraction, is binding — the fixture configuration is unchanged by
+    this default). The structural-exactness tier (refine >= n) is
+    ``registry_dataops.ann_pq_topk_refined``. Callers tuning the
+    fraction for a new corpus should measure recall against
+    :func:`brute_force_topk` on a sample first — and note the
+    comparison is only meaningful on norm-consistent vectors (cosine
+    and L2 rankings coincide only at unit norm; the r10 probe's first
+    cut learned this the hard way).
 
     ``refine_exact_fold=True`` additionally makes the re-rank
     oracle-bit-exact: dist = dot(q,q) - 2*dot(q,v) + dot(v,v) with the
@@ -917,7 +928,15 @@ def pq_topk(
         )
 
     out_schema = f"{query_id_col} long, neighbor_id long, dist double"
-    depth = int(refine) if refine else k
+    if refine is not None:
+        depth = int(refine)
+    elif refine_frac is not None:
+        import math
+
+        depth = max(k, refine_floor, math.ceil(refine_frac * encoded.count()))
+    else:
+        depth = k
+    do_refine = refine is not None or refine_frac is not None
 
     def _adc(batches):
         for pdf in batches:
@@ -956,7 +975,7 @@ def pq_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()
     )
-    if refine:
+    if do_refine:
         shortlist = (
             cands.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= depth)

@@ -1411,29 +1411,28 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X37: product-quantization ANN — the compressed-domain third scale
     path: corpus stored as m-byte PQ codes (8x smaller than float32 at
-    m=8/dim=64), the ADC scan touches only codes, and a 50-deep exact
-    re-rank (IVFADC+R) recovers the ranking the quantization noise
-    blurs — mandatory on this fixture, whose near-random geometry puts
-    neighbor margins below the quantization error. Recall vs exact L2
-    asserted in tests; seeded codebooks make the result reproducible.
+    m=8/dim=64), the ADC scan touches only codes, and an exact re-rank
+    (IVFADC+R) recovers the ranking the quantization noise blurs —
+    mandatory on this fixture, whose near-random geometry puts neighbor
+    margins below the quantization error. Recall vs exact L2 asserted
+    in tests; seeded codebooks make the result reproducible.
 
-    Scale caveat (r10, measured — SCALING.md embeddings-grown probe):
-    refine=50 is a FIXED depth, and on this unstructured geometry
-    recall tracks the refine/corpus FRACTION (same 2.5% fraction →
-    ~same recall at 2,000 and 20,000 vectors; fixed 50 → 0.54 falls
-    to 0.22 at 10×). This query stays the benched cost headline for
-    the compressed-domain plan shape; recall-correct PQ at arbitrary
-    scale is ann_pq_topk_refined (refine >= corpus count, hash-green,
-    measured exactly 1.00 at 10×), and production deployments must
-    calibrate refine per corpus (see similarity.pq_topk's calibration
-    rule)."""
+    Refine depth is pq_topk's r11 DEFAULT — fraction-sized,
+    max(k, 50, ceil(2.5% of corpus)) — encoding the r10 measured rule
+    (recall tracks the refine/corpus FRACTION on unstructured geometry:
+    same 2.5% → ~same recall at 2,000 and 20,000 vectors, while the
+    former fixed refine=50 fell 0.54 → 0.22 at 10×; SCALING.md). At the
+    oracle/bench fixtures (≤2,000 vectors) the 50 floor binds, so this
+    query's rows and cost are IDENTICAL to the pre-r11 refine=50
+    headline; at 10× the fraction binds and recall stays flat (r11
+    grown-probe measurement). The structural-exactness tier is
+    ann_pq_topk_refined (refine >= corpus count, hash-green, exactly
+    1.00 at 10×)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_QUERY_COUNT).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.pq_topk(
-        emb, queries, k=ANN_K, m=8, n_codes=16, refine=10 * ANN_K
-    )
+    return similarity.pq_topk(emb, queries, k=ANN_K, m=8, n_codes=16)
 
 
 # Squared L2 with the same three-dot-product decomposition (and fold

@@ -94,9 +94,35 @@ def test_pq_topk_adc_only_beats_random(spark, emb, emb_np):
     queries = emb.filter(emb.vec_id < 10).select(
         emb.vec_id.alias("query_id"), "embedding"
     )
-    got = similarity.pq_topk(emb, queries, k=5, m=8).collect()
+    # refine_frac=None: pure ADC (re-ranking is the r11 default — this
+    # test pins the UNREFINED compressed-domain ranking specifically)
+    got = similarity.pq_topk(
+        emb, queries, k=5, m=8, refine_frac=None
+    ).collect()
     recall, _ = _recall_at_5(got, ids, x)
     assert recall >= 0.15, f"ADC recall@5 = {recall}"
+
+
+def test_pq_default_refine_floor_binds_on_fixture(spark, emb):
+    """r11: the default refine depth is max(k, refine_floor=50,
+    ceil(refine_frac=2.5% of n)). At the 500-vector fixture the floor
+    binds (ceil(12.5) < 50), so the default is row-identical to the
+    former fixed refine=50 headline — the ann_pq_topk registry rows are
+    unchanged by the default switch; only corpora past 2,000 vectors see
+    the fraction take over (measured in the bench grown probe)."""
+    queries = emb.filter(emb.vec_id < 10).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    default = sorted(
+        map(tuple, similarity.pq_topk(emb, queries, k=5, m=8).collect())
+    )
+    fixed = sorted(
+        map(
+            tuple,
+            similarity.pq_topk(emb, queries, k=5, m=8, refine=50).collect(),
+        )
+    )
+    assert default == fixed
 
 
 def test_pq_topk_deterministic(spark, emb):
