@@ -59,132 +59,138 @@ _ORACLES: dict[str, str] = {}
 # row from the PREVIOUS round — re-checking them adds wall time, not
 # record. A doc-lint test pins every listed name to a registered query.
 #
-# Round 10 (executing the rotation pre-committed in r9 and mandated by
-# the r9 verdict item 1). The due set is 71 names: the 21-name r9 spill
-# (latest row r7 — the oldest records on file, listed at r9's positions
-# 51-71 exactly) and the 50-name r8 cohort (latest row r8). A ~50-row
-# budget cannot hold 71, so _CHECK_FIRST lists ALL 71 in priority order
-# — the driver records the first ~50 and any extra budget falls exactly
-# on the designated spill instead of on already-fresh r9 rows:
-#   * positions 1-21: the r9 spill, in the pre-committed order
-#     (rows-only re-probes first, then the expensive pair/iterative
-#     shapes, then the variant shapes);
-#   * positions 22-50: 29 of the r8 cohort — the TPC-H named queries
-#     (SURVEY SS2.8 relational core), the curation/text heads
-#     (clean_corpus, tfidf_top_terms, heavy_tokens,
-#     embedding_centroids), the temporal/funnel heads
-#     (conversion_funnel, cohort_retention, asof_last_purchase,
-#     user_sessions, incremental_ip_stats), and
-#     quality_weighted_sample (X83, the newest operator's only row);
-#   * positions 51-71: the DESIGNATED r10 SPILL = the 21 r8 names that
+# Round 11 (executing the rotation the r10 verdict item 4 mandates).
+# Freshness going in (computed over CORRECTNESS_r1..r10): 21 names last
+# green r8 — exactly r10's designated spill (one accounting correction
+# to the r10 comment, per r10 ADVICE: simhash_near_dup belonged with
+# curate_corpus/ngram_jaccard_pairs in the ex-_CHECK_LAST bucket, not
+# the rows-only bucket; totals were right, attribution off by one) —
+# 50 names r9, 50 names r10, zero older. The due set is 72: the new
+# ann_ivf_indexed (no row yet), the 21-name r8 cohort, and the 50-name
+# r9 cohort. A ~50-row budget cannot hold 72, so _CHECK_FIRST lists ALL
+# 72 in priority order — the driver records the first ~50 and any extra
+# budget falls exactly on the designated spill instead of on
+# already-fresh r10 rows:
+#   * position 1: ann_ivf_indexed (new this round — the IVF at-rest
+#     probe; never recorded);
+#   * positions 2-22: the r8 cohort, in the order the r10 verdict
+#     pre-committed (alphabetical);
+#   * positions 23-50: 28 of the r9 cohort — the hash-green heads of
+#     each operator family (parse/anomaly/agg chain, curation/text,
+#     sampling, streaming windows, incremental dedup) where the row is
+#     the family's only fresh record;
+#   * positions 51-72: the DESIGNATED r11 SPILL = the 22 r9 names that
 #     cost the record least — the 7 rows-only entries whose driver row
 #     is only a row-count re-probe with the real recall/property gates
-#     in pytest (streaming_ingest_roundtrip, rt_model_predictions,
-#     rt_scoring_roundtrip, embedding_lsh_pairs, ann_lsh_topk,
-#     ann_ivf_topk, simhash_near_dup), the expensive pair/iterative
-#     shapes that sat in r9's _CHECK_LAST (curate_corpus,
-#     ngram_jaccard_pairs), and 12 hash-green variant shapes whose
-#     operator families hold fresher or same-round representatives
-#     (top_endpoints_bounded~top_endpoints r9,
-#     sliding_windowed_events & session_windows~windowed_events r9,
-#     stream_stream_left_join~stream_stream_join r9,
-#     salted_user_join & salted_ip_stats~batch_ip_stats r9,
-#     per_source_sample~stratified_sample_events r9,
-#     incremental_new_docs~incremental_near_dups r9,
-#     pack_chunks~doc_chunks r9, traffic_rollup~traffic_cube r10,
-#     corpus_report~corpus_report_incremental r9,
-#     latency_percentiles~latency_percentiles_approx r10 /
-#     kll_latency_percentiles_7d r9). They stay oracle-verified at
-#     both pytest tiers every round and head r11's _CHECK_FIRST
-#     together with whatever r10 adds.
+#     in pytest (approx_distinct_users, bpe_merges, cms_user_counts_7d,
+#     corpus_report_incremental, incremental_near_dups_probe,
+#     kll_latency_percentiles_7d, theta_user_overlap), the expensive
+#     pair/iterative/roundtrip shapes whose cheaper family heads ARE
+#     recorded this round (minhash_dedup_pairs~minhash_lsh_pairs r10,
+#     incremental_index_near_dups~incremental_near_dups r11,
+#     anomaly_job_roundtrip~zscore_anomaly r11, training_handoff,
+#     pii_redaction, stateful_key_profiles,
+#     stream_stream_join~stream_stream_left_join r11), and 8 hash-green
+#     variant shapes whose families hold fresher or same-round
+#     representatives (doc_logprob & doc_fingerprint~doc_quality/
+#     token_stats r11, grouped_split_users~stratified_sample_events
+#     r11, purchase_and_error_users~engaged_users r10,
+#     rolling_7d_avg~value_rank_profile r11, scd2_user_plans~
+#     asof_last_purchase r10, daily_event_matrix~traffic_cube r10,
+#     forecast_revenue~traffic_forecast r10). They stay oracle-verified
+#     at both pytest tiers every round and head r12's _CHECK_FIRST
+#     together with whatever r11 adds.
 _CHECK_FIRST = [
-    # --- positions 1-21: the pre-committed r9 spill (latest row r7) ---
-    "latency_percentiles_approx",
-    "ann_pq_topk",
-    "minhash_lsh_pairs",
-    "value_buckets_approx",
-    "sketch_distinct_users_7d",
-    "dedup_ingest_roundtrip",
-    "quality_classifier_scores",
+    # --- position 1: new this round, no driver row yet ---
+    "ann_ivf_indexed",
+    # --- positions 2-22: the r8 cohort (r10's designated spill) ---
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "corpus_report",
+    "curate_corpus",
+    "embedding_lsh_pairs",
+    "incremental_new_docs",
+    "latency_percentiles",
+    "ngram_jaccard_pairs",
+    "pack_chunks",
+    "per_source_sample",
+    "rt_model_predictions",
+    "rt_scoring_roundtrip",
+    "salted_ip_stats",
+    "salted_user_join",
+    "session_windows",
+    "simhash_near_dup",
+    "sliding_windowed_events",
+    "stream_stream_left_join",
+    "streaming_ingest_roundtrip",
+    "top_endpoints_bounded",
+    "traffic_rollup",
+    # --- positions 23-50: 28 r9 family heads ---
+    # reference parse/agg/anomaly chain
+    "count_raw",
+    "parse_enrich",
+    "batch_ip_stats",
+    "hourly_reagg",
+    "zscore_anomaly",
+    "anomaly_detail",
+    "training_features",
+    "predict_features",
+    "top_endpoints",
+    "exact_dedup_events",
+    "distinct_users",
+    "windowed_events",
+    "incremental_near_dups",
+    # relational / pricing heads
+    "pricing_summary",
+    "min_cost_supplier",
+    "purchase_window_counts",
+    "value_rank_profile",
+    # curation / text / multimodal heads
+    "doc_quality",
+    "token_stats",
+    "language_id",
+    "repetition_stats",
+    "doc_chunks",
+    "contamination_check",
+    "data_expectations",
+    "shard_manifest",
+    "frame_features",
+    "multimodal_features",
+    "stratified_sample_events",
+    # --- positions 51-72: the designated r11 spill (rows-only first) ---
+    "approx_distinct_users",
+    "bpe_merges",
+    "cms_user_counts_7d",
+    "corpus_report_incremental",
+    "incremental_near_dups_probe",
+    "kll_latency_percentiles_7d",
+    "theta_user_overlap",
+    "minhash_dedup_pairs",
+    "incremental_index_near_dups",
+    "anomaly_job_roundtrip",
+    "training_handoff",
+    "pii_redaction",
+    "stateful_key_profiles",
+    "stream_stream_join",
+    "doc_logprob",
+    "doc_fingerprint",
+    "grouped_split_users",
+    "purchase_and_error_users",
+    "rolling_7d_avg",
+    "scd2_user_plans",
+    "daily_event_matrix",
+    "forecast_revenue",
+]
+# Expensive pair/iterative/roundtrip queries holding a FRESH green row
+# (r10) — re-checking them within the same budget would only displace
+# due rows, so they sit last, after the r10-green middle.
+_CHECK_LAST = [
     "dedup_clusters",
     "exact_jaccard_pairs",
     "embedding_dedup_pairs",
-    "bpe_pair_counts",
-    "ann_pq_topk_refined",
-    "traffic_forecast",
-    "dataset_split_counts",
-    "temperature_sample_docs",
-    "value_deciles",
-    "traffic_cube",
-    "error_only_users",
-    "engaged_users",
-    "value_trends",
-    "ann_cosine_topk",
-    # --- positions 22-50: r8 cohort, TPC-H relational core first ---
-    "shipping_priority",
-    "local_supplier_volume",
-    "returned_items",
-    "supplier_part_counts",
-    "dominant_suppliers",
-    "waiting_suppliers",
-    "order_priority_check",
-    "priority_shipping",
-    "promo_revenue",
-    "large_volume_customers",
-    "volume_shipping",
-    "top_supplier",
-    "small_quantity_revenue",
-    "brand_size_revenue",
-    "idle_customers",
-    "market_share",
-    "customer_order_distribution",
-    "product_profit",
-    "important_parts",
-    # --- r8 cohort: curation / text heads ---
-    "clean_corpus",
-    "tfidf_top_terms",
-    "heavy_tokens",
-    "embedding_centroids",
-    "quality_weighted_sample",
-    # --- r8 cohort: temporal / funnel heads ---
-    "conversion_funnel",
-    "cohort_retention",
-    "asof_last_purchase",
-    "user_sessions",
-    "incremental_ip_stats",
-    # --- positions 51-71: the designated r10 spill (rows-only first) ---
-    "streaming_ingest_roundtrip",
-    "rt_model_predictions",
-    "rt_scoring_roundtrip",
-    "embedding_lsh_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "simhash_near_dup",
-    "curate_corpus",
-    "ngram_jaccard_pairs",
-    "top_endpoints_bounded",
-    "sliding_windowed_events",
-    "session_windows",
-    "stream_stream_left_join",
-    "salted_user_join",
-    "salted_ip_stats",
-    "per_source_sample",
-    "incremental_new_docs",
-    "pack_chunks",
-    "traffic_rollup",
-    "corpus_report",
-    "latency_percentiles",
-]
-# Expensive pair/iterative/stateful queries holding a FRESH green row
-# (r9) — re-checking them within the same budget would only displace
-# due rows, so they sit last, after the r9-green middle.
-_CHECK_LAST = [
-    "incremental_near_dups_probe",
-    "incremental_near_dups",
-    "incremental_index_near_dups",
-    "stateful_key_profiles",
-    "training_handoff",
-    "pii_redaction",
+    "minhash_lsh_pairs",
+    "quality_classifier_scores",
+    "dedup_ingest_roundtrip",
 ]
 
 
