@@ -327,7 +327,16 @@ def run_group(
     run("count_raw")  # warmup (untimed)
 
     timings: dict[str, float] = {}
-    for name in (names if names is not None else BENCH_GROUPS[group]):
+    group_names = names if names is not None else BENCH_GROUPS[group]
+    if group_names:
+        # Group-head warmup (r10 verdict item 7): the first TIMED query
+        # of a fresh JVM otherwise absorbs session/JIT warm-up that the
+        # trivial count_raw doesn't touch (parse_enrich read 1.12s in
+        # the r10 driver run vs 0.45s same-code warm) — one untimed run
+        # of the head query warms exactly its own code paths, so the
+        # timed samples measure the query, not the session.
+        run(group_names[0])
+    for name in group_names:
         samples = [run(name), run(name)]
         if max(samples) > 2 * min(samples):  # JIT deopt suspected
             samples.append(run(name))
@@ -561,7 +570,8 @@ def run_dedup_ingest_throughput(
             # population of the at-rest index — the log-structured
             # health number (flat sawtooth under periodic compaction =
             # steady state; monotonic growth = compaction not keeping
-            # up). Driver-side os.walk over a local dir, untimed-cheap.
+            # up). Post-run reconstruction is impossible (compaction
+            # DELETES files), so the walk must run in the stream span.
             return sum(
                 1
                 for root, _, files in os.walk(f"{work}/idx")
@@ -570,6 +580,23 @@ def run_dedup_ingest_throughput(
             )
 
         marks: list[tuple[float, int, int, float, int]] = []
+        walk_cost = [0.0]
+
+        def _on_batch(bid, n_in, n_novel, lock_wait) -> None:
+            # The mark timestamp is taken BEFORE the file walk, so the
+            # walk never lands in ITS batch's wall; what remains in-span
+            # (it delays the NEXT batch's start) is accumulated and
+            # reported as file_walk_s so the sustained probe's drift
+            # signal carries its own bias bound instead of hiding it
+            # (r10 ADVICE — at the 100-batch run's ~160 files this is
+            # sub-ms/batch, but it grows with index size).
+            mark_t = time.monotonic()
+            files = -1
+            if track_files:
+                files = _index_files()
+                walk_cost[0] += time.monotonic() - mark_t
+            marks.append((mark_t, n_in, n_novel, lock_wait, files))
+
         t0 = time.monotonic()
         q = start_dedup_ingest(
             stream,
@@ -579,15 +606,7 @@ def run_dedup_ingest_throughput(
             trigger={"availableNow": True},
             compact_every=compact_every,
             max_files_per_band=max_files_per_band,
-            on_batch=lambda bid, n_in, n_novel, lock_wait: marks.append(
-                (
-                    time.monotonic(),
-                    n_in,
-                    n_novel,
-                    lock_wait,
-                    _index_files() if track_files else -1,
-                )
-            ),
+            on_batch=_on_batch,
         )
         q.awaitTermination()
         sec = time.monotonic() - t0
@@ -621,6 +640,7 @@ def run_dedup_ingest_throughput(
     if track_files:
         out["lock_wait_s"] = [round(m[3], 3) for m in marks]
         out["index_files"] = [m[4] for m in marks]
+        out["file_walk_s"] = round(walk_cost[0], 3)
     return out
 
 
@@ -768,10 +788,16 @@ def _emb_variants(emb, k: int, offset: int = 1, stride: int = 1):
             raw.alias("_raw"),
             F.col("label"),
         )
-        norm = F.sqrt(
-            F.aggregate(
-                F.col("_raw"), F.lit(0.0), lambda acc, x: acc + x * x
-            )
+        # greatest(..., 1e-12): an all-zero hashed vector (probability
+        # ~2001^-64, but unguarded it would NaN-poison the recall gates
+        # silently — r10 ADVICE) divides by the clamp instead.
+        norm = F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    F.col("_raw"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            F.lit(1e-12),
         )
         return staged.select(
             "vec_id",
@@ -1024,9 +1050,9 @@ def main() -> None:
         "loadavg": {"start": load_start, "end": load_end},
         "load_gate": gate,
         "protocol": (
-            "loadavg gate, fresh JVM per group, sequential, best-of-2; "
-            "sub-second: sample to JIT plateau (cap 6, stop when a step "
-            "improves the best by <10%)"
+            "loadavg gate, fresh JVM per group, group-head warmed "
+            "untimed, sequential, best-of-2; sub-second: sample to JIT "
+            "plateau (cap 6, stop when a step improves the best by <10%)"
         ),
     }
     full_line = json.dumps(full)
