@@ -477,6 +477,7 @@ def run_dedup_ingest_throughput(
     compact_every: int | None = None,
     max_files_per_band: int = 8,
     track_files: bool = False,
+    layout: str = "local",
 ) -> dict:
     """Child-process entry (r7, closing the r6 'X80 has no measured
     number' finding): end-to-end throughput of the streaming dedup-ingest
@@ -511,9 +512,22 @@ def run_dedup_ingest_throughput(
 
     from pyspark.sql import functions as F
 
+    from nginx_analytics_spark.operators.dedup import read_lsh_index_rows
     from nginx_analytics_spark.session import get_spark
     from nginx_analytics_spark.sources import load_table
     from nginx_analytics_spark.streaming.dedup_ingest import start_dedup_ingest
+
+    # ``layout="manifest"`` runs the IDENTICAL loop through the
+    # ManifestIndexFS seam (the S3 manifest-pointer port: immutable unit
+    # dirs + one atomic manifest flip per visible change) — the r10
+    # verdict item 5 probe that the sustained steady state holds on the
+    # object-store layout, not just the local rename one.
+    if layout == "manifest":
+        from nginx_analytics_spark.operators.index_fs import ManifestIndexFS
+
+        fs = ManifestIndexFS()
+    else:
+        fs = None
 
     spark = get_spark(
         app_name="nginx_analytics_bench_dedup_ingest",
@@ -546,8 +560,10 @@ def run_dedup_ingest_throughput(
                 docs, pregrow, offset=replicate, stride=replicate
             )
             variants.write.mode("overwrite").parquet(f"{work}/corpus")
-            _dedup.write_lsh_index(variants, f"{work}/idx")
-            idx_rows_start = spark.read.parquet(f"{work}/idx").count()
+            _dedup.write_lsh_index(variants, f"{work}/idx", fs=fs)
+            idx_rows_start = read_lsh_index_rows(
+                spark, f"{work}/idx", fs=fs
+            ).count()
         for k in range(n_batches):
             batch = docs.filter(
                 F.crc32(F.col("doc_id").cast("string")) % n_batches == k
@@ -607,14 +623,14 @@ def run_dedup_ingest_throughput(
             compact_every=compact_every,
             max_files_per_band=max_files_per_band,
             on_batch=_on_batch,
+            fs=fs,
         )
         q.awaitTermination()
         sec = time.monotonic() - t0
         ends = [t0] + [m[0] for m in marks]
         batch_walls = [round(ends[i + 1] - ends[i], 3) for i in range(len(marks))]
         admitted = sum(m[2] for m in marks)
-        idx = spark.read.parquet(f"{work}/idx")
-        idx_rows = idx.count()
+        idx_rows = read_lsh_index_rows(spark, f"{work}/idx", fs=fs).count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
@@ -641,6 +657,8 @@ def run_dedup_ingest_throughput(
         out["lock_wait_s"] = [round(m[3], 3) for m in marks]
         out["index_files"] = [m[4] for m in marks]
         out["file_walk_s"] = round(walk_cost[0], 3)
+    if layout != "local":
+        out["layout"] = layout
     return out
 
 
@@ -997,6 +1015,16 @@ def main() -> None:
             print(json.dumps(run_dedup_ingest_throughput(
                 sf_dir, cpus, n_batches=100, compact_every=10,
                 track_files=True,
+            )))
+        elif sys.argv[2] == "dedup_ingest_sustained_manifest":
+            # opt-in (r10 verdict item 5): the same 100-batch sustained
+            # probe through the ManifestIndexFS seam — closes the
+            # operational story for the S3-shaped port (expected: same
+            # sawtooth, manifest flips instead of dir renames);
+            # SCALING.md payload
+            print(json.dumps(run_dedup_ingest_throughput(
+                sf_dir, cpus, n_batches=100, compact_every=10,
+                track_files=True, layout="manifest",
             )))
         else:
             print(json.dumps(run_group(sys.argv[2], sf_dir, cpus)))
