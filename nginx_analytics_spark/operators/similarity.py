@@ -679,6 +679,39 @@ def ivf_write_bucketed(
     return centroids
 
 
+def ivf_append_bucketed(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs=None,
+) -> None:
+    """Fold NEW vectors into an at-rest IVF index without a rebuild —
+    the maintenance path that closes the write→append→probe lifecycle
+    (the X79 ``append_lsh_index`` analogue): each new vector is
+    assigned to its nearest centroid FROM THE SIDECAR and appended into
+    the matching ``cell=`` partitions (Parquet append — only touched
+    cells gain files). The quantizer is deliberately NOT refit: append
+    preserves the index's cell geometry so existing data never moves
+    and concurrent probes stay correct; like any IVF index, re-cluster
+    periodically (a fresh :func:`ivf_write_bucketed`) as distribution
+    drift accumulates — the standard signal is the mean
+    assignment-distance of recent appends creeping above the build-time
+    mean. Raises loudly (via :func:`read_ivf_index_meta`) rather than
+    appending under unknown centroids, which would scatter vectors
+    into cells probes won't look in."""
+    meta = read_ivf_index_meta(path, fs=fs)
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"IVF index at {path!r} was built with id_col="
+            f"{meta['id_col']!r}, not {id_col!r}"
+        )
+    assigned = new_vecs.select(
+        F.col(id_col), as_double(vec_col).alias("cv")
+    ).withColumn("cell", nearest_cells(F.col("cv"), meta["centroids"], 1)[0])
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+
+
 def ivf_topk_bucketed(
     spark,
     path: str,

@@ -364,6 +364,70 @@ def test_ivf_bucketed_at_rest_prunes_files(spark, tmp_path):
     assert got == expected
 
 
+def test_ivf_append_bucketed_lifecycle(spark, tmp_path):
+    """The at-rest IVF maintenance path (write -> append -> probe, the
+    X79 analogue): (1) appends assign against the SIDECAR centroids, so
+    the appended index's probe equals scoring the full corpus under the
+    half-corpus quantizer — content-wise the append is invisible;
+    (2) a planted near-duplicate of a query vector, appended later,
+    becomes that query's top-1 — appended rows are genuinely probed;
+    (3) the sidecar is untouched by appends; (4) appending under a
+    foreign id_col fails loudly."""
+    import numpy as np
+    import pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf_index")
+    cents = similarity.ivf_write_bucketed(first, idx, n_cells=16)
+    similarity.ivf_append_bucketed(rest, idx)
+
+    got = {
+        tuple(r)
+        for r in similarity.ivf_topk_bucketed(
+            spark, idx, None, queries, k=5, nprobe=4
+        ).collect()
+    }
+    # oracle: the full corpus assigned under the SAME (half-fit) centroids
+    full_assigned = emb.select(
+        "vec_id", similarity.as_double("embedding").alias("cv")
+    ).withColumn("cell", similarity.nearest_cells(F.col("cv"), cents, 1)[0])
+    want = {
+        tuple(r)
+        for r in similarity._ivf_score_topk(
+            full_assigned, queries, cents, 5,
+            "vec_id", "embedding", "query_id", 4, 6,
+        ).collect()
+    }
+    assert got == want
+
+    # a later append whose vector ~equals query 0's must become its top-1
+    q0 = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    twin = spark.createDataFrame(
+        [(900000, [float(v) for v in q0])],
+        "vec_id long, embedding array<float>",
+    )
+    similarity.ivf_append_bucketed(twin, idx)
+    top1 = (
+        similarity.ivf_topk_bucketed(spark, idx, None, queries, k=1, nprobe=4)
+        .filter(F.col("query_id") == 0)
+        .collect()
+    )
+    assert top1[0].neighbor_id == 900000 and top1[0].cosine == 1.0
+
+    assert np.array_equal(
+        similarity.read_ivf_index_meta(idx)["centroids"], cents
+    )  # appends never move the quantizer
+    with pytest.raises(ValueError, match="id_col"):
+        similarity.ivf_append_bucketed(
+            twin.withColumnRenamed("vec_id", "doc_id"), idx, id_col="doc_id"
+        )
+
+
 def test_ann_ivf_indexed_matches_in_memory(spark):
     """The registered at-rest probe (ann_ivf_indexed) returns EXACTLY the
     in-memory ann_ivf_topk rows: both fit the same layout-invariant
