@@ -459,18 +459,38 @@ def ivf_centroids(
     The model is (n_cells x dim) — a driver-side constant like the SRP
     hyperplanes, shipped to executors in UDF closures. A quantizer
     converges on a sketch of the distribution, so ``sample_cap`` rows
-    suffice at any corpus scale (the pq_codebooks rationale); the
-    orderBy+limit compiles to TakeOrderedAndProject — per-partition
-    top-k merged on the driver, never a full sort shuffle.
+    suffice at any corpus scale (the pq_codebooks rationale) — but the
+    sample must also carry the CELL COUNT: the effective cap is
+    ``max(sample_cap, 32 * n_cells)`` (below ~a-few-dozen points per
+    centroid the k-means++ seeding degenerates toward duplicate
+    centroids and empty cells — the r11 review's n_cells ~ sqrt(n)
+    scenario), and fewer sampled rows than centroids raises outright.
+    The orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    top-k merged on the driver, never a full sort shuffle. The third
+    sort key (xxhash64 of the id AND vector) only matters for corpora
+    with DUPLICATE ids: it makes the boundary cut row-determined there
+    too, so layout invariance needs no uniqueness precondition (for
+    unique ids the first two keys already decide, and the sample — and
+    therefore every measured recall number — is unchanged).
     """
+    cap = max(sample_cap, 32 * n_cells)
     ranked = (
         corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(sample_cap)
+        .orderBy(
+            F.xxhash64(F.col(id_col)).asc(),
+            F.col(id_col).asc(),
+            F.xxhash64(F.col(id_col), F.col("v")).asc(),
+        )
+        .limit(cap)
     )
     rows = ranked.collect()
     if not rows:
         raise ValueError("empty corpus")
+    if len(rows) < n_cells:
+        raise ValueError(
+            f"corpus sample has {len(rows)} rows < n_cells={n_cells} — "
+            "cannot fit more centroids than points"
+        )
     x = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     return _lloyd(x, n_cells, seed, max_iter)
 
@@ -552,7 +572,7 @@ def ivf_topk(
 
 def _ivf_score_topk(
     assigned: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None,
     centroids: np.ndarray,
     k: int,
     id_col: str,
@@ -560,16 +580,25 @@ def _ivf_score_topk(
     query_id_col: str,
     nprobe: int,
     round_to: int,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Shared probe/score/top-k tail of the IVF paths: join the assigned
     corpus (id, cv, cell) against each query's nprobe probe cells, exact
-    cosine inside probed cells only, per-query top-k."""
-    qv = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv"))
-    probes = qv.select(
-        query_id_col,
-        "qv",
-        F.explode(nearest_cells(F.col("qv"), centroids, nprobe)).alias("cell"),
-    )
+    cosine inside probed cells only, per-query top-k. ``probes`` lets a
+    caller that already materialized the (query_id, qv, cell) frame
+    (the at-rest path needs it driver-side for the partition filter)
+    pass it in instead of re-running the cell-assignment kernel."""
+    if probes is None:
+        qv = queries.select(
+            F.col(query_id_col), as_double(vec_col).alias("qv")
+        )
+        probes = qv.select(
+            query_id_col,
+            "qv",
+            F.explode(
+                nearest_cells(F.col("qv"), centroids, nprobe)
+            ).alias("cell"),
+        )
     scored = (
         assigned.join(
             F.broadcast(probes),
@@ -639,6 +668,7 @@ def ivf_write_bucketed(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 8,
+    sample_cap: int = 4096,
     fs=None,
 ) -> np.ndarray:
     """Materialize the IVF index AT REST: the corpus written to Parquet
@@ -663,7 +693,9 @@ def ivf_write_bucketed(
     from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
     fs = fs or LOCAL_FS
-    centroids = ivf_centroids(corpus, n_cells, vec_col, seed, max_iter, id_col)
+    centroids = ivf_centroids(
+        corpus, n_cells, vec_col, seed, max_iter, id_col, sample_cap
+    )
     assigned = corpus.select(
         F.col(id_col), as_double(vec_col).alias("cv")
     ).withColumn("cell", nearest_cells(F.col("cv"), centroids, 1)[0])
@@ -754,17 +786,21 @@ def ivf_topk_bucketed(
             "zeroes recall. Pass centroids=None to use the sidecar's."
         )
     qv = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv"))
+    # One cell-assignment pass over the query batch, materialized (the
+    # batch is small by contract): both the driver-side IN filter and
+    # the probe join read the checkpointed frame, instead of running
+    # the nearest_cells kernel twice (r11 review).
+    probes = qv.select(
+        query_id_col,
+        "qv",
+        F.explode(nearest_cells(F.col("qv"), centroids, nprobe)).alias("cell"),
+    ).localCheckpoint(eager=True)
     probe_cells = sorted(
-        int(r.cell)
-        for r in qv.select(
-            F.explode(nearest_cells(F.col("qv"), centroids, nprobe)).alias("cell")
-        )
-        .distinct()
-        .collect()
+        int(r.cell) for r in probes.select("cell").distinct().collect()
     )
     assigned = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
-    return _ivf_score_topk(assigned, queries, centroids, k, id_col, vec_col,
-                           query_id_col, nprobe, round_to)
+    return _ivf_score_topk(assigned, None, centroids, k, id_col, vec_col,
+                           query_id_col, nprobe, round_to, probes=probes)
 
 
 # --------------------------------------------------------------------------
@@ -961,6 +997,14 @@ def pq_topk(
         )
 
     out_schema = f"{query_id_col} long, neighbor_id long, dist double"
+    if refine is not None and int(refine) <= 0:
+        # pre-r11 `if refine:` treated 0 as pure-ADC; silently keeping a
+        # 0-deep shortlist would now return EMPTY results — fail loudly
+        # and name the disable spelling instead (r11 review).
+        raise ValueError(
+            "refine must be a positive shortlist depth; for a pure ADC "
+            "scan pass refine_frac=None (and no refine)"
+        )
     if refine is not None:
         depth = int(refine)
     elif refine_frac is not None:

@@ -376,7 +376,12 @@ def _staged_lsh_index(
     )
 
 
-_IVF_INDEX_CELLS = 16  # the ann_ivf_topk configuration, kept identical
+# ann_ivf_topk's exact fit configuration — the at-rest/in-memory row
+# identity asserted in tests requires the two paths to share it.
+_IVF_INDEX_CELLS = 16
+_IVF_SEED = 42
+_IVF_MAX_ITER = 8
+_IVF_SAMPLE_CAP = 4096
 
 
 def _staged_ivf_index(emb: DataFrame, sf_dir: str) -> str:
@@ -386,15 +391,27 @@ def _staged_ivf_index(emb: DataFrame, sf_dir: str) -> str:
     validated ``_ivf_meta.json`` sidecar (similarity.ivf_write_bucketed).
     Fit determinism (ivf_centroids is a pure function of the row
     multiset) is what makes the cache key sound — same fixture, same
-    parameters, same index, bit for bit."""
+    parameters, same index, bit for bit. Every fit parameter the build
+    passes appears in the family key FROM THE SAME CONSTANTS (r11
+    review: literals that merely mirror defaults would let a future
+    default change silently reuse stale cached centroids — the exact
+    parameter-drift mode the key exists to prevent)."""
 
     def build(idx: str) -> None:
-        similarity.ivf_write_bucketed(emb, idx, n_cells=_IVF_INDEX_CELLS)
+        similarity.ivf_write_bucketed(
+            emb,
+            idx,
+            n_cells=_IVF_INDEX_CELLS,
+            seed=_IVF_SEED,
+            max_iter=_IVF_MAX_ITER,
+            sample_cap=_IVF_SAMPLE_CAP,
+        )
 
     return _staged_index(
         sf_dir,
         "embeddings",
-        f"{sf_dir}|ivf|c{_IVF_INDEX_CELLS}|s42|cap4096",
+        f"{sf_dir}|ivf|c{_IVF_INDEX_CELLS}|s{_IVF_SEED}"
+        f"|i{_IVF_MAX_ITER}|cap{_IVF_SAMPLE_CAP}",
         similarity.read_ivf_index_meta,
         build,
     )
@@ -1484,8 +1501,9 @@ def ann_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = qq - 2qv + vv with the deterministic sequential
     :func:`similarity.dot` and ranks on the half-up-rounded value,
     mirroring the SQL twin term for term. The production configuration
-    (refine=50) stays the benched headline ``ann_pq_topk``; this query
-    pins the plan's correctness, the headline its cost."""
+    (pq_topk's fraction-sized default, max(k, 50, ceil(2.5% of n)))
+    stays the benched headline ``ann_pq_topk``; this query pins the
+    plan's correctness, the headline its cost."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_QUERY_COUNT).select(
         F.col("vec_id").alias("query_id"), "embedding"

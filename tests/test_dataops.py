@@ -249,6 +249,55 @@ def test_ivf_centroids_layout_invariant(spark):
     assert np.array_equal(base, coalesced)
 
 
+def test_ivf_centroids_guards_and_duplicate_id_invariance(spark):
+    """r11 review regressions: (1) more centroids than sampled points
+    raises instead of silently fitting duplicate centroids; (2) the cap
+    scales with n_cells (max(sample_cap, 32*n_cells)) so a small
+    explicit cap cannot starve a large fit; (3) DUPLICATE ids stay
+    layout-invariant — the third sort key (xxhash64 of id+vector) makes
+    the sample boundary row-determined even when ids tie."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(3)
+    # 100 rows, every id duplicated with a DIFFERENT vector
+    rows = [
+        (i // 2, [float(v) for v in rng.normal(size=8)]) for i in range(100)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    with pytest.raises(ValueError, match="cannot fit more centroids"):
+        similarity.ivf_centroids(corpus.limit(6), n_cells=16)
+
+    # sample_cap=1 is overridden to 32*n_cells=64 > 16, so this fits
+    cents = similarity.ivf_centroids(corpus, n_cells=2, sample_cap=1)
+    assert cents.shape == (2, 8)
+
+    # duplicate-id layout invariance with the cap (64) below the corpus
+    # size (100): which duplicate crosses the boundary is decided by the
+    # row-determined third key, never by physical order
+    a = similarity.ivf_centroids(corpus, n_cells=2, sample_cap=64)
+    b = similarity.ivf_centroids(
+        corpus.repartition(7).orderBy(F.rand(5)), n_cells=2, sample_cap=64
+    )
+    assert np.array_equal(a, b)
+
+
+def test_pq_refine_zero_raises(spark):
+    """r11 review regression: pre-r11 `refine=0` meant pure ADC; under
+    the default-refine interface a 0-deep shortlist would silently
+    return EMPTY results, so it must raise and name the disable
+    spelling."""
+    import pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="refine_frac=None"):
+        similarity.pq_topk(emb, queries, k=5, m=8, refine=0)
+
+
 def test_ivf_sidecar_roundtrip_and_validation(spark, tmp_path):
     """The at-rest index's _ivf_meta.json sidecar: (1) centroids survive
     the json round-trip bit-exactly and centroids=None probes with them;
