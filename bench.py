@@ -239,6 +239,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "ann_ivf_indexed",
         "ann_pq_topk",
         "embedding_lsh_pairs",
+        "incremental_embedding_near_dups_probe",
     ],
 }
 
@@ -282,6 +283,10 @@ BENCH_EXCLUDED: dict[str, str] = {
     "incremental_near_dups": (
         "index build + exact_net oracle gate; headline = "
         "incremental_near_dups_probe"
+    ),
+    "incremental_embedding_near_dups": (
+        "X84 index build + exact_net oracle gate; headline = "
+        "incremental_embedding_near_dups_probe"
     ),
     "incremental_index_near_dups": (
         "X79 append-built-index oracle gate; headline = "

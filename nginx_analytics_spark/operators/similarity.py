@@ -426,6 +426,289 @@ def hyperplane_lsh_topk(
 
 
 # --------------------------------------------------------------------------
+# At-rest SRP index + incremental embedding near-dups (X84) — the
+# X69/X79 write→append→probe lifecycle for the EMBEDDING modality,
+# mirroring operators/dedup.py's MinHash-LSH index for text
+# --------------------------------------------------------------------------
+
+SRP_INDEX_META = "_srp_meta.json"
+
+
+def srp_index_meta_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{SRP_INDEX_META}"
+
+
+def read_srp_index_meta(path: str, fs=None) -> dict:
+    """Load the SRP index's parameter sidecar. Raises FileNotFoundError
+    for a pre-sidecar (or foreign) directory — a probe signed under
+    different (n_planes, bands, dim, seed) hashes into disjoint buckets
+    and silently returns ~nothing, the same failure mode
+    ``_lsh_meta.json`` guards for the text index."""
+    import json
+
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    return json.loads((fs or LOCAL_FS).read_text(srp_index_meta_path(path)))
+
+
+def _check_srp_index_meta(index_path: str, want: dict, fs=None) -> None:
+    try:
+        have = read_srp_index_meta(index_path, fs=fs)
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"SRP index at {index_path!r} has no {SRP_INDEX_META} sidecar — "
+            "rebuild it with write_srp_index (probing an index of unknown "
+            "signing parameters silently loses recall)"
+        ) from e
+    mismatched = {k: (have.get(k), v) for k, v in want.items() if have.get(k) != v}
+    if mismatched:
+        raise ValueError(
+            f"SRP index at {index_path!r} was built under different "
+            f"parameters: {mismatched} (sidecar value, caller value) — "
+            "probe with the index's parameters or rebuild"
+        )
+
+
+def srp_band_keys(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band_idx, band_hash) SRP bucket keys — the banding expression
+    :func:`hyperplane_lsh_pairs`/:func:`hyperplane_lsh_topk` join on,
+    exposed as the at-rest index's row format. The key column is named
+    ``band_hash`` (matching the text index's schema) so the
+    ``index_fs`` ``store_*`` seam and its sort-within-band layout apply
+    verbatim. One Arrow matmul signature pass; the planes are fully
+    derived from (dim, n_planes, seed), so the sidecar stores only
+    parameters, never the matrix."""
+    planes = hyperplanes(dim, n_planes, seed)
+    chunk = n_planes // bands
+    mask = (1 << chunk) - 1
+    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    return v.select(
+        F.col(id_col), srp_signature_batch(F.col("v"), planes).alias("sig")
+    ).select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), b * chunk).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def write_srp_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    fs=None,
+) -> None:
+    """Materialize the embedding corpus's SRP index AT REST: (id,
+    band_idx, band_hash) rows, partitioned by band_idx and sorted by
+    band_hash within each band — a probe reads matching band
+    partitions and row groups, never the corpus's vectors. The index is
+    bands x corpus rows of three longs (vector payloads stay in the
+    corpus table), so per-batch near-dup checks touch this table plus
+    only the CANDIDATES' vectors. A ``_srp_meta.json`` sidecar pins
+    (id_col, n_planes, bands, dim, seed); probes validate it first.
+
+    Storage layout is the fs seam's to own, exactly like the text
+    index (dedup.write_lsh_index): a seam exposing ``store_write``
+    (ManifestIndexFS) gets the writes delegated wholesale."""
+    import json
+
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    keys = srp_band_keys(emb, id_col, vec_col, n_planes, bands, dim, seed)
+    if hasattr(fs, "store_write"):
+        fs.store_write(keys, path)
+    else:
+        (
+            keys.repartition("band_idx")
+            .sortWithinPartitions("band_hash")
+            .write.mode("overwrite")
+            .partitionBy("band_idx")
+            .parquet(path)
+        )
+    meta = {
+        "id_col": id_col,
+        "n_planes": n_planes,
+        "bands": bands,
+        "dim": dim,
+        "seed": seed,
+    }
+    fs.write_text_atomic(srp_index_meta_path(path), json.dumps(meta))
+
+
+def append_srp_index(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    fs=None,
+) -> None:
+    """Fold a new batch into an existing SRP index WITHOUT re-signing
+    the corpus: sign only the batch, append into the same band
+    partitions (the X79 ``append_lsh_index`` analogue). The sidecar is
+    validated first — appending keys signed under different planes
+    would poison the index silently."""
+    _check_srp_index_meta(
+        path,
+        {
+            "id_col": id_col,
+            "n_planes": n_planes,
+            "bands": bands,
+            "dim": dim,
+            "seed": seed,
+        },
+        fs=fs,
+    )
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    keys = srp_band_keys(new_emb, id_col, vec_col, n_planes, bands, dim, seed)
+    if hasattr(fs, "store_append"):
+        fs.store_append(keys, path)
+    else:
+        (
+            keys.repartition("band_idx")
+            .sortWithinPartitions("band_hash")
+            .write.mode("append")
+            .partitionBy("band_idx")
+            .parquet(path)
+        )
+
+
+def read_srp_index_rows(spark, path: str, fs=None) -> DataFrame:
+    """The SRP index's logical row view (id, band_idx, band_hash),
+    whatever the storage layout — the dedup.read_lsh_index_rows twin."""
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    if hasattr(fs, "store_read"):
+        return fs.store_read(spark, path)
+    return spark.read.parquet(path)
+
+
+def incremental_embedding_near_dups(
+    spark,
+    new_emb: DataFrame,
+    corpus_emb: DataFrame,
+    index_path: str,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int | None = 6,
+    exact_net: bool = False,
+    fs=None,
+) -> DataFrame:
+    """Semantic near-dup pairs (new_id, old_id, cosine) of an incoming
+    embedding batch against an indexed corpus, WITHOUT re-signing the
+    corpus — the embedding-modality twin of
+    :func:`dedup.incremental_near_dups` (X69's probe over X79's
+    maintained index):
+
+      1. sign + band ONLY the new batch (one Arrow matmul);
+      2. band-join against the at-rest index — the probe reads matching
+         band partitions, never corpus vectors;
+      3. exact-cosine-verify candidates only: the corpus VECTOR scan is
+         semi-join-pruned to candidate ids first.
+
+    Per-batch cost scales with the batch and its collision volume, not
+    the corpus — the production recurrence for continuous semantic
+    dedup of an embedding stream. Recall at a given threshold follows
+    the SRP banding odds (hyperplane_lsh_pairs' selectivity note);
+    ``exact_net=True`` unions the output with the cross-set exact plan
+    (recall 1 by construction) for oracle-checkable tiers, using the
+    deterministic sequential-fold :func:`cosine` on BOTH sides so the
+    union's distinct collapses duplicates bit-exactly; the pure-LSH
+    path (the 100 TB shape) re-ranks with the Arrow :func:`cosine_batch`
+    kernel instead."""
+    _check_srp_index_meta(
+        index_path,
+        {
+            "id_col": id_col,
+            "n_planes": n_planes,
+            "bands": bands,
+            "dim": dim,
+            "seed": seed,
+        },
+        fs=fs,
+    )
+    new_v = new_emb.select(
+        F.col(id_col).alias("new_id"), as_double(vec_col).alias("nv")
+    ).localCheckpoint(eager=True)  # consumed by sign AND verify AND net
+    new_keys = srp_band_keys(
+        new_v, "new_id", "nv", n_planes, bands, dim, seed
+    )
+    idx = read_srp_index_rows(spark, index_path, fs=fs).withColumnRenamed(
+        id_col, "old_id"
+    )
+    cands = (
+        new_keys.join(idx, ["band_idx", "band_hash"])
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    old_v = corpus_emb.join(
+        cands.select(F.col("old_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    ).select(F.col(id_col).alias("old_id"), as_double(vec_col).alias("ov"))
+
+    def score(pairs: DataFrame) -> DataFrame:
+        c = (
+            cosine(F.col("nv"), F.col("ov"))
+            if exact_net
+            else cosine_batch(F.col("nv"), F.col("ov"))
+        )
+        if round_to is not None:
+            c = half_up(c, round_to)
+        return pairs.select("new_id", "old_id", c.alias("cosine")).filter(
+            F.col("cosine") >= threshold
+        )
+
+    verified = score(
+        cands.join(F.broadcast(new_v), "new_id").join(old_v, "old_id")
+    )
+    if not exact_net:
+        return verified
+    full_old = corpus_emb.select(
+        F.col(id_col).alias("old_id"), as_double(vec_col).alias("ov")
+    )
+    net = score(
+        full_old.join(
+            F.broadcast(new_v), F.col("new_id") != F.col("old_id")
+        )
+    )
+    return verified.unionByName(net).distinct()
+
+
+# --------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the second scale path, complementary to LSH
 # --------------------------------------------------------------------------
 

@@ -65,21 +65,22 @@ _ORACLES: dict[str, str] = {}
 # to the r10 comment, per r10 ADVICE: simhash_near_dup belonged with
 # curate_corpus/ngram_jaccard_pairs in the ex-_CHECK_LAST bucket, not
 # the rows-only bucket; totals were right, attribution off by one) —
-# 50 names r9, 50 names r10, zero older. The due set is 72: the new
-# ann_ivf_indexed (no row yet), the 21-name r8 cohort, and the 50-name
-# r9 cohort. A ~50-row budget cannot hold 72, so _CHECK_FIRST lists ALL
-# 72 in priority order — the driver records the first ~50 and any extra
+# 50 names r9, 50 names r10, zero older. The due set is 74: the three
+# never-recorded r11 queries, the 21-name r8 cohort, and the 50-name
+# r9 cohort. A ~50-row budget cannot hold 74, so _CHECK_FIRST lists ALL
+# 74 in priority order — the driver records the first ~50 and any extra
 # budget falls exactly on the designated spill instead of on
 # already-fresh r10 rows:
-#   * position 1: ann_ivf_indexed (new this round — the IVF at-rest
-#     probe; never recorded);
-#   * positions 2-22: the r8 cohort, in the order the r10 verdict
+#   * positions 1-3: new this round, never recorded — ann_ivf_indexed
+#     (the IVF at-rest probe) and the X84 pair (incremental embedding
+#     near-dups: exact_net oracle tier + at-rest probe headline);
+#   * positions 4-24: the r8 cohort, in the order the r10 verdict
 #     pre-committed (alphabetical);
-#   * positions 23-50: 28 of the r9 cohort — the hash-green heads of
+#   * next 28: 28 of the r9 cohort — the hash-green heads of
 #     each operator family (parse/anomaly/agg chain, curation/text,
 #     sampling, streaming windows, incremental dedup) where the row is
 #     the family's only fresh record;
-#   * positions 51-72: the DESIGNATED r11 SPILL = the 22 r9 names that
+#   * positions 53-74: the DESIGNATED r11 SPILL = the 22 r9 names that
 #     cost the record least — the 7 rows-only entries whose driver row
 #     is only a row-count re-probe with the real recall/property gates
 #     in pytest (approx_distinct_users, bpe_merges, cms_user_counts_7d,
@@ -101,9 +102,11 @@ _ORACLES: dict[str, str] = {}
 #     at both pytest tiers every round and head r12's _CHECK_FIRST
 #     together with whatever r11 adds.
 _CHECK_FIRST = [
-    # --- position 1: new this round, no driver row yet ---
+    # --- positions 1-3: new this round, no driver row yet ---
     "ann_ivf_indexed",
-    # --- positions 2-22: the r8 cohort (r10's designated spill) ---
+    "incremental_embedding_near_dups",
+    "incremental_embedding_near_dups_probe",
+    # --- positions 4-24: the r8 cohort (r10's designated spill) ---
     "ann_ivf_topk",
     "ann_lsh_topk",
     "corpus_report",
@@ -157,7 +160,7 @@ _CHECK_FIRST = [
     "frame_features",
     "multimodal_features",
     "stratified_sample_events",
-    # --- positions 51-72: the designated r11 spill (rows-only first) ---
+    # --- positions 53-74: the designated r11 spill (rows-only first) ---
     "approx_distinct_users",
     "bpe_merges",
     "cms_user_counts_7d",

@@ -1369,6 +1369,108 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_pairs(emb, threshold=COSINE_DUP_THRESHOLD)
 
 
+# X84: the SRP index's fixed fixture configuration — probe calls must
+# sign under exactly these (the sidecar enforces it); every value
+# appears in the staging family key from these same constants.
+_SRP_PLANES = 32
+_SRP_BANDS = 8
+_SRP_DIM = 64
+_SRP_SEED = 42
+
+
+def _incr_split_emb(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(new_batch, corpus) — the X84 embedding twin of the X69 fixture
+    split: the trailing ~10% of the portable hash space plays the
+    incoming batch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    frac = sampling.portable_frac("vec_id", salt=_INCR_SALT)
+    return emb.filter(frac >= _INCR_NEW_FRAC), emb.filter(frac < _INCR_NEW_FRAC)
+
+
+def _staged_srp_index(corpus_emb: DataFrame, sf_dir: str) -> str:
+    """Stage (or reuse) the corpus SRP index for the X84 queries
+    (mechanics: :func:`_staged_index`). Built INCREMENTALLY — write
+    over the first ~half, append the rest — so the registered probes
+    exercise the maintenance path end-to-end, like the X79 split
+    staging for text; append only adds files, so the content equals a
+    one-shot build (pinned by test)."""
+
+    def build(idx: str) -> None:
+        half = sampling.portable_frac("vec_id", salt=_INCR_SALT) < F.lit(0.45)
+        kw = dict(
+            n_planes=_SRP_PLANES, bands=_SRP_BANDS, dim=_SRP_DIM, seed=_SRP_SEED
+        )
+        similarity.write_srp_index(corpus_emb.filter(half), idx, **kw)
+        similarity.append_srp_index(corpus_emb.filter(~half), idx, **kw)
+
+    return _staged_index(
+        sf_dir,
+        "embeddings",
+        f"{sf_dir}|srp-split|p{_SRP_PLANES}|b{_SRP_BANDS}"
+        f"|d{_SRP_DIM}|s{_SRP_SEED}",
+        similarity.read_srp_index_meta,
+        build,
+    )
+
+
+_INCR_EMB_SQL = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id AS new_id, v AS nv FROM v
+          WHERE {portable_frac_sql("vec_id", _INCR_SALT)} >= {_INCR_NEW_FRAC}),
+    o AS (SELECT vec_id AS old_id, v AS ov FROM v
+          WHERE {portable_frac_sql("vec_id", _INCR_SALT)} < {_INCR_NEW_FRAC})
+    SELECT new_id, old_id,
+           {R6_SQL.format(x=_COSINE_SQL.format(a="nv", b="ov"))} AS cosine
+    FROM n, o
+    WHERE new_id <> old_id AND cosine >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@query("incremental_embedding_near_dups", _INCR_EMB_SQL)
+def incremental_embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84 oracle tier: semantic (embedding-cosine) near-dups of an
+    incoming batch against an INDEXED corpus — the embedding twin of
+    X69/X79's text loop. The corpus's SRP band keys live at rest
+    (write_srp_index + append_srp_index through the same staged-index
+    contract as the text LSH index); the batch signs itself (one Arrow
+    matmul), band-joins the index, and exact-cosine-verifies only
+    collisions with vectors semi-join-pruned to candidates.
+    exact_net=True unions the cross-set exact plan (recall 1 by
+    construction, identical sequential-fold cosine on both sides) so
+    the driver hash is exact while the at-rest probe path executes
+    end-to-end — the same contract as incremental_near_dups.
+    BENCH-EXCLUDED like its text twin: the recurring-cost headline is
+    incremental_embedding_near_dups_probe."""
+    new_emb, corpus_emb = _incr_split_emb(spark, sf_dir)
+    idx = _staged_srp_index(corpus_emb, sf_dir)
+    return similarity.incremental_embedding_near_dups(
+        spark, new_emb, corpus_emb, idx,
+        threshold=COSINE_DUP_THRESHOLD,
+        n_planes=_SRP_PLANES, bands=_SRP_BANDS, dim=_SRP_DIM, seed=_SRP_SEED,
+        exact_net=True,
+    )
+
+
+@query("incremental_embedding_near_dups_probe")  # LSH recall — rows-only
+def incremental_embedding_near_dups_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X84 recurring-cost headline: the PURE at-rest probe (sign batch,
+    band-join the staged SRP index, Arrow-kernel cosine on collisions
+    only — no exact net), the per-batch shape a continuous semantic
+    dedup loop pays. Output is a subset of the exact pair set by
+    construction (verification is exact); recall at the banding odds is
+    gated in tests/test_dataops.py. Per-batch cost scales with the
+    batch and its collisions, never the corpus."""
+    new_emb, corpus_emb = _incr_split_emb(spark, sf_dir)
+    idx = _staged_srp_index(corpus_emb, sf_dir)
+    return similarity.incremental_embedding_near_dups(
+        spark, new_emb, corpus_emb, idx,
+        threshold=COSINE_DUP_THRESHOLD,
+        n_planes=_SRP_PLANES, bands=_SRP_BANDS, dim=_SRP_DIM, seed=_SRP_SEED,
+    )
+
+
 @query("ann_lsh_topk")  # approximate — recall-tested, not oracle-matched
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN — the 100 TB path: signature band join
