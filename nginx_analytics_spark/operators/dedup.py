@@ -1214,8 +1214,13 @@ def incremental_near_dups(
         .select("new_id", "old_id")
         .distinct()
     )
+    # Candidate-id set is collision-volume-sized, so the corpus prune is
+    # a BROADCAST semi-join by declaration: the corpus side streams
+    # through one scan, never sorts/shuffles. (r11 plan audit: AQE left
+    # this join as a sort-merge without the hint — found while building
+    # the X84 embedding twin, fixed in both.)
     old_sh = corpus_docs.join(
-        cands.select(F.col("old_id").alias(id_col)).distinct(),
+        F.broadcast(cands.select(F.col("old_id").alias(id_col)).distinct()),
         id_col,
         "left_semi",
     ).select(F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles"))

@@ -674,8 +674,13 @@ def incremental_embedding_near_dups(
         .select("new_id", "old_id")
         .distinct()
     )
+    # Candidate-id set is collision-volume-sized (the same contract that
+    # lets new_v broadcast below), so the corpus prune is a BROADCAST
+    # semi-join by declaration — the corpus side streams through one
+    # scan, never sorts/shuffles (plan-audited r11: AQE left this one
+    # as a sort-merge join without the hint).
     old_v = corpus_emb.join(
-        cands.select(F.col("old_id").alias(id_col)).distinct(),
+        F.broadcast(cands.select(F.col("old_id").alias(id_col)).distinct()),
         id_col,
         "left_semi",
     ).select(F.col(id_col).alias("old_id"), as_double(vec_col).alias("ov"))
