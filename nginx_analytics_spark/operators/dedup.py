@@ -636,11 +636,9 @@ def read_lsh_index_meta(path: str, fs=None) -> dict:
     is the driver-side filesystem seam — defaults to local disk; an
     HDFS deployment swaps in its own
     :mod:`~nginx_analytics_spark.operators.index_fs` implementation."""
-    import json
+    from nginx_analytics_spark.operators.index_fs import read_json_sidecar
 
-    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
-
-    return json.loads((fs or LOCAL_FS).read_text(lsh_index_meta_path(path)))
+    return read_json_sidecar(path, LSH_INDEX_META, fs=fs)
 
 
 def write_lsh_index(
@@ -675,12 +673,13 @@ def write_lsh_index(
     exposing the ``store_*`` family (``ManifestIndexFS`` — the S3
     manifest-pointer port) gets the row writes/reads/compaction
     delegated to it wholesale; the default local layout is the
-    partitioned directory tree below."""
-    import json
+    partitioned directory tree (index_fs.banded_index_write — shared
+    with the X84 SRP index since r11)."""
+    from nginx_analytics_spark.operators.index_fs import (
+        banded_index_write,
+        write_json_sidecar,
+    )
 
-    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
-
-    fs = fs or LOCAL_FS
     sh = docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
     )
@@ -689,23 +688,14 @@ def write_lsh_index(
         id_col,
         rows_per_band=rows_per_band,
     )
-    if hasattr(fs, "store_write"):
-        fs.store_write(keys, path)
-    else:
-        (
-            keys.repartition("band_idx")
-            .sortWithinPartitions("band_hash")
-            .write.mode("overwrite")
-            .partitionBy("band_idx")
-            .parquet(path)
-        )
+    banded_index_write(keys, path, fs=fs)
     meta = {
         "id_col": id_col,
         "shingle_n": shingle_n,
         "num_hashes": num_hashes,
         "rows_per_band": rows_per_band,
     }
-    fs.write_text_atomic(lsh_index_meta_path(path), json.dumps(meta))
+    write_json_sidecar(path, LSH_INDEX_META, meta, fs=fs)
 
 
 def _check_lsh_index_meta(index_path: str, want: dict, fs=None) -> None:
@@ -774,19 +764,9 @@ def append_lsh_index(
         id_col,
         rows_per_band=rows_per_band,
     )
-    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+    from nginx_analytics_spark.operators.index_fs import banded_index_write
 
-    fs = fs or LOCAL_FS
-    if hasattr(fs, "store_append"):
-        fs.store_append(keys, path)
-    else:
-        (
-            keys.repartition("band_idx")
-            .sortWithinPartitions("band_hash")
-            .write.mode("append")
-            .partitionBy("band_idx")
-            .parquet(path)
-        )
+    banded_index_write(keys, path, fs=fs, mode="append")
 
 
 def read_lsh_index_rows(spark: SparkSession, path: str, fs=None) -> DataFrame:
@@ -799,12 +779,9 @@ def read_lsh_index_rows(spark: SparkSession, path: str, fs=None) -> DataFrame:
     without atomic rename needs). Probes and tests read through THIS,
     never ``spark.read.parquet(path)`` directly, so the layout stays
     swappable."""
-    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+    from nginx_analytics_spark.operators.index_fs import banded_index_read
 
-    fs = fs or LOCAL_FS
-    if hasattr(fs, "store_read"):
-        return fs.store_read(spark, path)
-    return spark.read.parquet(path)
+    return banded_index_read(spark, path, fs=fs)
 
 
 # X82 compaction defaults, shared by the public entry and the
@@ -1213,6 +1190,11 @@ def incremental_near_dups(
         .filter(F.col("new_id") != F.col("old_id"))
         .select("new_id", "old_id")
         .distinct()
+        # collision-volume-sized and consumed TWICE (the semi-join prune
+        # below and the verify join) — checkpoint so the batch signing
+        # and the index band-join run once per probe (r11 review, found
+        # via the X84 embedding twin)
+        .localCheckpoint(eager=True)
     )
     # Candidate-id set is collision-volume-sized, so the corpus prune is
     # a BROADCAST semi-join by declaration: the corpus side streams

@@ -502,3 +502,64 @@ def acquire_lock_wait(fs, path: str, purpose: str, timeout_s: float = 0.0):
 #: ``fs``. A deployment whose index lives on HDFS swaps in its own
 #: implementation per the table above.
 LOCAL_FS = LocalIndexFS()
+
+
+# ---------------------------------------------------------------------------
+# Shared banded-index persistence (r11: factored out of the duplicated
+# write/append/read + sidecar blocks in operators/dedup.py's MinHash index
+# and operators/similarity.py's SRP index — one storage contract, two
+# signing modalities)
+# ---------------------------------------------------------------------------
+
+
+def banded_index_write(keys, path: str, fs=None, mode: str = "overwrite") -> None:
+    """Land ``(.., band_idx, band_hash)`` rows in the at-rest
+    banded-index layout. A seam exposing the ``store_*`` family
+    (ManifestIndexFS) gets the write delegated wholesale; the default
+    local layout is the partitioned directory tree — repartitioned by
+    band, sorted by band_hash within each band (directory pruning per
+    band, Parquet min/max row-group pruning per file), one sorted file
+    per touched band per write."""
+    fs = fs or LOCAL_FS
+    if mode == "overwrite" and hasattr(fs, "store_write"):
+        fs.store_write(keys, path)
+        return
+    if mode == "append" and hasattr(fs, "store_append"):
+        fs.store_append(keys, path)
+        return
+    (
+        keys.repartition("band_idx")
+        .sortWithinPartitions("band_hash")
+        .write.mode(mode)
+        .partitionBy("band_idx")
+        .parquet(path)
+    )
+
+
+def banded_index_read(spark, path: str, fs=None):
+    """The banded index's logical row view, whatever the storage
+    layout: the local partitioned tree (one whole-root
+    partition-discovered read) or the seam's own resolution (the
+    manifest layout reads live band dirs through the commit pointer).
+    Probes read through THIS, never ``spark.read.parquet`` directly,
+    so the layout stays swappable."""
+    fs = fs or LOCAL_FS
+    if hasattr(fs, "store_read"):
+        return fs.store_read(spark, path)
+    return spark.read.parquet(path)
+
+
+def read_json_sidecar(path: str, name: str, fs=None) -> dict:
+    """Load an index's parameter sidecar; FileNotFoundError propagates
+    for a pre-sidecar (or foreign) directory so callers fail loudly."""
+    import json
+
+    return json.loads((fs or LOCAL_FS).read_text(f"{path.rstrip('/')}/{name}"))
+
+
+def write_json_sidecar(path: str, name: str, meta: dict, fs=None) -> None:
+    import json
+
+    (fs or LOCAL_FS).write_text_atomic(
+        f"{path.rstrip('/')}/{name}", json.dumps(meta)
+    )

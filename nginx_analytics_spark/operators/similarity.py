@@ -444,11 +444,9 @@ def read_srp_index_meta(path: str, fs=None) -> dict:
     different (n_planes, bands, dim, seed) hashes into disjoint buckets
     and silently returns ~nothing, the same failure mode
     ``_lsh_meta.json`` guards for the text index."""
-    import json
+    from nginx_analytics_spark.operators.index_fs import read_json_sidecar
 
-    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
-
-    return json.loads((fs or LOCAL_FS).read_text(srp_index_meta_path(path)))
+    return read_json_sidecar(path, SRP_INDEX_META, fs=fs)
 
 
 def _check_srp_index_meta(index_path: str, want: dict, fs=None) -> None:
@@ -460,11 +458,13 @@ def _check_srp_index_meta(index_path: str, want: dict, fs=None) -> None:
             "rebuild it with write_srp_index (probing an index of unknown "
             "signing parameters silently loses recall)"
         ) from e
-    mismatched = {k: (have.get(k), v) for k, v in want.items() if have.get(k) != v}
-    if mismatched:
+    # full-dict comparison, matching the text twin's _check_lsh_index_meta:
+    # a sidecar carrying extra/renamed parameters is just as foreign as a
+    # mismatched value (r11 review — the twins must not drift)
+    if have != want:
         raise ValueError(
             f"SRP index at {index_path!r} was built under different "
-            f"parameters: {mismatched} (sidecar value, caller value) — "
+            f"parameters: sidecar {have}, caller {want} — "
             "probe with the index's parameters or rebuild"
         )
 
@@ -528,24 +528,16 @@ def write_srp_index(
     (id_col, n_planes, bands, dim, seed); probes validate it first.
 
     Storage layout is the fs seam's to own, exactly like the text
-    index (dedup.write_lsh_index): a seam exposing ``store_write``
-    (ManifestIndexFS) gets the writes delegated wholesale."""
-    import json
+    index: the shared index_fs.banded_index_write (a seam exposing
+    ``store_write`` — ManifestIndexFS — gets the writes delegated
+    wholesale)."""
+    from nginx_analytics_spark.operators.index_fs import (
+        banded_index_write,
+        write_json_sidecar,
+    )
 
-    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
-
-    fs = fs or LOCAL_FS
     keys = srp_band_keys(emb, id_col, vec_col, n_planes, bands, dim, seed)
-    if hasattr(fs, "store_write"):
-        fs.store_write(keys, path)
-    else:
-        (
-            keys.repartition("band_idx")
-            .sortWithinPartitions("band_hash")
-            .write.mode("overwrite")
-            .partitionBy("band_idx")
-            .parquet(path)
-        )
+    banded_index_write(keys, path, fs=fs)
     meta = {
         "id_col": id_col,
         "n_planes": n_planes,
@@ -553,7 +545,7 @@ def write_srp_index(
         "dim": dim,
         "seed": seed,
     }
-    fs.write_text_atomic(srp_index_meta_path(path), json.dumps(meta))
+    write_json_sidecar(path, SRP_INDEX_META, meta, fs=fs)
 
 
 def append_srp_index(
@@ -583,31 +575,18 @@ def append_srp_index(
         },
         fs=fs,
     )
-    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+    from nginx_analytics_spark.operators.index_fs import banded_index_write
 
-    fs = fs or LOCAL_FS
     keys = srp_band_keys(new_emb, id_col, vec_col, n_planes, bands, dim, seed)
-    if hasattr(fs, "store_append"):
-        fs.store_append(keys, path)
-    else:
-        (
-            keys.repartition("band_idx")
-            .sortWithinPartitions("band_hash")
-            .write.mode("append")
-            .partitionBy("band_idx")
-            .parquet(path)
-        )
+    banded_index_write(keys, path, fs=fs, mode="append")
 
 
 def read_srp_index_rows(spark, path: str, fs=None) -> DataFrame:
     """The SRP index's logical row view (id, band_idx, band_hash),
     whatever the storage layout — the dedup.read_lsh_index_rows twin."""
-    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+    from nginx_analytics_spark.operators.index_fs import banded_index_read
 
-    fs = fs or LOCAL_FS
-    if hasattr(fs, "store_read"):
-        return fs.store_read(spark, path)
-    return spark.read.parquet(path)
+    return banded_index_read(spark, path, fs=fs)
 
 
 def incremental_embedding_near_dups(
@@ -673,6 +652,11 @@ def incremental_embedding_near_dups(
         .filter(F.col("new_id") != F.col("old_id"))
         .select("new_id", "old_id")
         .distinct()
+        # collision-volume-sized and consumed TWICE (the semi-join prune
+        # below and the verify join) — checkpoint so the batch signing
+        # matmul and the index band-join run once per probe, as the
+        # docstring's step 1 promises (r11 review)
+        .localCheckpoint(eager=True)
     )
     # Candidate-id set is collision-volume-sized (the same contract that
     # lets new_v broadcast below), so the corpus prune is a BROADCAST

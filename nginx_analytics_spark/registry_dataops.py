@@ -367,10 +367,16 @@ def _staged_lsh_index(
         else:
             dedup.write_lsh_index(corpus, idx)
 
+    # The indexed ROW SET is corpus_docs = the _incr_split slice, so the
+    # split constants belong in the key: changing _INCR_SALT or
+    # _INCR_NEW_FRAC changes which docs the index covers, and a warm
+    # cache keyed without them would silently probe a stale corpus
+    # (r11 review — the same drift mode the parameter part guards).
     return _staged_index(
         sf_dir,
         "documents",
-        f"{sf_dir}|{kind}|n3|h{dedup.NUM_HASHES}|r{dedup.ROWS_PER_BAND}",
+        f"{sf_dir}|{kind}|n3|h{dedup.NUM_HASHES}|r{dedup.ROWS_PER_BAND}"
+        f"|salt{_INCR_SALT}|nf{_INCR_NEW_FRAC}",
         dedup.read_lsh_index_meta,
         build,
     )
@@ -1403,11 +1409,13 @@ def _staged_srp_index(corpus_emb: DataFrame, sf_dir: str) -> str:
         similarity.write_srp_index(corpus_emb.filter(half), idx, **kw)
         similarity.append_srp_index(corpus_emb.filter(~half), idx, **kw)
 
+    # salt/nf: the indexed row set is the _incr_split_emb corpus slice —
+    # same key rationale as _staged_lsh_index.
     return _staged_index(
         sf_dir,
         "embeddings",
         f"{sf_dir}|srp-split|p{_SRP_PLANES}|b{_SRP_BANDS}"
-        f"|d{_SRP_DIM}|s{_SRP_SEED}",
+        f"|d{_SRP_DIM}|s{_SRP_SEED}|salt{_INCR_SALT}|nf{_INCR_NEW_FRAC}",
         similarity.read_srp_index_meta,
         build,
     )
@@ -1458,10 +1466,13 @@ def incremental_embedding_near_dups_probe(
     """X84 recurring-cost headline: the PURE at-rest probe (sign batch,
     band-join the staged SRP index, Arrow-kernel cosine on collisions
     only — no exact net), the per-batch shape a continuous semantic
-    dedup loop pays. Output is a subset of the exact pair set by
-    construction (verification is exact); recall at the banding odds is
-    gated in tests/test_dataops.py. Per-batch cost scales with the
-    batch and its collisions, never the corpus."""
+    dedup loop pays. Output is a subset of the exact pair set up to
+    kernel rounding (candidate verification computes the true cosine
+    with the Arrow kernel, whose pairwise summation can differ from the
+    oracle fold only within ~1e-12 of a 6-dp boundary — no genuine
+    false positives); recall at the banding odds is gated in
+    tests/test_dataops.py. Per-batch cost scales with the batch and its
+    collisions, never the corpus."""
     new_emb, corpus_emb = _incr_split_emb(spark, sf_dir)
     idx = _staged_srp_index(corpus_emb, sf_dir)
     return similarity.incremental_embedding_near_dups(

@@ -281,11 +281,15 @@ def test_incremental_embedding_near_dups_probe_recall(spark):
         (r.new_id, r.old_id)
         for r in qs["incremental_embedding_near_dups"](spark, SF).collect()
     }
-    got = {
-        (r.new_id, r.old_id)
-        for r in qs["incremental_embedding_near_dups_probe"](spark, SF).collect()
-    }
-    assert got <= exact
+    probe_rows = qs["incremental_embedding_near_dups_probe"](spark, SF).collect()
+    got = {(r.new_id, r.old_id) for r in probe_rows}
+    # Subset up to kernel rounding: the probe re-ranks with the Arrow
+    # cosine_batch kernel, the exact tier with the sequential fold —
+    # they agree except within ~1e-12 of a 6-dp half-up boundary, so any
+    # extra probe pair must sit AT the threshold boundary (2e-6 band),
+    # never be a genuine false positive (r11 review).
+    extras = [r for r in probe_rows if (r.new_id, r.old_id) not in exact]
+    assert all(abs(r.cosine - 0.4) <= 2e-6 for r in extras), extras
     assert exact, "fixture must contain cross-set near-dup pairs"
     recall = len(got & exact) / len(exact)
     assert recall >= 0.45, f"probe recall {recall:.2f} below calibrated gate"
