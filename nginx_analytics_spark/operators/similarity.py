@@ -767,6 +767,32 @@ def ivf_centroids(
     return _lloyd(x, n_cells, seed, max_iter)
 
 
+def cell_assignment(vec: Column, centroids: np.ndarray) -> Column:
+    """``struct<cell:int, adist:double>`` — the nearest centroid id plus
+    the TRUE squared-L2 assignment distance. Same argmin decisions as
+    ``nearest_cells(vec, c, 1)[0]`` (first minimum == stable-argsort
+    head); the distance is what the index stores per row so the drift
+    monitor (:func:`ivf_append_bucketed`'s stats) is a column scan, not
+    a recompute. Arrow-batched: one matmul per batch."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    cnorm = np.einsum("ij,ij->i", cents, cents)
+
+    @F.pandas_udf("struct<cell:int, adist:double>")
+    def _asg(xs: pd.Series) -> pd.DataFrame:
+        if len(xs) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "adist": pd.Series([], dtype="float64")})
+        x = np.stack(xs.to_numpy())
+        part = cnorm - 2.0 * (x @ cents.T)  # |c|^2 - 2 x.c
+        idx = np.argmin(part, axis=1)
+        dist = part[np.arange(len(x)), idx] + np.einsum("ij,ij->i", x, x)
+        return pd.DataFrame(
+            {"cell": idx.astype(np.int32), "adist": dist}
+        )
+
+    return _asg(vec)
+
+
 def nearest_cells(vec: Column, centroids: np.ndarray, nprobe: int) -> Column:
     """``array<int>`` of the ``nprobe`` nearest centroid ids (squared
     euclidean, deterministic tie-break by cell id via stable argsort).
@@ -968,15 +994,25 @@ def ivf_write_bucketed(
     centroids = ivf_centroids(
         corpus, n_cells, vec_col, seed, max_iter, id_col, sample_cap
     )
-    assigned = corpus.select(
-        F.col(id_col), as_double(vec_col).alias("cv")
-    ).withColumn("cell", nearest_cells(F.col("cv"), centroids, 1)[0])
+    assigned = (
+        corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
+        .withColumn("a", cell_assignment(F.col("cv"), centroids))
+        .select(id_col, "cv", F.col("a.cell").alias("cell"),
+                F.col("a.adist").alias("adist"))
+    )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # Build-time mean assignment distance — the drift monitor's
+    # reference point (ivf_append_bucketed) — computed from the written
+    # index's adist column (a column-pruned re-read, not a second
+    # corpus pass over the vectors).
+    spark = corpus.sparkSession
+    build_mean = spark.read.parquet(path).agg(F.avg("adist")).collect()[0][0]
     meta = {
         "id_col": id_col,
         "n_cells": int(n_cells),
         "dim": int(centroids.shape[1]),
         "seed": int(seed),
+        "mean_assign_dist": float(build_mean),
         "centroids": centroids.tolist(),
     }
     fs.write_text_atomic(ivf_index_meta_path(path), json.dumps(meta))
@@ -989,7 +1025,7 @@ def ivf_append_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fs=None,
-) -> None:
+) -> dict:
     """Fold NEW vectors into an at-rest IVF index without a rebuild —
     the maintenance path that closes the write→append→probe lifecycle
     (the X79 ``append_lsh_index`` analogue): each new vector is
@@ -997,23 +1033,48 @@ def ivf_append_bucketed(
     the matching ``cell=`` partitions (Parquet append — only touched
     cells gain files). The quantizer is deliberately NOT refit: append
     preserves the index's cell geometry so existing data never moves
-    and concurrent probes stay correct; like any IVF index, re-cluster
-    periodically (a fresh :func:`ivf_write_bucketed`) as distribution
-    drift accumulates — the standard signal is the mean
-    assignment-distance of recent appends creeping above the build-time
-    mean. Raises loudly (via :func:`read_ivf_index_meta`) rather than
-    appending under unknown centroids, which would scatter vectors
-    into cells probes won't look in."""
+    and concurrent probes stay correct. Raises loudly (via
+    :func:`read_ivf_index_meta`) rather than appending under unknown
+    centroids, which would scatter vectors into cells probes won't
+    look in.
+
+    Returns the DRIFT STATS the re-cluster decision needs: the batch's
+    mean squared-L2 assignment distance against the sidecar's
+    build-time mean. ``drift_ratio`` ~1 means the batch still fits the
+    quantizer; a ratio creeping upward across appends means the
+    distribution has moved off the fitted cells (recall decays because
+    true neighbors land in unprobed cells) — re-cluster with a fresh
+    :func:`ivf_write_bucketed` (tested with an out-of-distribution
+    batch in tests/test_dataops.py). The batch is checkpointed so the
+    assignment kernel runs once for the stats AND the write."""
     meta = read_ivf_index_meta(path, fs=fs)
     if meta["id_col"] != id_col:
         raise ValueError(
             f"IVF index at {path!r} was built with id_col="
             f"{meta['id_col']!r}, not {id_col!r}"
         )
-    assigned = new_vecs.select(
-        F.col(id_col), as_double(vec_col).alias("cv")
-    ).withColumn("cell", nearest_cells(F.col("cv"), meta["centroids"], 1)[0])
+    assigned = (
+        new_vecs.select(F.col(id_col), as_double(vec_col).alias("cv"))
+        .withColumn("a", cell_assignment(F.col("cv"), meta["centroids"]))
+        .select(id_col, "cv", F.col("a.cell").alias("cell"),
+                F.col("a.adist").alias("adist"))
+        .localCheckpoint(eager=True)
+    )
     assigned.write.mode("append").partitionBy("cell").parquet(path)
+    n, batch_mean = assigned.agg(
+        F.count(F.lit(1)), F.avg("adist")
+    ).collect()[0]
+    build_mean = meta.get("mean_assign_dist")
+    return {
+        "n": int(n),
+        "mean_assign_dist": float(batch_mean) if batch_mean is not None else None,
+        "build_mean_assign_dist": build_mean,
+        "drift_ratio": (
+            float(batch_mean) / build_mean
+            if batch_mean is not None and build_mean
+            else None
+        ),
+    }
 
 
 def ivf_topk_bucketed(

@@ -413,10 +413,12 @@ def _staged_ivf_index(emb: DataFrame, sf_dir: str) -> str:
             sample_cap=_IVF_SAMPLE_CAP,
         )
 
+    # v2: the index rows gained the adist column and the sidecar the
+    # build-time mean (drift monitor) — older cached layouts must miss.
     return _staged_index(
         sf_dir,
         "embeddings",
-        f"{sf_dir}|ivf|c{_IVF_INDEX_CELLS}|s{_IVF_SEED}"
+        f"{sf_dir}|ivf-v2|c{_IVF_INDEX_CELLS}|s{_IVF_SEED}"
         f"|i{_IVF_MAX_ITER}|cap{_IVF_SAMPLE_CAP}",
         similarity.read_ivf_index_meta,
         build,

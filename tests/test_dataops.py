@@ -525,7 +525,8 @@ def test_ivf_append_bucketed_lifecycle(spark, tmp_path):
         [(900000, [float(v) for v in q0])],
         "vec_id long, embedding array<float>",
     )
-    similarity.ivf_append_bucketed(twin, idx)
+    stats = similarity.ivf_append_bucketed(twin, idx)
+    assert stats["n"] == 1 and stats["build_mean_assign_dist"] > 0
     top1 = (
         similarity.ivf_topk_bucketed(spark, idx, None, queries, k=1, nprobe=4)
         .filter(F.col("query_id") == 0)
@@ -540,6 +541,35 @@ def test_ivf_append_bucketed_lifecycle(spark, tmp_path):
         similarity.ivf_append_bucketed(
             twin.withColumnRenamed("vec_id", "doc_id"), idx, id_col="doc_id"
         )
+
+
+def test_ivf_append_drift_monitor(spark, tmp_path):
+    """The re-cluster signal is CODE, not prose: ivf_append_bucketed
+    returns the batch's mean assignment distance against the sidecar's
+    build-time mean. An in-distribution batch (rows drawn from the
+    indexed corpus itself) reads drift_ratio ~1; an out-of-distribution
+    batch (the same vectors scaled 5x — squared-L2 distances grow
+    ~25x against centroids fit at unit scale) must read a large ratio,
+    telling the operator the quantizer no longer fits."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_index")
+    similarity.ivf_write_bucketed(emb, idx, n_cells=16)
+
+    in_dist = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    ok = similarity.ivf_append_bucketed(in_dist, idx)
+    assert 0.5 <= ok["drift_ratio"] <= 1.5, ok
+
+    shifted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 5.0).alias("embedding"),
+    )
+    bad = similarity.ivf_append_bucketed(shifted, idx)
+    assert bad["drift_ratio"] > 2.0, bad
+    # sidecar's reference point is untouched by appends
+    meta = similarity.read_ivf_index_meta(idx)
+    assert meta["mean_assign_dist"] == ok["build_mean_assign_dist"]
 
 
 def test_ann_ivf_indexed_matches_in_memory(spark):
