@@ -521,6 +521,15 @@ def banded_index_write(keys, path: str, fs=None, mode: str = "overwrite") -> Non
     band, Parquet min/max row-group pruning per file), one sorted file
     per touched band per write."""
     fs = fs or LOCAL_FS
+    mode = mode.lower()
+    if mode not in ("overwrite", "append"):
+        # Spark's save modes are case-insensitive and broader; an
+        # unrecognized spelling must not silently bypass the seam
+        # dispatch below and write a raw tree into a managed layout.
+        raise ValueError(
+            f"banded_index_write mode must be 'overwrite' or 'append', "
+            f"got {mode!r}"
+        )
     if mode == "overwrite" and hasattr(fs, "store_write"):
         fs.store_write(keys, path)
         return

@@ -861,8 +861,14 @@ def ivf_topk(
     """
     centroids = ivf_centroids(corpus, n_cells, vec_col, seed, max_iter, id_col)
     cv = corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
+    # Assignment goes through the SAME kernel as the at-rest write path
+    # (cell_assignment), so the ann_ivf_indexed == ann_ivf_topk row
+    # identity is structural — one kernel, not two kept bit-identical
+    # by discipline (r11 review).
     assigned = cv.select(
-        id_col, "cv", nearest_cells(F.col("cv"), centroids, 1)[0].alias("cell")
+        id_col,
+        "cv",
+        cell_assignment(F.col("cv"), centroids)["cell"].alias("cell"),
     )
     return _ivf_score_topk(assigned, queries, centroids, k, id_col, vec_col,
                            query_id_col, nprobe, round_to)
@@ -941,11 +947,9 @@ def read_ivf_index_meta(path: str, fs=None) -> dict:
     the data doesn't live in and silently zeroes recall instead of
     erroring — the same failure mode ``_lsh_meta.json`` guards against
     for the LSH index (dedup.read_lsh_index_meta)."""
-    import json
+    from nginx_analytics_spark.operators.index_fs import read_json_sidecar
 
-    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
-
-    meta = json.loads((fs or LOCAL_FS).read_text(ivf_index_meta_path(path)))
+    meta = read_json_sidecar(path, IVF_INDEX_META, fs=fs)
     cents = np.asarray(meta.get("centroids"), dtype=np.float64)
     if cents.ndim != 2 or cents.shape != (meta.get("n_cells"), meta.get("dim")):
         raise ValueError(
@@ -986,11 +990,8 @@ def ivf_write_bucketed(
     scanning ~nprobe/n_cells of the corpus and scanning all of it;
     re-cluster periodically as the corpus drifts, like any IVF index.
     The registered probe is ``registry_dataops.ann_ivf_indexed``."""
-    import json
+    from nginx_analytics_spark.operators.index_fs import write_json_sidecar
 
-    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
-
-    fs = fs or LOCAL_FS
     centroids = ivf_centroids(
         corpus, n_cells, vec_col, seed, max_iter, id_col, sample_cap
     )
@@ -1015,7 +1016,7 @@ def ivf_write_bucketed(
         "mean_assign_dist": float(build_mean),
         "centroids": centroids.tolist(),
     }
-    fs.write_text_atomic(ivf_index_meta_path(path), json.dumps(meta))
+    write_json_sidecar(path, IVF_INDEX_META, meta, fs=fs)
     return centroids
 
 
@@ -1065,15 +1066,21 @@ def ivf_append_bucketed(
         F.count(F.lit(1)), F.avg("adist")
     ).collect()[0]
     build_mean = meta.get("mean_assign_dist")
+    # ratio is None ONLY when a reference is genuinely missing (empty
+    # batch / pre-drift-monitor sidecar); a ~0 build-time mean (vectors
+    # coinciding with centroids — the expansion can even read tiny-
+    # negative there) clamps instead, so an out-of-distribution batch
+    # against a degenerate build still fires a huge ratio rather than
+    # silently suppressing the signal (r11 review).
+    if batch_mean is None or build_mean is None:
+        ratio = None
+    else:
+        ratio = float(batch_mean) / max(float(build_mean), 1e-12)
     return {
         "n": int(n),
         "mean_assign_dist": float(batch_mean) if batch_mean is not None else None,
         "build_mean_assign_dist": build_mean,
-        "drift_ratio": (
-            float(batch_mean) / build_mean
-            if batch_mean is not None and build_mean
-            else None
-        ),
+        "drift_ratio": ratio,
     }
 
 

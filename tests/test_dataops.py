@@ -288,8 +288,12 @@ def test_incremental_embedding_near_dups_probe_recall(spark):
     # they agree except within ~1e-12 of a 6-dp half-up boundary, so any
     # extra probe pair must sit AT the threshold boundary (2e-6 band),
     # never be a genuine false positive (r11 review).
+    from nginx_analytics_spark.registry_dataops import COSINE_DUP_THRESHOLD
+
     extras = [r for r in probe_rows if (r.new_id, r.old_id) not in exact]
-    assert all(abs(r.cosine - 0.4) <= 2e-6 for r in extras), extras
+    assert all(
+        abs(r.cosine - COSINE_DUP_THRESHOLD) <= 2e-6 for r in extras
+    ), extras
     assert exact, "fixture must contain cross-set near-dup pairs"
     recall = len(got & exact) / len(exact)
     assert recall >= 0.45, f"probe recall {recall:.2f} below calibrated gate"
