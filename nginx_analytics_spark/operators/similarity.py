@@ -119,6 +119,31 @@ def brute_force_topk(
     )
 
 
+def _check_srp_banding(n_planes: int, bands: int) -> None:
+    """Fail loudly on degenerate SRP banding (r11 ADVICE): every banded
+    path computes ``chunk = n_planes // bands`` and masks with
+    ``(1 << chunk) - 1``, so ``bands > n_planes`` makes chunk=0/mask=0 —
+    every row hashes to band_hash=0 and the band join degenerates to a
+    silent full cross product — and ``n_planes % bands != 0`` silently
+    drops the signature's top ``n_planes % bands`` bits from banding.
+    Both are recall-affecting misconfiguration, the class this module
+    raises on (the PQ path's ``dim % m`` check is the model)."""
+    if bands < 1 or bands > n_planes:
+        raise ValueError(
+            f"SRP banding needs 1 <= bands <= n_planes, got bands={bands}, "
+            f"n_planes={n_planes} — bands > n_planes makes every band chunk "
+            "0 bits wide, so all rows collide in one bucket (a silent full "
+            "cross product instead of LSH pruning)"
+        )
+    if n_planes % bands:
+        raise ValueError(
+            f"n_planes={n_planes} not divisible by bands={bands} — the top "
+            f"{n_planes % bands} signature bits would be silently excluded "
+            "from every band, quietly changing recall; pick bands that "
+            "divide n_planes"
+        )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (driver-side constant).
 
@@ -234,6 +259,7 @@ def hyperplane_lsh_pairs(
     the cross product while recall stays >= 0.9 — the near-linear regime
     asserted by tests/test_dataops.py::test_lsh_high_threshold_selectivity.
     """
+    _check_srp_banding(n_planes, bands)
     planes = hyperplanes(dim, n_planes, seed)
     chunk = n_planes // bands
     mask = (1 << chunk) - 1
@@ -361,6 +387,7 @@ def hyperplane_lsh_topk(
     projections; Catalyst's CollapseProject keeps non-cheap aliases
     referenced more than once un-inlined, so they are computed once per row.
     """
+    _check_srp_banding(n_planes, bands)
     planes = hyperplanes(dim, n_planes, seed)
     chunk = n_planes // bands
     mask = (1 << chunk) - 1
@@ -486,6 +513,7 @@ def srp_band_keys(
     verbatim. One Arrow matmul signature pass; the planes are fully
     derived from (dim, n_planes, seed), so the sidecar stores only
     parameters, never the matrix."""
+    _check_srp_banding(n_planes, bands)
     planes = hyperplanes(dim, n_planes, seed)
     chunk = n_planes // bands
     mask = (1 << chunk) - 1

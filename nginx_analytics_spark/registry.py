@@ -128,7 +128,8 @@ _CHECK_FIRST = [
     "streaming_ingest_roundtrip",
     "top_endpoints_bounded",
     "traffic_rollup",
-    # --- positions 23-50: 28 r9 family heads ---
+    # --- positions 25-52: 28 r9 family heads (r11 ADVICE: the earlier
+    # '23-50' label ignored the 3 new + 21 r8 names ahead of it) ---
     # reference parse/agg/anomaly chain
     "count_raw",
     "parse_enrich",

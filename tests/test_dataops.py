@@ -267,6 +267,26 @@ def test_srp_index_meta_validation(spark, tmp_path):
         similarity.incremental_embedding_near_dups(spark, emb.limit(1), emb, bare)
 
 
+def test_srp_degenerate_banding_raises(spark, tmp_path):
+    """r11 ADVICE: bands > n_planes makes every band chunk 0 bits wide
+    (chunk = n_planes // bands = 0, mask = 0), so every row lands in
+    band_hash=0 — a silent full cross product; and n_planes % bands != 0
+    silently drops the top signature bits from banding. Both are
+    recall-affecting misconfiguration and must raise at every banded
+    entry, not quietly change selectivity."""
+    import pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="bands <= n_planes"):
+        similarity.srp_band_keys(emb, n_planes=8, bands=16)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.write_srp_index(emb, str(tmp_path / "i"), n_planes=32, bands=7)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.hyperplane_lsh_pairs(emb, n_planes=32, bands=5)
+    with pytest.raises(ValueError, match="bands <= n_planes"):
+        similarity.hyperplane_lsh_topk(emb, emb.limit(1), n_planes=4, bands=8)
+
+
 def test_incremental_embedding_near_dups_probe_recall(spark):
     """The pure at-rest probe's output is a SUBSET of the exact cross-set
     pair set (verification is exact cosine — no false positives) with
