@@ -918,7 +918,15 @@ def _compact_lsh_index_locked(
     mutex — the X80 loop enters here directly because it takes the
     mutex once per micro-batch (r8 review); everyone else goes through
     :func:`compact_lsh_index`. Defaults are the shared module
-    constants above."""
+    constants above.
+
+    MODALITY-AGNOSTIC by construction (r11 verdict item 1): the body
+    touches only ``band_idx=`` directories through the ``fs`` seam —
+    it never reads a signature or a sidecar — so it serves every index
+    in the shared ``index_fs.banded_index_write`` at-rest format. The
+    SRP embedding index's :func:`similarity.compact_srp_index` enters
+    here under the same sibling lock after validating ITS sidecar,
+    exactly as :func:`compact_lsh_index` does for the text index."""
     from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
     fs = fs or LOCAL_FS

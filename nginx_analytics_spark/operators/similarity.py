@@ -591,7 +591,13 @@ def append_srp_index(
     the corpus: sign only the batch, append into the same band
     partitions (the X79 ``append_lsh_index`` analogue). The sidecar is
     validated first — appending keys signed under different planes
-    would poison the index silently."""
+    would poison the index silently.
+
+    Each append adds one file per touched band; a long-running
+    embedding ingest loop reclaims the file population with
+    :func:`compact_srp_index` (the X82 per-band compaction, shared
+    with the text index), exactly as ``append_lsh_index`` points at
+    ``compact_lsh_index``."""
     _check_srp_index_meta(
         path,
         {
@@ -607,6 +613,58 @@ def append_srp_index(
 
     keys = srp_band_keys(new_emb, id_col, vec_col, n_planes, bands, dim, seed)
     banded_index_write(keys, path, fs=fs, mode="append")
+
+
+def compact_srp_index(
+    spark,
+    path: str,
+    max_files_per_band: int | None = None,
+    target_files: int | None = None,
+    target_file_bytes: int | None = None,
+    max_concurrency: int | None = None,
+    fs=None,
+) -> dict:
+    """X82 per-band compaction for the SRP embedding index — the same
+    maintenance half :func:`dedup.compact_lsh_index` gives the text
+    index, because the two indexes share one at-rest format by
+    construction (``(id, band_idx, band_hash)`` rows through
+    ``index_fs.banded_index_write``): only bands whose parquet file
+    count exceeds ``max_files_per_band`` are rewritten (range-
+    partitioned, band_hash-sorted, non-overlapping min/max — best-case
+    row-group pruning), healthy bands stay byte-untouched, and the
+    ``_srp_meta.json`` sidecar is untouched so probes keep validating
+    against the same signing parameters.
+
+    The implementation IS the text index's: this validates the SRP
+    sidecar (loud on a non-index dir), takes the same sibling
+    ``<path>.compact.lock`` single-compactor mutex, and enters the
+    modality-agnostic locked body ``dedup._compact_lsh_index_locked``
+    — which touches only ``band_idx=`` dirs through the ``fs`` seam
+    and never reads a signature, so its crash-recovery swap
+    discipline, concurrency bound, per-band output sizing, and
+    manifest-layout (``store_compact``) dispatch all apply verbatim
+    (r11 verdict item 1: one storage contract, one compactor, two
+    signing modalities). Defaults are the shared X82 module constants.
+    Returns the same stats dict for caller telemetry."""
+    from nginx_analytics_spark.operators import dedup
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    read_srp_index_meta(path, fs=fs)  # loud on a non-index dir
+    kwargs = dict(
+        max_files_per_band=max_files_per_band,
+        target_files=target_files,
+        target_file_bytes=target_file_bytes,
+        max_concurrency=max_concurrency,
+    )
+    kwargs = {k: v for k, v in kwargs.items() if v is not None}
+    with fs.exclusive_lock(
+        dedup._lsh_compact_lock_path(path),
+        "X82 is single-compactor by design (interleaved band swaps "
+        "would corrupt the two-rename discipline); run compaction "
+        "from the embedding ingest loop's one writer thread",
+    ):
+        return dedup._compact_lsh_index_locked(spark, path, fs=fs, **kwargs)
 
 
 def read_srp_index_rows(spark, path: str, fs=None) -> DataFrame:

@@ -267,6 +267,94 @@ def test_srp_index_meta_validation(spark, tmp_path):
         similarity.incremental_embedding_near_dups(spark, emb.limit(1), emb, bare)
 
 
+def test_compact_srp_index_equals_rebuild(spark, tmp_path):
+    """r11 verdict item 1 (the last lifecycle hole): the X82 battery
+    against the SRP embedding index — append x N + compact holds
+    EXACTLY the one-shot rebuild's (vec_id, band_idx, band_hash) rows,
+    per-band file count drops to target, healthy bands stay
+    byte-identical (not just same-named), the _srp_meta.json sidecar
+    survives, and a non-index dir refuses loudly. One compactor
+    implementation, two signing modalities."""
+    import hashlib
+    import os
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    slices = [emb.filter(F.col("vec_id") % 4 == k) for k in range(4)]
+    inc, full = f"{tmp_path}/inc", f"{tmp_path}/full"
+    similarity.write_srp_index(slices[0], inc)
+    for s in slices[1:]:
+        similarity.append_srp_index(s, inc)
+    similarity.write_srp_index(emb, full)
+
+    def band_bytes(path):
+        out = {}
+        for band in os.listdir(path):
+            if not band.startswith("band_idx="):
+                continue
+            out[band] = {
+                f: hashlib.sha256(
+                    open(os.path.join(path, band, f), "rb").read()
+                ).hexdigest()
+                for f in os.listdir(os.path.join(path, band))
+                if f.endswith(".parquet")
+            }
+        return out
+
+    before = band_bytes(inc)
+    assert all(len(fs) == 4 for fs in before.values())  # one file/append
+
+    # no-op pass: threshold above the file count — byte-identity, not
+    # just name-identity, for every (healthy) band
+    noop = similarity.compact_srp_index(spark, inc, max_files_per_band=8)
+    assert noop["bands_compacted"] == 0
+    assert band_bytes(inc) == before
+
+    stats = similarity.compact_srp_index(spark, inc, max_files_per_band=1)
+    assert stats["bands_seen"] == len(before)
+    assert stats["bands_compacted"] == len(before)
+    assert stats["files_after"] == len(before)
+    after = band_bytes(inc)
+    assert all(len(fs) == 1 for fs in after.values())
+
+    key = lambda df: sorted(  # noqa: E731
+        (r.vec_id, r.band_idx, r.band_hash) for r in df.collect()
+    )
+    assert key(similarity.read_srp_index_rows(spark, inc)) == key(
+        similarity.read_srp_index_rows(spark, full)
+    )
+    assert similarity.read_srp_index_meta(inc) == similarity.read_srp_index_meta(full)
+    with pytest.raises(FileNotFoundError):
+        similarity.compact_srp_index(spark, f"{tmp_path}/not_an_index")
+
+
+def test_compact_srp_index_manifest_layout(spark, tmp_path):
+    """The SRP compactor inherits the locked body's store_compact
+    dispatch: on the ManifestIndexFS (S3-shaped) layout, append x N +
+    compact is a new-unit write + one manifest flip, and the logical
+    row view equals the rebuild's — the same cross-layout content
+    invariant the text index's battery pins."""
+    from nginx_analytics_spark.operators.index_fs import ManifestIndexFS
+
+    mfs = ManifestIndexFS()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    slices = [emb.filter(F.col("vec_id") % 4 == k) for k in range(4)]
+    inc, full = f"{tmp_path}/inc", f"{tmp_path}/full"
+    similarity.write_srp_index(slices[0], inc, fs=mfs)
+    for s in slices[1:]:
+        similarity.append_srp_index(s, inc, fs=mfs)
+    similarity.write_srp_index(emb, full, fs=mfs)
+    stats = similarity.compact_srp_index(
+        spark, inc, max_files_per_band=1, fs=mfs
+    )
+    assert stats["bands_compacted"] > 0
+    key = lambda df: sorted(  # noqa: E731
+        (r.vec_id, r.band_idx, r.band_hash) for r in df.collect()
+    )
+    assert key(similarity.read_srp_index_rows(spark, inc, fs=mfs)) == key(
+        similarity.read_srp_index_rows(spark, full, fs=mfs)
+    )
+
+
 def test_srp_degenerate_banding_raises(spark, tmp_path):
     """r11 ADVICE: bands > n_planes makes every band chunk 0 bits wide
     (chunk = n_planes // bands = 0, mask = 0), so every row lands in
