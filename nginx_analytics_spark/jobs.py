@@ -433,6 +433,27 @@ def _build_parser():
             "largest band, not the sum)"
         ),
     )
+
+    ri = sub.add_parser(
+        "recluster-ivf",
+        help=(
+            "maintenance rebuild of an at-rest IVF ANN index: refit "
+            "the coarse quantizer over the index's own rows and swap "
+            "the re-partitioned cell layout in atomically (the "
+            "actuator ivf_append_bucketed's drift_ratio points at; "
+            "run it when the monitor reports sustained drift, or let "
+            "the append path trigger it via recluster_threshold). "
+            "Also the recovery path for a torn append detected by "
+            "the sidecar's row_count commit."
+        ),
+    )
+    ri.add_argument("--index", required=True, help="at-rest IVF index path")
+    ri.add_argument(
+        "--n-cells",
+        type=int,
+        default=None,
+        help="new cell count (default: keep the standing sidecar's)",
+    )
     return p
 
 
@@ -515,7 +536,21 @@ def main(argv: list[str] | None = None) -> int:
             q.awaitTermination()
         return 0
 
-    # compact-index is warehouse-less for the same reason
+    # the index-maintenance commands are warehouse-less for the same reason
+    if args.command == "recluster-ivf":
+        from nginx_analytics_spark.operators import similarity
+
+        stats = similarity.recluster_ivf(
+            spark, args.index, n_cells=args.n_cells
+        )
+        print(
+            f"ivf index reclustered: {stats['n_rows']} rows into "
+            f"{stats['n_cells']} cells, mean assignment distance "
+            f"{stats['old_mean_assign_dist']:.6g} -> "
+            f"{stats['new_mean_assign_dist']:.6g}"
+        )
+        return 0
+
     if args.command == "compact-index":
         from nginx_analytics_spark.operators import dedup
 

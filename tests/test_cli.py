@@ -34,7 +34,7 @@ def test_cli_help_lists_all_commands():
     assert out.returncode == 0
     for cmd in (
         "ingest", "anomaly", "retrain", "compact", "curate",
-        "export-shards", "handoff", "dedup-ingest",
+        "export-shards", "handoff", "dedup-ingest", "recluster-ivf",
     ):
         assert cmd in out.stdout
 
@@ -470,3 +470,27 @@ def test_cli_compact_index(spark, tmp_path):
     finally:
         fcntl.flock(fd, fcntl.LOCK_UN)
         os.close(fd)
+
+
+def test_cli_recluster_ivf(spark, tmp_path):
+    """`jobs recluster-ivf` — the maintenance CLI behind the drift
+    actuator: rebuilds the quantizer over the index's own rows and
+    swaps the layout in; content (the id set) is preserved exactly and
+    the sidecar's row_count commit stays healthy across the swap."""
+    from nginx_analytics_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = f"{tmp_path}/ivf"
+    similarity.ivf_write_bucketed(emb, idx, n_cells=4)
+    before = sorted(
+        r.vec_id for r in spark.read.parquet(idx).select("vec_id").collect()
+    )
+    rc = jobs.main(["recluster-ivf", "--index", idx, "--n-cells", "8"])
+    assert rc == 0
+    after = sorted(
+        r.vec_id for r in spark.read.parquet(idx).select("vec_id").collect()
+    )
+    assert after == before
+    meta = similarity.read_ivf_index_meta(idx)
+    assert meta["n_cells"] == 8
+    assert similarity.ivf_index_verify(spark, idx)["torn"] is False

@@ -684,6 +684,146 @@ def test_ivf_append_drift_monitor(spark, tmp_path):
     assert meta["mean_assign_dist"] == ok["build_mean_assign_dist"]
 
 
+def test_ivf_torn_append_detected(spark, tmp_path):
+    """r11 ADVICE (medium): the plain parquet append is not atomic, so
+    the sidecar now carries a row_count flipped LAST — the commit.
+    Simulate a writer killed between its data write and its sidecar
+    flip (raw rows landed, count not flipped): the next append must
+    refuse loudly, ivf_index_verify must report torn, and a
+    verify=True probe must refuse — while healthy appends keep
+    expected == actual."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_write_bucketed(emb, idx, n_cells=8)
+    batch = emb.limit(20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    similarity.ivf_append_bucketed(batch, idx)
+    check = similarity.ivf_index_verify(spark, idx)
+    assert check["torn"] is False and check["expected"] == check["actual"]
+
+    # torn write: rows through the raw writer, no sidecar flip
+    meta = similarity.read_ivf_index_meta(idx)
+    orphan = emb.limit(5).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        similarity.as_double("embedding").alias("cv"),
+    ).withColumn("a", similarity.cell_assignment(F.col("cv"), meta["centroids"]))
+    orphan.select(
+        "vec_id", "cv", F.col("a.cell").alias("cell"),
+        F.col("a.adist").alias("adist"),
+    ).write.mode("append").partitionBy("cell").parquet(idx)
+
+    assert similarity.ivf_index_verify(spark, idx)["torn"] is True
+    with pytest.raises(ValueError, match="torn"):
+        similarity.ivf_append_bucketed(batch, idx)
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="torn"):
+        similarity.ivf_topk_bucketed(
+            spark, idx, None, queries, k=3, nprobe=2, verify=True
+        )
+    # rebuild (recluster reads the index's own rows — including the
+    # orphans, which is correct: their CONTENT is valid, only their
+    # commit was lost) heals the invariant and re-arms appends
+    similarity.recluster_ivf(spark, idx)
+    assert similarity.ivf_index_verify(spark, idx)["torn"] is False
+    similarity.ivf_append_bucketed(batch.limit(3), idx)
+
+
+def test_ivf_drift_actuator_reclusters_exactly_once(spark, tmp_path):
+    """r11 verdict item 3 — the drift signal drives an actuator:
+    sustained out-of-distribution appends under recluster_threshold
+    trigger exactly ONE rebuild (the first OOD batch fires it; the
+    refit over the index's own rows absorbs the new distribution, so
+    every later OOD-regime batch reads ratio ~1 and does NOT re-fire),
+    and probes stay correct across the swap — with nprobe == n_cells
+    the probe scans every cell, so its rows must EQUAL brute-force
+    cosine top-k over everything admitted so far."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(400)
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_write_bucketed(emb, idx, n_cells=8)
+
+    def ood_batch(k):
+        return emb.filter(F.col("vec_id") % 11 == k).select(
+            (F.col("vec_id") + 100000 * (k + 1)).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 5.0 + 10.0).alias(
+                "embedding"
+            ),
+        )
+
+    fired = []
+    for k in range(3):
+        stats = similarity.ivf_append_bucketed(
+            ood_batch(k), idx, recluster_threshold=2.0
+        )
+        fired.append(stats["reclustered"])
+        if stats["reclustered"]:
+            assert stats["recluster"]["n_cells"] == 8
+            # refit over rows that include the OOD batch: the new
+            # reference mean re-arms the monitor near ratio 1
+            assert (
+                stats["recluster"]["new_mean_assign_dist"]
+                != stats["recluster"]["old_mean_assign_dist"]
+            )
+    assert fired == [True, False, False], fired
+
+    # correctness across the swap: full-probe == brute force
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    corpus_now = spark.read.parquet(idx).select(
+        "vec_id", F.col("cv").alias("embedding")
+    )
+    got = {
+        tuple(r)
+        for r in similarity.ivf_topk_bucketed(
+            spark, idx, None, queries, k=5, nprobe=8
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.brute_force_topk(
+            corpus_now, queries, k=5
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivf_recluster_crash_recovery(spark, tmp_path):
+    """The recluster swap is the X82 two-rename discipline: a crash
+    between the renames leaves the index detached as .ivf-old-…;
+    recovery (run on the next recluster entry) rolls it back whole.
+    A crash after the cutover leaves only reapable leftovers."""
+    import os
+    import shutil
+
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_write_bucketed(emb, idx, n_cells=4)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(idx).select("vec_id").collect()
+    )
+    # crash state A: between the renames — index detached, scratch present
+    os.rename(idx, f"{tmp_path}/.ivf-old-ivf-99999")
+    shutil.copytree(f"{tmp_path}/.ivf-old-ivf-99999", f"{tmp_path}/.ivf-scratch-ivf-99999")
+    similarity._recover_ivf_recluster(idx, LOCAL_FS)
+    assert os.path.isdir(idx)
+    assert not os.path.exists(f"{tmp_path}/.ivf-old-ivf-99999")
+    assert not os.path.exists(f"{tmp_path}/.ivf-scratch-ivf-99999")
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(idx).select("vec_id").collect()
+    )
+    assert after == before
+    # crash state B: after cutover, old not reaped — leftover is reaped,
+    # index untouched
+    shutil.copytree(idx, f"{tmp_path}/.ivf-old-ivf-11111")
+    similarity._recover_ivf_recluster(idx, LOCAL_FS)
+    assert os.path.isdir(idx)
+    assert not os.path.exists(f"{tmp_path}/.ivf-old-ivf-11111")
+    # and a normal recluster on the healed index works end-to-end
+    stats = similarity.recluster_ivf(spark, idx, n_cells=4)
+    assert stats["n_rows"] == len(before)
+
+
 def test_ann_ivf_indexed_matches_in_memory(spark):
     """The registered at-rest probe (ann_ivf_indexed) returns EXACTLY the
     in-memory ann_ivf_topk rows: both fit the same layout-invariant
