@@ -1551,19 +1551,11 @@ def pq_codebooks(
     return np.stack(books)  # (m, k, sub)
 
 
-def pq_encode(
-    corpus: DataFrame,
-    codebooks: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, codes array<int>) — each vector compressed to m codebook
-    indices (m bytes at k<=256). One Arrow-batched pass: per subspace a
-    (batch x k) distance matrix via matmul, argmin per row. The encoded
-    corpus is ~dim*4/m bytes-per-vector smaller — the representation the
-    100 TB corpus is STORED in; raw vectors are only needed at encode
-    time and for optional exact re-rank of the short list.
-    """
+def _pq_encode_udf(codebooks: np.ndarray):
+    """The PQ encoder as a reusable Arrow kernel: per subspace a
+    (batch x k) distance matrix via matmul, argmin per row. Exposed so
+    :func:`pq_write_index` can compute codes and cell assignment from
+    ONE pass over the vectors instead of scanning the corpus twice."""
     books = np.ascontiguousarray(codebooks)
     m_, k_, sub = books.shape
 
@@ -1580,6 +1572,23 @@ def pq_encode(
             codes[:, j] = np.argmin(d, axis=1)
         return pd.Series(list(codes))
 
+    return _enc
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector compressed to m codebook
+    indices (m bytes at k<=256). One Arrow-batched pass
+    (:func:`_pq_encode_udf`). The encoded corpus is ~dim*4/m
+    bytes-per-vector smaller — the representation the 100 TB corpus is
+    STORED in; raw vectors are only needed at encode time and for
+    optional exact re-rank of the short list.
+    """
+    _enc = _pq_encode_udf(codebooks)
     return corpus.select(F.col(id_col), _enc(as_double(vec_col)).alias("codes"))
 
 
@@ -1598,6 +1607,7 @@ def pq_topk(
     refine_frac: float | None = 0.025,
     refine_floor: int = 50,
     refine_exact_fold: bool = False,
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate L2 top-k in the COMPRESSED domain (ADC): corpus
     vectors are m-byte PQ codes; per query a (m x k) lookup table of
@@ -1657,11 +1667,59 @@ def pq_topk(
     over candidates already cut per partition (the bounded top-k
     pattern from operators/ranking.py) and, with refine, one join of
     q*R shortlist ids against the corpus.
+
+    ``codebooks`` injects a pre-fitted (m, k, sub) stack and skips the
+    fit — the seam :func:`pq_topk_indexed`'s row-identity contract
+    rests on (same codebooks in, same rows out, whichever side encoded
+    the corpus); without it the fit+encode cost recurs on EVERY call,
+    which is exactly what the at-rest index amortizes away.
     """
-    books = pq_codebooks(corpus, vec_col, m, n_codes, seed)
+    books = (
+        np.ascontiguousarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else pq_codebooks(corpus, vec_col, m, n_codes, seed)
+    )
     encoded = pq_encode(corpus, books, id_col, vec_col).localCheckpoint(
         eager=True  # consumed once per query batch; never re-encode
     )
+    return _pq_scan_topk(
+        encoded, corpus, queries, books,
+        k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        round_to=round_to, refine=refine, refine_frac=refine_frac,
+        refine_floor=refine_floor, refine_exact_fold=refine_exact_fold,
+    )
+
+
+def _pq_scan_topk(
+    encoded: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    round_to: int,
+    refine: int | None,
+    refine_frac: float | None,
+    refine_floor: int,
+    refine_exact_fold: bool,
+    n_rows: int | None = None,
+    qcells: dict[int, frozenset[int]] | None = None,
+) -> DataFrame:
+    """The ADC scan + optional exact re-rank shared by :func:`pq_topk`
+    (which fits/encodes in-memory) and :func:`pq_topk_indexed` (which
+    loads codes + codebooks from the at-rest index) — ONE scan kernel,
+    so the two paths are row-identical under the same codebooks by
+    construction, not by discipline. ``encoded`` carries (id, codes)
+    plus a ``cell`` column when ``qcells`` is given: the IVFADC layout's
+    per-query cell mask (a query scores only candidates in ITS probed
+    cells; the caller already partition-pruned the scan to the UNION of
+    probed cells, this mask restores per-query semantics inside it).
+    ``n_rows`` injects the committed corpus count (the sidecar's
+    ``row_count``) so the fraction-sized refine depth costs no count
+    job on the serving path."""
     q = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv")).collect()
     if not q:
         raise ValueError("empty query frame")
@@ -1693,10 +1751,20 @@ def pq_topk(
     elif refine_frac is not None:
         import math
 
-        depth = max(k, refine_floor, math.ceil(refine_frac * encoded.count()))
+        n_corpus = n_rows if n_rows is not None else encoded.count()
+        depth = max(k, refine_floor, math.ceil(refine_frac * n_corpus))
     else:
         depth = k
     do_refine = refine is not None or refine_frac is not None
+    # per-query allowed-cell arrays, precomputed once (np.isin per batch
+    # row-group is the kernel-side cost; the dict itself is a tiny
+    # broadcast closure constant — queries are a serving batch)
+    qallow = (
+        {int(qid): np.fromiter(qcells[int(qid)], dtype=np.int64)
+         for qid in qids}
+        if qcells is not None
+        else None
+    )
 
     def _adc(batches):
         for pdf in batches:
@@ -1704,6 +1772,7 @@ def pq_topk(
                 continue
             codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
             ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy() if qallow is not None else None
             # dist (q, n): gather LUT per subspace, accumulate
             d = np.zeros((len(qids), len(ids)), dtype=np.float64)
             for j in range(m_):
@@ -1711,6 +1780,8 @@ def pq_topk(
             rows = []
             for qi, qid in enumerate(qids):
                 mask = ids != qid  # exclude self
+                if qallow is not None:
+                    mask &= np.isin(cells, qallow[int(qid)])
                 di, ii = d[qi][mask], ids[mask]
                 # lexsort on (dist, neighbor_id): a dist tie at the depth
                 # boundary must cut the same neighbor regardless of the
@@ -1785,6 +1856,242 @@ def pq_topk(
             half_up(F.col("dist"), round_to).alias("dist"),
             "rank",
         )
+    )
+
+
+PQ_INDEX_META = "_pq_meta.json"
+
+
+def pq_index_meta_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{PQ_INDEX_META}"
+
+
+def read_pq_index_meta(path: str, fs=None) -> dict:
+    """Load the at-rest PQ index's sidecar — the fitted codebooks (and,
+    for the IVFADC layout, the coarse centroids) plus the parameters
+    they were fitted under — with both arrays validated and converted
+    to float64 (json float repr round-trips float64 exactly, the
+    ``_ivf_meta.json`` precedent). Raises FileNotFoundError for a
+    pre-sidecar (or foreign) directory and ValueError for a corrupt
+    one: scoring codes against codebooks they were not ENCODED under
+    returns confidently wrong distances — worse than the LSH/IVF
+    failure modes (which lose recall), this one corrupts the ranking
+    itself, so the guard is just as loud."""
+    from nginx_analytics_spark.operators.index_fs import read_json_sidecar
+
+    meta = read_json_sidecar(path, PQ_INDEX_META, fs=fs)
+    books = np.asarray(meta.get("codebooks"), dtype=np.float64)
+    m, k, sub = meta.get("m"), meta.get("n_codes"), meta.get("sub")
+    if books.ndim != 3 or books.shape != (m, k, sub):
+        raise ValueError(
+            f"PQ index at {path!r}: sidecar codebooks shape {books.shape} "
+            f"disagrees with its own (m, n_codes, sub) = ({m}, {k}, {sub}) "
+            "— rebuild with pq_write_index"
+        )
+    if meta.get("dim") != m * sub:
+        raise ValueError(
+            f"PQ index at {path!r}: sidecar dim {meta.get('dim')} != "
+            f"m*sub = {m * sub} — rebuild with pq_write_index"
+        )
+    meta["codebooks"] = books
+    if meta.get("n_cells") is not None:
+        cents = np.asarray(meta.get("centroids"), dtype=np.float64)
+        if cents.ndim != 2 or cents.shape != (meta["n_cells"], meta["dim"]):
+            raise ValueError(
+                f"PQ index at {path!r}: sidecar centroids shape "
+                f"{cents.shape} disagrees with its own (n_cells, dim) = "
+                f"({meta.get('n_cells')}, {meta.get('dim')}) — rebuild "
+                "with pq_write_index"
+            )
+        meta["centroids"] = cents
+    return meta
+
+
+def pq_write_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_iter: int = 12,
+    sample_cap: int = 20_000,
+    n_cells: int | None = None,
+    ivf_max_iter: int = 8,
+    ivf_sample_cap: int = 4096,
+    fs=None,
+) -> np.ndarray:
+    """Materialize the PQ-compressed corpus AT REST so the fit+encode
+    cost is paid ONCE, not per serving call (the r11 verdict's last
+    ANN gap: :func:`pq_topk` re-fits codebooks and re-encodes the
+    corpus on every invocation — fine for a batch analytic, wrong for
+    a serving path). Two layouts:
+
+      * ``n_cells=None`` (flat): (id, codes) parquet — the plain
+        compressed-domain scan, every probe reads all codes but only
+        ~dim*4/m bytes per vector;
+      * ``n_cells=N`` (IVFADC, Jégou et al. 2011 §V): the IVF coarse
+        quantizer (:func:`ivf_centroids` — layout-invariant fit)
+        assigns each row a cell and the codes land PARTITIONED BY
+        ``cell``, so a probe is partition pruning first (only
+        nprobe/n_cells of the code files are opened) and an m-byte ADC
+        scan second — the two pruning axes compose: at 100 TB the scan
+        touches nprobe/n_cells of the files at 1/(dim*4/m)-th the
+        bytes. Codes quantize the RAW vectors, not cell residuals:
+        that keeps codes cell-independent, so the flat and celled
+        layouts share one encoder, one query LUT (computed once per
+        query, not once per probed cell), and the row-identity
+        contract with :func:`pq_topk`; residual coding is a recall
+        refinement the exact re-rank stage already covers here.
+
+    The ``_pq_meta.json`` sidecar carries the codebooks (and centroids,
+    when celled) bit-faithfully plus a ``row_count`` written LAST —
+    the flip is the commit, exactly the :func:`ivf_write_bucketed`
+    protocol, so a torn write is detectable by
+    :func:`pq_index_verify` / a ``verify=True`` probe. Seam scope
+    matches the IVF index (documented there, r11 ADVICE): ``fs``
+    covers sidecar I/O only; row I/O is Spark parquet. Returns the
+    fitted codebooks for callers that probe immediately."""
+    from nginx_analytics_spark.operators.index_fs import write_json_sidecar
+
+    books = pq_codebooks(corpus, vec_col, m, n_codes, seed, max_iter, sample_cap)
+    enc = _pq_encode_udf(books)
+    centroids = None
+    if n_cells is None:
+        corpus.select(
+            F.col(id_col), enc(as_double(vec_col)).alias("codes")
+        ).write.mode("overwrite").parquet(path)
+    else:
+        centroids = ivf_centroids(
+            corpus, n_cells, vec_col, seed, ivf_max_iter, id_col,
+            ivf_sample_cap,
+        )
+        v = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+        v.select(
+            id_col,
+            enc(F.col("v")).alias("codes"),
+            cell_assignment(F.col("v"), centroids)["cell"].alias("cell"),
+        ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    spark = corpus.sparkSession
+    n_rows = spark.read.parquet(path).count()  # footer-scale
+    meta = {
+        "id_col": id_col,
+        "m": int(m),
+        "n_codes": int(n_codes),
+        "dim": int(books.shape[0] * books.shape[2]),
+        "sub": int(books.shape[2]),
+        "seed": int(seed),
+        "row_count": int(n_rows),
+        "n_cells": None if n_cells is None else int(n_cells),
+        "centroids": None if centroids is None else centroids.tolist(),
+        "codebooks": books.tolist(),
+    }
+    write_json_sidecar(path, PQ_INDEX_META, meta, fs=fs)
+    return books
+
+
+def pq_index_verify(spark, path: str, fs=None) -> dict:
+    """The :func:`ivf_index_verify` twin for the PQ index: parquet row
+    count vs the sidecar's ``row_count`` commit. Returns
+    ``{"expected", "actual", "torn"}`` (footer-scale scan)."""
+    meta = read_pq_index_meta(path, fs=fs)
+    expected = meta.get("row_count")
+    actual = spark.read.parquet(path).count()
+    return {
+        "expected": expected,
+        "actual": int(actual),
+        "torn": None if expected is None else (int(actual) != int(expected)),
+    }
+
+
+def pq_topk_indexed(
+    spark,
+    corpus: DataFrame,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int | None = None,
+    round_to: int = 6,
+    refine: int | None = None,
+    refine_frac: float | None = 0.025,
+    refine_floor: int = 50,
+    refine_exact_fold: bool = False,
+    verify: bool = False,
+    fs=None,
+) -> DataFrame:
+    """Probe an at-rest PQ index (written by :func:`pq_write_index`):
+    codebooks load from the validated sidecar and codes from parquet —
+    NO fit, NO corpus encode; the per-call cost is the LUT build
+    (driver-side, q x m x k doubles) plus the compressed-domain scan.
+    Under the same codebooks the output is row-identical to
+    :func:`pq_topk` BY CONSTRUCTION — both run :func:`_pq_scan_topk`
+    (pinned by tests/test_dataops.py).
+
+    ``nprobe`` (IVFADC layout only) prunes the scan to each query's
+    nprobe nearest cells: the union of probed cells becomes an ``IN``
+    partition filter (only those cells' files are OPENED — the
+    ``ivf_topk_bucketed`` discipline), and inside the pruned scan each
+    query scores only its OWN probed cells' candidates via the kernel's
+    per-query mask. ``nprobe=None`` on a celled index scans every cell
+    (the flat semantics — identical output to a flat index under the
+    same codebooks); ``nprobe`` on a FLAT index raises (there are no
+    cells to prune — rebuild with ``n_cells``).
+
+    ``corpus`` supplies raw vectors for the exact re-rank stage only
+    (IVFADC+R — the shortlist join; pass ``refine_frac=None`` for pure
+    ADC and the corpus frame goes untouched). The refine depth uses the
+    sidecar's committed ``row_count``, so the serving path runs zero
+    count jobs. ``verify=True`` gates on :func:`pq_index_verify` first
+    and raises on a torn write."""
+    meta = read_pq_index_meta(path, fs=fs)
+    if id_col != meta["id_col"]:
+        raise ValueError(
+            f"PQ index at {path!r} stores ids in column "
+            f"{meta['id_col']!r}, not {id_col!r} — probe with the "
+            "index's id_col or rebuild"
+        )
+    if verify:
+        check = pq_index_verify(spark, path, fs=fs)
+        if check["torn"]:
+            raise ValueError(
+                f"PQ index at {path!r} is torn: sidecar commits "
+                f"{check['expected']} rows, disk holds {check['actual']} "
+                "— rebuild with pq_write_index"
+            )
+    books = meta["codebooks"]
+    encoded = spark.read.parquet(path)
+    qcells = None
+    if nprobe is not None:
+        if meta.get("n_cells") is None:
+            raise ValueError(
+                f"PQ index at {path!r} is flat (no cell layout) — "
+                "nprobe has nothing to prune; rebuild with "
+                "pq_write_index(n_cells=...) for IVFADC probing"
+            )
+        qrows = queries.select(
+            F.col(query_id_col),
+            nearest_cells(
+                as_double(vec_col), meta["centroids"], nprobe
+            ).alias("cells"),
+        ).collect()
+        qcells = {
+            int(r[0]): frozenset(int(c) for c in r[1]) for r in qrows
+        }
+        union = sorted({c for s in qcells.values() for c in s})
+        encoded = encoded.filter(F.col("cell").isin(union))
+        encoded = encoded.select(id_col, "codes", "cell")
+    else:
+        encoded = encoded.select(id_col, "codes")
+    return _pq_scan_topk(
+        encoded, corpus, queries, books,
+        k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        round_to=round_to, refine=refine, refine_frac=refine_frac,
+        refine_floor=refine_floor, refine_exact_fold=refine_exact_fold,
+        n_rows=meta["row_count"], qcells=qcells,
     )
 
 

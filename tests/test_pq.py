@@ -134,6 +134,177 @@ def test_pq_topk_deterministic(spark, emb):
     assert a == b
 
 
+def test_pq_index_flat_probe_identity(spark, emb, tmp_path):
+    """The at-rest PQ index (r11 verdict item 4): codebooks round-trip
+    the sidecar bit-exactly, and the indexed probe is ROW-IDENTICAL to
+    the in-memory pq_topk under the same codebooks — both paths run
+    _pq_scan_topk, so the identity is structural; this pins that the
+    parquet code round-trip and the sidecar row_count-derived refine
+    depth change nothing."""
+    idx = str(tmp_path / "pq_flat")
+    queries = emb.filter(emb.vec_id < 10).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    books = similarity.pq_write_index(emb, idx, m=8, n_codes=16)
+    meta = similarity.read_pq_index_meta(idx)
+    assert np.array_equal(meta["codebooks"], books)  # bit-exact round-trip
+    assert meta["n_cells"] is None and meta["row_count"] == emb.count()
+    got = sorted(map(tuple, similarity.pq_topk_indexed(
+        spark, emb, queries, idx, k=5
+    ).collect()))
+    mem = sorted(map(tuple, similarity.pq_topk(
+        emb, queries, k=5, m=8, n_codes=16, codebooks=meta["codebooks"]
+    ).collect()))
+    assert got == mem and len(got) == 10 * 5
+
+
+def test_pq_index_ivfadc_prunes_files_and_masks_cells(spark, emb, tmp_path):
+    """The IVFADC layout: (1) the probe plan carries a partition filter
+    on cell; (2) PHYSICAL proof — deleting every unprobed cell's files
+    between plan construction and collect() does not disturb the query,
+    so those code files are provably never opened (the
+    ivf_topk_bucketed discipline); (3) per-QUERY semantics inside the
+    pruned union: every returned neighbor lives in a cell its query
+    actually probed, not merely one some other query probed."""
+    import io
+    import os
+    import shutil
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "pq_ivfadc")
+    queries = emb.filter(emb.vec_id < 3).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    similarity.pq_write_index(emb, idx, m=8, n_codes=16, n_cells=16)
+    meta = similarity.read_pq_index_meta(idx)
+    cell_dirs = sorted(d for d in os.listdir(idx) if d.startswith("cell="))
+    assert len(cell_dirs) > 4, "corpus should spread over many cells"
+
+    expected = sorted(map(tuple, similarity.pq_topk_indexed(
+        spark, emb, queries, idx, k=5, nprobe=4
+    ).collect()))
+
+    out = similarity.pq_topk_indexed(spark, emb, queries, idx, k=5, nprobe=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "PartitionFilters: [cell" in buf.getvalue(), buf.getvalue()[:2000]
+
+    qcells = {
+        int(r[0]): {int(c) for c in r[1]}
+        for r in queries.select(
+            "query_id",
+            similarity.nearest_cells(
+                similarity.as_double("embedding"), meta["centroids"], 4
+            ).alias("cells"),
+        ).collect()
+    }
+    probed = set().union(*qcells.values())
+    removed = 0
+    for d in cell_dirs:
+        if int(d.split("=", 1)[1]) not in probed:
+            shutil.rmtree(os.path.join(idx, d))
+            removed += 1
+    assert removed > 0, "nprobe=4 of 16 cells must leave unprobed cells"
+    assert sorted(map(tuple, out.collect())) == expected
+
+    # per-query cell mask: each neighbor's cell is in ITS query's probe set
+    ncell = {
+        int(r[0]): int(r[1])
+        for r in emb.select(
+            "vec_id",
+            similarity.cell_assignment(
+                similarity.as_double("embedding"), meta["centroids"]
+            )["cell"],
+        ).collect()
+    }
+    for row in expected:
+        qid, nid = int(row[0]), int(row[1])
+        assert ncell[nid] in qcells[qid], (qid, nid, ncell[nid], qcells[qid])
+
+
+def test_pq_index_ivfadc_recall_and_full_scan_identity(spark, emb, emb_np, tmp_path):
+    """IVFADC recall composes the two pruning stages: ~0.72 (IVF at
+    6/16 cells) x ~0.74 (PQ+refine) — measured 0.50 on the seeded
+    fixture; gate leaves margin for a fixture regeneration. And
+    nprobe=None on a celled index scans every cell — identical rows to
+    a flat index under the same codebooks (the layouts differ only in
+    pruning, never content)."""
+    ids, x = emb_np
+    idx = str(tmp_path / "pq_ivfadc")
+    flat = str(tmp_path / "pq_flat")
+    queries = emb.filter(emb.vec_id < 10).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    similarity.pq_write_index(emb, idx, m=8, n_codes=16, n_cells=16)
+    similarity.pq_write_index(emb, flat, m=8, n_codes=16)
+    got = similarity.pq_topk_indexed(
+        spark, emb, queries, idx, k=5, nprobe=6
+    ).collect()
+    recall, by_q = _recall_at_5(got, ids, x)
+    assert len(by_q) == 10 and all(len(v) == 5 for v in by_q.values())
+    assert recall >= 0.4, f"IVFADC recall@5 = {recall}"
+
+    all_cells = sorted(map(tuple, similarity.pq_topk_indexed(
+        spark, emb, queries, idx, k=5
+    ).collect()))
+    flat_out = sorted(map(tuple, similarity.pq_topk_indexed(
+        spark, emb, queries, flat, k=5
+    ).collect()))
+    assert all_cells == flat_out
+
+
+def test_pq_index_torn_commit_detected(spark, emb, tmp_path):
+    """The row_count sidecar flip is the commit (the ivf_write_bucketed
+    protocol): rows landing after the flip — a writer killed before
+    re-flipping, or foreign files — read as torn, and a verify=True
+    probe refuses loudly while the default probe (appends are not part
+    of this index's lifecycle yet) still serves."""
+    idx = str(tmp_path / "pq_flat")
+    queries = emb.filter(emb.vec_id < 3).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    books = similarity.pq_write_index(emb, idx, m=8, n_codes=16)
+    assert similarity.pq_index_verify(spark, idx)["torn"] is False
+
+    extra = emb.filter(emb.vec_id < 2).select(
+        (emb.vec_id + 100000).alias("vec_id"), "embedding"
+    )
+    similarity.pq_encode(extra, books).write.mode("append").parquet(idx)
+    check = similarity.pq_index_verify(spark, idx)
+    assert check["torn"] is True and check["actual"] == check["expected"] + 2
+    with pytest.raises(ValueError, match="torn"):
+        similarity.pq_topk_indexed(
+            spark, emb, queries, idx, k=5, verify=True
+        )
+    assert similarity.pq_topk_indexed(
+        spark, emb, queries, idx, k=5
+    ).count() == 3 * 5
+
+
+def test_pq_index_guards(spark, emb, tmp_path):
+    """Fail-loudly surface: nprobe against a flat index (nothing to
+    prune), a foreign id_col (the codes table doesn't carry it), and a
+    sidecar-less directory all refuse instead of silently degrading."""
+    idx = str(tmp_path / "pq_flat")
+    queries = emb.filter(emb.vec_id < 3).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    similarity.pq_write_index(emb, idx, m=8, n_codes=16)
+    with pytest.raises(ValueError, match="flat"):
+        similarity.pq_topk_indexed(spark, emb, queries, idx, k=5, nprobe=4)
+    with pytest.raises(ValueError, match="id_col"):
+        similarity.pq_topk_indexed(
+            spark, emb, queries, idx, k=5, id_col="doc_id"
+        )
+    bare = str(tmp_path / "not_an_index")
+    emb.write.mode("overwrite").parquet(bare)
+    with pytest.raises(FileNotFoundError):
+        similarity.pq_topk_indexed(spark, emb, queries, bare, k=5)
+
+
 def test_exhaustive_refine_exact_beyond_fixture_size(spark):
     """r6 regression (caught by the sf0.1 parity sweep): a FIXED refine
     depth that happens to exceed the small fixtures' 500 vectors is not
