@@ -385,6 +385,76 @@ def _build_parser():
         ),
     )
 
+    ei = sub.add_parser(
+        "embedding-dedup-ingest",
+        help=(
+            "streaming embedding ingest with incremental SEMANTIC "
+            "near-dedup (X85, the X80 twin for the embedding modality): "
+            "per micro-batch, exact+near dedup within the batch, probe "
+            "the at-rest SRP index (X84), append admissions to corpus "
+            "and index"
+        ),
+    )
+    ei.add_argument(
+        "--source", required=True, help="embedding rows parquet stream dir"
+    )
+    ei.add_argument("--corpus", required=True, help="admitted-corpus output dir")
+    ei.add_argument("--index", required=True, help="at-rest SRP index path")
+    ei.add_argument("--checkpoint", required=True, help="stream checkpoint dir")
+    ei.add_argument("--trigger", default="available-now")
+    ei.add_argument(
+        "--threshold",
+        type=float,
+        default=0.85,
+        help=(
+            "cosine admission threshold (default 0.85 — the regime "
+            "embedding dup detection operates in; see "
+            "embedding_ingest.dedup_embedding_batch_against_corpus)"
+        ),
+    )
+    # SRP signing parameters — pinned by the index's _srp_meta.json
+    # sidecar after the first batch; a mismatch on a later deployment
+    # fails loudly in the probe/append instead of silently losing recall
+    ei.add_argument("--n-planes", type=int, default=32)
+    ei.add_argument("--bands", type=int, default=8)
+    ei.add_argument("--dim", type=int, default=64)
+    ei.add_argument("--seed", type=int, default=42)
+    ei.add_argument("--max-files-per-trigger", type=int, default=None)
+    ei.add_argument(
+        "--compact-every",
+        type=int,
+        default=None,
+        help=(
+            "run X82 per-band index compaction after every Nth batch "
+            "(similarity.compact_srp_index shares the text compactor)"
+        ),
+    )
+    ei.add_argument(
+        "--max-files-per-band",
+        type=int,
+        default=_dedup.COMPACT_MAX_FILES_PER_BAND,
+        help="per-band parquet file threshold for --compact-every",
+    )
+    ei.add_argument(
+        "--lock-timeout",
+        type=float,
+        default=0.0,
+        help=(
+            "seconds to wait for the index mutex at startup (the CLI "
+            "holds it for the stream's lifetime, exactly like "
+            "dedup-ingest --lock-timeout)"
+        ),
+    )
+    ei.add_argument(
+        "--exactly-once",
+        action="store_true",
+        help=(
+            "X73 composition: admissions land under ingest_batch=<id> "
+            "with overwrite semantics; read back via "
+            "dedup_ingest.read_corpus"
+        ),
+    )
+
     ci = sub.add_parser(
         "compact-index",
         help=(
@@ -521,6 +591,65 @@ def main(argv: list[str] | None = None) -> int:
                 args.index,
                 args.checkpoint,
                 threshold=args.threshold,
+                trigger=_parse_trigger(args.trigger),
+                exactly_once=args.exactly_once,
+                compact_every=args.compact_every,
+                max_files_per_band=args.max_files_per_band,
+                lock_timeout_s=args.lock_timeout,
+                on_batch=lambda bid, n_in, n_novel, lock_wait: print(
+                    f"batch {bid}: {n_in} in, {n_novel} admitted, "
+                    f"lock_wait={lock_wait:.3f}s",
+                    flush=True,
+                ),
+                lock_held=True,
+            )
+            q.awaitTermination()
+        return 0
+
+    if args.command == "embedding-dedup-ingest":
+        from nginx_analytics_spark.operators import dedup
+        from nginx_analytics_spark.operators.index_fs import (
+            LOCAL_FS,
+            acquire_lock_wait,
+        )
+        from nginx_analytics_spark.streaming.embedding_ingest import (
+            start_embedding_dedup_ingest,
+        )
+
+        reader = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        )
+        if args.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(args.max_files_per_trigger)
+            )
+        # Same lifetime mutex hold as dedup-ingest (the two loops share
+        # _enter_index_mutex and the rationale documented there): an
+        # offline compactor racing this loop loses loudly, never the
+        # production stream; --lock-timeout applies to THIS startup
+        # acquisition, the only one that can contend.
+        with acquire_lock_wait(
+            LOCAL_FS,
+            dedup._lsh_compact_lock_path(args.index),
+            "an embedding-dedup-ingest loop owns this index for its "
+            "lifetime; stop the loop before compacting offline",
+            timeout_s=args.lock_timeout,
+        ) as waited:
+            if waited >= 0.05:
+                print(
+                    f"index mutex acquired after {waited:.3f}s wait",
+                    flush=True,
+                )
+            q = start_embedding_dedup_ingest(
+                reader.parquet(args.source),
+                args.corpus,
+                args.index,
+                args.checkpoint,
+                threshold=args.threshold,
+                n_planes=args.n_planes,
+                bands=args.bands,
+                dim=args.dim,
+                seed=args.seed,
                 trigger=_parse_trigger(args.trigger),
                 exactly_once=args.exactly_once,
                 compact_every=args.compact_every,

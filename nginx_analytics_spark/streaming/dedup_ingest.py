@@ -123,6 +123,55 @@ def dedup_batch_against_corpus(
     return b
 
 
+def _enter_index_mutex(
+    stack,
+    fs,
+    index_path: str,
+    lock_held: bool = False,
+    lock_timeout_s: float = 0.0,
+    telemetry: dict | None = None,
+) -> None:
+    """Acquire the index's single-writer mutex into ``stack`` with the
+    X80 batch discipline — fail-fast by default, verified delegation
+    under a caller's lifetime hold, bounded wait with ``lock_wait_s``
+    telemetry otherwise (the full rationale lives on
+    :func:`process_batch`, whose contract this implements). Shared with
+    the X85 embedding loop: the two modalities' indexes use the same
+    sibling ``<index>.compact.lock`` and the same single-writer rules,
+    so the enforcement is one function, not two kept identical by
+    discipline."""
+    import time
+
+    from nginx_analytics_spark.operators.index_fs import LockHeldError
+
+    lock_path = dedup._lsh_compact_lock_path(index_path)
+    t0 = time.monotonic()
+    deadline = t0 + lock_timeout_s
+    while True:
+        try:
+            stack.enter_context(
+                fs.exclusive_lock(
+                    lock_path,
+                    "the ingest loop holds the index mutex for each "
+                    "micro-batch; out-of-band compaction must wait for "
+                    "the loop to stop",
+                )
+            )
+            break
+        except LockHeldError:
+            try:
+                holder = fs.read_text(lock_path).strip()
+            except OSError:
+                holder = ""
+            if lock_held and holder and holder == fs.holder_id():
+                break  # verified delegation: the caller's lifetime hold
+            if time.monotonic() >= deadline:
+                raise
+            time.sleep(0.1)
+    if telemetry is not None:
+        telemetry["lock_wait_s"] = round(time.monotonic() - t0, 3)
+
+
 def process_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -200,39 +249,17 @@ def process_batch(
     r9 review); nonzero per-batch lock_wait is the LIBRARY-embedded
     loop's signal."""
     import os
-    import time
     from contextlib import ExitStack
 
-    from nginx_analytics_spark.operators.index_fs import LOCAL_FS, LockHeldError
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
     fs = fs or LOCAL_FS
     stack = ExitStack()
-    lock_path = dedup._lsh_compact_lock_path(index_path)
-    t0 = time.monotonic()
-    deadline = t0 + lock_timeout_s
-    while True:
-        try:
-            stack.enter_context(
-                fs.exclusive_lock(
-                    lock_path,
-                    "the X80 loop holds the index mutex for each "
-                    "micro-batch; out-of-band compaction must wait for "
-                    "the loop to stop",
-                )
-            )
-            break
-        except LockHeldError:
-            try:
-                holder = fs.read_text(lock_path).strip()
-            except OSError:
-                holder = ""
-            if lock_held and holder and holder == fs.holder_id():
-                break  # verified delegation: the caller's lifetime hold
-            if time.monotonic() >= deadline:
-                raise
-            time.sleep(0.1)
-    if telemetry is not None:
-        telemetry["lock_wait_s"] = round(time.monotonic() - t0, 3)
+    _enter_index_mutex(
+        stack, fs, index_path,
+        lock_held=lock_held, lock_timeout_s=lock_timeout_s,
+        telemetry=telemetry,
+    )
     with stack:
         if fs.isfile(dedup.lsh_index_meta_path(index_path)):
             # heal a compaction interrupted by a crash BEFORE probing

@@ -302,6 +302,55 @@ def test_cli_dedup_ingest(spark, tmp_path):
     assert dedup.read_lsh_index_meta(f"{tmp_path}/idx")["num_hashes"] == 32
 
 
+def test_cli_embedding_dedup_ingest(spark, tmp_path):
+    """X85 CLI: one job drives the streaming embedding dedup-ingest
+    loop over a parquet dir; bit-identical vectors are suppressed and
+    the corpus + SRP index land where pointed, with the signing
+    parameters pinned in the sidecar."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 64))
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": [1, 2, 3],
+                # 2 is a bit-identical dup of 1; 3 is novel
+                "embedding": [list(map(float, v)) for v in (x[0], x[0], x[1])],
+            },
+            schema=schema,
+        ),
+        src / "b.parquet",
+    )
+    rc = jobs.main(
+        [
+            "embedding-dedup-ingest",
+            "--source", str(src),
+            "--corpus", f"{tmp_path}/corpus",
+            "--index", f"{tmp_path}/idx",
+            "--checkpoint", f"{tmp_path}/ckpt",
+            "--compact-every", "1",  # X82 plumbing (no-op at 1 file/band)
+        ]
+    )
+    assert rc == 0
+    got = sorted(
+        r.vec_id for r in spark.read.parquet(f"{tmp_path}/corpus").collect()
+    )
+    assert got == [1, 3]
+    from nginx_analytics_spark.operators import similarity
+
+    meta = similarity.read_srp_index_meta(f"{tmp_path}/idx")
+    assert meta["n_planes"] == 32 and meta["bands"] == 8
+
+
 def test_cli_handoff_quality_weights(spark, tmp_path):
     """X81 -> X67 wiring (r6 verdict item 5): --quality-weights lands
     quality_prob in the curated corpus AND the training shards, and the

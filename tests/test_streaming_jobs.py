@@ -527,7 +527,7 @@ def test_process_batch_refuses_foreign_mutex_holder(spark, tmp_path):
     fd = os.open(dedup._lsh_compact_lock_path(idx), os.O_CREAT | os.O_RDWR)
     fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
     try:
-        with pytest.raises(RuntimeError, match="X80 loop"):
+        with pytest.raises(RuntimeError, match="ingest loop"):
             process_batch(spark, more, 1, corpus, idx)
         # the refused batch admitted nothing anywhere
         assert spark.read.parquet(corpus).count() == 2
@@ -600,7 +600,7 @@ def test_lock_held_is_verified_not_trusted(spark, tmp_path):
     )
     try:
         assert holder.stdout.readline().strip() == b"locked"
-        with pytest.raises(RuntimeError, match="X80 loop"):
+        with pytest.raises(RuntimeError, match="ingest loop"):
             process_batch(spark, more, 3, corpus, idx, lock_held=True)
     finally:
         holder.kill()
@@ -668,7 +668,7 @@ def test_lock_held_refuses_unstamped_foreign_acquirer(spark, tmp_path):
             [(2, "second document with its own fresh vocabulary")],
             "doc_id long, text string",
         )
-        with pytest.raises(LockHeldError, match="X80 loop"):
+        with pytest.raises(LockHeldError, match="ingest loop"):
             process_batch(spark, more, 1, corpus, idx, lock_held=True)
         assert spark.read.parquet(corpus).count() == 1  # nothing admitted
     finally:
@@ -761,7 +761,7 @@ def test_lock_wait_telemetry_surfaces_contention(spark, tmp_path):
     fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
     try:
         t0 = time.monotonic()
-        with pytest.raises(LockHeldError, match="X80 loop"):
+        with pytest.raises(LockHeldError, match="ingest loop"):
             process_batch(
                 spark, more, 2, corpus, idx, lock_timeout_s=0.5
             )
@@ -860,3 +860,180 @@ def test_acquire_lock_wait_bounds_the_startup_acquisition(tmp_path):
 
         with contextlib.suppress(OSError):
             os.close(fd)
+
+
+def _unit_vecs(seed: int, n: int, dim: int = 64):
+    """n seeded random unit vectors (near-orthogonal in 64-dim)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, dim))
+    return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+
+def _perturb(v, seed: int, eps: float = 0.05):
+    """A unit near-duplicate of v (cosine ~0.999 at eps=0.05)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    w = v + eps * rng.normal(size=v.shape).astype(np.float32)
+    return (w / np.linalg.norm(w)).astype(np.float32)
+
+
+def _write_emb_parquet(path, rows):
+    """(vec_id, embedding) rows as ONE parquet file with an explicit
+    array<float> schema (pandas inference would widen to double and
+    break the stream reader's declared schema)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+    table = pa.table(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [list(map(float, r[1])) for r in rows],
+        },
+        schema=schema,
+    )
+    pq.write_table(table, path)
+
+
+def test_embedding_ingest_loop_across_micro_batches(spark, tmp_path):
+    """X85: the streaming SEMANTIC dedup-ingest loop — exact dup (bit-
+    identical vector) WITHIN a batch, near-dup (cosine >= threshold)
+    WITHIN a batch, near-dup AGAINST the corpus via the at-rest SRP
+    index, and the append so a LATER batch dedups against an earlier
+    batch's admissions. Three deterministic micro-batches
+    (maxFilesPerTrigger=1) prove each path — the text loop's battery
+    (test_dedup_ingest_loop_across_micro_batches) transposed to the
+    embedding modality at the production 0.85 threshold."""
+    from nginx_analytics_spark.operators import similarity
+    from nginx_analytics_spark.streaming.embedding_ingest import (
+        start_embedding_dedup_ingest,
+    )
+
+    v = _unit_vecs(11, 3)  # v[0], v[1] novel bases; v[2] a third base
+    src = tmp_path / "src"
+    src.mkdir()
+    # b1: two novel vectors
+    _write_emb_parquet(src / "a.parquet", [(1, v[0]), (2, v[1])])
+    # b2: near-dup of corpus vec 1 (via index probe); novel vec 4;
+    # exact dup of 4 (bit-identical); near-dup of 4 within the batch
+    _write_emb_parquet(src / "b.parquet", [
+        (3, _perturb(v[0], 21)),
+        (4, v[2]),
+        (5, v[2]),
+        (6, _perturb(v[2], 22)),
+    ])
+    # b3: near-dup of vec 4 — caught ONLY via the index appended in b2
+    _write_emb_parquet(src / "c.parquet", [(7, _perturb(v[2], 23))])
+
+    corpus_dir = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "idx")
+    seen = []
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = start_embedding_dedup_ingest(
+        stream, corpus_dir, index_path, str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        on_batch=lambda bid, n_in, n_novel, lock_wait: seen.append(
+            (n_in, n_novel)
+        ),
+    )
+    q.awaitTermination()
+
+    assert seen == [(2, 2), (4, 1), (1, 0)]
+    got = sorted(r.vec_id for r in spark.read.parquet(corpus_dir).collect())
+    assert got == [1, 2, 4]
+    # the index covers exactly the admitted vectors, one row per band
+    idx_rows = spark.read.parquet(index_path).collect()
+    assert {r.vec_id for r in idx_rows} == {1, 2, 4}
+    assert len(idx_rows) == 3 * 8
+    assert similarity.read_srp_index_meta(index_path)["n_planes"] == 32
+
+
+def test_embedding_ingest_exactly_once_retry(spark, tmp_path):
+    """X85 + X73 composition (the text loop's retry semantics hold for
+    the embedding modality): a retried micro-batch REPLACES its own
+    corpus output under exactly_once=True; a replayed index append adds
+    duplicate band rows but cannot change probe results (replayed rows
+    self-match only on their own ids, which the probe's id inequality
+    excludes); plain append duplicates on replay."""
+    from nginx_analytics_spark.streaming.dedup_ingest import read_corpus
+    from nginx_analytics_spark.streaming.embedding_ingest import (
+        process_embedding_batch,
+    )
+
+    v = _unit_vecs(31, 2)
+    emb = spark.createDataFrame(
+        [(1, [float(x) for x in v[0]]), (2, [float(x) for x in v[1]])],
+        "vec_id long, embedding array<float>",
+    )
+    eo = str(tmp_path / "eo")
+    got1 = process_embedding_batch(
+        spark, emb, 0, eo, str(tmp_path / "idx_eo"), exactly_once=True
+    )
+    got2 = process_embedding_batch(
+        spark, emb, 0, eo, str(tmp_path / "idx_eo"), exactly_once=True
+    )  # same-id retry
+    assert got1 == (2, 2)
+    assert got2 == (2, 2)  # replay re-admits (self-matches excluded by id)
+    assert sorted(r.vec_id for r in read_corpus(spark, eo).collect()) == [1, 2]
+    # index holds duplicate band rows after replay — bytes, not results
+    idx = spark.read.parquet(str(tmp_path / "idx_eo"))
+    assert idx.count() == 2 * idx.distinct().count()
+
+    plain = str(tmp_path / "plain")
+    process_embedding_batch(spark, emb, 0, plain, str(tmp_path / "idx_p"))
+    process_embedding_batch(spark, emb, 0, plain, str(tmp_path / "idx_p"))
+    assert sorted(
+        r.vec_id for r in read_corpus(spark, plain).collect()
+    ) == [1, 1, 2, 2]  # at-least-once append duplicates on replay
+
+
+def test_embedding_ingest_with_in_loop_compaction(spark, tmp_path):
+    """X85 + X82: compact_every folds the shared per-band compaction
+    into the embedding loop — after three appending batches with a
+    forcing threshold (max_files_per_band=1), every band's file count
+    is back at/below the compaction target while the index CONTENT
+    equals the union of the admitted batches' band keys."""
+    import os
+
+    from nginx_analytics_spark.operators import similarity
+    from nginx_analytics_spark.streaming.embedding_ingest import (
+        process_embedding_batch,
+    )
+
+    corpus_dir = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "idx")
+    v = _unit_vecs(41, 9)
+    for b in range(3):
+        emb = spark.createDataFrame(
+            [
+                (b * 3 + i, [float(x) for x in v[b * 3 + i]])
+                for i in range(3)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        process_embedding_batch(
+            spark, emb, b, corpus_dir, index_path,
+            compact_every=3, max_files_per_band=1,
+        )
+    rows = similarity.read_srp_index_rows(spark, index_path)
+    assert {r.vec_id for r in rows.collect()} == set(range(9))
+    # the cycle fired on batch id 2 ((2+1) % 3 == 0): band dirs were
+    # rewritten into range-partitioned files (<= default target), not
+    # the 2-3 append files each band accumulated
+    for d in os.listdir(index_path):
+        if d.startswith("band_idx="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(index_path, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) <= 2, (d, files)
