@@ -238,6 +238,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "ann_ivf_topk",
         "ann_ivf_indexed",
         "ann_pq_topk",
+        "ann_pq_indexed",
         "embedding_lsh_pairs",
         "incremental_embedding_near_dups_probe",
     ],
@@ -264,6 +265,11 @@ BENCH_EXCLUDED: dict[str, str] = {
     "dedup_ingest_roundtrip": (
         "X80 streaming harness; the loop gets the dedicated docs/s "
         "dedup-ingest pass instead (r7)"
+    ),
+    "embedding_ingest_roundtrip": (
+        "X85 streaming harness (the X80 twin for embeddings); its "
+        "recurring probe cost is the benched "
+        "incremental_embedding_near_dups_probe"
     ),
     # --- iterative trainers / MLlib fits: model-fit cost, not engine
     # throughput ---
@@ -704,6 +710,138 @@ def _child_group(group: str, fixture_dir: str, cpus: int) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+def run_embedding_ingest_throughput(
+    sf_dir: str,
+    cpus: int,
+    n_batches: int = 10,
+    replicate: int = 1,
+    threshold: float = 0.85,
+    compact_every: int | None = None,
+    max_files_per_band: int = 8,
+    track_files: bool = False,
+) -> dict:
+    """Child-process entry (r12, the X85 twin of
+    :func:`run_dedup_ingest_throughput`): end-to-end throughput of the
+    streaming EMBEDDING dedup-ingest loop. The fixture's embeddings
+    (grown ``replicate``x with dissimilar unit-vector variants —
+    :func:`_emb_variants`, so per-batch volume is meaningful at the
+    100-batch horizon) are split into ``n_batches`` deterministic
+    micro-batch files; a file stream with maxFilesPerTrigger=1 drives
+    the REAL X85 foreachBatch handler — exact + SRP near dedup within
+    the batch, X84 probe of the at-rest SRP index, corpus append +
+    index append — so batch k's probe sees batches 0..k-1's
+    admissions. Threshold is the 0.85 production regime (near-identical
+    vectors; the variants are near-orthogonal, so admissions stay ~full
+    and the measurement isolates PER-BATCH PROBE COST against a
+    steadily growing index — the capacity-planning number: flat walls =
+    probe cost scales with the batch, never the corpus). Same
+    ``track_files`` sawtooth telemetry as the text twin."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nginx_analytics_spark.operators.similarity import read_srp_index_rows
+    from nginx_analytics_spark.session import get_spark
+    from nginx_analytics_spark.sources import load_table
+    from nginx_analytics_spark.streaming.embedding_ingest import (
+        start_embedding_dedup_ingest,
+    )
+
+    spark = get_spark(
+        app_name="nginx_analytics_bench_emb_ingest",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    work = tempfile.mkdtemp(prefix="nas_bench_emb_ingest_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+        emb = load_table(spark, sf_dir, "embeddings")
+        if replicate > 1:
+            emb = emb.unionByName(_emb_variants(emb, replicate - 1))
+        emb = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
+        n_vecs = emb.count()
+        for k in range(n_batches):
+            batch = emb.filter(
+                F.crc32(F.col("vec_id").cast("string")) % n_batches == k
+            )
+            stage = f"{work}/stage{k}"
+            batch.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            shutil.move(f"{stage}/{part}", f"{src}/b{k:02d}.parquet")
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def _index_files() -> int:
+            return sum(
+                1
+                for root, _, files in os.walk(f"{work}/idx")
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        marks: list[tuple[float, int, int, float, int]] = []
+        walk_cost = [0.0]
+
+        def _on_batch(bid, n_in, n_novel, lock_wait) -> None:
+            mark_t = time.monotonic()
+            files = -1
+            if track_files:
+                files = _index_files()
+                walk_cost[0] += time.monotonic() - mark_t
+            marks.append((mark_t, n_in, n_novel, lock_wait, files))
+
+        t0 = time.monotonic()
+        q = start_embedding_dedup_ingest(
+            stream,
+            f"{work}/corpus",
+            f"{work}/idx",
+            f"{work}/ckpt",
+            threshold=threshold,
+            trigger={"availableNow": True},
+            compact_every=compact_every,
+            max_files_per_band=max_files_per_band,
+            on_batch=_on_batch,
+        )
+        q.awaitTermination()
+        sec = time.monotonic() - t0
+        ends = [t0] + [m[0] for m in marks]
+        batch_walls = [
+            round(ends[i + 1] - ends[i], 3) for i in range(len(marks))
+        ]
+        admitted = sum(m[2] for m in marks)
+        idx_rows = read_srp_index_rows(spark, f"{work}/idx").count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    out = {
+        "vecs_in": n_vecs,
+        "vecs_admitted": admitted,
+        "n_batches": len(marks),
+        "sec": round(sec, 3),
+        "vecs_per_sec": round(n_vecs / sec, 1),
+        "admitted_per_sec": round(admitted / sec, 1),
+        "batch_walls_sec": batch_walls,
+        "index_rows": idx_rows,
+    }
+    if replicate > 1:
+        out["replicate"] = replicate
+    if compact_every:
+        out["compact_every"] = compact_every
+        out["max_files_per_band"] = max_files_per_band
+    if track_files:
+        out["lock_wait_s"] = [round(m[3], 3) for m in marks]
+        out["index_files"] = [m[4] for m in marks]
+        out["file_walk_s"] = round(walk_cost[0], 3)
+    return out
+
+
 def run_corpus_grown(sf_dir: str, cpus: int, grow: int = 10) -> dict:
     """Child-process entry (r8 verdict item 5): the at-rest corpus
     query group measured against a ~``grow``x documents table — the
@@ -760,6 +898,7 @@ ANN_GROWN_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_indexed",
     "ann_pq_topk",
+    "ann_pq_indexed",
     "embedding_centroids",
     "embedding_lsh_pairs",
 ]
@@ -903,6 +1042,7 @@ def run_embeddings_grown(sf_dir: str, cpus: int, grow: int = 10) -> dict:
                 "ann_ivf_topk",
                 "ann_ivf_indexed",
                 "ann_pq_topk",
+                "ann_pq_indexed",
             ):
                 got = topk_set(name, fixture)
                 recall.setdefault(name, {})[tag] = round(
@@ -1020,6 +1160,17 @@ def main() -> None:
             print(json.dumps(run_dedup_ingest_throughput(
                 sf_dir, cpus, n_batches=100, compact_every=10,
                 track_files=True,
+            )))
+        elif sys.argv[2] == "embedding_ingest_sustained":
+            # opt-in (r12, r11 verdict item 6): the 100-batch sustained
+            # horizon for the X85 EMBEDDING loop — replicate=10 grows
+            # the pool to ~20k vectors at sf0.1 so batches carry ~200
+            # rows; expected: flat walls (probe cost scales with batch,
+            # not corpus) and a bounded index-file sawtooth under the
+            # in-loop X82 compaction; SCALING.md payload
+            print(json.dumps(run_embedding_ingest_throughput(
+                sf_dir, cpus, n_batches=100, replicate=10,
+                compact_every=10, track_files=True,
             )))
         elif sys.argv[2] == "dedup_ingest_sustained_manifest":
             # opt-in (r10 verdict item 5): the same 100-batch sustained

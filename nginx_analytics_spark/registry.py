@@ -59,142 +59,131 @@ _ORACLES: dict[str, str] = {}
 # row from the PREVIOUS round — re-checking them adds wall time, not
 # record. A doc-lint test pins every listed name to a registered query.
 #
-# Round 11 (executing the rotation the r10 verdict item 4 mandates).
-# Freshness going in (computed over CORRECTNESS_r1..r10): 21 names last
-# green r8 — exactly r10's designated spill (one accounting correction
-# to the r10 comment, per r10 ADVICE: simhash_near_dup belonged with
-# curate_corpus/ngram_jaccard_pairs in the ex-_CHECK_LAST bucket, not
-# the rows-only bucket; totals were right, attribution off by one) —
-# 50 names r9, 50 names r10, zero older. The due set is 74: the three
-# never-recorded r11 queries, the 21-name r8 cohort, and the 50-name
-# r9 cohort. A ~50-row budget cannot hold 74, so _CHECK_FIRST lists ALL
-# 74 in priority order — the driver records the first ~50 and any extra
-# budget falls exactly on the designated spill instead of on
-# already-fresh r10 rows:
-#   * positions 1-3: new this round, never recorded — ann_ivf_indexed
-#     (the IVF at-rest probe) and the X84 pair (incremental embedding
-#     near-dups: exact_net oracle tier + at-rest probe headline);
-#   * positions 4-24: the r8 cohort, in the order the r10 verdict
-#     pre-committed (alphabetical);
-#   * next 28: 28 of the r9 cohort — the hash-green heads of
-#     each operator family (parse/anomaly/agg chain, curation/text,
-#     sampling, streaming windows, incremental dedup) where the row is
-#     the family's only fresh record;
-#   * positions 53-74: the DESIGNATED r11 SPILL = the 22 r9 names that
-#     cost the record least — the 7 rows-only entries whose driver row
-#     is only a row-count re-probe with the real recall/property gates
-#     in pytest (approx_distinct_users, bpe_merges, cms_user_counts_7d,
-#     corpus_report_incremental, incremental_near_dups_probe,
-#     kll_latency_percentiles_7d, theta_user_overlap), the expensive
-#     pair/iterative/roundtrip shapes whose cheaper family heads ARE
-#     recorded this round (minhash_dedup_pairs~minhash_lsh_pairs r10,
-#     incremental_index_near_dups~incremental_near_dups r11,
-#     anomaly_job_roundtrip~zscore_anomaly r11, training_handoff,
-#     pii_redaction, stateful_key_profiles,
-#     stream_stream_join~stream_stream_left_join r11), and 8 hash-green
-#     variant shapes whose families hold fresher or same-round
-#     representatives (doc_logprob & doc_fingerprint~doc_quality/
-#     token_stats r11, grouped_split_users~stratified_sample_events
-#     r11, purchase_and_error_users~engaged_users r10,
-#     rolling_7d_avg~value_rank_profile r11, scd2_user_plans~
-#     asof_last_purchase r10, daily_event_matrix~traffic_cube r10,
-#     forecast_revenue~traffic_forecast r10). They stay oracle-verified
-#     at both pytest tiers every round and head r12's _CHECK_FIRST
-#     together with whatever r11 adds.
+# Round 12 (executing the r11 verdict item 5 rotation). Freshness going
+# in (computed over CORRECTNESS_r1..r11): 24 names last green r9 —
+# exactly r11's designated spill — 50 names r10, 50 names r11, zero
+# older, zero reds ever. The due set is 76: the two never-recorded r12
+# queries, the 24-name r9 cohort, and the 50-name r10 cohort. A ~50-row
+# budget cannot hold 76, so _CHECK_FIRST lists ALL 76 in priority order
+# — the driver records the first ~50 and any extra budget falls exactly
+# on the designated spill instead of on already-fresh r11 rows:
+#   * positions 1-2: new this round, never recorded — ann_pq_indexed
+#     (the X86 at-rest IVFADC probe) and embedding_ingest_roundtrip
+#     (the X85 streaming semantic dedup-ingest loop);
+#   * positions 3-26: the r9 cohort, in the order the r11 verdict
+#     pre-committed;
+#   * positions 27-50: 24 of the r10 cohort — the cheap hash-green
+#     heads chosen for FAMILY BREADTH (relational/temporal, TPC-H
+#     pricing/supplier, corpus/text), so every operator family gets a
+#     fresh row this round;
+#   * positions 51-76: the DESIGNATED r12 SPILL = the 26 r10 names that
+#     cost the record least — rows-only re-probes whose real gates live
+#     in pytest (ann_pq_topk, quality_classifier_scores,
+#     dedup_ingest_roundtrip), expensive pair/iterative shapes whose
+#     cheaper family heads ARE recorded this round (dedup_clusters,
+#     exact_jaccard_pairs, embedding_dedup_pairs, minhash_lsh_pairs),
+#     and hash-green variant shapes whose families hold fresher or
+#     same-round representatives (e.g. brand_size_revenue~market_share,
+#     engaged_users/error_only_users/idle_users-family~the recorded
+#     relational heads, value_*~value_rank_profile r11,
+#     sketch/approx twins~the r9 sketch cohort recorded above). They
+#     stay oracle-verified at both pytest tiers every round and head
+#     r13's _CHECK_FIRST together with whatever r12 adds.
 _CHECK_FIRST = [
-    # --- positions 1-3: new this round, no driver row yet ---
-    "ann_ivf_indexed",
-    "incremental_embedding_near_dups",
-    "incremental_embedding_near_dups_probe",
-    # --- positions 4-24: the r8 cohort (r10's designated spill) ---
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "corpus_report",
-    "curate_corpus",
-    "embedding_lsh_pairs",
-    "incremental_new_docs",
-    "latency_percentiles",
-    "ngram_jaccard_pairs",
-    "pack_chunks",
-    "per_source_sample",
-    "rt_model_predictions",
-    "rt_scoring_roundtrip",
-    "salted_ip_stats",
-    "salted_user_join",
-    "session_windows",
-    "simhash_near_dup",
-    "sliding_windowed_events",
-    "stream_stream_left_join",
-    "streaming_ingest_roundtrip",
-    "top_endpoints_bounded",
-    "traffic_rollup",
-    # --- positions 25-52: 28 r9 family heads (r11 ADVICE: the earlier
-    # '23-50' label ignored the 3 new + 21 r8 names ahead of it) ---
-    # reference parse/agg/anomaly chain
-    "count_raw",
-    "parse_enrich",
-    "batch_ip_stats",
-    "hourly_reagg",
-    "zscore_anomaly",
-    "anomaly_detail",
-    "training_features",
-    "predict_features",
-    "top_endpoints",
-    "exact_dedup_events",
-    "distinct_users",
-    "windowed_events",
-    "incremental_near_dups",
-    # relational / pricing heads
-    "pricing_summary",
-    "min_cost_supplier",
-    "purchase_window_counts",
-    "value_rank_profile",
-    # curation / text / multimodal heads
-    "doc_quality",
-    "token_stats",
-    "language_id",
-    "repetition_stats",
-    "doc_chunks",
-    "contamination_check",
-    "data_expectations",
-    "shard_manifest",
-    "frame_features",
-    "multimodal_features",
-    "stratified_sample_events",
-    # --- positions 53-74: the designated r11 spill (rows-only first) ---
+    # --- positions 1-2: new this round, no driver row yet ---
+    "ann_pq_indexed",
+    "embedding_ingest_roundtrip",
+    # --- positions 3-26: the r9 cohort (r11's designated spill) ---
     "approx_distinct_users",
-    "bpe_merges",
-    "cms_user_counts_7d",
-    "corpus_report_incremental",
-    "incremental_near_dups_probe",
-    "kll_latency_percentiles_7d",
-    "theta_user_overlap",
     "minhash_dedup_pairs",
-    "incremental_index_near_dups",
-    "anomaly_job_roundtrip",
-    "training_handoff",
-    "pii_redaction",
     "stateful_key_profiles",
-    "stream_stream_join",
-    "doc_logprob",
     "doc_fingerprint",
+    "multimodal_features",
+    "anomaly_job_roundtrip",
+    "stratified_sample_events",
     "grouped_split_users",
-    "purchase_and_error_users",
+    "pii_redaction",
     "rolling_7d_avg",
     "scd2_user_plans",
-    "daily_event_matrix",
+    "stream_stream_join",
     "forecast_revenue",
-]
-# Expensive pair/iterative/roundtrip queries holding a FRESH green row
-# (r10) — re-checking them within the same budget would only displace
-# due rows, so they sit last, after the r10-green middle.
-_CHECK_LAST = [
+    "daily_event_matrix",
+    "purchase_and_error_users",
+    "doc_logprob",
+    "training_handoff",
+    "incremental_near_dups_probe",
+    "corpus_report_incremental",
+    "incremental_index_near_dups",
+    "bpe_merges",
+    "cms_user_counts_7d",
+    "kll_latency_percentiles_7d",
+    "theta_user_overlap",
+    # --- positions 27-50: 24 r10 family heads (breadth-first) ---
+    # relational / temporal heads
+    "asof_last_purchase",
+    "traffic_cube",
+    "traffic_forecast",
+    "user_sessions",
+    "conversion_funnel",
+    "cohort_retention",
+    "market_share",
+    "product_profit",
+    # TPC-H pricing / supplier heads
+    "customer_order_distribution",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "order_priority_check",
+    "priority_shipping",
+    "promo_revenue",
+    "returned_items",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "supplier_part_counts",
+    "top_supplier",
+    "volume_shipping",
+    # corpus / text heads
+    "clean_corpus",
+    "tfidf_top_terms",
+    "heavy_tokens",
+    "bpe_pair_counts",
+    # --- positions 51-76: the designated r12 spill ---
+    "ann_cosine_topk",
+    "ann_pq_topk",
+    "ann_pq_topk_refined",
+    "brand_size_revenue",
+    "dataset_split_counts",
     "dedup_clusters",
-    "exact_jaccard_pairs",
+    "dedup_ingest_roundtrip",
+    "dominant_suppliers",
+    "embedding_centroids",
     "embedding_dedup_pairs",
+    "engaged_users",
+    "error_only_users",
+    "exact_jaccard_pairs",
+    "idle_customers",
+    "important_parts",
+    "incremental_ip_stats",
+    "latency_percentiles_approx",
     "minhash_lsh_pairs",
     "quality_classifier_scores",
-    "dedup_ingest_roundtrip",
+    "quality_weighted_sample",
+    "sketch_distinct_users_7d",
+    "temperature_sample_docs",
+    "value_buckets_approx",
+    "value_deciles",
+    "value_trends",
+    "waiting_suppliers",
+]
+# Expensive pair/iterative/roundtrip queries holding a FRESH green row
+# (r11) — re-checking them within the same budget would only displace
+# due rows, so they sit last, after the r11-green middle.
+_CHECK_LAST = [
+    "ngram_jaccard_pairs",
+    "simhash_near_dup",
+    "curate_corpus",
+    "incremental_embedding_near_dups",
+    "streaming_ingest_roundtrip",
+    "rt_scoring_roundtrip",
 ]
 
 
