@@ -1575,6 +1575,46 @@ def _pq_encode_udf(codebooks: np.ndarray):
     return _enc
 
 
+def _pq_encode_err_udf(codebooks: np.ndarray):
+    """The encoder plus the per-row RECONSTRUCTION squared error under
+    these codebooks — ``struct<codes, qerr>`` in one Arrow pass. qerr
+    is what the at-rest index stores per row (the IVF index's ``adist``
+    precedent): the drift monitor's reference is then a column scan of
+    the index itself, never a second corpus pass. Distortion is THE
+    health number for PQ — when the ingested distribution drifts off
+    the fitted codebooks, qerr inflates and ADC distances degrade from
+    'quantization-noisy' to 'wrong', silently."""
+    books = np.ascontiguousarray(codebooks)
+    m_, k_, sub = books.shape
+
+    @F.pandas_udf("struct<codes:array<int>, qerr:double>")
+    def _enc(xs: pd.Series) -> pd.DataFrame:
+        if len(xs) == 0:
+            return pd.DataFrame(
+                {"codes": pd.Series([], dtype="object"),
+                 "qerr": pd.Series([], dtype="float64")}
+            )
+        x = np.stack(xs.to_numpy())  # (n, dim)
+        codes = np.empty((x.shape[0], m_), dtype=np.int32)
+        err = np.zeros(x.shape[0], dtype=np.float64)
+        for j in range(m_):
+            xj = x[:, j * sub : (j + 1) * sub]
+            c = books[j]
+            # full |x_j - c|^2 (the encode argmin can drop the
+            # row-constant |x_j|^2 term; the ERROR cannot)
+            d = (
+                np.einsum("ij,ij->i", c, c)[None, :]
+                - 2.0 * (xj @ c.T)
+                + np.einsum("ij,ij->i", xj, xj)[:, None]
+            )
+            idx = np.argmin(d, axis=1)
+            codes[:, j] = idx
+            err += d[np.arange(len(x)), idx]
+        return pd.DataFrame({"codes": list(codes), "qerr": err})
+
+    return _enc
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: np.ndarray,
@@ -1949,32 +1989,63 @@ def pq_write_index(
     when celled) bit-faithfully plus a ``row_count`` written LAST —
     the flip is the commit, exactly the :func:`ivf_write_bucketed`
     protocol, so a torn write is detectable by
-    :func:`pq_index_verify` / a ``verify=True`` probe. Seam scope
-    matches the IVF index (documented there, r11 ADVICE): ``fs``
-    covers sidecar I/O only; row I/O is Spark parquet. Returns the
-    fitted codebooks for callers that probe immediately."""
+    :func:`pq_index_verify` / a ``verify=True`` probe. Each row also
+    stores its reconstruction squared error ``qerr`` under the fitted
+    codebooks (the IVF ``adist`` precedent), and the sidecar records
+    the build-time mean distortion (per cell when celled — cells
+    legitimately differ in spread) — :func:`pq_append_index`'s drift
+    monitor compares incoming batches against it. Probes never read
+    the column (explicit column selection keeps the scan at
+    (id, codes)). Seam scope matches the IVF index (documented there,
+    r11 ADVICE): ``fs`` covers sidecar I/O only; row I/O is Spark
+    parquet. Returns the fitted codebooks for callers that probe
+    immediately."""
     from nginx_analytics_spark.operators.index_fs import write_json_sidecar
 
     books = pq_codebooks(corpus, vec_col, m, n_codes, seed, max_iter, sample_cap)
-    enc = _pq_encode_udf(books)
+    enc = _pq_encode_err_udf(books)
     centroids = None
+    v = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
     if n_cells is None:
-        corpus.select(
-            F.col(id_col), enc(as_double(vec_col)).alias("codes")
+        v.select(
+            id_col,
+            enc(F.col("v")).alias("e"),
+        ).select(
+            id_col, F.col("e.codes").alias("codes"),
+            F.col("e.qerr").alias("qerr"),
         ).write.mode("overwrite").parquet(path)
     else:
         centroids = ivf_centroids(
             corpus, n_cells, vec_col, seed, ivf_max_iter, id_col,
             ivf_sample_cap,
         )
-        v = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
         v.select(
             id_col,
-            enc(F.col("v")).alias("codes"),
+            enc(F.col("v")).alias("e"),
             cell_assignment(F.col("v"), centroids)["cell"].alias("cell"),
+        ).select(
+            id_col, F.col("e.codes").alias("codes"),
+            F.col("e.qerr").alias("qerr"), "cell",
         ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    # Build-time distortion reference from the written index's qerr
+    # column — a column-pruned re-read (per cell when celled), not a
+    # second pass over the vectors (the ivf_write_bucketed pattern).
     spark = corpus.sparkSession
-    n_rows = spark.read.parquet(path).count()  # footer-scale
+    written = spark.read.parquet(path)
+    if n_cells is None:
+        agg = written.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("qerr").alias("q")
+        ).collect()[0]
+        n_rows, mean_q, cell_q = int(agg.n), float(agg.q), None
+    else:
+        per_cell = (
+            written.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("qerr").alias("q"))
+            .collect()
+        )
+        n_rows = sum(r.n for r in per_cell)
+        mean_q = float(sum(r.n * r.q for r in per_cell) / n_rows)
+        cell_q = {str(int(r.cell)): float(r.q) for r in per_cell}
     meta = {
         "id_col": id_col,
         "m": int(m),
@@ -1983,12 +2054,140 @@ def pq_write_index(
         "sub": int(books.shape[2]),
         "seed": int(seed),
         "row_count": int(n_rows),
+        "mean_quant_err": mean_q,
+        "cell_mean_quant_err": cell_q,
         "n_cells": None if n_cells is None else int(n_cells),
         "centroids": None if centroids is None else centroids.tolist(),
         "codebooks": books.tolist(),
     }
     write_json_sidecar(path, PQ_INDEX_META, meta, fs=fs)
     return books
+
+
+def pq_append_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs=None,
+) -> dict:
+    """Fold NEW vectors into an at-rest PQ index without a rebuild —
+    the maintenance path that closes the write→append→probe lifecycle
+    for the compressed-domain index (the ``ivf_append_bucketed`` /
+    ``append_srp_index`` analogue): each new vector is encoded under
+    the SIDECAR's codebooks (never a refit — refitting would silently
+    re-key the standing corpus's codes) and, on the IVFADC layout,
+    assigned to its nearest sidecar centroid, then appended into the
+    matching partitions. Same commit protocol as the IVF append (r11
+    ADVICE lineage): the entry verifies the standing ``row_count``
+    first and raises on a torn predecessor; rows land; the sidecar's
+    count flips LAST — the flip is the commit.
+
+    Returns DRIFT STATS in distortion space — the PQ-native health
+    signal: the batch's mean reconstruction squared error under the
+    standing codebooks against the build-time mean of the cells the
+    batch lands in (count-weighted; global mean on the flat layout).
+    ``drift_ratio`` ~1 means the codebooks still describe the incoming
+    distribution; a ratio creeping upward means ADC distances are
+    degrading from quantization-noisy to WRONG for new rows. Unlike
+    the IVF monitor this one has NO in-place actuator BY CONSTRUCTION:
+    a codebook refit needs raw vectors, and the PQ index deliberately
+    stores only m-byte codes — the rebuild (:func:`pq_write_index`
+    over the corpus store) belongs to the caller that owns the
+    vectors. The honest contract, not a gap: an index that stored its
+    own raw vectors to enable self-rebuild would forfeit the 8x
+    compression that is its entire point."""
+    meta = read_pq_index_meta(path, fs=fs)
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"PQ index at {path!r} was built with id_col="
+            f"{meta['id_col']!r}, not {id_col!r}"
+        )
+    spark = new_vecs.sparkSession
+    check = pq_index_verify(spark, path, fs=fs)
+    if check["torn"]:
+        raise ValueError(
+            f"PQ index at {path!r} is torn: sidecar commits "
+            f"{check['expected']} rows but {check['actual']} are on disk "
+            "— a prior append died between its data write and its "
+            "sidecar flip. Rebuild with pq_write_index before appending "
+            "(the uncommitted rows' batch was never acknowledged and "
+            "must be re-sent)."
+        )
+    enc = _pq_encode_err_udf(meta["codebooks"])
+    v = new_vecs.select(F.col(id_col), as_double(vec_col).alias("v"))
+    celled = meta.get("n_cells") is not None
+    if celled:
+        assigned = v.select(
+            id_col,
+            enc(F.col("v")).alias("e"),
+            cell_assignment(F.col("v"), meta["centroids"])["cell"].alias(
+                "cell"
+            ),
+        ).select(
+            id_col, F.col("e.codes").alias("codes"),
+            F.col("e.qerr").alias("qerr"), "cell",
+        ).localCheckpoint(eager=True)  # stats agg + write, one encode
+        per_cell = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("bn"), F.avg("qerr").alias("bq")
+        ).collect()
+        n = sum(r.bn for r in per_cell)
+        batch_mean = (
+            float(sum(r.bn * r.bq for r in per_cell) / n) if n else None
+        )
+        cell_ref = meta.get("cell_mean_quant_err") or {}
+        fallback = meta.get("mean_quant_err")
+        expected = (
+            float(
+                sum(
+                    r.bn * float(cell_ref.get(str(int(r.cell)), fallback))
+                    for r in per_cell
+                )
+                / n
+            )
+            if n and fallback is not None
+            else None
+        )
+        assigned.write.mode("append").partitionBy("cell").parquet(path)
+    else:
+        assigned = v.select(
+            id_col, enc(F.col("v")).alias("e")
+        ).select(
+            id_col, F.col("e.codes").alias("codes"),
+            F.col("e.qerr").alias("qerr"),
+        ).localCheckpoint(eager=True)
+        agg = assigned.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("qerr").alias("q")
+        ).collect()[0]
+        n = int(agg.n)
+        batch_mean = float(agg.q) if n else None
+        expected = meta.get("mean_quant_err") if n else None
+        assigned.write.mode("append").parquet(path)
+    # THE COMMIT: flip the sidecar's row_count after the rows are down.
+    # Codebooks/centroids/build-time distortion are append-invariant.
+    from nginx_analytics_spark.operators.index_fs import write_json_sidecar
+
+    committed = {
+        **{k: v for k, v in meta.items() if k not in ("codebooks", "centroids")},
+        "row_count": int(check["actual"]) + int(n),
+        "codebooks": meta["codebooks"].tolist(),
+        "centroids": (
+            None if meta.get("n_cells") is None
+            else meta["centroids"].tolist()
+        ),
+    }
+    write_json_sidecar(path, PQ_INDEX_META, committed, fs=fs)
+    ratio = (
+        float(batch_mean) / max(float(expected), 1e-12)
+        if batch_mean is not None and expected is not None
+        else None
+    )
+    return {
+        "n": int(n),
+        "mean_quant_err": batch_mean,
+        "expected_quant_err": expected,
+        "drift_ratio": ratio,
+    }
 
 
 def pq_index_verify(spark, path: str, fs=None) -> dict:

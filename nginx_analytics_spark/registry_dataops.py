@@ -1665,10 +1665,13 @@ def _staged_pq_index(emb: DataFrame, sf_dir: str) -> str:
             n_cells=_PQ_CELLS,
         )
 
+    # v2: the index rows gained the qerr column and the sidecar the
+    # build-time distortion reference (drift monitor) — older cached
+    # layouts must miss.
     return _staged_index(
         sf_dir,
         "embeddings",
-        f"{sf_dir}|pq-ivfadc|m{_PQ_M}|k{_PQ_CODES}|s{_PQ_SEED}"
+        f"{sf_dir}|pq-ivfadc-v2|m{_PQ_M}|k{_PQ_CODES}|s{_PQ_SEED}"
         f"|c{_PQ_CELLS}",
         similarity.read_pq_index_meta,
         build,

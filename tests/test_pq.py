@@ -305,6 +305,112 @@ def test_pq_index_guards(spark, emb, tmp_path):
         similarity.pq_topk_indexed(spark, emb, queries, bare, k=5)
 
 
+def test_pq_index_append_lifecycle(spark, emb, tmp_path):
+    """write → append → probe for the PQ index (the ivf_append_bucketed
+    analogue): (1) appends encode under the SIDECAR codebooks, so the
+    appended index's probe equals scoring the full corpus under the
+    half-corpus codebooks — content-wise the append is invisible;
+    (2) a planted near-duplicate of a query vector, appended later,
+    becomes that query's top-1 — appended rows are genuinely scanned
+    and re-ranked; (3) the sidecar's row_count commits each append and
+    the in-distribution drift ratio reads ~1."""
+    idx = str(tmp_path / "pq_appended")
+    queries = emb.filter(emb.vec_id < 5).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    half = emb.vec_id % 2 == 0
+    books = similarity.pq_write_index(
+        emb.filter(half), idx, m=8, n_codes=16
+    )
+    stats = similarity.pq_append_index(emb.filter(~half), idx)
+    assert stats["n"] == emb.filter(~half).count()
+    assert 0.5 < stats["drift_ratio"] < 2.0, stats  # in-distribution
+    meta = similarity.read_pq_index_meta(idx)
+    assert meta["row_count"] == emb.count()
+
+    got = sorted(map(tuple, similarity.pq_topk_indexed(
+        spark, emb, queries, idx, k=5
+    ).collect()))
+    expect = sorted(map(tuple, similarity.pq_topk(
+        emb, queries, k=5, m=8, n_codes=16, codebooks=books
+    ).collect()))
+    assert got == expect
+
+    q0 = emb.filter(emb.vec_id == 0).select("embedding").collect()[0][0]
+    planted = [v * 0.999 for v in q0]  # cosine ~1, tiny L2 distance
+    extra = spark.createDataFrame(
+        [(90001, planted)], "vec_id long, embedding array<float>"
+    )
+    similarity.pq_append_index(extra, idx)
+    corpus2 = emb.select("vec_id", "embedding").unionByName(extra)
+    top1 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_topk_indexed(
+            spark, corpus2, queries, idx, k=5
+        ).collect()
+        if r.rank == 1
+    }
+    assert (0, 90001) in top1
+    assert similarity.read_pq_index_meta(idx)["row_count"] == emb.count() + 1
+
+
+def test_pq_index_append_torn_refusal_and_drift_signal(spark, emb, tmp_path):
+    """(1) an append onto a TORN index (rows beyond the committed count
+    — a predecessor died before its sidecar flip) refuses loudly
+    instead of compounding the tear; (2) the drift monitor fires in
+    distortion space: an out-of-distribution batch (same directions,
+    5x magnitude → ~25x reconstruction error under the standing
+    codebooks) reads a large ratio, the PQ-native signal that ADC
+    distances for new rows are degrading."""
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "pq_flat")
+    books = similarity.pq_write_index(emb, idx, m=8, n_codes=16)
+
+    ood = emb.filter(emb.vec_id < 50).select(
+        (emb.vec_id + 50000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(5.0)).alias(
+            "embedding"
+        ),
+    )
+    stats = similarity.pq_append_index(ood, idx)
+    assert stats["drift_ratio"] > 5.0, stats
+
+    # tear the index: codes landing without a sidecar flip
+    extra = emb.filter(emb.vec_id < 2).select(
+        (emb.vec_id + 99000).alias("vec_id"), "embedding"
+    )
+    similarity.pq_encode(extra, books).withColumn(
+        "qerr", F.lit(0.0)
+    ).write.mode("append").parquet(idx)
+    with pytest.raises(ValueError, match="torn"):
+        similarity.pq_append_index(extra, idx)
+
+
+def test_pq_index_append_celled_assigns_sidecar_cells(spark, emb, tmp_path):
+    """IVFADC append: new rows land in the cell the SIDECAR centroids
+    assign (cell geometry is append-invariant, like the IVF index), so
+    a planted near-dup of a query is probed through the same nprobe
+    partition pruning that serves the build-time rows."""
+    idx = str(tmp_path / "pq_ivfadc")
+    queries = emb.filter(emb.vec_id < 3).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    similarity.pq_write_index(emb, idx, m=8, n_codes=16, n_cells=16)
+    q0 = emb.filter(emb.vec_id == 0).select("embedding").collect()[0][0]
+    extra = spark.createDataFrame(
+        [(90001, [v * 0.999 for v in q0])],
+        "vec_id long, embedding array<float>",
+    )
+    stats = similarity.pq_append_index(extra, idx)
+    assert stats["n"] == 1 and stats["drift_ratio"] is not None
+    corpus2 = emb.select("vec_id", "embedding").unionByName(extra)
+    got = similarity.pq_topk_indexed(
+        spark, corpus2, queries, idx, k=5, nprobe=6
+    ).collect()
+    assert (0, 90001) in {(r.query_id, r.neighbor_id) for r in got if r.rank == 1}
+
+
 def test_exhaustive_refine_exact_beyond_fixture_size(spark):
     """r6 regression (caught by the sf0.1 parity sweep): a FIXED refine
     depth that happens to exceed the small fixtures' 500 vectors is not
