@@ -716,6 +716,7 @@ def run_embedding_ingest_throughput(
     n_batches: int = 10,
     replicate: int = 1,
     threshold: float = 0.85,
+    n_planes: int = 64,
     compact_every: int | None = None,
     max_files_per_band: int = 8,
     track_files: bool = False,
@@ -804,6 +805,7 @@ def run_embedding_ingest_throughput(
             f"{work}/idx",
             f"{work}/ckpt",
             threshold=threshold,
+            n_planes=n_planes,
             trigger={"availableNow": True},
             compact_every=compact_every,
             max_files_per_band=max_files_per_band,
@@ -830,6 +832,7 @@ def run_embedding_ingest_throughput(
         "batch_walls_sec": batch_walls,
         "index_rows": idx_rows,
     }
+    out["n_planes"] = n_planes
     if replicate > 1:
         out["replicate"] = replicate
     if compact_every:

@@ -415,7 +415,18 @@ def _build_parser():
     # SRP signing parameters — pinned by the index's _srp_meta.json
     # sidecar after the first batch; a mismatch on a later deployment
     # fails loudly in the probe/append instead of silently losing recall
-    ei.add_argument("--n-planes", type=int, default=32)
+    ei.add_argument(
+        "--n-planes",
+        type=int,
+        default=64,
+        help=(
+            "SRP signature bits (with --bands 8: 8-bit band chunks — "
+            "the selectivity the 0.85 regime needs; background "
+            "collisions ~8/2^8 of batch x corpus vs ~50%% at 32 planes, "
+            "which the r12 sustained run measured as per-batch wall "
+            "growth)"
+        ),
+    )
     ei.add_argument("--bands", type=int, default=8)
     ei.add_argument("--dim", type=int, default=64)
     ei.add_argument("--seed", type=int, default=42)

@@ -65,7 +65,7 @@ def dedup_embedding_batch_against_corpus(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.85,
-    n_planes: int = 32,
+    n_planes: int = 64,
     bands: int = 8,
     dim: int = 64,
     seed: int = 42,
@@ -114,7 +114,7 @@ def process_embedding_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.85,
-    n_planes: int = 32,
+    n_planes: int = 64,
     bands: int = 8,
     dim: int = 64,
     seed: int = 42,
@@ -198,7 +198,7 @@ def start_embedding_dedup_ingest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.85,
-    n_planes: int = 32,
+    n_planes: int = 64,
     bands: int = 8,
     dim: int = 64,
     seed: int = 42,

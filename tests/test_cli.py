@@ -34,7 +34,8 @@ def test_cli_help_lists_all_commands():
     assert out.returncode == 0
     for cmd in (
         "ingest", "anomaly", "retrain", "compact", "curate",
-        "export-shards", "handoff", "dedup-ingest", "recluster-ivf",
+        "export-shards", "handoff", "dedup-ingest",
+        "embedding-dedup-ingest", "recluster-ivf",
     ):
         assert cmd in out.stdout
 
@@ -348,7 +349,7 @@ def test_cli_embedding_dedup_ingest(spark, tmp_path):
     from nginx_analytics_spark.operators import similarity
 
     meta = similarity.read_srp_index_meta(f"{tmp_path}/idx")
-    assert meta["n_planes"] == 32 and meta["bands"] == 8
+    assert meta["n_planes"] == 64 and meta["bands"] == 8
 
 
 def test_cli_handoff_quality_weights(spark, tmp_path):
