@@ -469,20 +469,25 @@ def _build_parser():
     ci = sub.add_parser(
         "compact-index",
         help=(
-            "X82 offline: per-band compaction of an at-rest LSH index "
-            "(the standalone twin of dedup-ingest --compact-every, for "
-            "an index whose loop is stopped). Takes the "
-            "single-compactor mutex: fails loudly against a live "
-            "`jobs dedup-ingest` loop (which holds it for the stream's "
-            "lifetime) or another compactor; a library-embedded loop "
-            "holds it only per micro-batch, so do not run this against "
-            "one — whichever side loses the race fails loudly (never "
-            "corrupts)"
+            "X82 offline: per-band compaction of an at-rest banded "
+            "index — MinHash/LSH (X69) or SRP embedding (X84), "
+            "auto-detected from the parameter sidecar (the standalone "
+            "twin of the ingest loops' --compact-every, for an index "
+            "whose loop is stopped). Takes the single-compactor mutex: "
+            "fails loudly against a live `jobs dedup-ingest` / "
+            "`jobs embedding-dedup-ingest` loop (which holds it for "
+            "the stream's lifetime) or another compactor; a "
+            "library-embedded loop holds it only per micro-batch, so "
+            "do not run this against one — whichever side loses the "
+            "race fails loudly (never corrupts)"
         ),
     )
     # argparse defaults ARE the shared module constants (r8 ADVICE: a
     # literal 8/1 here is exactly the drift the constants exist to stop)
-    ci.add_argument("--index", required=True, help="at-rest LSH index path")
+    ci.add_argument(
+        "--index", required=True,
+        help="at-rest banded index path (LSH or SRP — sidecar-detected)",
+    )
     ci.add_argument(
         "--max-files-per-band",
         type=int,
@@ -692,16 +697,24 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "compact-index":
-        from nginx_analytics_spark.operators import dedup
+        from nginx_analytics_spark.operators import dedup, similarity
+        from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
-        stats = dedup.compact_lsh_index(
-            spark,
-            args.index,
+        # One CLI, both signing modalities (r12): the at-rest format is
+        # shared, so the right compactor is whichever parameter sidecar
+        # the index carries — an SRP (X84) index dispatches to
+        # compact_srp_index, a MinHash (X69) one to compact_lsh_index;
+        # each still validates its own sidecar loudly.
+        kwargs = dict(
             max_files_per_band=args.max_files_per_band,
             target_files=args.target_files,
             target_file_bytes=args.target_file_bytes,
             max_concurrency=args.max_concurrency,
         )
+        if LOCAL_FS.isfile(similarity.srp_index_meta_path(args.index)):
+            stats = similarity.compact_srp_index(spark, args.index, **kwargs)
+        else:
+            stats = dedup.compact_lsh_index(spark, args.index, **kwargs)
         print(
             f"index compacted: {stats['bands_compacted']} of "
             f"{stats['bands_seen']} bands, {stats['files_before']} -> "

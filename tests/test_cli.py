@@ -522,6 +522,50 @@ def test_cli_compact_index(spark, tmp_path):
         os.close(fd)
 
 
+def test_cli_compact_index_srp(spark, tmp_path):
+    """r12: the same offline CLI compacts an SRP EMBEDDING index — the
+    modality is auto-detected from the sidecar (_srp_meta.json →
+    compact_srp_index), so a stopped embedding-dedup-ingest loop's
+    index gets the identical maintenance surface as the text one.
+    Content preserved, file floor applied, sidecar untouched."""
+    import os
+
+    import numpy as np
+
+    from nginx_analytics_spark.operators import similarity
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(12, 64))
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = f"{tmp_path}/srp_idx"
+    similarity.write_srp_index(emb.filter("vec_id % 2 = 0"), idx)
+    similarity.append_srp_index(emb.filter("vec_id % 2 = 1"), idx)
+    before = sorted(
+        (r.vec_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(idx).collect()
+    )
+
+    rc = jobs.main(
+        ["compact-index", "--index", idx, "--max-files-per-band", "1"]
+    )
+    assert rc == 0
+    after = sorted(
+        (r.vec_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(idx).collect()
+    )
+    assert after == before
+    for band in os.listdir(idx):
+        if band.startswith("band_idx="):
+            files = [f for f in os.listdir(os.path.join(idx, band))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1
+    assert similarity.read_srp_index_meta(idx)["n_planes"] == 32
+
+
 def test_cli_recluster_ivf(spark, tmp_path):
     """`jobs recluster-ivf` — the maintenance CLI behind the drift
     actuator: rebuilds the quantizer over the index's own rows and

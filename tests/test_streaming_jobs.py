@@ -880,10 +880,17 @@ def _perturb(v, seed: int, eps: float = 0.05):
     return (w / np.linalg.norm(w)).astype(np.float32)
 
 
-def _write_emb_parquet(path, rows):
+def _write_emb_parquet(path, rows, mtime: int | None = None):
     """(vec_id, embedding) rows as ONE parquet file with an explicit
     array<float> schema (pandas inference would widen to double and
-    break the stream reader's declared schema)."""
+    break the stream reader's declared schema). ``mtime`` pins the
+    file's modification time: the file stream source orders batches by
+    modTime, and three files written milliseconds apart can TIE at the
+    source's resolution and deliver out of order (flaked once in a full
+    suite run — b2's cross-batch near-dup then probed an index that
+    didn't hold its ancestor yet)."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -898,6 +905,8 @@ def _write_emb_parquet(path, rows):
         schema=schema,
     )
     pq.write_table(table, path)
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
 
 
 def test_embedding_ingest_loop_across_micro_batches(spark, tmp_path):
@@ -918,7 +927,8 @@ def test_embedding_ingest_loop_across_micro_batches(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
     # b1: two novel vectors
-    _write_emb_parquet(src / "a.parquet", [(1, v[0]), (2, v[1])])
+    _write_emb_parquet(src / "a.parquet", [(1, v[0]), (2, v[1])],
+                       mtime=1700000000)
     # b2: near-dup of corpus vec 1 (via index probe); novel vec 4;
     # exact dup of 4 (bit-identical); near-dup of 4 within the batch
     _write_emb_parquet(src / "b.parquet", [
@@ -926,9 +936,10 @@ def test_embedding_ingest_loop_across_micro_batches(spark, tmp_path):
         (4, v[2]),
         (5, v[2]),
         (6, _perturb(v[2], 22)),
-    ])
+    ], mtime=1700000060)
     # b3: near-dup of vec 4 — caught ONLY via the index appended in b2
-    _write_emb_parquet(src / "c.parquet", [(7, _perturb(v[2], 23))])
+    _write_emb_parquet(src / "c.parquet", [(7, _perturb(v[2], 23))],
+                       mtime=1700000120)
 
     corpus_dir = str(tmp_path / "corpus")
     index_path = str(tmp_path / "idx")
@@ -954,7 +965,7 @@ def test_embedding_ingest_loop_across_micro_batches(spark, tmp_path):
     idx_rows = spark.read.parquet(index_path).collect()
     assert {r.vec_id for r in idx_rows} == {1, 2, 4}
     assert len(idx_rows) == 3 * 8
-    assert similarity.read_srp_index_meta(index_path)["n_planes"] == 32
+    assert similarity.read_srp_index_meta(index_path)["n_planes"] == 64
 
 
 def test_embedding_ingest_exactly_once_retry(spark, tmp_path):
