@@ -303,6 +303,10 @@ BENCH_EXCLUDED: dict[str, str] = {
         "exactness fix), so its cost grows with scale by construction; "
         "headline = ann_pq_topk (refine=50)"
     ),
+    "ann_pq_indexed_refined": (
+        "X86 oracle tier: the at-rest probe at refine depth = corpus "
+        "count — same O(corpus) construction; headline = ann_pq_indexed"
+    ),
     # --- deliberate strawman ---
     "embedding_dedup_pairs": (
         "naive O(n^2) verification twin of the LSH path — benching it "

@@ -62,21 +62,22 @@ _ORACLES: dict[str, str] = {}
 # Round 12 (executing the r11 verdict item 5 rotation). Freshness going
 # in (computed over CORRECTNESS_r1..r11): 24 names last green r9 —
 # exactly r11's designated spill — 50 names r10, 50 names r11, zero
-# older, zero reds ever. The due set is 76: the two never-recorded r12
+# older, zero reds ever. The due set is 77: the three never-recorded r12
 # queries, the 24-name r9 cohort, and the 50-name r10 cohort. A ~50-row
-# budget cannot hold 76, so _CHECK_FIRST lists ALL 76 in priority order
+# budget cannot hold 77, so _CHECK_FIRST lists ALL 77 in priority order
 # — the driver records the first ~50 and any extra budget falls exactly
 # on the designated spill instead of on already-fresh r11 rows:
-#   * positions 1-2: new this round, never recorded — ann_pq_indexed
-#     (the X86 at-rest IVFADC probe) and embedding_ingest_roundtrip
-#     (the X85 streaming semantic dedup-ingest loop);
-#   * positions 3-26: the r9 cohort, in the order the r11 verdict
+#   * positions 1-3: new this round, never recorded — ann_pq_indexed
+#     (the X86 at-rest IVFADC probe), ann_pq_indexed_refined (its
+#     hash-exact oracle tier), and embedding_ingest_roundtrip (the X85
+#     streaming semantic dedup-ingest loop);
+#   * positions 4-27: the r9 cohort, in the order the r11 verdict
 #     pre-committed;
-#   * positions 27-50: 24 of the r10 cohort — the cheap hash-green
+#   * positions 28-51: 24 of the r10 cohort — the cheap hash-green
 #     heads chosen for FAMILY BREADTH (relational/temporal, TPC-H
 #     pricing/supplier, corpus/text), so every operator family gets a
 #     fresh row this round;
-#   * positions 51-76: the DESIGNATED r12 SPILL = the 26 r10 names that
+#   * positions 52-77: the DESIGNATED r12 SPILL = the 26 r10 names that
 #     cost the record least — rows-only re-probes whose real gates live
 #     in pytest (ann_pq_topk, quality_classifier_scores,
 #     dedup_ingest_roundtrip), expensive pair/iterative shapes whose
@@ -90,10 +91,11 @@ _ORACLES: dict[str, str] = {}
 #     stay oracle-verified at both pytest tiers every round and head
 #     r13's _CHECK_FIRST together with whatever r12 adds.
 _CHECK_FIRST = [
-    # --- positions 1-2: new this round, no driver row yet ---
+    # --- positions 1-3: new this round, no driver row yet ---
     "ann_pq_indexed",
+    "ann_pq_indexed_refined",
     "embedding_ingest_roundtrip",
-    # --- positions 3-26: the r9 cohort (r11's designated spill) ---
+    # --- positions 4-27: the r9 cohort (r11's designated spill) ---
     "approx_distinct_users",
     "minhash_dedup_pairs",
     "stateful_key_profiles",
@@ -118,7 +120,7 @@ _CHECK_FIRST = [
     "cms_user_counts_7d",
     "kll_latency_percentiles_7d",
     "theta_user_overlap",
-    # --- positions 27-50: 24 r10 family heads (breadth-first) ---
+    # --- positions 28-51: 24 r10 family heads (breadth-first) ---
     # relational / temporal heads
     "asof_last_purchase",
     "traffic_cube",
@@ -146,7 +148,7 @@ _CHECK_FIRST = [
     "tfidf_top_terms",
     "heavy_tokens",
     "bpe_pair_counts",
-    # --- positions 51-76: the designated r12 spill ---
+    # --- positions 52-77: the designated r12 spill ---
     "ann_cosine_topk",
     "ann_pq_topk",
     "ann_pq_topk_refined",

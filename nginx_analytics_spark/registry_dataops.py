@@ -1718,10 +1718,11 @@ _L2_SQL = (
 # hash-match is a structural guarantee, not a recall calibration.
 _PQ_REFINE_DEPTH = 600
 
-
-@query(
-    "ann_pq_topk_refined",
-    f"""
+# Exact-L2 top-k — shared by BOTH exactness tiers (in-memory
+# ann_pq_topk_refined and at-rest ann_pq_indexed_refined): with the
+# shortlist exhaustive, the exact re-rank decides everything, so one
+# SQL describes both plans regardless of which side stored the codes.
+_PQ_EXACT_TOPK_SQL = f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM v
           WHERE vec_id < {ANN_QUERY_COUNT}),
@@ -1738,8 +1739,10 @@ _PQ_REFINE_DEPTH = 600
         FROM scored
     ) t
     WHERE rank <= {ANN_K}
-    """,
-)
+    """
+
+
+@query("ann_pq_topk_refined", _PQ_EXACT_TOPK_SQL)
 def ann_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X37 oracle tier: the IVFADC+R plan (PQ-encode -> ADC scan ->
     shortlist -> exact-L2 re-rank join) driven to an EXACT top-k so the
@@ -1769,6 +1772,56 @@ def ann_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=ANN_K,
         m=8,
         n_codes=16,
+        refine=max(_PQ_REFINE_DEPTH, emb.count()),
+        refine_exact_fold=True,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _staged_pq_flat_index(emb: DataFrame, sf_dir: str) -> str:
+    """Stage (or reuse) the FLAT at-rest PQ index for
+    ``ann_pq_indexed_refined`` (same m/n_codes/seed as the IVFADC
+    staging, no cell layout — the exactness tier scans every code by
+    design, so partition pruning has nothing to prune)."""
+
+    def build(idx: str) -> None:
+        similarity.pq_write_index(
+            emb, idx, m=_PQ_M, n_codes=_PQ_CODES, seed=_PQ_SEED,
+        )
+
+    return _staged_index(
+        sf_dir,
+        "embeddings",
+        f"{sf_dir}|pq-flat-v2|m{_PQ_M}|k{_PQ_CODES}|s{_PQ_SEED}",
+        similarity.read_pq_index_meta,
+        build,
+    )
+
+
+@query("ann_pq_indexed_refined", _PQ_EXACT_TOPK_SQL)
+def ann_pq_indexed_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86 oracle tier: the AT-REST PQ probe driven to an EXACT top-k —
+    codes and codebooks load from the staged flat index (no fit, no
+    encode; the sidecar's committed row_count sizes the shortlist) and
+    the exhaustive exact-fold re-rank decides everything, so the
+    hash-match against the shared exact-L2 SQL is structural. This is
+    the at-rest twin of ``ann_pq_topk_refined``: same oracle, different
+    storage side — together they pin that persisting the codes changes
+    NOTHING about the plan's value semantics (the flat-probe
+    row-identity test in tests/test_pq.py pins the approximate tier the
+    same way). The production configuration stays the benched
+    ``ann_pq_indexed`` headline; this query pins the at-rest plan's
+    correctness, the headline its cost. BENCH-EXCLUDED like every
+    refine>=corpus exactness tier — O(corpus) per query by
+    construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_COUNT).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = _staged_pq_flat_index(emb, sf_dir)
+    out = similarity.pq_topk_indexed(
+        spark, emb, queries, idx,
+        k=ANN_K,
         refine=max(_PQ_REFINE_DEPTH, emb.count()),
         refine_exact_fold=True,
     )
