@@ -100,6 +100,12 @@ Methodology:
     times, and index growth. Reported beside the query suite because
     its unit differs (docs/s, not sec/query) and its wall time is
     dominated by the per-batch streaming harness by design.
+  * EMBEDDING-INGEST THROUGHPUT (r12): the same pass for the X85
+    semantic dedup-ingest loop — 10 micro-batches of the embeddings
+    fixture through exact + SRP near-dedup, the X84 at-rest index
+    probe, and corpus + index appends; reports vecs/s admitted and
+    per-batch walls (flat by design at the 64-plane default — the
+    32-plane collision-growth failure mode is measured in SCALING.md).
   * Known benign noise: a terminating StreamingQuery's final micro-batch
     can deliver task-end accumulator updates after its SQL execution is
     unregistered; local-mode Spark logs "Failed to update accumulator
@@ -1168,6 +1174,8 @@ def main() -> None:
                 sf_dir, cpus, n_batches=100, compact_every=10,
                 track_files=True,
             )))
+        elif sys.argv[2] == "embedding_ingest":
+            print(json.dumps(run_embedding_ingest_throughput(sf_dir, cpus)))
         elif sys.argv[2] == "embedding_ingest_sustained":
             # opt-in (r12, r11 verdict item 6): the 100-batch sustained
             # horizon for the X85 EMBEDDING loop — replicate=10 grows
@@ -1225,6 +1233,9 @@ def main() -> None:
     print("dedup-ingest throughput pass:", file=sys.stderr, flush=True)
     dedup_ingest = child("dedup_ingest")
     print(f"  dedup_ingest: {dedup_ingest}", file=sys.stderr, flush=True)
+    print("embedding-ingest throughput pass:", file=sys.stderr, flush=True)
+    emb_ingest = child("embedding_ingest")
+    print(f"  embedding_ingest: {emb_ingest}", file=sys.stderr, flush=True)
     load_end = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
@@ -1238,6 +1249,7 @@ def main() -> None:
         "sf": sf_val,
         "streaming_ingest": ingest,
         "dedup_ingest": dedup_ingest,
+        "embedding_ingest": emb_ingest,
         "loadavg": {"start": load_start, "end": load_end},
         "load_gate": gate,
         "protocol": (
@@ -1262,6 +1274,7 @@ def main() -> None:
                 "groups": group_totals,
                 "ingest_events_per_sec": ingest["events_per_sec"],
                 "dedup_ingest_docs_per_sec": dedup_ingest["docs_per_sec"],
+                "embedding_ingest_vecs_per_sec": emb_ingest["vecs_per_sec"],
                 "load_gate": gate,
                 "queries_detail": "bench_full.json",
             },
