@@ -520,6 +520,23 @@ def _build_parser():
         ),
     )
 
+    vi = sub.add_parser(
+        "verify-index",
+        help=(
+            "r12 maintenance: health-check any at-rest index by its "
+            "parameter sidecar — IVF/PQ run the row_count commit check "
+            "(torn-write detection: rows on disk a crashed writer never "
+            "acknowledged), banded LSH/SRP validate the sidecar and "
+            "report row/band counts. Exit 1 on a torn or invalid "
+            "index, 0 healthy — the cron-able twin of the checks the "
+            "append paths and verify=True probes run inline."
+        ),
+    )
+    vi.add_argument(
+        "--index", required=True,
+        help="at-rest index path (LSH / SRP / IVF / PQ — sidecar-detected)",
+    )
+
     ri = sub.add_parser(
         "recluster-ivf",
         help=(
@@ -682,6 +699,58 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     # the index-maintenance commands are warehouse-less for the same reason
+    if args.command == "verify-index":
+        from nginx_analytics_spark.operators import dedup, similarity
+        from nginx_analytics_spark.operators.index_fs import (
+            LOCAL_FS,
+            banded_index_read,
+        )
+
+        p = args.index
+        if LOCAL_FS.isfile(similarity.pq_index_meta_path(p)):
+            check = similarity.pq_index_verify(spark, p)
+            kind = "pq"
+        elif LOCAL_FS.isfile(similarity.ivf_index_meta_path(p)):
+            check = similarity.ivf_index_verify(spark, p)
+            kind = "ivf"
+        elif LOCAL_FS.isfile(similarity.srp_index_meta_path(p)) or LOCAL_FS.isfile(
+            dedup.lsh_index_meta_path(p)
+        ):
+            # banded indexes carry no row_count commit (appends are
+            # at-least-once by design — duplicate band rows collapse in
+            # the probe's candidate distinct); health = sidecar valid +
+            # readable rows, reported for operator eyes
+            if LOCAL_FS.isfile(similarity.srp_index_meta_path(p)):
+                similarity.read_srp_index_meta(p)
+                kind = "srp"
+            else:
+                dedup.read_lsh_index_meta(p)
+                kind = "lsh"
+            rows = banded_index_read(spark, p)
+            n = rows.count()
+            bands = rows.select("band_idx").distinct().count()
+            print(
+                f"{kind} index healthy: sidecar valid, {n} band-key "
+                f"rows across {bands} bands"
+            )
+            return 0
+        else:
+            print(
+                f"no index sidecar found at {p!r} (_pq_meta/_ivf_meta/"
+                "_srp_meta/_lsh_meta.json) — not an at-rest index"
+            )
+            return 1
+        state = (
+            "UNKNOWN (pre-commit-protocol sidecar; next append upgrades it)"
+            if check["torn"] is None
+            else ("TORN" if check["torn"] else "healthy")
+        )
+        print(
+            f"{kind} index {state}: sidecar commits "
+            f"{check['expected']} rows, disk holds {check['actual']}"
+        )
+        return 1 if check["torn"] else 0
+
     if args.command == "recluster-ivf":
         from nginx_analytics_spark.operators import similarity
 

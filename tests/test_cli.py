@@ -35,7 +35,7 @@ def test_cli_help_lists_all_commands():
     for cmd in (
         "ingest", "anomaly", "retrain", "compact", "curate",
         "export-shards", "handoff", "dedup-ingest",
-        "embedding-dedup-ingest", "recluster-ivf",
+        "embedding-dedup-ingest", "verify-index", "recluster-ivf",
     ):
         assert cmd in out.stdout
 
@@ -564,6 +564,44 @@ def test_cli_compact_index_srp(spark, tmp_path):
                      if f.endswith(".parquet")]
             assert len(files) == 1
     assert similarity.read_srp_index_meta(idx)["n_planes"] == 32
+
+
+def test_cli_verify_index(spark, tmp_path):
+    """r12: one health-check CLI for every at-rest index kind,
+    sidecar-detected — IVF/PQ run the row_count commit check and exit
+    1 on a torn index; banded LSH/SRP validate the sidecar and report
+    row/band counts; a sidecar-less dir exits 1."""
+    import numpy as np
+
+    from nginx_analytics_spark.operators import dedup, similarity
+
+    emb = load_table(spark, SF, "embeddings").limit(60)
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} words {i % 3} {i % 5} {i % 7} tail") for i in range(10)],
+        "doc_id long, text string",
+    )
+    lsh, srp = f"{tmp_path}/lsh", f"{tmp_path}/srp"
+    ivf, pq = f"{tmp_path}/ivf", f"{tmp_path}/pq"
+    dedup.write_lsh_index(docs, lsh)
+    similarity.write_srp_index(emb, srp)
+    similarity.ivf_write_bucketed(emb, ivf, n_cells=4)
+    books = similarity.pq_write_index(emb, pq, m=8, n_codes=16)
+
+    for idx in (lsh, srp, ivf, pq):
+        assert jobs.main(["verify-index", "--index", idx]) == 0, idx
+
+    # tear the PQ index: rows beyond the committed count
+    extra = emb.limit(2).select(
+        (emb.vec_id + 70000).alias("vec_id"), "embedding"
+    )
+    similarity.pq_encode(extra, books).withColumn(
+        "qerr", F.lit(0.0)
+    ).write.mode("append").parquet(pq)
+    assert jobs.main(["verify-index", "--index", pq]) == 1
+
+    bare = f"{tmp_path}/bare"
+    emb.write.mode("overwrite").parquet(bare)
+    assert jobs.main(["verify-index", "--index", bare]) == 1
 
 
 def test_cli_recluster_ivf(spark, tmp_path):
