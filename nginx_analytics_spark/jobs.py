@@ -520,6 +520,40 @@ def _build_parser():
         ),
     )
 
+    cc = sub.add_parser(
+        "compact-corpus",
+        help=(
+            "X87 offline: small-file compaction of an ingest loop's "
+            "corpus store (plain or exactly-once layout, preserved by "
+            "kind) — the corpus half of the maintenance X82's "
+            "compact-index gives the index. Takes the index's "
+            "single-writer mutex, so it fails loudly against a live "
+            "loop; for an exactly-once store, run only with the stream "
+            "stopped and its checkpoint committed past every on-disk "
+            "batch (compaction flattens the batch dirs a same-id retry "
+            "would overwrite)"
+        ),
+    )
+    cc.add_argument("--corpus", required=True, help="corpus store dir")
+    cc.add_argument(
+        "--index", required=True,
+        help="the loop's index path (its mutex serializes compaction)",
+    )
+    cc.add_argument(
+        "--target-file-bytes",
+        type=int,
+        default=128 << 20,
+        help="rewrite into ceil(store_bytes / this) files",
+    )
+    cc.add_argument(
+        "--sort-by",
+        default=None,
+        help=(
+            "optionally re-sort rows within each output file so parquet "
+            "min/max stats prune point lookups on this column"
+        ),
+    )
+
     vi = sub.add_parser(
         "verify-index",
         help=(
@@ -699,6 +733,24 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     # the index-maintenance commands are warehouse-less for the same reason
+    if args.command == "compact-corpus":
+        from nginx_analytics_spark.streaming.dedup_ingest import (
+            compact_corpus,
+        )
+
+        stats = compact_corpus(
+            spark,
+            args.corpus,
+            args.index,
+            target_file_bytes=args.target_file_bytes,
+            sort_by=args.sort_by,
+        )
+        print(
+            f"corpus compacted: {stats['files_before']} -> "
+            f"{stats['files_after']} files, {stats['rows']} rows"
+        )
+        return 0
+
     if args.command == "verify-index":
         from nginx_analytics_spark.operators import dedup, similarity
         from nginx_analytics_spark.operators.index_fs import (

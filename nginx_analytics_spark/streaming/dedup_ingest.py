@@ -123,6 +123,104 @@ def dedup_batch_against_corpus(
     return b
 
 
+def compact_corpus(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_by: str | None = None,
+    fs=None,
+) -> dict:
+    """X87: small-file compaction for the ingest loops' CORPUS STORE —
+    the missing half of the store's lifecycle (the index half is X82).
+    Both loops append one parquet file (plain mode) or one
+    ``ingest_batch=<id>`` directory (X73 exactly-once mode) per
+    micro-batch, so a long-running ingest accumulates files without
+    bound; at production batch cadence the small-files problem hits the
+    corpus long before the data volume does. This rewrites the store
+    into ``ceil(bytes / target_file_bytes)`` files and swaps the
+    directory with the warehouse compactor's crash discipline
+    (two renames; a crash between them is rolled forward on the next
+    entry — ``compact_raw_logs`` precedent, sources/warehouse.py).
+
+    Layout preserved BY KIND: a plain store compacts to flat files; an
+    exactly-once store compacts into the single reserved partition
+    ``ingest_batch=-1`` — never a mix, because Spark's partition
+    discovery rejects flat files alongside partition dirs, and real
+    batch ids are non-negative so the reserved id cannot collide with
+    a future append. ``read_corpus`` reads either layout unchanged.
+
+    Concurrency: takes the INDEX's single-writer mutex (the sibling
+    ``<index>.compact.lock`` both loops hold per batch and the CLIs
+    hold for the stream's lifetime), so compacting against a live CLI
+    loop fails loudly — never corrupts — exactly the ``compact-index``
+    contract. The exactly-once REPLAY caveat is the one additional
+    rule: compaction flattens the batch directories a same-id retry
+    would overwrite, so run it only when the stream is stopped with
+    its checkpoint committed past every on-disk batch (a replay of an
+    uncommitted batch AFTER compaction would append a fresh batch dir
+    and duplicate its compacted rows — at-least-once, never lost, but
+    the dedup gate's output should not need its own dedup). The CLI
+    (``jobs compact-corpus``) states the same rule.
+
+    Scale: one shuffle-free ``repartition`` rewrite of the store; the
+    sizing walk is metadata-only. ``sort_by`` optionally re-sorts rows
+    within each output file so parquet min/max stats prune point
+    lookups (the warehouse compactor's affordance). On an object store
+    the two-rename swap is the piece a table format's metadata commit
+    replaces — same caveat as the warehouse compactor. Returns
+    ``{files_before, files_after, rows}``."""
+    import math
+    import os
+    import shutil
+
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    with fs.exclusive_lock(
+        dedup._lsh_compact_lock_path(index_path),
+        "corpus compaction must not interleave with the ingest loop "
+        "that writes this store; stop the loop (or let an embedded "
+        "loop's current batch finish) first",
+    ):
+        src = corpus_dir.rstrip("/")
+        tmp, old = src + "__compact_tmp", src + "__compact_old"
+        if not os.path.isdir(src) and os.path.isdir(old):
+            os.rename(old, src)  # roll forward a crash between renames
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+
+        def _walk(p: str) -> tuple[int, int]:
+            n = b = 0
+            for root, _, files in os.walk(p):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n += 1
+                        b += os.path.getsize(os.path.join(root, f))
+            return n, b
+
+        files_before, total_bytes = _walk(src)
+        df = spark.read.parquet(src)
+        exactly_once = "ingest_batch" in df.columns
+        rows = df.drop("ingest_batch") if exactly_once else df
+        n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+        out = rows.repartition(n_files)
+        if sort_by is not None:
+            out = out.sortWithinPartitions(sort_by)
+        dest = os.path.join(tmp, "ingest_batch=-1") if exactly_once else tmp
+        out.write.mode("overwrite").parquet(dest)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old, ignore_errors=True)
+        files_after, _ = _walk(src)
+        n_rows = spark.read.parquet(src).count()  # footer-scale
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": int(n_rows),
+    }
+
+
 def _enter_index_mutex(
     stack,
     fs,

@@ -35,7 +35,8 @@ def test_cli_help_lists_all_commands():
     for cmd in (
         "ingest", "anomaly", "retrain", "compact", "curate",
         "export-shards", "handoff", "dedup-ingest",
-        "embedding-dedup-ingest", "verify-index", "recluster-ivf",
+        "embedding-dedup-ingest", "verify-index", "compact-corpus",
+        "recluster-ivf",
     ):
         assert cmd in out.stdout
 
@@ -602,6 +603,36 @@ def test_cli_verify_index(spark, tmp_path):
     bare = f"{tmp_path}/bare"
     emb.write.mode("overwrite").parquet(bare)
     assert jobs.main(["verify-index", "--index", bare]) == 1
+
+
+def test_cli_compact_corpus(spark, tmp_path):
+    """X87 CLI: compact an ingest loop's corpus store standalone —
+    warehouse-less subcommand, content preserved, file floor applied."""
+    from nginx_analytics_spark.streaming.dedup_ingest import (
+        process_batch,
+        read_corpus,
+    )
+
+    corpus, idx = f"{tmp_path}/corpus", f"{tmp_path}/idx"
+    for b, text in enumerate((
+        "alpha beta gamma delta epsilon zeta",
+        "unrelated words about shuffle partitions and joins",
+    )):
+        docs = spark.createDataFrame(
+            [(b, text)], "doc_id long, text string"
+        )
+        process_batch(spark, docs, b, corpus, idx)
+    before = sorted(map(tuple, read_corpus(spark, corpus).collect()))
+    rc = jobs.main(
+        ["compact-corpus", "--corpus", corpus, "--index", idx,
+         "--sort-by", "doc_id"]
+    )
+    assert rc == 0
+    assert sorted(map(tuple, read_corpus(spark, corpus).collect())) == before
+    import os
+
+    files = [f for f in os.listdir(corpus) if f.endswith(".parquet")]
+    assert len(files) == 1
 
 
 def test_cli_recluster_ivf(spark, tmp_path):

@@ -1048,3 +1048,123 @@ def test_embedding_ingest_with_in_loop_compaction(spark, tmp_path):
                 if f.endswith(".parquet")
             ]
             assert len(files) <= 2, (d, files)
+
+
+def test_compact_corpus_plain_layout(spark, tmp_path):
+    """X87 on the plain-append store: three batches leave three files;
+    compaction rewrites to the byte-sized floor with row identity, and
+    the loop keeps appending afterwards (read_corpus sees the union)."""
+    import os
+
+    from nginx_analytics_spark.streaming.dedup_ingest import (
+        compact_corpus,
+        process_batch,
+        read_corpus,
+    )
+
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "completely different words about shuffle exchanges and codegen",
+        "third subject matter on parquet footers and row group stats",
+        "fourth batch text naming broadcast joins and bloom filters",
+    ]
+    for b in range(3):
+        docs = spark.createDataFrame([(b, texts[b])], "doc_id long, text string")
+        process_batch(spark, docs, b, corpus, idx)
+    n_files = sum(
+        1 for f in os.listdir(corpus) if f.endswith(".parquet")
+    )
+    assert n_files >= 3
+    before = sorted(map(tuple, read_corpus(spark, corpus).collect()))
+
+    stats = compact_corpus(spark, corpus, idx, sort_by="doc_id")
+    assert stats["files_before"] == n_files and stats["files_after"] == 1
+    assert stats["rows"] == 3
+    assert sorted(map(tuple, read_corpus(spark, corpus).collect())) == before
+
+    docs = spark.createDataFrame([(3, texts[3])], "doc_id long, text string")
+    process_batch(spark, docs, 3, corpus, idx)
+    got = sorted(r.doc_id for r in read_corpus(spark, corpus).collect())
+    assert got == [0, 1, 2, 3]
+
+
+def test_compact_corpus_exactly_once_layout_and_crash_recovery(spark, tmp_path):
+    """X87 on the X73 layout: batch dirs flatten into the reserved
+    ingest_batch=-1 partition (never a flat/partitioned mix — Spark's
+    partition discovery rejects it), a later exactly-once batch
+    coexists with the compacted partition, and a crash between the two
+    swap renames is rolled forward on the next entry."""
+    import os
+
+    from nginx_analytics_spark.streaming.dedup_ingest import (
+        compact_corpus,
+        process_batch,
+        read_corpus,
+    )
+
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "completely different words about shuffle exchanges and codegen",
+        "third subject matter on parquet footers and row group stats",
+        "fourth batch text naming broadcast joins and bloom filters",
+    ]
+    for b in range(3):
+        docs = spark.createDataFrame([(b, texts[b])], "doc_id long, text string")
+        process_batch(spark, docs, b, corpus, idx, exactly_once=True)
+    before = sorted(map(tuple, read_corpus(spark, corpus).collect()))
+    assert len([d for d in os.listdir(corpus) if d.startswith("ingest_batch=")]) == 3
+
+    stats = compact_corpus(spark, corpus, idx)
+    assert stats["rows"] == 3
+    dirs = [d for d in os.listdir(corpus) if d.startswith("ingest_batch=")]
+    assert dirs == ["ingest_batch=-1"]
+    assert sorted(map(tuple, read_corpus(spark, corpus).collect())) == before
+
+    # a later exactly-once batch coexists with the compacted partition
+    docs = spark.createDataFrame([(3, texts[3])], "doc_id long, text string")
+    process_batch(spark, docs, 3, corpus, idx, exactly_once=True)
+    got = sorted(r.doc_id for r in read_corpus(spark, corpus).collect())
+    assert got == [0, 1, 2, 3]
+
+    # crash between the renames: live dir absent, .old present — the
+    # next compaction rolls it forward and completes
+    os.rename(corpus, corpus + "__compact_old")
+    stats = compact_corpus(spark, corpus, idx)
+    assert stats["rows"] == 4
+    assert sorted(r.doc_id for r in read_corpus(spark, corpus).collect()) == [
+        0, 1, 2, 3,
+    ]
+
+
+def test_compact_corpus_refuses_against_live_lock(spark, tmp_path):
+    """X87 single-writer contract: the corpus compactor takes the
+    INDEX's mutex, so it loses loudly against a holder (a live CLI
+    loop's lifetime hold) instead of interleaving with appends."""
+    import fcntl
+    import os
+
+    import pytest
+
+    from nginx_analytics_spark.operators import dedup
+    from nginx_analytics_spark.operators.index_fs import LockHeldError
+    from nginx_analytics_spark.streaming.dedup_ingest import (
+        compact_corpus,
+        process_batch,
+    )
+
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    process_batch(spark, docs, 0, corpus, idx)
+    fd = os.open(dedup._lsh_compact_lock_path(idx), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(LockHeldError, match="ingest loop"):
+            compact_corpus(spark, corpus, idx)
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
