@@ -55,6 +55,12 @@ The index bootstrap (first batch ever) writes the index instead of
 appending; both paths stamp/validate the ``_lsh_meta.json`` parameter
 sidecar, so a config change between deployments fails loudly instead
 of silently losing recall.
+
+The CORPUS STORE has its own maintenance half (X87,
+:func:`compact_corpus`): the loop appends one file (plain) or one
+batch dir (exactly-once) per micro-batch, and the offline compactor —
+``jobs compact-corpus`` — bounds that growth under the same index
+mutex, with the exactly-once replay caveat documented there.
 """
 
 from __future__ import annotations

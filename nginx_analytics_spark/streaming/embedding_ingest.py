@@ -35,7 +35,9 @@ enforcement is the SAME code as the text loop
 each micro-batch holds the index's sibling compact-lock across heal +
 probe + append + bootstrap + compaction, and the
 ``jobs embedding-dedup-ingest`` CLI holds it for the stream's whole
-lifetime.
+lifetime. The corpus store's file growth is bounded offline by the
+shared X87 compactor (``dedup_ingest.compact_corpus`` / ``jobs
+compact-corpus``) under the same mutex.
 
 The reference has no embedding pipeline at all (SURVEY.md §2.9 X84/X85
 extension surface); this is the semantic-dedup ingest gate a 100 TB
