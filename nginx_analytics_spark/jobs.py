@@ -562,13 +562,28 @@ def _build_parser():
             "(torn-write detection: rows on disk a crashed writer never "
             "acknowledged), banded LSH/SRP validate the sidecar and "
             "report row/band counts. Exit 1 on a torn or invalid "
-            "index, 0 healthy — the cron-able twin of the checks the "
-            "append paths and verify=True probes run inline."
+            "index, 0 healthy, 3 busy — the cron-able twin of the "
+            "checks the append paths and verify=True probes run "
+            "inline. Takes the index's single-writer mutex around the "
+            "row count (r12 ADVICE: counting concurrently with an "
+            "append, between its data write and sidecar flip, reads a "
+            "transient false TORN), so against a live ingest loop it "
+            "reports busy instead of lying; --lock-timeout bounds how "
+            "long it waits for a between-appends window."
         ),
     )
     vi.add_argument(
         "--index", required=True,
         help="at-rest index path (LSH / SRP / IVF / PQ — sidecar-detected)",
+    )
+    vi.add_argument(
+        "--lock-timeout",
+        type=float,
+        default=0.0,
+        help=(
+            "seconds to wait for the index's single-writer mutex "
+            "before reporting busy (exit 3); 0 = one attempt"
+        ),
     )
 
     ri = sub.add_parser(
@@ -586,6 +601,39 @@ def _build_parser():
     )
     ri.add_argument("--index", required=True, help="at-rest IVF index path")
     ri.add_argument(
+        "--n-cells",
+        type=int,
+        default=None,
+        help="new cell count (default: keep the standing sidecar's)",
+    )
+
+    rp = sub.add_parser(
+        "rebuild-pq",
+        help=(
+            "maintenance rebuild of an at-rest PQ index: refit "
+            "codebooks (and the coarse quantizer, when celled) from "
+            "the RAW corpus store and swap the re-encoded layout in "
+            "atomically — the actuator pq_append_index's drift_ratio "
+            "points at (the index stores only m-byte codes, so unlike "
+            "recluster-ivf the rebuild needs the corpus of raw "
+            "vectors; point --corpus at the ingest loop's store). "
+            "Also the recovery path for a torn append detected by "
+            "verify-index."
+        ),
+    )
+    rp.add_argument("--index", required=True, help="at-rest PQ index path")
+    rp.add_argument(
+        "--corpus", required=True,
+        help=(
+            "corpus store dir of raw vectors (plain or exactly-once "
+            "layout — read via the loops' read_corpus view)"
+        ),
+    )
+    rp.add_argument(
+        "--vec-col", default="embedding",
+        help="vector column in the corpus store",
+    )
+    rp.add_argument(
         "--n-cells",
         type=int,
         default=None,
@@ -755,53 +803,85 @@ def main(argv: list[str] | None = None) -> int:
         from nginx_analytics_spark.operators import dedup, similarity
         from nginx_analytics_spark.operators.index_fs import (
             LOCAL_FS,
+            LockHeldError,
+            acquire_lock_wait,
             banded_index_read,
         )
 
         p = args.index
-        if LOCAL_FS.isfile(similarity.pq_index_meta_path(p)):
-            check = similarity.pq_index_verify(spark, p)
-            kind = "pq"
-        elif LOCAL_FS.isfile(similarity.ivf_index_meta_path(p)):
-            check = similarity.ivf_index_verify(spark, p)
-            kind = "ivf"
-        elif LOCAL_FS.isfile(similarity.srp_index_meta_path(p)) or LOCAL_FS.isfile(
-            dedup.lsh_index_meta_path(p)
-        ):
-            # banded indexes carry no row_count commit (appends are
-            # at-least-once by design — duplicate band rows collapse in
-            # the probe's candidate distinct); health = sidecar valid +
-            # readable rows, reported for operator eyes
-            if LOCAL_FS.isfile(similarity.srp_index_meta_path(p)):
-                similarity.read_srp_index_meta(p)
-                kind = "srp"
+        # The row counts below must not race a writer sitting between
+        # its data write and its sidecar flip, or a compactor mid-band-
+        # swap (r12 ADVICE: that window reads as a transient false TORN
+        # / a skewed band count). Take the same single-writer mutex the
+        # loops, appenders, and compactors serialize on; a live holder
+        # means the index is BUSY, not broken — exit 3, not 1, so a
+        # cron alert distinguishes "re-check when quiesced" from
+        # "rebuild now". --lock-timeout bounds the wait for a
+        # between-appends window (0 = one attempt).
+        lock = acquire_lock_wait(
+            LOCAL_FS,
+            dedup._lsh_compact_lock_path(p),
+            "verify-index counts rows only while no writer holds the "
+            "index",
+            timeout_s=args.lock_timeout,
+        )
+        try:
+            lock.__enter__()
+        except LockHeldError:
+            print(
+                f"index at {p!r} is BUSY: its single-writer mutex is "
+                "held (a live ingest loop, appender, or compactor) — "
+                "row counts taken now could report a transient false "
+                "TORN. Re-run when appends are quiesced, or pass "
+                "--lock-timeout to wait for a window."
+            )
+            return 3
+        try:
+            if LOCAL_FS.isfile(similarity.pq_index_meta_path(p)):
+                check = similarity.pq_index_verify(spark, p)
+                kind = "pq"
+            elif LOCAL_FS.isfile(similarity.ivf_index_meta_path(p)):
+                check = similarity.ivf_index_verify(spark, p)
+                kind = "ivf"
+            elif LOCAL_FS.isfile(similarity.srp_index_meta_path(p)) or LOCAL_FS.isfile(
+                dedup.lsh_index_meta_path(p)
+            ):
+                # banded indexes carry no row_count commit (appends are
+                # at-least-once by design — duplicate band rows collapse in
+                # the probe's candidate distinct); health = sidecar valid +
+                # readable rows, reported for operator eyes
+                if LOCAL_FS.isfile(similarity.srp_index_meta_path(p)):
+                    similarity.read_srp_index_meta(p)
+                    kind = "srp"
+                else:
+                    dedup.read_lsh_index_meta(p)
+                    kind = "lsh"
+                rows = banded_index_read(spark, p)
+                n = rows.count()
+                bands = rows.select("band_idx").distinct().count()
+                print(
+                    f"{kind} index healthy: sidecar valid, {n} band-key "
+                    f"rows across {bands} bands"
+                )
+                return 0
             else:
-                dedup.read_lsh_index_meta(p)
-                kind = "lsh"
-            rows = banded_index_read(spark, p)
-            n = rows.count()
-            bands = rows.select("band_idx").distinct().count()
-            print(
-                f"{kind} index healthy: sidecar valid, {n} band-key "
-                f"rows across {bands} bands"
+                print(
+                    f"no index sidecar found at {p!r} (_pq_meta/_ivf_meta/"
+                    "_srp_meta/_lsh_meta.json) — not an at-rest index"
+                )
+                return 1
+            state = (
+                "UNKNOWN (pre-commit-protocol sidecar; next append upgrades it)"
+                if check["torn"] is None
+                else ("TORN" if check["torn"] else "healthy")
             )
-            return 0
-        else:
             print(
-                f"no index sidecar found at {p!r} (_pq_meta/_ivf_meta/"
-                "_srp_meta/_lsh_meta.json) — not an at-rest index"
+                f"{kind} index {state}: sidecar commits "
+                f"{check['expected']} rows, disk holds {check['actual']}"
             )
-            return 1
-        state = (
-            "UNKNOWN (pre-commit-protocol sidecar; next append upgrades it)"
-            if check["torn"] is None
-            else ("TORN" if check["torn"] else "healthy")
-        )
-        print(
-            f"{kind} index {state}: sidecar commits "
-            f"{check['expected']} rows, disk holds {check['actual']}"
-        )
-        return 1 if check["torn"] else 0
+            return 1 if check["torn"] else 0
+        finally:
+            lock.__exit__(None, None, None)
 
     if args.command == "recluster-ivf":
         from nginx_analytics_spark.operators import similarity
@@ -814,6 +894,31 @@ def main(argv: list[str] | None = None) -> int:
             f"{stats['n_cells']} cells, mean assignment distance "
             f"{stats['old_mean_assign_dist']:.6g} -> "
             f"{stats['new_mean_assign_dist']:.6g}"
+        )
+        return 0
+
+    if args.command == "rebuild-pq":
+        from nginx_analytics_spark.operators import similarity
+        from nginx_analytics_spark.streaming.dedup_ingest import read_corpus
+
+        stats = similarity.rebuild_pq(
+            spark,
+            read_corpus(spark, args.corpus),
+            args.index,
+            vec_col=args.vec_col,
+            n_cells=args.n_cells,
+        )
+        layout = (
+            f"{stats['n_cells']} cells"
+            f"{' (residual codes)' if stats['residual'] else ''}"
+            if stats["n_cells"] is not None
+            else "flat"
+        )
+        print(
+            f"pq index rebuilt: {stats['n_rows']} rows, {layout}, "
+            f"mean quantization error "
+            f"{stats['old_mean_quant_err']:.6g} -> "
+            f"{stats['new_mean_quant_err']:.6g}"
         )
         return 0
 

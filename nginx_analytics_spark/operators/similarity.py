@@ -144,6 +144,59 @@ def _check_srp_banding(n_planes: int, bands: int) -> None:
         )
 
 
+# Background-collision budget for AT-REST SRP banding (r12 verdict item
+# 6, promoting the measured X85 scaling law from SCALING.md to a loud
+# check): two UNRELATED near-orthogonal vectors agree on any given
+# signature bit with p≈1/2, so a (n_planes, bands) config puts a random
+# pair in the same bucket of SOME band with probability
+# 1 - (1 - 2^-chunk)^bands, chunk = n_planes // bands. That fraction is
+# the index's background candidate rate — the term that grows with the
+# SQUARE of corpus size in every probe's candidate join. Measured
+# (SCALING.md r12, 100-batch X85 horizon on the sf0.1 embeddings):
+#   32 planes / 8 bands → chunk 4, background ≈ 0.40 → per-batch wall
+#     drifted +80% across the horizon (candidate volume tracks corpus);
+#   64 planes / 8 bands → chunk 8, background ≈ 0.031 → walls flat
+#     (7.3/6.8/6.8 s), per-batch cost independent of corpus size.
+# The threshold sits between those two measured points: configurations
+# above it are fine for one-shot pair queries at fixture scale but make
+# an at-rest index's probe cost scale with the corpus — exactly the
+# failure the index exists to prevent.
+SRP_BG_COLLISION_WARN = 0.05
+
+
+def _check_srp_background_collisions(
+    n_planes: int, bands: int, strict: bool = False
+) -> None:
+    """Warn (or raise, ``strict=True``) when an at-rest SRP banding
+    config's expected background-collision fraction exceeds
+    :data:`SRP_BG_COLLISION_WARN` — see the constant's derivation and
+    the measured 32-vs-64-plane table it cites. Called by
+    :func:`srp_band_keys` (and therefore every index write/append);
+    the one-shot pair queries keep their own banding checks only,
+    because their candidate volume is paid once, not per batch
+    forever."""
+    import warnings
+
+    chunk = n_planes // bands
+    expect = 1.0 - (1.0 - 2.0 ** -chunk) ** bands
+    if expect > SRP_BG_COLLISION_WARN:
+        msg = (
+            f"SRP banding (n_planes={n_planes}, bands={bands}) expects "
+            f"~{expect:.1%} of UNRELATED vector pairs to share a band "
+            f"bucket (chunk={chunk} bits; threshold "
+            f"{SRP_BG_COLLISION_WARN:.0%}). On an at-rest index this "
+            "background rate makes every probe's candidate volume grow "
+            "with the corpus — measured on the 100-batch ingest "
+            "horizon, 32-plane signing drifted +80% per-batch wall "
+            "while 64-plane stayed flat (SCALING.md r12). Raise "
+            "n_planes (keeping bands, e.g. 64/8 -> 8-bit chunks) or "
+            "pass strict=False knowingly for a fixture-scale index."
+        )
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=3)
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (driver-side constant).
 
@@ -504,6 +557,7 @@ def srp_band_keys(
     bands: int = 8,
     dim: int = 64,
     seed: int = 42,
+    strict: bool = False,
 ) -> DataFrame:
     """(id, band_idx, band_hash) SRP bucket keys — the banding expression
     :func:`hyperplane_lsh_pairs`/:func:`hyperplane_lsh_topk` join on,
@@ -512,8 +566,16 @@ def srp_band_keys(
     ``index_fs`` ``store_*`` seam and its sort-within-band layout apply
     verbatim. One Arrow matmul signature pass; the planes are fully
     derived from (dim, n_planes, seed), so the sidecar stores only
-    parameters, never the matrix."""
+    parameters, never the matrix.
+
+    Because these keys feed AT-REST indexes (whose probe cost pays the
+    background-collision rate on every batch forever), the banding is
+    additionally budget-checked: a config whose expected unrelated-pair
+    collision fraction exceeds :data:`SRP_BG_COLLISION_WARN` warns —
+    or raises with ``strict=True`` — citing the measured 32-vs-64-plane
+    horizon (r12 verdict item 6)."""
     _check_srp_banding(n_planes, bands)
+    _check_srp_background_collisions(n_planes, bands, strict=strict)
     planes = hyperplanes(dim, n_planes, seed)
     chunk = n_planes // bands
     mask = (1 << chunk) - 1
@@ -544,6 +606,7 @@ def write_srp_index(
     bands: int = 8,
     dim: int = 64,
     seed: int = 42,
+    strict: bool = False,
     fs=None,
 ) -> None:
     """Materialize the embedding corpus's SRP index AT REST: (id,
@@ -564,7 +627,9 @@ def write_srp_index(
         write_json_sidecar,
     )
 
-    keys = srp_band_keys(emb, id_col, vec_col, n_planes, bands, dim, seed)
+    keys = srp_band_keys(
+        emb, id_col, vec_col, n_planes, bands, dim, seed, strict=strict
+    )
     banded_index_write(keys, path, fs=fs)
     meta = {
         "id_col": id_col,
@@ -585,6 +650,7 @@ def append_srp_index(
     bands: int = 8,
     dim: int = 64,
     seed: int = 42,
+    strict: bool = False,
     fs=None,
 ) -> None:
     """Fold a new batch into an existing SRP index WITHOUT re-signing
@@ -611,7 +677,9 @@ def append_srp_index(
     )
     from nginx_analytics_spark.operators.index_fs import banded_index_write
 
-    keys = srp_band_keys(new_emb, id_col, vec_col, n_planes, bands, dim, seed)
+    keys = srp_band_keys(
+        new_emb, id_col, vec_col, n_planes, bands, dim, seed, strict=strict
+    )
     banded_index_write(keys, path, fs=fs, mode="append")
 
 
@@ -1540,6 +1608,15 @@ def pq_codebooks(
     if not rows:
         raise ValueError("empty corpus")
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return _fit_books_on_sample(x, m, k, seed, max_iter)
+
+
+def _fit_books_on_sample(
+    x: np.ndarray, m: int, k: int, seed: int, max_iter: int
+) -> np.ndarray:
+    """The driver-side subspace fits shared by :func:`pq_codebooks`
+    (raw vectors) and :func:`pq_write_index`'s residual mode (the same
+    sample shifted by its cell centroids)."""
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1611,6 +1688,57 @@ def _pq_encode_err_udf(codebooks: np.ndarray):
             codes[:, j] = idx
             err += d[np.arange(len(x)), idx]
         return pd.DataFrame({"codes": list(codes), "qerr": err})
+
+    return _enc
+
+
+def _pq_encode_residual_err_udf(codebooks: np.ndarray, centroids: np.ndarray):
+    """The residual-mode encoder (classic IVFADC, Jégou et al. 2011
+    §V.A): assign the nearest coarse cell, subtract its centroid, PQ-
+    encode the RESIDUAL, and report the residual's reconstruction
+    squared error — ``struct<cell, codes, qerr>`` in one Arrow pass.
+    One kernel instead of composing :func:`cell_assignment` with
+    :func:`_pq_encode_err_udf` because the residual DEPENDS on the
+    assignment: splitting them would either ship the vector through two
+    Python workers or recompute the centroid argmin. Residual encoding
+    is what recovers recall at scale — residuals are smaller and more
+    isotropic than raw vectors, so the same m×k codebook budget spends
+    its resolution near the data instead of spanning the whole space
+    (the r12 verdict's measured gap: raw-code indexed recall@5 fell
+    0.56→0.48 at ×10 corpus while in-memory PQ held 0.58)."""
+    books = np.ascontiguousarray(codebooks)
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    cnorm = np.einsum("ij,ij->i", cents, cents)
+    m_, k_, sub = books.shape
+
+    @F.pandas_udf("struct<cell:int, codes:array<int>, qerr:double>")
+    def _enc(xs: pd.Series) -> pd.DataFrame:
+        if len(xs) == 0:
+            return pd.DataFrame(
+                {"cell": pd.Series([], dtype="int32"),
+                 "codes": pd.Series([], dtype="object"),
+                 "qerr": pd.Series([], dtype="float64")}
+            )
+        x = np.stack(xs.to_numpy())  # (n, dim)
+        part = cnorm - 2.0 * (x @ cents.T)  # |c|^2 - 2 x.c
+        cell = np.argmin(part, axis=1)
+        r = x - cents[cell]  # the residuals the codes reconstruct
+        codes = np.empty((x.shape[0], m_), dtype=np.int32)
+        err = np.zeros(x.shape[0], dtype=np.float64)
+        for j in range(m_):
+            rj = r[:, j * sub : (j + 1) * sub]
+            c = books[j]
+            d = (
+                np.einsum("ij,ij->i", c, c)[None, :]
+                - 2.0 * (rj @ c.T)
+                + np.einsum("ij,ij->i", rj, rj)[:, None]
+            )
+            idx = np.argmin(d, axis=1)
+            codes[:, j] = idx
+            err += d[np.arange(len(x)), idx]
+        return pd.DataFrame(
+            {"cell": cell.astype(np.int32), "codes": list(codes), "qerr": err}
+        )
 
     return _enc
 
@@ -1747,35 +1875,75 @@ def _pq_scan_topk(
     refine_exact_fold: bool,
     n_rows: int | None = None,
     qcells: dict[int, frozenset[int]] | None = None,
+    q_rows: list[tuple] | None = None,
+    residual_centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """The ADC scan + optional exact re-rank shared by :func:`pq_topk`
     (which fits/encodes in-memory) and :func:`pq_topk_indexed` (which
     loads codes + codebooks from the at-rest index) — ONE scan kernel,
     so the two paths are row-identical under the same codebooks by
     construction, not by discipline. ``encoded`` carries (id, codes)
-    plus a ``cell`` column when ``qcells`` is given: the IVFADC layout's
-    per-query cell mask (a query scores only candidates in ITS probed
-    cells; the caller already partition-pruned the scan to the UNION of
-    probed cells, this mask restores per-query semantics inside it).
-    ``n_rows`` injects the committed corpus count (the sidecar's
-    ``row_count``) so the fraction-sized refine depth costs no count
-    job on the serving path."""
-    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv")).collect()
-    if not q:
+    plus a ``cell`` column when ``qcells`` or ``residual_centroids`` is
+    given: the IVFADC layout's per-query cell mask (a query scores only
+    candidates in ITS probed cells; the caller already partition-pruned
+    the scan to the UNION of probed cells, this mask restores per-query
+    semantics inside it). ``n_rows`` injects the committed corpus count
+    (the sidecar's ``row_count``) so the fraction-sized refine depth
+    costs no count job on the serving path.
+
+    ``q_rows`` injects the ALREADY-COLLECTED (query_id, vector) rows so
+    a caller that needed them for its own driver-side work (cell
+    probing) never collects the query frame twice — a non-deterministic
+    query frame (limit/sample) collected twice could disagree between
+    the probe's cell map and the scan's LUTs, KeyError-ing or silently
+    mis-masking (r12 ADVICE).
+
+    ``residual_centroids`` switches the scan to RESIDUAL decoding
+    (classic IVFADC, Jégou et al. 2011 §V.A): codes were encoded on
+    ``v - centroid[cell]``, so the ADC distance for a candidate in cell
+    c is |(q - centroid[c]) - reconstruct(codes)|² — one LUT per
+    (query, cell) instead of per query, built only for cells the scan
+    can actually touch (the union of probed cells; all cells when
+    unpruned). The LUT stack is q × |cells touched| × m × k doubles —
+    still a driver-side closure constant (queries are a serving batch
+    and the touched-cell count is bounded by q·nprobe)."""
+    if q_rows is None:
+        q_rows = queries.select(
+            F.col(query_id_col), as_double(vec_col).alias("qv")
+        ).collect()
+    if not q_rows:
         raise ValueError("empty query frame")
-    qids = np.array([r[0] for r in q])
-    qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in q])  # (q, dim)
+    qids = np.array([r[0] for r in q_rows])
+    qv = np.stack(
+        [np.asarray(r[1], dtype=np.float64) for r in q_rows]
+    )  # (q, dim)
     m_, k_, sub = books.shape
-    # LUT[q, j, c] = |q_j - book[j, c]|^2
-    lut = np.empty((len(qids), m_, k_), dtype=np.float64)
-    for j in range(m_):
-        qj = qv[:, j * sub : (j + 1) * sub]  # (q, sub)
-        c = books[j]  # (k, sub)
-        lut[:, j, :] = (
-            np.einsum("ij,ij->i", qj, qj)[:, None]
-            - 2.0 * (qj @ c.T)
-            + np.einsum("ij,ij->i", c, c)[None, :]
+
+    def _lut_of(qmat: np.ndarray) -> np.ndarray:
+        # LUT[q, j, c] = |q_j - book[j, c]|^2
+        out = np.empty((qmat.shape[0], m_, k_), dtype=np.float64)
+        for j in range(m_):
+            qj = qmat[:, j * sub : (j + 1) * sub]  # (q, sub)
+            c = books[j]  # (k, sub)
+            out[:, j, :] = (
+                np.einsum("ij,ij->i", qj, qj)[:, None]
+                - 2.0 * (qj @ c.T)
+                + np.einsum("ij,ij->i", c, c)[None, :]
+            )
+        return out
+
+    if residual_centroids is None:
+        lut = _lut_of(qv)
+        res_luts = None
+    else:
+        cents = np.ascontiguousarray(residual_centroids, dtype=np.float64)
+        touched = (
+            sorted({c for s in qcells.values() for c in s})
+            if qcells is not None
+            else range(cents.shape[0])
         )
+        lut = None
+        res_luts = {int(c): _lut_of(qv - cents[int(c)]) for c in touched}
 
     out_schema = f"{query_id_col} long, neighbor_id long, dist double"
     if refine is not None and int(refine) <= 0:
@@ -1806,17 +1974,29 @@ def _pq_scan_topk(
         else None
     )
 
+    need_cells = qallow is not None or res_luts is not None
+
     def _adc(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
             ids = pdf[id_col].to_numpy()
-            cells = pdf["cell"].to_numpy() if qallow is not None else None
+            cells = pdf["cell"].to_numpy() if need_cells else None
             # dist (q, n): gather LUT per subspace, accumulate
             d = np.zeros((len(qids), len(ids)), dtype=np.float64)
-            for j in range(m_):
-                d += lut[:, j, :][:, codes[:, j]]
+            if res_luts is not None:
+                # residual decoding: each candidate's LUT is its CELL's
+                # (codes reconstruct v - centroid[cell]); group the
+                # batch's columns by cell and gather per group
+                for c in np.unique(cells):
+                    cols = np.nonzero(cells == c)[0]
+                    lut_c = res_luts[int(c)]
+                    for j in range(m_):
+                        d[:, cols] += lut_c[:, j, :][:, codes[cols, j]]
+            else:
+                for j in range(m_):
+                    d += lut[:, j, :][:, codes[:, j]]
             rows = []
             for qi, qid in enumerate(qids):
                 mask = ids != qid  # exclude self
@@ -1960,6 +2140,7 @@ def pq_write_index(
     n_cells: int | None = None,
     ivf_max_iter: int = 8,
     ivf_sample_cap: int = 4096,
+    residual: bool = False,
     fs=None,
 ) -> np.ndarray:
     """Materialize the PQ-compressed corpus AT REST so the fit+encode
@@ -1978,12 +2159,27 @@ def pq_write_index(
         nprobe/n_cells of the code files are opened) and an m-byte ADC
         scan second — the two pruning axes compose: at 100 TB the scan
         touches nprobe/n_cells of the files at 1/(dim*4/m)-th the
-        bytes. Codes quantize the RAW vectors, not cell residuals:
-        that keeps codes cell-independent, so the flat and celled
-        layouts share one encoder, one query LUT (computed once per
-        query, not once per probed cell), and the row-identity
-        contract with :func:`pq_topk`; residual coding is a recall
-        refinement the exact re-rank stage already covers here.
+        bytes. By default codes quantize the RAW vectors, not cell
+        residuals: that keeps codes cell-independent, so the flat and
+        celled layouts share one encoder, one query LUT (computed once
+        per query, not once per probed cell), and the row-identity
+        contract with :func:`pq_topk`.
+
+    ``residual=True`` (celled layout only — it raises on flat, there
+    is no cell to take a residual against) opts into TRUE IVFADC
+    encoding (Jégou et al. 2011 §V.A): codebooks are fitted on the
+    sample's CELL RESIDUALS and each row's codes reconstruct
+    ``v - centroid[cell]``. Residuals are smaller and more isotropic
+    than raw vectors, so the same m×k budget resolves finer structure
+    — the standard recall recovery at grown scale (the r12 verdict's
+    measured gap: raw-code indexed recall@5 fell 0.56→0.48 at ×10
+    corpus while in-memory PQ held 0.58; the residual-vs-raw table
+    lives in SCALING.md r13). The price is DELIBERATE: residual codes
+    are cell-dependent, so the probe builds one LUT per (query,
+    touched cell) and the output is no longer row-identical to
+    :func:`pq_topk`'s raw encoding — the raw mode keeps that identity
+    contract, this mode keeps recall; the sidecar records which was
+    built and :func:`pq_topk_indexed` decodes accordingly.
 
     The ``_pq_meta.json`` sidecar carries the codebooks (and centroids,
     when celled) bit-faithfully plus a ``row_count`` written LAST —
@@ -2002,11 +2198,19 @@ def pq_write_index(
     immediately."""
     from nginx_analytics_spark.operators.index_fs import write_json_sidecar
 
-    books = pq_codebooks(corpus, vec_col, m, n_codes, seed, max_iter, sample_cap)
-    enc = _pq_encode_err_udf(books)
+    if residual and n_cells is None:
+        raise ValueError(
+            "residual=True needs a cell layout (n_cells) — residual "
+            "codes reconstruct v - centroid[cell], so a flat index has "
+            "nothing to take the residual against"
+        )
     centroids = None
     v = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
     if n_cells is None:
+        books = pq_codebooks(
+            corpus, vec_col, m, n_codes, seed, max_iter, sample_cap
+        )
+        enc = _pq_encode_err_udf(books)
         v.select(
             id_col,
             enc(F.col("v")).alias("e"),
@@ -2019,14 +2223,44 @@ def pq_write_index(
             corpus, n_cells, vec_col, seed, ivf_max_iter, id_col,
             ivf_sample_cap,
         )
-        v.select(
-            id_col,
-            enc(F.col("v")).alias("e"),
-            cell_assignment(F.col("v"), centroids)["cell"].alias("cell"),
-        ).select(
-            id_col, F.col("e.codes").alias("codes"),
-            F.col("e.qerr").alias("qerr"), "cell",
-        ).write.mode("overwrite").partitionBy("cell").parquet(path)
+        if residual:
+            # fit the codebooks on the SAMPLE'S residuals — one bounded
+            # collect (the pq_codebooks contract), shifted driver-side
+            # by each row's nearest centroid before the subspace fits
+            rows = (
+                v.select("v").limit(sample_cap).collect()
+            )
+            if not rows:
+                raise ValueError("empty corpus")
+            x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+            part = (
+                np.einsum("ij,ij->i", centroids, centroids)
+                - 2.0 * (x @ centroids.T)
+            )
+            x = x - centroids[np.argmin(part, axis=1)]
+            books = _fit_books_on_sample(x, m, n_codes, seed, max_iter)
+            enc = _pq_encode_residual_err_udf(books, centroids)
+            v.select(
+                id_col,
+                enc(F.col("v")).alias("e"),
+            ).select(
+                id_col, F.col("e.codes").alias("codes"),
+                F.col("e.qerr").alias("qerr"),
+                F.col("e.cell").alias("cell"),
+            ).write.mode("overwrite").partitionBy("cell").parquet(path)
+        else:
+            books = pq_codebooks(
+                corpus, vec_col, m, n_codes, seed, max_iter, sample_cap
+            )
+            enc = _pq_encode_err_udf(books)
+            v.select(
+                id_col,
+                enc(F.col("v")).alias("e"),
+                cell_assignment(F.col("v"), centroids)["cell"].alias("cell"),
+            ).select(
+                id_col, F.col("e.codes").alias("codes"),
+                F.col("e.qerr").alias("qerr"), "cell",
+            ).write.mode("overwrite").partitionBy("cell").parquet(path)
     # Build-time distortion reference from the written index's qerr
     # column — a column-pruned re-read (per cell when celled), not a
     # second pass over the vectors (the ivf_write_bucketed pattern).
@@ -2057,6 +2291,7 @@ def pq_write_index(
         "mean_quant_err": mean_q,
         "cell_mean_quant_err": cell_q,
         "n_cells": None if n_cells is None else int(n_cells),
+        "residual": bool(residual),
         "centroids": None if centroids is None else centroids.tolist(),
         "codebooks": books.tolist(),
     }
@@ -2114,20 +2349,36 @@ def pq_append_index(
             "(the uncommitted rows' batch was never acknowledged and "
             "must be re-sent)."
         )
-    enc = _pq_encode_err_udf(meta["codebooks"])
     v = new_vecs.select(F.col(id_col), as_double(vec_col).alias("v"))
     celled = meta.get("n_cells") is not None
     if celled:
-        assigned = v.select(
-            id_col,
-            enc(F.col("v")).alias("e"),
-            cell_assignment(F.col("v"), meta["centroids"])["cell"].alias(
-                "cell"
-            ),
-        ).select(
-            id_col, F.col("e.codes").alias("codes"),
-            F.col("e.qerr").alias("qerr"), "cell",
-        ).localCheckpoint(eager=True)  # stats agg + write, one encode
+        if meta.get("residual"):
+            # a residual index appends residual codes — encoding a new
+            # row's RAW vector against residual-fitted codebooks would
+            # silently poison its distances (and inflate its qerr into
+            # a phantom drift signal)
+            enc = _pq_encode_residual_err_udf(
+                meta["codebooks"], meta["centroids"]
+            )
+            assigned = v.select(
+                id_col, enc(F.col("v")).alias("e")
+            ).select(
+                id_col, F.col("e.codes").alias("codes"),
+                F.col("e.qerr").alias("qerr"),
+                F.col("e.cell").alias("cell"),
+            ).localCheckpoint(eager=True)
+        else:
+            enc = _pq_encode_err_udf(meta["codebooks"])
+            assigned = v.select(
+                id_col,
+                enc(F.col("v")).alias("e"),
+                cell_assignment(F.col("v"), meta["centroids"])["cell"].alias(
+                    "cell"
+                ),
+            ).select(
+                id_col, F.col("e.codes").alias("codes"),
+                F.col("e.qerr").alias("qerr"), "cell",
+            ).localCheckpoint(eager=True)  # stats agg + write, one encode
         per_cell = assigned.groupBy("cell").agg(
             F.count(F.lit(1)).alias("bn"), F.avg("qerr").alias("bq")
         ).collect()
@@ -2150,6 +2401,7 @@ def pq_append_index(
         )
         assigned.write.mode("append").partitionBy("cell").parquet(path)
     else:
+        enc = _pq_encode_err_udf(meta["codebooks"])
         assigned = v.select(
             id_col, enc(F.col("v")).alias("e")
         ).select(
@@ -2204,6 +2456,116 @@ def pq_index_verify(spark, path: str, fs=None) -> dict:
     }
 
 
+def _recover_pq_rebuild(path: str, fs) -> None:
+    """Heal a :func:`rebuild_pq` killed mid-swap, under the caller's
+    lock — the :func:`_recover_ivf_recluster` discipline verbatim with
+    the PQ scratch/old prefixes: index dir present → leftovers are from
+    a completed or never-started swap, reap them; index dir missing
+    with an ``.old`` present → the crash hit between the two renames,
+    roll the ``.old`` back (the rebuild simply didn't happen)."""
+    import os
+
+    parent, name = os.path.split(path.rstrip("/"))
+    parent = parent or "."
+    olds = sorted(
+        d for d in fs.listdir(parent)
+        if d.startswith(f".pq-old-{name}-")
+    )
+    if olds and not fs.isdir(path):
+        fs.rename(os.path.join(parent, olds[-1]), path)
+        olds = olds[:-1]
+    for d in olds:
+        fs.rmtree(os.path.join(parent, d))
+    for d in fs.listdir(parent):
+        if d.startswith(f".pq-scratch-{name}-"):
+            fs.rmtree(os.path.join(parent, d))
+
+
+def rebuild_pq(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    m: int | None = None,
+    n_codes: int | None = None,
+    seed: int | None = None,
+    max_iter: int = 12,
+    sample_cap: int = 20_000,
+    n_cells: int | None = None,
+    residual: bool | None = None,
+    ivf_max_iter: int = 8,
+    ivf_sample_cap: int = 4096,
+    fs=None,
+) -> dict:
+    """Refit an at-rest PQ index from the RAW corpus and swap the new
+    layout in atomically — the rebuild entry point the PQ drift monitor
+    points at (r12 verdict item 4: :func:`pq_append_index`'s
+    ``drift_ratio`` had no CLI-reachable actuator; the docstring's
+    "rebuild belongs to the corpus-store owner" was honest but left the
+    operator runbook at a Python API). Unlike :func:`recluster_ivf` the
+    index CANNOT rebuild from its own rows — it stores m-byte codes,
+    deliberately (self-rebuildability would forfeit the compression
+    that is its point) — so the caller supplies the corpus of raw
+    vectors (the ingest loop's corpus store via
+    ``streaming.dedup_ingest.read_corpus``; the ``jobs rebuild-pq``
+    CLI wires exactly that).
+
+    Configuration (``m``/``n_codes``/``seed``/``n_cells``/``residual``)
+    defaults to the standing sidecar's, so the routine rebuild changes
+    codebooks, not geometry; ``id_col`` always carries over (the probe
+    contract). The swap is the X82 two-rename discipline under the
+    sibling ``<path>.rebuild.lock`` single-rebuilder mutex, healed on
+    entry by :func:`_recover_pq_rebuild` — a crash never loses the
+    committed index, and a probe racing the cutover fails loudly,
+    never silently wrong (the :func:`recluster_ivf` caveat verbatim).
+    Returns ``{"n_rows", "n_cells", "residual",
+    "old_mean_quant_err", "new_mean_quant_err"}`` — the new build mean
+    becomes the drift monitor's reference, which re-arms the trigger
+    at ~1 for in-distribution appends."""
+    import os
+
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    with fs.exclusive_lock(
+        path.rstrip("/") + ".rebuild.lock",
+        "rebuild-pq is single-writer by design (two concurrent swaps "
+        "would interleave renames on the same index dir)",
+    ):
+        _recover_pq_rebuild(path, fs)
+        meta = read_pq_index_meta(path, fs=fs)
+        m = int(m if m is not None else meta["m"])
+        n_codes = int(n_codes if n_codes is not None else meta["n_codes"])
+        seed = int(seed if seed is not None else meta["seed"])
+        if n_cells is None:
+            n_cells = meta.get("n_cells")
+        if residual is None:
+            residual = bool(meta.get("residual"))
+        parent, name = os.path.split(path.rstrip("/"))
+        parent = parent or "."
+        pid = os.getpid()
+        scratch = os.path.join(parent, f".pq-scratch-{name}-{pid}")
+        pq_write_index(
+            corpus, scratch, id_col=meta["id_col"], vec_col=vec_col,
+            m=m, n_codes=n_codes, seed=seed, max_iter=max_iter,
+            sample_cap=sample_cap, n_cells=n_cells,
+            ivf_max_iter=ivf_max_iter, ivf_sample_cap=ivf_sample_cap,
+            residual=residual, fs=fs,
+        )
+        new_meta = read_pq_index_meta(scratch, fs=fs)
+        old = os.path.join(parent, f".pq-old-{name}-{pid}")
+        fs.rename(path, old)
+        fs.rename(scratch, path)
+        fs.rmtree(old)
+        return {
+            "n_rows": int(new_meta["row_count"]),
+            "n_cells": new_meta.get("n_cells"),
+            "residual": bool(new_meta.get("residual")),
+            "old_mean_quant_err": meta.get("mean_quant_err"),
+            "new_mean_quant_err": new_meta.get("mean_quant_err"),
+        }
+
+
 def pq_topk_indexed(
     spark,
     corpus: DataFrame,
@@ -2245,7 +2607,17 @@ def pq_topk_indexed(
     ADC and the corpus frame goes untouched). The refine depth uses the
     sidecar's committed ``row_count``, so the serving path runs zero
     count jobs. ``verify=True`` gates on :func:`pq_index_verify` first
-    and raises on a torn write."""
+    and raises on a torn write.
+
+    The query frame is collected exactly ONCE (r12 ADVICE): the probed
+    cells are computed driver-side from the same collected rows the
+    scan's LUTs use, so a non-deterministic query frame (limit/sample)
+    cannot disagree between the cell map and the mask. A RESIDUAL index
+    (``pq_write_index(residual=True)``) is detected from the sidecar
+    and decoded accordingly — see :func:`_pq_scan_topk`; its output is
+    NOT row-identical to :func:`pq_topk` (which encodes raw vectors by
+    contract), it trades that identity for the classic IVFADC recall
+    recovery at scale."""
     meta = read_pq_index_meta(path, fs=fs)
     if id_col != meta["id_col"]:
         raise ValueError(
@@ -2262,7 +2634,14 @@ def pq_topk_indexed(
                 "— rebuild with pq_write_index"
             )
     books = meta["codebooks"]
+    residual = bool(meta.get("residual"))
     encoded = spark.read.parquet(path)
+    # ONE collect of the query frame — shared by the driver-side cell
+    # probe below and the scan kernel's LUTs (r12 ADVICE: two collects
+    # of a non-deterministic frame can disagree).
+    q_rows = queries.select(
+        F.col(query_id_col), as_double(vec_col).alias("qv")
+    ).collect()
     qcells = None
     if nprobe is not None:
         if meta.get("n_cells") is None:
@@ -2271,17 +2650,26 @@ def pq_topk_indexed(
                 "nprobe has nothing to prune; rebuild with "
                 "pq_write_index(n_cells=...) for IVFADC probing"
             )
-        qrows = queries.select(
-            F.col(query_id_col),
-            nearest_cells(
-                as_double(vec_col), meta["centroids"], nprobe
-            ).alias("cells"),
-        ).collect()
-        qcells = {
-            int(r[0]): frozenset(int(c) for c in r[1]) for r in qrows
-        }
-        union = sorted({c for s in qcells.values() for c in s})
-        encoded = encoded.filter(F.col("cell").isin(union))
+        if q_rows:
+            # same argmin decisions as nearest_cells (stable argsort of
+            # |c|^2 - 2 x.c — the |x|^2 term is row-constant), run on
+            # the already-collected rows instead of a second Spark job
+            cents = meta["centroids"]
+            cnorm = np.einsum("ij,ij->i", cents, cents)
+            x = np.stack(
+                [np.asarray(r[1], dtype=np.float64) for r in q_rows]
+            )
+            dcell = cnorm - 2.0 * (x @ cents.T)
+            order = np.argsort(dcell, axis=1, kind="stable")[:, : int(nprobe)]
+            qcells = {
+                int(r[0]): frozenset(int(c) for c in order[i])
+                for i, r in enumerate(q_rows)
+            }
+            union = sorted({c for s in qcells.values() for c in s})
+            encoded = encoded.filter(F.col("cell").isin(union))
+        encoded = encoded.select(id_col, "codes", "cell")
+    elif residual:
+        # residual decoding needs each candidate's cell even unpruned
         encoded = encoded.select(id_col, "codes", "cell")
     else:
         encoded = encoded.select(id_col, "codes")
@@ -2290,7 +2678,8 @@ def pq_topk_indexed(
         k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
         round_to=round_to, refine=refine, refine_frac=refine_frac,
         refine_floor=refine_floor, refine_exact_fold=refine_exact_fold,
-        n_rows=meta["row_count"], qcells=qcells,
+        n_rows=meta["row_count"], qcells=qcells, q_rows=q_rows,
+        residual_centroids=meta["centroids"] if residual else None,
     )
 
 

@@ -1828,6 +1828,77 @@ def ann_pq_indexed_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def _staged_pq_residual_index(emb: DataFrame, sf_dir: str) -> str:
+    """Stage (or reuse) the RESIDUAL-encoded IVFADC index for the
+    ``ann_pq_indexed_residual*`` queries — same m/n_codes/cells/seed as
+    the raw-code IVFADC staging so the two probes differ in exactly one
+    axis (what the codes reconstruct: raw vectors vs cell residuals)."""
+
+    def build(idx: str) -> None:
+        similarity.pq_write_index(
+            emb, idx, m=_PQ_M, n_codes=_PQ_CODES, seed=_PQ_SEED,
+            n_cells=_PQ_CELLS, residual=True,
+        )
+
+    return _staged_index(
+        sf_dir,
+        "embeddings",
+        f"{sf_dir}|pq-ivfadc-res-v1|m{_PQ_M}|k{_PQ_CODES}|s{_PQ_SEED}"
+        f"|c{_PQ_CELLS}",
+        similarity.read_pq_index_meta,
+        build,
+    )
+
+
+@query("ann_pq_indexed_residual")  # approximate — recall pinned in tests
+def ann_pq_indexed_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88: the at-rest IVFADC probe with RESIDUAL encoding (Jégou et
+    al. 2011 §V.A — codes reconstruct v - centroid[cell], codebooks
+    fitted on residuals), the classic recall recovery the r12 verdict
+    priced: the raw-code X86 index holds the pq_topk row-identity
+    contract but its indexed recall@5 fell 0.56→0.48 at ×10 corpus;
+    residual codes spend the same m×k budget on the residual
+    distribution and recover it (fixture: refined recall 0.50→0.64 at
+    the same nprobe=6/m=8 — tests/test_pq.py; the grown-fixture table
+    lives in SCALING.md r13). Same plan shape as ``ann_pq_indexed``:
+    partition-pruned compressed-domain scan + per-query cell mask +
+    fraction-sized exact re-rank, with the one extra term being a LUT
+    per (query, touched cell) instead of per query — still a
+    driver-side closure constant bounded by q·nprobe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_COUNT).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = _staged_pq_residual_index(emb, sf_dir)
+    return similarity.pq_topk_indexed(
+        spark, emb, queries, idx, k=ANN_K, nprobe=_PQ_NPROBE
+    )
+
+
+@query("ann_pq_indexed_residual_refined", _PQ_EXACT_TOPK_SQL)
+def ann_pq_indexed_residual_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88 oracle tier: the residual-encoded at-rest probe driven to an
+    EXACT top-k — with the shortlist exhaustive (refine >= corpus, all
+    cells scanned) the exact-fold re-rank decides everything, so the
+    hash-match against the SAME exact-L2 SQL as the raw tiers is
+    structural: it pins that residual decoding changes the SHORTLIST
+    quality, never the refined value semantics (the ADC estimate feeds
+    ranking only; refined dist is exact squared L2 either way).
+    BENCH-EXCLUDED like every refine>=corpus exactness tier."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_COUNT).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = _staged_pq_residual_index(emb, sf_dir)
+    out = similarity.pq_topk_indexed(
+        spark, emb, queries, idx,
+        k=ANN_K,
+        refine=max(_PQ_REFINE_DEPTH, emb.count()),
+        refine_exact_fold=True,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

@@ -169,13 +169,31 @@ def compact_corpus(
     the dedup gate's output should not need its own dedup). The CLI
     (``jobs compact-corpus``) states the same rule.
 
-    Scale: one shuffle-free ``repartition`` rewrite of the store; the
-    sizing walk is metadata-only. ``sort_by`` optionally re-sorts rows
-    within each output file so parquet min/max stats prune point
-    lookups (the warehouse compactor's affordance). On an object store
-    the two-rename swap is the piece a table format's metadata commit
-    replaces — same caveat as the warehouse compactor. Returns
-    ``{files_before, files_after, rows}``."""
+    Scale: one single-pass rewrite of the store — ``coalesce`` (no
+    shuffle: output files are unions of input splits) when shrinking
+    the file population with no re-sort, ``repartition`` (ONE full
+    shuffle of the store — the price of balanced output) only when
+    growing the file count or when ``sort_by`` needs evenly-sized
+    sorted files (r12 ADVICE: the previous docstring called
+    ``repartition`` shuffle-free, which it never is). The sizing walk
+    is metadata-only. ``sort_by`` re-sorts rows within each output
+    file so parquet min/max stats prune point lookups (the warehouse
+    compactor's affordance). On an object store the two-rename swap is
+    the piece a table format's metadata commit replaces — same caveat
+    as the warehouse compactor. Returns
+    ``{files_before, files_after, rows}``.
+
+    Crash recovery proves PROVENANCE before it deletes (r12 ADVICE):
+    the compactor stamps a ``_COMPACTED`` marker into the new layout
+    before the swap, and the entry-time reaper removes a leftover
+    ``__compact_old`` backup only when the live store carries that
+    marker — i.e. the live store IS a compactor commit. Both dirs
+    present WITHOUT the marker means the store was recreated by some
+    other writer after a crash-between-renames; deleting the backup
+    then would destroy the only copy of the original corpus, so the
+    compactor refuses loudly and names both paths for the operator.
+    (Spark ignores underscore-prefixed files, so the marker is
+    invisible to every reader, like ``_SUCCESS``.)"""
     import math
     import os
     import shutil
@@ -191,10 +209,26 @@ def compact_corpus(
     ):
         src = corpus_dir.rstrip("/")
         tmp, old = src + "__compact_tmp", src + "__compact_old"
+        marker = "_COMPACTED"  # provenance stamp (see docstring)
         if not os.path.isdir(src) and os.path.isdir(old):
             os.rename(old, src)  # roll forward a crash between renames
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(old):
+            # src + old both present: normally a crash after the second
+            # rename (src is the committed compaction, old the swapped-
+            # out original) — but ONLY the marker proves that. Without
+            # it, src was recreated by another writer after a
+            # crash-between-renames and old holds the only original.
+            if os.path.isfile(os.path.join(src, marker)):
+                shutil.rmtree(old)
+            else:
+                raise RuntimeError(
+                    f"refusing to reap {old!r}: the live store {src!r} "
+                    "carries no _COMPACTED marker, so it was not "
+                    "committed by this compactor — the backup may be "
+                    "the only copy of the original corpus. Reconcile "
+                    "the two directories manually before compacting."
+                )
 
         def _walk(p: str) -> tuple[int, int]:
             n = b = 0
@@ -210,11 +244,20 @@ def compact_corpus(
         exactly_once = "ingest_batch" in df.columns
         rows = df.drop("ingest_batch") if exactly_once else df
         n_files = max(1, math.ceil(total_bytes / target_file_bytes))
-        out = rows.repartition(n_files)
-        if sort_by is not None:
-            out = out.sortWithinPartitions(sort_by)
+        if sort_by is None and n_files < rows.rdd.getNumPartitions():
+            # shrink-only, no re-sort: coalesce unions input splits
+            # into n_files tasks with ZERO shuffle (r12 ADVICE)
+            out = rows.coalesce(n_files)
+        else:
+            out = rows.repartition(n_files)  # one full shuffle
+            if sort_by is not None:
+                out = out.sortWithinPartitions(sort_by)
         dest = os.path.join(tmp, "ingest_batch=-1") if exactly_once else tmp
         out.write.mode("overwrite").parquet(dest)
+        # provenance stamp BEFORE the swap: recovery may delete the
+        # __compact_old backup only when the live store carries it
+        with open(os.path.join(tmp, marker), "w") as fmark:
+            fmark.write("compacted corpus store; see compact_corpus\n")
         os.rename(src, old)
         os.rename(tmp, src)
         shutil.rmtree(old, ignore_errors=True)

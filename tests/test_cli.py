@@ -657,3 +657,68 @@ def test_cli_recluster_ivf(spark, tmp_path):
     meta = similarity.read_ivf_index_meta(idx)
     assert meta["n_cells"] == 8
     assert similarity.ivf_index_verify(spark, idx)["torn"] is False
+
+
+def test_cli_rebuild_pq(spark, tmp_path, capsys):
+    """r13 maintenance symmetry: a drifted PQ index's rebuild entry
+    point — refit from the RAW corpus store (the loops' read_corpus
+    view) and swap atomically. The CLI drives similarity.rebuild_pq;
+    drift is re-armed (old mean distortion >> new) and the rebuilt
+    index verifies healthy."""
+    import numpy as np
+
+    from nginx_analytics_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    idx = f"{tmp_path}/pq"
+    corpus_dir = f"{tmp_path}/corpus"
+    similarity.pq_write_index(
+        emb, idx, m=8, n_codes=16, n_cells=8, residual=True
+    )
+    # the corpus store the loop would own: originals + a shifted batch
+    shifted = emb.select(
+        (emb.vec_id + 100000).alias("vec_id"),
+        F.transform("embedding", lambda v: v + F.lit(5.0)).alias("embedding"),
+    )
+    emb.unionByName(shifted).write.mode("overwrite").parquet(corpus_dir)
+    stats = similarity.pq_append_index(shifted, idx)
+    assert stats["drift_ratio"] > 5
+
+    rc = jobs.main(["rebuild-pq", "--index", idx, "--corpus", corpus_dir])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pq index rebuilt" in out and "residual codes" in out
+    meta = similarity.read_pq_index_meta(idx)
+    assert meta["row_count"] == emb.count() * 2
+    assert meta["residual"] is True
+    # re-armed: the rebuilt codebooks describe BOTH modes, so a batch
+    # from either lands near the reference
+    more = emb.limit(50).select((emb.vec_id + 500000).alias("vec_id"), "embedding")
+    assert similarity.pq_append_index(more, idx)["drift_ratio"] < 2.0
+    assert jobs.main(["verify-index", "--index", idx]) == 0
+
+
+def test_cli_verify_index_busy_exits_3(spark, tmp_path, capsys):
+    """r12 ADVICE: verify-index must not count rows while a writer
+    holds the index mutex (the window between a data write and its
+    sidecar flip reads as a transient false TORN) — against a held
+    lock it reports BUSY with exit 3, distinct from healthy (0) and
+    torn (1)."""
+    import fcntl
+
+    from nginx_analytics_spark.operators import dedup, similarity
+
+    emb = load_table(spark, SF, "embeddings").limit(30)
+    idx = f"{tmp_path}/pq"
+    similarity.pq_write_index(emb, idx, m=8, n_codes=16)
+    fd = os.open(dedup._lsh_compact_lock_path(idx), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        rc = jobs.main(["verify-index", "--index", idx])
+        assert rc == 3
+        assert "BUSY" in capsys.readouterr().out
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    # released: the same index now verifies healthy
+    assert jobs.main(["verify-index", "--index", idx]) == 0

@@ -1699,3 +1699,44 @@ def test_recover_skips_while_compactor_live(spark, tmp_path):
     # holder gone -> the same scratch IS stale now; recovery reaps it
     assert dedup._recover_lsh_compaction(idx) is True
     assert not os.path.isdir(scratch)
+
+
+def test_srp_background_collision_budget_check(spark, tmp_path):
+    """r12 verdict item 6: the measured banding scaling law (SCALING.md
+    r12 — 32-plane/8-band at-rest signing drifted +80% per-batch over
+    100 batches while 64-plane stayed flat) is now a LOUD check on the
+    at-rest index paths: a config whose expected unrelated-pair
+    collision fraction 1-(1-2^-chunk)^bands exceeds
+    SRP_BG_COLLISION_WARN warns by default and raises under
+    strict=True; the measured-good 64/8 config stays silent."""
+    import warnings
+
+    import pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20)
+    # 32/8 -> 4-bit chunks -> ~40% background collisions: warns
+    with pytest.warns(UserWarning, match="background|share a band"):
+        similarity.write_srp_index(
+            emb, str(tmp_path / "warned"), n_planes=32, bands=8
+        )
+    # 64/8 -> 8-bit chunks -> ~3.1%: below the 5% budget, silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        similarity.write_srp_index(
+            emb, str(tmp_path / "ok"), n_planes=64, bands=8
+        )
+    # strict mode turns the warning into a refusal (appends too — same
+    # sidecar-matching params, so the budget check is the one that
+    # fires, not the parameter-mismatch guard)
+    with pytest.raises(ValueError, match="share a band"):
+        similarity.write_srp_index(
+            emb, str(tmp_path / "strict"), n_planes=32, bands=8, strict=True
+        )
+    with pytest.warns(UserWarning, match="share a band"):
+        similarity.write_srp_index(
+            emb, str(tmp_path / "strict"), n_planes=32, bands=8
+        )
+    with pytest.raises(ValueError, match="share a band"):
+        similarity.append_srp_index(
+            emb, str(tmp_path / "strict"), n_planes=32, bands=8, strict=True
+        )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from nginx_analytics_spark.operators import similarity
 from nginx_analytics_spark.sources import load_table
@@ -444,3 +445,202 @@ def test_exhaustive_refine_exact_beyond_fixture_size(spark):
         mine = [r.neighbor_id for r in sorted(
             (r for r in got if r.query_id == q), key=lambda r: r.rank)]
         assert mine == exact, (q, mine, exact)
+
+
+# --------------------------------------------------------------------------
+# r13: residual encoding (true IVFADC), the rebuild actuator, and the
+# single-collect probe contract
+# --------------------------------------------------------------------------
+
+
+def _recall5(got, ids, x) -> float:
+    r, _ = _recall_at_5(got, ids, x)
+    return r
+
+
+def test_pq_residual_requires_cell_layout(emb, tmp_path):
+    """residual codes reconstruct v - centroid[cell]; a flat index has
+    no cell to take the residual against — loud, not silent."""
+    with pytest.raises(ValueError, match="residual.*cell layout|cell layout"):
+        similarity.pq_write_index(
+            emb, str(tmp_path / "flat_res"), m=8, residual=True
+        )
+
+
+def test_pq_residual_distortion_and_recall_beat_raw(spark, emb, emb_np, tmp_path):
+    """The point of residual encoding (r12 verdict item 3): residuals
+    are smaller/more isotropic than raw vectors, so the same m×k budget
+    reconstructs tighter — the sidecar's mean distortion must drop vs
+    the raw-code index under identical (m, n_codes, n_cells, seed), and
+    recall must be at least the raw index's at the same nprobe, on both
+    the pure-ADC and the default refined path (measured on this fixture:
+    ADC 0.16→0.26, refined 0.50→0.64 at nprobe=6)."""
+    ids, x = emb_np
+    raw_i, res_i = str(tmp_path / "raw"), str(tmp_path / "res")
+    similarity.pq_write_index(emb, raw_i, m=8, n_codes=16, seed=42, n_cells=16)
+    similarity.pq_write_index(
+        emb, res_i, m=8, n_codes=16, seed=42, n_cells=16, residual=True
+    )
+    m_raw = similarity.read_pq_index_meta(raw_i)
+    m_res = similarity.read_pq_index_meta(res_i)
+    assert m_res["residual"] is True and not m_raw.get("residual")
+    assert m_res["mean_quant_err"] < m_raw["mean_quant_err"]
+    queries = emb.filter(emb.vec_id < 10).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    for kw in ({"refine_frac": None}, {}):
+        raw_got = similarity.pq_topk_indexed(
+            spark, emb, queries, raw_i, k=5, nprobe=6, **kw
+        ).collect()
+        res_got = similarity.pq_topk_indexed(
+            spark, emb, queries, res_i, k=5, nprobe=6, **kw
+        ).collect()
+        assert _recall5(res_got, ids, x) >= _recall5(raw_got, ids, x), kw
+    # the default refined path's measured fixture recall, with margin
+    assert _recall5(res_got, ids, x) >= 0.55
+
+
+def test_pq_residual_exhaustive_refine_is_exact(spark, emb, tmp_path):
+    """The exactness tier is ENCODING-INDEPENDENT: with refine >= n the
+    exact re-rank decides everything, so the residual index's refined
+    output is row-identical to the raw flat index's (the structural
+    guarantee the ann_pq_indexed_residual_refined oracle query rides)."""
+    flat_i, res_i = str(tmp_path / "flat"), str(tmp_path / "res")
+    similarity.pq_write_index(emb, flat_i, m=8, n_codes=16, seed=42)
+    similarity.pq_write_index(
+        emb, res_i, m=8, n_codes=16, seed=42, n_cells=16, residual=True
+    )
+    queries = emb.filter(emb.vec_id < 5).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    a = sorted(map(tuple, similarity.pq_topk_indexed(
+        spark, emb, queries, flat_i, k=5, refine=n, refine_exact_fold=True
+    ).collect()))
+    b = sorted(map(tuple, similarity.pq_topk_indexed(
+        spark, emb, queries, res_i, k=5, refine=n, refine_exact_fold=True
+    ).collect()))
+    assert a == b and len(a) == 25
+
+
+def test_pq_residual_append_lifecycle(spark, emb, tmp_path):
+    """Appends to a residual index must encode RESIDUALS under the
+    sidecar's codebooks (raw encoding would poison distances and fake
+    drift): an in-distribution append reports drift_ratio ~1, the
+    committed row_count covers the new rows, and a planted exact copy
+    of a query vector surfaces as its rank-1 neighbor post-append."""
+    res_i = str(tmp_path / "res")
+    base = emb.filter(emb.vec_id >= 10)
+    similarity.pq_write_index(
+        base, res_i, m=8, n_codes=16, seed=42, n_cells=16, residual=True
+    )
+    n0 = similarity.read_pq_index_meta(res_i)["row_count"]
+    planted = emb.filter(emb.vec_id == 3).select(
+        F.lit(90007).cast("long").alias("vec_id"), "embedding"
+    )
+    batch = emb.filter(emb.vec_id < 10).select("vec_id", "embedding").unionByName(
+        planted
+    )
+    stats = similarity.pq_append_index(batch, res_i)
+    assert stats["n"] == 11
+    assert 0.5 < stats["drift_ratio"] < 2.0  # in-distribution
+    meta = similarity.read_pq_index_meta(res_i)
+    assert meta["row_count"] == n0 + 11
+    queries = emb.filter(emb.vec_id == 3).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    corpus2 = emb.select("vec_id", "embedding").unionByName(planted)
+    got = similarity.pq_topk_indexed(
+        spark, corpus2, queries, res_i, k=5, nprobe=6
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in got if r.rank == 1} == {(3, 90007)}
+
+
+def test_rebuild_pq_heals_drift_and_survives_crash(spark, emb, tmp_path):
+    """r12 verdict item 4 end-to-end: a drifted residual index (codes
+    fitted on the original distribution, then a shifted batch appended)
+    reports drift_ratio >> 1; rebuild_pq refits from the corpus store
+    and swaps atomically — after it, the same shifted distribution
+    appends at drift_ratio ~1 and probes stay correct across the swap.
+    A crash between the two swap renames is healed on the next entry."""
+    idx = str(tmp_path / "idx")
+    similarity.pq_write_index(
+        emb, idx, m=8, n_codes=16, seed=42, n_cells=16, residual=True
+    )
+    shifted = emb.select(
+        (emb.vec_id + 100000).alias("vec_id"),
+        F.transform("embedding", lambda v: v + F.lit(5.0)).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    stats = similarity.pq_append_index(shifted.limit(100), idx)
+    assert stats["drift_ratio"] > 5  # the monitor fires
+    corpus = emb.select("vec_id", "embedding").unionByName(shifted.limit(100))
+    out = similarity.rebuild_pq(spark, corpus, idx)
+    assert out["n_rows"] == emb.count() + 100
+    assert out["residual"] is True and out["n_cells"] == 16
+    # re-armed: a further batch from the SAME shifted distribution now
+    # lands near the rebuilt reference
+    stats2 = similarity.pq_append_index(
+        shifted.filter(F.col("vec_id") >= 100100).limit(100).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        ),
+        idx,
+    )
+    assert stats2["drift_ratio"] < 2.0 < stats["drift_ratio"]
+    # probes stay correct across the swap: the rebuilt index's
+    # exhaustive-refine top-5 equals brute-force exact L2 (the refine
+    # shortlist is fed from the REBUILT codes, so this pins both the
+    # swap's row identity and the new codebooks' validity)
+    queries = emb.filter(emb.vec_id == 7).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    got = similarity.pq_topk_indexed(
+        spark, corpus, queries,
+        idx, k=5, refine=similarity.read_pq_index_meta(idx)["row_count"],
+        refine_exact_fold=True,
+    ).collect()
+    crows = corpus.collect()
+    cids = np.array([r.vec_id for r in crows])
+    cx = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in crows])
+    qv = cx[cids == 7][0]
+    d = ((cx - qv) ** 2).sum(axis=1)
+    d[cids == 7] = np.inf
+    exact = [int(i) for i in cids[np.lexsort((cids, d))[:5]]]
+    mine = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)]
+    assert mine == exact, (mine, exact)
+    # crash between the renames: index dir missing, .pq-old present —
+    # the next rebuild entry heals (rolls the old back) and completes
+    import os
+
+    os.rename(idx, str(tmp_path / ".pq-old-idx-99999"))
+    out2 = similarity.rebuild_pq(spark, corpus, idx)
+    assert out2["n_rows"] == out["n_rows"]
+    assert similarity.pq_index_verify(spark, idx)["torn"] is False
+
+
+def test_pq_topk_indexed_collects_queries_exactly_once(spark, emb, tmp_path, monkeypatch):
+    """r12 ADVICE regression: the probe used to collect the query frame
+    twice (once for the cell map, once for the LUTs) — a
+    non-deterministic frame (limit/sample) could disagree between the
+    two, KeyError-ing or silently mis-masking. Pin the fix structurally:
+    exactly ONE DataFrame.collect happens inside the probe."""
+    # pyspark 4: instances are the classic concrete class, whose collect
+    # overrides the pyspark.sql.DataFrame facade's — patch the one that
+    # actually executes
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    idx = str(tmp_path / "idx")
+    similarity.pq_write_index(emb, idx, m=8, n_codes=16, seed=42, n_cells=16)
+    queries = emb.filter(emb.vec_id < 5).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    calls = []
+    orig = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: calls.append(1) or orig(self)
+    )
+    got = similarity.pq_topk_indexed(
+        spark, emb, queries, idx, k=5, nprobe=6, refine_frac=None
+    ).collect()
+    # the probe's single query collect + the test's own terminal collect
+    assert len(calls) == 2
+    assert len(got) == 25

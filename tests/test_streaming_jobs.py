@@ -1168,3 +1168,137 @@ def test_compact_corpus_refuses_against_live_lock(spark, tmp_path):
     finally:
         fcntl.flock(fd, fcntl.LOCK_UN)
         os.close(fd)
+
+
+def test_compact_corpus_refuses_to_reap_unproven_backup(spark, tmp_path):
+    """r12 ADVICE: entry-time recovery sees src + __compact_old BOTH
+    present. Normally that is a crash after the second rename (src is
+    the compactor's commit — proven by the _COMPACTED marker it stamped
+    pre-swap) and the backup is reaped. But if src carries NO marker it
+    was recreated by some OTHER writer after a crash-between-renames,
+    and the backup may be the only copy of the original corpus — the
+    compactor must refuse loudly, leaving both dirs intact."""
+    import os
+    import shutil
+
+    import pytest
+
+    from nginx_analytics_spark.streaming.dedup_ingest import (
+        compact_corpus,
+        process_batch,
+        read_corpus,
+    )
+
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "separate words about broadcast joins and bloom filters")],
+        "doc_id long, text string",
+    )
+    process_batch(spark, docs, 0, corpus, idx)
+
+    # happy path first: a completed compaction stamps the marker and a
+    # LEFTOVER backup beside a marker-carrying src is reaped silently
+    compact_corpus(spark, corpus, idx)
+    assert os.path.isfile(os.path.join(corpus, "_COMPACTED"))
+    shutil.copytree(corpus, corpus + "__compact_old")
+    stats = compact_corpus(spark, corpus, idx)
+    assert stats["rows"] == 2
+    assert not os.path.isdir(corpus + "__compact_old")
+
+    # danger path: src recreated by a foreign writer (no marker) while
+    # the backup holds the original — refuse, destroy nothing
+    shutil.copytree(corpus, corpus + "__compact_old")
+    os.remove(os.path.join(corpus, "_COMPACTED"))
+    with pytest.raises(RuntimeError, match="_COMPACTED"):
+        compact_corpus(spark, corpus, idx)
+    assert os.path.isdir(corpus + "__compact_old")
+    assert sorted(r.doc_id for r in read_corpus(spark, corpus).collect()) == [1, 2]
+
+
+def test_stop_compact_resume_exactly_once_lifecycle(spark, tmp_path):
+    """r12 verdict item 5: X87's replay caveat run as the SEQUENCE it
+    documents — N exactly-once batches -> stream stopped (checkpoint
+    committed past every on-disk batch) -> compact_corpus -> resume
+    with the SAME checkpoint -> N more batches. Admissions must be
+    identical to an uncompacted control (the compacted store feeds the
+    dedup gate exactly the same corpus — a phase-B near-dup of a
+    phase-A admission is rejected either way), and the compacted
+    store's file count stays strictly below the control's."""
+    import os
+
+    import pandas as pd
+
+    from nginx_analytics_spark.streaming.dedup_ingest import (
+        compact_corpus,
+        read_corpus,
+        start_dedup_ingest,
+    )
+
+    base_a = "the quick brown fox jumps over the lazy dog near the river"
+    base_g = "completely different subject matter covering spark physical plans and shuffles today"
+    base_p = "third body of text about parquet footers row groups and min max statistics"
+    phase_a = [
+        ("a0.parquet", [(1, base_a), (2, base_p)]),
+        ("a1.parquet", [(3, base_g)]),
+        ("a2.parquet", [(4, base_p + " appended tail")]),  # near-dup of 2
+    ]
+    phase_b = [
+        ("b0.parquet", [(5, base_a + " extra")]),  # near-dup of phase-A doc 1
+        ("b1.parquet", [(6, "novel fourth subject naming broadcast joins and bloom filters")]),
+        ("b2.parquet", [(7, base_g + " trailer")]),  # near-dup of phase-A doc 3
+    ]
+
+    def parquet_files(root: str) -> int:
+        return sum(
+            1
+            for r, _, files in os.walk(root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    def run(root, compact_between: bool):
+        src = root / "src"
+        src.mkdir(parents=True)
+        corpus, idx = str(root / "corpus"), str(root / "idx")
+        seen = []
+
+        def drain():
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src))
+            )
+            q = start_dedup_ingest(
+                stream, corpus, idx, str(root / "ckpt"),
+                trigger={"availableNow": True}, exactly_once=True,
+                on_batch=lambda bid, n_in, n_novel, lw: seen.append(
+                    (n_in, n_novel)
+                ),
+            )
+            q.awaitTermination()
+
+        for name, rows in phase_a:
+            pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(src / name)
+        drain()
+        if compact_between:
+            stats = compact_corpus(spark, corpus, idx)
+            assert stats["files_after"] == 1
+        for name, rows in phase_b:
+            pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(src / name)
+        drain()  # SAME checkpoint: only phase-B files are new
+        admitted = sorted(r.doc_id for r in read_corpus(spark, corpus).collect())
+        return admitted, parquet_files(corpus), seen
+
+    ctl_rows, ctl_files, ctl_seen = run(tmp_path / "ctl", False)
+    cmp_rows, cmp_files, cmp_seen = run(tmp_path / "cmp", True)
+
+    # the gate's decisions are unchanged by compaction: 4 near-dups 2
+    # in phase A; 5 near-dups 1 and 7 near-dups 3 ACROSS the stop —
+    # both rejections ride the index probe against the (compacted)
+    # corpus, which is exactly what the sequence must preserve
+    assert ctl_rows == cmp_rows == [1, 2, 3, 6]
+    assert ctl_seen == cmp_seen
+    # the store's growth is bounded: phase A's three batch dirs became
+    # one compacted file; phase B appended on top of both runs alike
+    assert cmp_files < ctl_files
