@@ -59,99 +59,41 @@ _ORACLES: dict[str, str] = {}
 # row from the PREVIOUS round — re-checking them adds wall time, not
 # record. A doc-lint test pins every listed name to a registered query.
 #
-# Round 12 (executing the r11 verdict item 5 rotation). Freshness going
-# in (computed over CORRECTNESS_r1..r11): 24 names last green r9 —
-# exactly r11's designated spill — 50 names r10, 50 names r11, zero
-# older, zero reds ever. The due set is 77: the three never-recorded r12
-# queries, the 24-name r9 cohort, and the 50-name r10 cohort. A ~50-row
-# budget cannot hold 77, so _CHECK_FIRST lists ALL 77 in priority order
-# — the driver records the first ~50 and any extra budget falls exactly
-# on the designated spill instead of on already-fresh r11 rows:
-#   * positions 1-3: new this round, never recorded — ann_pq_indexed
-#     (the X86 at-rest IVFADC probe), ann_pq_indexed_refined (its
-#     hash-exact oracle tier), and embedding_ingest_roundtrip (the X85
-#     streaming semantic dedup-ingest loop);
-#   * positions 4-27: the r9 cohort, in the order the r11 verdict
+# Round 13 (executing the r12 verdict item 2 rotation). Freshness going
+# in (computed over CORRECTNESS_r1..r12): 27 names last green r10 —
+# exactly r12's designated spill plus bpe_pair_counts (position 51,
+# squeezed out of r12's 50-row budget) — 50 names r11, 50 names r12,
+# zero older, zero reds ever. The due set is 29: the two never-recorded
+# r13 queries and the 27-name r10 cohort; the remaining ~21 rows of a
+# 50-row budget fall on the r11 cohort, chosen for FAMILY BREADTH so no
+# operator family's freshest row predates r12:
+#   * positions 1-2: new this round, never recorded —
+#     ann_pq_indexed_residual (the X88 residual-encoded IVFADC probe)
+#     and ann_pq_indexed_residual_refined (its hash-exact oracle tier);
+#   * positions 3-29: the r10 cohort, in the order the r12 verdict
 #     pre-committed;
-#   * positions 28-51: 24 of the r10 cohort — the cheap hash-green
-#     heads chosen for FAMILY BREADTH (relational/temporal, TPC-H
-#     pricing/supplier, corpus/text), so every operator family gets a
-#     fresh row this round;
-#   * positions 52-77: the DESIGNATED r12 SPILL = the 26 r10 names that
-#     cost the record least — rows-only re-probes whose real gates live
-#     in pytest (ann_pq_topk, quality_classifier_scores,
-#     dedup_ingest_roundtrip), expensive pair/iterative shapes whose
-#     cheaper family heads ARE recorded this round (dedup_clusters,
-#     exact_jaccard_pairs, embedding_dedup_pairs, minhash_lsh_pairs),
-#     and hash-green variant shapes whose families hold fresher or
-#     same-round representatives (e.g. brand_size_revenue~market_share,
-#     engaged_users/error_only_users/idle_users-family~the recorded
-#     relational heads, value_*~value_rank_profile r11,
-#     sketch/approx twins~the r9 sketch cohort recorded above). They
-#     stay oracle-verified at both pytest tiers every round and head
-#     r13's _CHECK_FIRST together with whatever r12 adds.
+#   * positions 30-51: 22 r11 family heads — parse/agg/anomaly/feature
+#     chains, ranking, TPC-H pricing+supplier, temporal, streaming
+#     windows, corpus/text, and the at-rest ANN probes;
+#   * positions 52+: the DESIGNATED r13 SPILL = the rest of the r11
+#     cohort. Its head is the six expensive pair/iterative/roundtrip
+#     shapes r12 deliberately deferred (_CHECK_LAST last round) — any
+#     budget beyond ~51 lands on them first, and they lead r14's due
+#     set otherwise; then the r11 variant shapes whose families hold
+#     same-round recorded representatives (e.g. predict_features~
+#     training_features, windowed/sliding~session_windows,
+#     top_endpoints_bounded~top_endpoints, salted_*~batch_ip_stats,
+#     ann_ivf_topk~ann_ivf_indexed). Every spilled name stays
+#     oracle-verified at both pytest tiers every round.
 _CHECK_FIRST = [
-    # --- positions 1-3: new this round, no driver row yet ---
-    "ann_pq_indexed",
-    "ann_pq_indexed_refined",
-    "embedding_ingest_roundtrip",
-    # --- positions 4-27: the r9 cohort (r11's designated spill) ---
-    "approx_distinct_users",
-    "minhash_dedup_pairs",
-    "stateful_key_profiles",
-    "doc_fingerprint",
-    "multimodal_features",
-    "anomaly_job_roundtrip",
-    "stratified_sample_events",
-    "grouped_split_users",
-    "pii_redaction",
-    "rolling_7d_avg",
-    "scd2_user_plans",
-    "stream_stream_join",
-    "forecast_revenue",
-    "daily_event_matrix",
-    "purchase_and_error_users",
-    "doc_logprob",
-    "training_handoff",
-    "incremental_near_dups_probe",
-    "corpus_report_incremental",
-    "incremental_index_near_dups",
-    "bpe_merges",
-    "cms_user_counts_7d",
-    "kll_latency_percentiles_7d",
-    "theta_user_overlap",
-    # --- positions 28-51: 24 r10 family heads (breadth-first) ---
-    # relational / temporal heads
-    "asof_last_purchase",
-    "traffic_cube",
-    "traffic_forecast",
-    "user_sessions",
-    "conversion_funnel",
-    "cohort_retention",
-    "market_share",
-    "product_profit",
-    # TPC-H pricing / supplier heads
-    "customer_order_distribution",
-    "large_volume_customers",
-    "local_supplier_volume",
-    "order_priority_check",
-    "priority_shipping",
-    "promo_revenue",
-    "returned_items",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "supplier_part_counts",
-    "top_supplier",
-    "volume_shipping",
-    # corpus / text heads
-    "clean_corpus",
-    "tfidf_top_terms",
-    "heavy_tokens",
-    "bpe_pair_counts",
-    # --- positions 52-77: the designated r12 spill ---
+    # --- positions 1-2: new this round, no driver row yet ---
+    "ann_pq_indexed_residual",
+    "ann_pq_indexed_residual_refined",
+    # --- positions 3-29: the r10 cohort (r12's designated spill) ---
     "ann_cosine_topk",
     "ann_pq_topk",
     "ann_pq_topk_refined",
+    "bpe_pair_counts",
     "brand_size_revenue",
     "dataset_split_counts",
     "dedup_clusters",
@@ -175,17 +117,72 @@ _CHECK_FIRST = [
     "value_deciles",
     "value_trends",
     "waiting_suppliers",
-]
-# Expensive pair/iterative/roundtrip queries holding a FRESH green row
-# (r11) — re-checking them within the same budget would only displace
-# due rows, so they sit last, after the r11-green middle.
-_CHECK_LAST = [
+    # --- positions 30-51: 22 r11 family heads (breadth-first) ---
+    "parse_enrich",
+    "batch_ip_stats",
+    "hourly_reagg",
+    "zscore_anomaly",
+    "anomaly_detail",
+    "training_features",
+    "count_raw",
+    "top_endpoints",
+    "distinct_users",
+    "pricing_summary",
+    "min_cost_supplier",
+    "latency_percentiles",
+    "session_windows",
+    "token_stats",
+    "language_id",
+    "doc_quality",
+    "doc_chunks",
+    "corpus_report",
+    "contamination_check",
+    "ann_ivf_indexed",
+    "ann_lsh_topk",
+    "embedding_lsh_pairs",
+    # --- positions 52+: the designated r13 spill (r11 cohort rest) ---
+    # expensive shapes r12 deferred — extra budget lands here first
     "ngram_jaccard_pairs",
     "simhash_near_dup",
     "curate_corpus",
     "incremental_embedding_near_dups",
     "streaming_ingest_roundtrip",
     "rt_scoring_roundtrip",
+    # r11 variant shapes with same-round recorded family heads
+    "ann_ivf_topk",
+    "data_expectations",
+    "exact_dedup_events",
+    "frame_features",
+    "incremental_embedding_near_dups_probe",
+    "incremental_near_dups",
+    "incremental_new_docs",
+    "pack_chunks",
+    "per_source_sample",
+    "predict_features",
+    "purchase_window_counts",
+    "repetition_stats",
+    "rt_model_predictions",
+    "salted_ip_stats",
+    "salted_user_join",
+    "shard_manifest",
+    "sliding_windowed_events",
+    "stream_stream_left_join",
+    "top_endpoints_bounded",
+    "traffic_rollup",
+    "value_rank_profile",
+    "windowed_events",
+]
+# Expensive pair/iterative/roundtrip queries holding a FRESH green row
+# (r12) — re-checking them within the same budget would only displace
+# due rows, so they sit last, after the r12-green middle. (Last round's
+# six deferred names now head the spill above instead.)
+_CHECK_LAST = [
+    "minhash_dedup_pairs",
+    "embedding_ingest_roundtrip",
+    "anomaly_job_roundtrip",
+    "stream_stream_join",
+    "pii_redaction",
+    "scd2_user_plans",
 ]
 
 
