@@ -17,6 +17,18 @@ stdout, so the single ~2.6 KB JSON line lost its head and parsed as null):
 Methodology:
   * Each query executes end-to-end into a ``noop`` sink — full computation,
     no driver collection and no disk-write cost in the measurement.
+  * MULTI-PASS BEST-OF (r13, r12 verdict item 1): the r12 artifact
+    inflated x1.45 on common queries from HOST ambient noise — uniform
+    across untouched queries, zero improvements anywhere, same-code
+    reruns spanning 69.7-75.1 s — which the guest loadavg gate cannot
+    see. The whole suite now runs SUITE_PASSES (3) times, fresh JVMs
+    each pass, and each query reports its BEST across passes; the
+    artifact carries per-pass group totals (``pass_group_totals``) so
+    a reader separates code from weather without consulting git: wide
+    pass spread + tight best = ambient, tight spread that moved
+    round-over-round = a plan change. Throughput passes run
+    THROUGHPUT_PASSES (2) times with every rate recorded
+    (``pass_rates``), best kept.
   * QUIET-MACHINE GATE (r5): the suite refuses to start while the 1-min
     loadavg exceeds LOAD_GATE (sleep-retry, bounded wait). Evidence: the
     r4 run started at loadavg 3.5 and four unchanged sub-second queries
@@ -100,12 +112,17 @@ Methodology:
     times, and index growth. Reported beside the query suite because
     its unit differs (docs/s, not sec/query) and its wall time is
     dominated by the per-batch streaming harness by design.
-  * EMBEDDING-INGEST THROUGHPUT (r12): the same pass for the X85
-    semantic dedup-ingest loop — 10 micro-batches of the embeddings
-    fixture through exact + SRP near-dedup, the X84 at-rest index
-    probe, and corpus + index appends; reports vecs/s admitted and
-    per-batch walls (flat by design at the 64-plane default — the
-    32-plane collision-growth failure mode is measured in SCALING.md).
+  * EMBEDDING-INGEST THROUGHPUT (r12; batch shape fixed r13): the same
+    pass for the X85 semantic dedup-ingest loop — 10 micro-batches
+    through exact + SRP near-dedup, the X84 at-rest index probe, and
+    corpus + index appends; reports vecs/s admitted and per-batch
+    walls (flat by design at the 64-plane default — the 32-plane
+    collision-growth failure mode is measured in SCALING.md). Benched
+    at replicate=10 (~2,000 rows/batch at sf0.1): the r12 headline ran
+    200-row batches whose ~7 s wall is ~90% fixed micro-batch harness
+    overhead (measured corpus-independent, SCALING.md r12), so its
+    21.9 vecs/s under-reported the loop ~10x; the controlled
+    2,000-row run (7.9 s flat => ~250 vecs/s) is the honest sizing.
   * Known benign noise: a terminating StreamingQuery's final micro-batch
     can deliver task-end accumulator updates after its SQL execution is
     unregistered; local-mode Spark logs "Failed to update accumulator
@@ -124,6 +141,8 @@ import time
 LOAD_GATE = 1.0  # max 1-min loadavg to start (judge-mandated quiet-machine bar)
 LOAD_GATE_WAIT_S = 600  # give a busy machine up to 10 min to drain
 SUBSECOND = 1.0  # best-of-3 below this (worst relative jitter)
+SUITE_PASSES = 3  # fresh-JVM suite passes; per-query best reported (r13)
+THROUGHPUT_PASSES = 2  # fresh-JVM throughput passes; best rate reported
 
 # Groups run in separate fresh-JVM subprocesses (see docstring). The split
 # keeps each JVM's live expression-class population small and roughly
@@ -245,6 +264,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "ann_ivf_indexed",
         "ann_pq_topk",
         "ann_pq_indexed",
+        "ann_pq_indexed_residual",
         "embedding_lsh_pairs",
         "incremental_embedding_near_dups_probe",
     ],
@@ -312,6 +332,11 @@ BENCH_EXCLUDED: dict[str, str] = {
     "ann_pq_indexed_refined": (
         "X86 oracle tier: the at-rest probe at refine depth = corpus "
         "count — same O(corpus) construction; headline = ann_pq_indexed"
+    ),
+    "ann_pq_indexed_residual_refined": (
+        "X88 oracle tier: the residual-encoded at-rest probe at refine "
+        "depth = corpus count — same O(corpus) construction; headline "
+        "= ann_pq_indexed_residual"
     ),
     # --- deliberate strawman ---
     "embedding_dedup_pairs": (
@@ -912,6 +937,7 @@ ANN_GROWN_QUERIES = [
     "ann_ivf_indexed",
     "ann_pq_topk",
     "ann_pq_indexed",
+    "ann_pq_indexed_residual",
     "embedding_centroids",
     "embedding_lsh_pairs",
 ]
@@ -1056,6 +1082,7 @@ def run_embeddings_grown(sf_dir: str, cpus: int, grow: int = 10) -> dict:
                 "ann_ivf_indexed",
                 "ann_pq_topk",
                 "ann_pq_indexed",
+                "ann_pq_indexed_residual",
             ):
                 got = topk_set(name, fixture)
                 recall.setdefault(name, {})[tag] = round(
@@ -1175,7 +1202,16 @@ def main() -> None:
                 track_files=True,
             )))
         elif sys.argv[2] == "embedding_ingest":
-            print(json.dumps(run_embedding_ingest_throughput(sf_dir, cpus)))
+            # headline shape (r13, r12 verdict item 1): replicate=10
+            # grows the pool so each of the 10 micro-batches carries
+            # ~2,000 rows at sf0.1 — the measured honest sizing
+            # (SCALING.md r12: the 200-row shape's wall is ~90% fixed
+            # harness/bucket-group overhead, under-reporting the loop
+            # ~10x; at 2,000 rows/batch walls stay flat and the number
+            # means vectors, not trigger overhead)
+            print(json.dumps(run_embedding_ingest_throughput(
+                sf_dir, cpus, replicate=10
+            )))
         elif sys.argv[2] == "embedding_ingest_sustained":
             # opt-in (r12, r11 verdict item 6): the 100-batch sustained
             # horizon for the X85 EMBEDDING loop — replicate=10 grows
@@ -1215,27 +1251,58 @@ def main() -> None:
         )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
+    # MULTI-PASS SUITE (r13, r12 verdict item 1): the r12 artifact read
+    # x1.45 on common queries purely from host ambient noise (uniform
+    # inflation across untouched queries, zero improvements anywhere,
+    # same-code best-of-3 composite x1.07 — the documented signature of
+    # host-level contention invisible to the guest loadavg gate). The
+    # protocol now runs the WHOLE suite SUITE_PASSES times — each pass a
+    # fresh JVM per group — and reports each query's best across passes;
+    # the per-pass group totals land in the artifact so a reader can
+    # separate code from weather WITHOUT consulting git: a wide pass
+    # spread with a tight best is ambient noise, a tight spread that
+    # moved round-over-round is a plan change.
     timings: dict[str, float] = {}
     group_totals: dict[str, float] = {}
+    pass_group_totals: dict[str, list[float]] = {}
     for group in BENCH_GROUPS:
-        print(
-            f"group {group} ({len(BENCH_GROUPS[group])} queries):",
-            file=sys.stderr,
-            flush=True,
-        )
-        got = child(group)
-        timings.update(got)
-        group_totals[group] = round(sum(got.values()), 2)
+        best: dict[str, float] = {}
+        pass_group_totals[group] = []
+        for p in range(SUITE_PASSES):
+            print(
+                f"group {group} pass {p + 1}/{SUITE_PASSES} "
+                f"({len(BENCH_GROUPS[group])} queries):",
+                file=sys.stderr,
+                flush=True,
+            )
+            got = child(group)
+            pass_group_totals[group].append(round(sum(got.values()), 2))
+            for name, sec in got.items():
+                best[name] = min(best.get(name, sec), sec)
+        timings.update(best)
+        group_totals[group] = round(sum(best.values()), 2)
 
-    print("ingest throughput pass:", file=sys.stderr, flush=True)
-    ingest = child("ingest")
-    print(f"  ingest: {ingest}", file=sys.stderr, flush=True)
-    print("dedup-ingest throughput pass:", file=sys.stderr, flush=True)
-    dedup_ingest = child("dedup_ingest")
-    print(f"  dedup_ingest: {dedup_ingest}", file=sys.stderr, flush=True)
-    print("embedding-ingest throughput pass:", file=sys.stderr, flush=True)
-    emb_ingest = child("embedding_ingest")
-    print(f"  embedding_ingest: {emb_ingest}", file=sys.stderr, flush=True)
+    def throughput(arg: str, rate_key: str) -> dict:
+        """Best of THROUGHPUT_PASSES fresh-JVM runs (the throughput
+        passes bounced +-35% across same-code r12 runs — same ambient
+        cause); every pass's rate is recorded in the kept dict."""
+        runs = []
+        for p in range(THROUGHPUT_PASSES):
+            print(
+                f"{arg} throughput pass {p + 1}/{THROUGHPUT_PASSES}:",
+                file=sys.stderr,
+                flush=True,
+            )
+            got = child(arg)
+            print(f"  {arg}: {got}", file=sys.stderr, flush=True)
+            runs.append(got)
+        kept = max(runs, key=lambda r: r[rate_key])
+        kept["pass_rates"] = [r[rate_key] for r in runs]
+        return kept
+
+    ingest = throughput("ingest", "events_per_sec")
+    dedup_ingest = throughput("dedup_ingest", "docs_per_sec")
+    emb_ingest = throughput("embedding_ingest", "vecs_per_sec")
     load_end = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
@@ -1252,10 +1319,21 @@ def main() -> None:
         "embedding_ingest": emb_ingest,
         "loadavg": {"start": load_start, "end": load_end},
         "load_gate": gate,
+        "suite_passes": SUITE_PASSES,
+        "throughput_passes": THROUGHPUT_PASSES,
+        "pass_group_totals": pass_group_totals,
         "protocol": (
-            "loadavg gate, fresh JVM per group, group-head warmed "
-            "untimed, sequential, best-of-2; sub-second: sample to JIT "
-            "plateau (cap 6, stop when a step improves the best by <10%)"
+            f"loadavg gate; {SUITE_PASSES} fresh-JVM suite passes, "
+            "per-query BEST across passes reported (per-pass group "
+            "totals recorded — wide spread + tight best = ambient "
+            "noise, not code); within a pass: fresh JVM per group, "
+            "group-head warmed untimed, sequential, best-of-2; "
+            "sub-second: sample to JIT plateau (cap 6, stop when a "
+            f"step improves the best by <10%); {THROUGHPUT_PASSES} "
+            "fresh-JVM throughput passes, best rate kept, all rates "
+            "recorded; embedding_ingest benched at the ~2,000-row "
+            "batch shape (replicate=10 — the honest sizing, "
+            "SCALING.md r12)"
         ),
     }
     full_line = json.dumps(full)
