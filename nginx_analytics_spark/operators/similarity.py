@@ -2304,6 +2304,9 @@ def pq_append_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rebuild_threshold: float | None = None,
+    rebuild_corpus: DataFrame | None = None,
+    rebuild_kwargs: dict | None = None,
     fs=None,
 ) -> dict:
     """Fold NEW vectors into an at-rest PQ index without a rebuild —
@@ -2325,13 +2328,34 @@ def pq_append_index(
     ``drift_ratio`` ~1 means the codebooks still describe the incoming
     distribution; a ratio creeping upward means ADC distances are
     degrading from quantization-noisy to WRONG for new rows. Unlike
-    the IVF monitor this one has NO in-place actuator BY CONSTRUCTION:
+    the IVF monitor this one has no IN-PLACE actuator BY CONSTRUCTION:
     a codebook refit needs raw vectors, and the PQ index deliberately
-    stores only m-byte codes — the rebuild (:func:`pq_write_index`
-    over the corpus store) belongs to the caller that owns the
-    vectors. The honest contract, not a gap: an index that stored its
-    own raw vectors to enable self-rebuild would forfeit the 8x
-    compression that is its entire point."""
+    stores only m-byte codes — an index that stored its own raw
+    vectors to enable self-rebuild would forfeit the 8x compression
+    that is its entire point. The actuator the ratio points at is
+    :func:`rebuild_pq` (CLI ``jobs rebuild-pq``, r13): refit from the
+    RAW corpus store the caller owns and swap atomically under the
+    recluster crash discipline — after it, in-distribution appends
+    read ~1 again.
+
+    The signal can also drive the actuator INLINE, completing the IVF
+    append's ``recluster_threshold`` symmetry: pass
+    ``rebuild_threshold`` together with ``rebuild_corpus`` (the raw
+    corpus frame — it must already INCLUDE this batch's rows, i.e. the
+    caller appends to its corpus store before or alongside the index,
+    which both ingest loops do) and any append whose drift_ratio
+    crosses the threshold triggers exactly one :func:`rebuild_pq`
+    after its own commit, returning the rebuild's stats under
+    ``"rebuild"`` with ``"rebuilt": True``. ``rebuild_threshold``
+    WITHOUT a corpus raises immediately — a trigger that could never
+    fire its actuator would be worse than no trigger (the misconfig
+    would surface only once drift is already real)."""
+    if rebuild_threshold is not None and rebuild_corpus is None:
+        raise ValueError(
+            "rebuild_threshold needs rebuild_corpus: the PQ index "
+            "stores only m-byte codes, so the inline rebuild must be "
+            "handed the raw corpus frame (including this batch's rows)"
+        )
     meta = read_pq_index_meta(path, fs=fs)
     if meta["id_col"] != id_col:
         raise ValueError(
@@ -2434,12 +2458,24 @@ def pq_append_index(
         if batch_mean is not None and expected is not None
         else None
     )
-    return {
+    out = {
         "n": int(n),
         "mean_quant_err": batch_mean,
         "expected_quant_err": expected,
         "drift_ratio": ratio,
+        "rebuilt": False,
     }
+    if (
+        rebuild_threshold is not None
+        and ratio is not None
+        and ratio > rebuild_threshold
+    ):
+        out["rebuild"] = rebuild_pq(
+            new_vecs.sparkSession, rebuild_corpus, path,
+            vec_col=vec_col, fs=fs, **(rebuild_kwargs or {}),
+        )
+        out["rebuilt"] = True
+    return out
 
 
 def pq_index_verify(spark, path: str, fs=None) -> dict:

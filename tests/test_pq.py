@@ -644,3 +644,49 @@ def test_pq_topk_indexed_collects_queries_exactly_once(spark, emb, tmp_path, mon
     # the probe's single query collect + the test's own terminal collect
     assert len(calls) == 2
     assert len(got) == 25
+
+
+def test_pq_append_rebuild_threshold_inline_actuator(spark, emb, tmp_path):
+    """The IVF append's recluster_threshold symmetry for PQ: an append
+    whose drift_ratio crosses rebuild_threshold triggers exactly one
+    rebuild_pq from the caller-supplied raw corpus (which must already
+    include the batch), after its own commit; a threshold without a
+    corpus raises immediately (a trigger that could never fire its
+    actuator would surface only once drift is real); a below-threshold
+    append rebuilds nothing."""
+    idx = str(tmp_path / "idx")
+    similarity.pq_write_index(
+        emb, idx, m=8, n_codes=16, seed=42, n_cells=16, residual=True
+    )
+    with pytest.raises(ValueError, match="rebuild_corpus"):
+        similarity.pq_append_index(
+            emb.limit(1).select(
+                (emb.vec_id + 90000).alias("vec_id"), "embedding"
+            ),
+            idx, rebuild_threshold=5.0,
+        )
+    # in-distribution append under the threshold: no rebuild
+    tame = emb.limit(20).select((emb.vec_id + 90000).alias("vec_id"), "embedding")
+    stats = similarity.pq_append_index(
+        tame, idx, rebuild_threshold=5.0,
+        rebuild_corpus=emb.select("vec_id", "embedding").unionByName(tame),
+    )
+    assert stats["rebuilt"] is False and "rebuild" not in stats
+    # drifted append over the threshold: exactly one inline rebuild
+    shifted = emb.limit(100).select(
+        (emb.vec_id + 200000).alias("vec_id"),
+        F.transform("embedding", lambda v: v + F.lit(5.0)).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    corpus = (
+        emb.select("vec_id", "embedding").unionByName(tame).unionByName(shifted)
+    )
+    stats = similarity.pq_append_index(
+        shifted, idx, rebuild_threshold=5.0, rebuild_corpus=corpus,
+    )
+    assert stats["drift_ratio"] > 5.0 and stats["rebuilt"] is True
+    assert stats["rebuild"]["n_rows"] == emb.count() + 120
+    assert stats["rebuild"]["residual"] is True
+    # re-armed: the same shifted distribution now appends near ~1
+    more = shifted.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    assert similarity.pq_append_index(more, idx)["drift_ratio"] < 2.0
+    assert similarity.pq_index_verify(spark, idx)["torn"] is False
