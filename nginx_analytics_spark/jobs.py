@@ -639,6 +639,37 @@ def _build_parser():
         default=None,
         help="new cell count (default: keep the standing sidecar's)",
     )
+
+    ta = sub.add_parser(
+        "tune-ann",
+        help=(
+            "X89 advisor: measure the smallest nprobe whose recall@k "
+            "meets a target on a deterministic query sample drawn from "
+            "the corpus — exact-L2 ground truth computed once, then a "
+            "doubling + binary-search sweep (O(log n_cells) probes). "
+            "Works on at-rest IVF and celled PQ indexes "
+            "(sidecar-detected); run per index build or after a "
+            "recluster/rebuild, like the other maintenance jobs."
+        ),
+    )
+    ta.add_argument("--index", required=True, help="at-rest IVF/PQ index path")
+    ta.add_argument(
+        "--corpus", required=True,
+        help="corpus store dir of raw vectors (read_corpus view)",
+    )
+    ta.add_argument(
+        "--target-recall", type=float, default=0.6,
+        help="recall@k the tuned nprobe must meet on the sample",
+    )
+    ta.add_argument("--k", type=int, default=5, help="neighbors per query")
+    ta.add_argument(
+        "--sample-queries", type=int, default=20,
+        help="deterministic query sample size (crc32 order)",
+    )
+    ta.add_argument(
+        "--vec-col", default="embedding",
+        help="vector column in the corpus store",
+    )
     return p
 
 
@@ -921,6 +952,39 @@ def main(argv: list[str] | None = None) -> int:
             f"{stats['new_mean_quant_err']:.6g}"
         )
         return 0
+
+    if args.command == "tune-ann":
+        import json as _json
+
+        from nginx_analytics_spark.operators import similarity
+        from nginx_analytics_spark.streaming.dedup_ingest import read_corpus
+
+        out = similarity.tune_ann_nprobe(
+            spark,
+            read_corpus(spark, args.corpus),
+            args.index,
+            target_recall=args.target_recall,
+            k=args.k,
+            sample_queries=args.sample_queries,
+            vec_col=args.vec_col,
+        )
+        print(_json.dumps(out))
+        if out["met"]:
+            print(
+                f"tuned: nprobe={out['nprobe']} of {out['n_cells']} "
+                f"cells ({out['scan_fraction']:.0%} scan) reaches "
+                f"recall@{out['k']} {out['recall']:.2f} >= "
+                f"{out['target_recall']:.2f} on {out['sample_queries']} "
+                "sampled queries"
+            )
+            return 0
+        print(
+            f"target unreachable: full scan (nprobe={out['n_cells']}) "
+            f"measures recall@{out['k']} {out['recall']:.2f} < "
+            f"{out['target_recall']:.2f} — raise m/n_codes or "
+            "refine_frac (PQ) / re-fit cells (IVF), not nprobe"
+        )
+        return 1
 
     if args.command == "compact-index":
         from nginx_analytics_spark.operators import dedup, similarity

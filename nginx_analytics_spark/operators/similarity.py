@@ -2747,3 +2747,214 @@ def label_centroids(
         .agg(half_up(F.avg("val"), round_to).alias("centroid"))
         .withColumn("dim", F.col("dim").cast("bigint"))
     )
+
+
+def _exact_l2_topk_sets(
+    corpus: DataFrame,
+    q_rows: list[tuple],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> dict[int, frozenset[int]]:
+    """Exact L2 ground-truth neighbor sets for a SMALL query sample —
+    the oracle :func:`tune_ann_nprobe` scores sweeps against. One
+    Arrow-batched matmul pass over the corpus with per-partition
+    per-query top-k (the ``_pq_scan_topk`` candidate-cut pattern), then
+    one tiny global window: O(sample x corpus) multiplies but only
+    O(sample x k x partitions) rows ever shuffle. Self-matches
+    excluded."""
+    qids = np.array([r[0] for r in q_rows])
+    qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qnorm = np.einsum("ij,ij->i", qv, qv)
+
+    def _scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            x = np.stack(pdf["_v"].to_numpy())
+            # |q - x|^2 = |q|^2 - 2 q.x + |x|^2
+            d = (
+                qnorm[:, None]
+                - 2.0 * (qv @ x.T)
+                + np.einsum("ij,ij->i", x, x)[None, :]
+            )
+            rows = []
+            for qi, qid in enumerate(qids):
+                mask = ids != qid
+                di, ii = d[qi][mask], ids[mask]
+                top = np.lexsort((ii, di))[:k]
+                rows.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ii[top],
+                         "dist": di[top]}
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    cands = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("_v")
+    ).mapInPandas(_scan, "query_id long, neighbor_id long, dist double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    got = (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .collect()
+    )
+    out: dict[int, set[int]] = {}
+    for r in got:
+        out.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+    return {q: frozenset(s) for q, s in out.items()}
+
+
+def tune_ann_nprobe(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    target_recall: float = 0.6,
+    k: int = 5,
+    sample_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs=None,
+) -> dict:
+    """X89: the recall/latency knob, tuned by measurement instead of
+    folklore — find the smallest ``nprobe`` whose measured recall@k on
+    a deterministic query sample meets ``target_recall``, for an
+    at-rest IVF or celled PQ index (sidecar-detected). Every scaling
+    probe this repo ran (SCALING.md r9–r13) shows the same law: indexed
+    ANN recall tracks the SCAN FRACTION nprobe/n_cells, and the right
+    fraction depends on the corpus's geometry — a number an operator
+    should measure per index, not copy from a different dataset's
+    defaults. This job packages that measurement: sample queries FROM
+    the corpus (deterministic crc32 order — re-runs tune identically),
+    compute exact-L2 ground truth once (one Arrow matmul pass,
+    :func:`_exact_l2_topk_sets`), then sweep nprobe by DOUBLING and
+    binary-search the gap between the last miss and the first hit —
+    O(log n_cells) probes instead of n_cells.
+
+    Monotonicity note: probed-cell sets are nested in nprobe, so IVF
+    recall (exact scoring within probed cells) is monotone by
+    construction; the PQ path's fraction-sized refine makes it
+    monotone-in-expectation (a larger candidate pool can displace a
+    true neighbor from the ADC shortlist by quantization noise). The
+    full sweep lands in the result so the operator sees the measured
+    curve, not just the answer.
+
+    Returns ``{"kind", "n_cells", "nprobe", "recall", "met",
+    "scan_fraction", "sweep", "k", "sample_queries", "target_recall"}``
+    — ``met=False`` reports the full-scan ceiling (nprobe = n_cells)
+    when the target is unreachable at this index configuration, which
+    is itself the actionable answer (raise m/n_codes or refine_frac,
+    not nprobe). Cost: the ground-truth pass is O(sample x corpus)
+    multiplies ONCE, each probe costs one production-shaped query
+    batch — an offline advisor job, run per index build or after a
+    rebuild, exactly like ``jobs recluster-ivf``/``rebuild-pq``
+    (CLI: ``jobs tune-ann``)."""
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    if fs.isfile(pq_index_meta_path(path)):
+        meta = read_pq_index_meta(path, fs=fs)
+        if meta.get("n_cells") is None:
+            raise ValueError(
+                f"PQ index at {path!r} is flat — nprobe has nothing to "
+                "tune; rebuild with pq_write_index(n_cells=...)"
+            )
+        kind = "pq"
+    elif fs.isfile(ivf_index_meta_path(path)):
+        meta = read_ivf_index_meta(path, fs=fs)
+        kind = "ivf"
+    else:
+        raise ValueError(
+            f"no celled ANN index sidecar at {path!r} "
+            "(_pq_meta/_ivf_meta.json)"
+        )
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"index at {path!r} stores ids in column "
+            f"{meta['id_col']!r}, not {id_col!r}"
+        )
+    n_cells = int(meta["n_cells"])
+
+    sample = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.crc32(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(int(sample_queries))
+    )
+    q_rows = sample.select(
+        F.col(id_col), as_double(vec_col).alias("qv")
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty corpus — nothing to sample queries from")
+    queries = sample.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col)
+    ).localCheckpoint(eager=True)  # probed O(log n_cells) times
+    truth = _exact_l2_topk_sets(corpus, q_rows, k, id_col, vec_col)
+
+    def probe(nprobe: int) -> float:
+        if kind == "pq":
+            out = pq_topk_indexed(
+                spark, corpus, queries, path, k=k, id_col=id_col,
+                vec_col=vec_col, nprobe=nprobe, fs=fs,
+            )
+        else:
+            out = ivf_topk_bucketed(
+                spark, path, None, queries, k=k, id_col=id_col,
+                vec_col=vec_col, nprobe=nprobe, fs=fs,
+            )
+        got: dict[int, set[int]] = {}
+        for r in out.collect():
+            got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+        hits = sum(
+            len(truth[q] & got.get(q, set())) for q in truth
+        )
+        return hits / max(1, sum(len(truth[q]) for q in truth))
+
+    sweep: list[dict] = []
+
+    def measured(n: int) -> float:
+        r = probe(n)
+        sweep.append({"nprobe": n, "recall": round(r, 4)})
+        return r
+
+    lo, hi, hi_recall = 0, None, None
+    n = 1
+    while n < n_cells:
+        r = measured(n)
+        if r >= target_recall:
+            hi, hi_recall = n, r
+            break
+        lo = n
+        n *= 2
+    if hi is None:
+        r = measured(n_cells)
+        if r >= target_recall:
+            hi, hi_recall = n_cells, r
+            lo = min(lo, n_cells - 1)
+        else:
+            sweep.sort(key=lambda s: s["nprobe"])
+            return {
+                "kind": kind, "n_cells": n_cells, "nprobe": n_cells,
+                "recall": round(r, 4), "met": False,
+                "scan_fraction": 1.0, "sweep": sweep, "k": k,
+                "sample_queries": len(q_rows),
+                "target_recall": target_recall,
+            }
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        r = measured(mid)
+        if r >= target_recall:
+            hi, hi_recall = mid, r
+        else:
+            lo = mid
+    sweep.sort(key=lambda s: s["nprobe"])
+    return {
+        "kind": kind, "n_cells": n_cells, "nprobe": int(hi),
+        "recall": round(float(hi_recall), 4), "met": True,
+        "scan_fraction": round(hi / n_cells, 4), "sweep": sweep,
+        "k": k, "sample_queries": len(q_rows),
+        "target_recall": target_recall,
+    }

@@ -722,3 +722,35 @@ def test_cli_verify_index_busy_exits_3(spark, tmp_path, capsys):
         os.close(fd)
     # released: the same index now verifies healthy
     assert jobs.main(["verify-index", "--index", idx]) == 0
+
+
+def test_cli_tune_ann(spark, tmp_path, capsys):
+    """X89 CLI: tune nprobe against a corpus store, JSON + summary on
+    stdout, exit 0 when the target is met and 1 when unreachable."""
+    import json
+
+    from nginx_analytics_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    corpus_dir = f"{tmp_path}/corpus"
+    emb.write.mode("overwrite").parquet(corpus_dir)
+    idx = f"{tmp_path}/pq"
+    similarity.pq_write_index(
+        emb, idx, m=8, n_codes=16, n_cells=16, residual=True
+    )
+    rc = jobs.main([
+        "tune-ann", "--index", idx, "--corpus", corpus_dir,
+        "--target-recall", "0.3", "--sample-queries", "10",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    payload = json.loads(out.strip().splitlines()[0])
+    assert payload["met"] is True and 1 <= payload["nprobe"] <= 16
+    assert "tuned: nprobe=" in out
+
+    rc = jobs.main([
+        "tune-ann", "--index", idx, "--corpus", corpus_dir,
+        "--target-recall", "0.999", "--sample-queries", "10",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 1 and "target unreachable" in out

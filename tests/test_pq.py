@@ -690,3 +690,67 @@ def test_pq_append_rebuild_threshold_inline_actuator(spark, emb, tmp_path):
     more = shifted.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     assert similarity.pq_append_index(more, idx)["drift_ratio"] < 2.0
     assert similarity.pq_index_verify(spark, idx)["torn"] is False
+
+
+def test_tune_ann_nprobe_pq_residual(spark, emb, tmp_path):
+    """X89 on the residual PQ index: the tuner finds an nprobe meeting
+    a reachable target (recall measured against exact-L2 ground truth
+    on a deterministic sample), reports the sweep it measured, is
+    deterministic across runs, and reports met=False with the full-scan
+    ceiling when the target is unreachable at this configuration."""
+    idx = str(tmp_path / "pq")
+    similarity.pq_write_index(
+        emb, idx, m=8, n_codes=16, seed=42, n_cells=16, residual=True
+    )
+    out = similarity.tune_ann_nprobe(
+        spark, emb, idx, target_recall=0.3, k=5, sample_queries=10
+    )
+    assert out["kind"] == "pq" and out["n_cells"] == 16
+    assert out["met"] is True and 1 <= out["nprobe"] <= 16
+    assert out["recall"] >= 0.3
+    assert out["scan_fraction"] == round(out["nprobe"] / 16, 4)
+    probed = [s["nprobe"] for s in out["sweep"]]
+    assert probed == sorted(probed) and len(probed) <= 6  # O(log n_cells)
+    assert all(0.0 <= s["recall"] <= 1.0 for s in out["sweep"])
+    # deterministic: same sample, same sweep, same answer
+    assert similarity.tune_ann_nprobe(
+        spark, emb, idx, target_recall=0.3, k=5, sample_queries=10
+    ) == out
+    # unreachable target: the full-scan ceiling IS the answer
+    out2 = similarity.tune_ann_nprobe(
+        spark, emb, idx, target_recall=0.999, k=5, sample_queries=10
+    )
+    assert out2["met"] is False and out2["nprobe"] == 16
+    assert out2["scan_fraction"] == 1.0 and out2["recall"] < 0.999
+
+
+def test_tune_ann_nprobe_ivf_monotone(spark, emb, tmp_path):
+    """X89 on the at-rest IVF index: probed-cell sets are nested in
+    nprobe and scoring is exact within probed cells, so the measured
+    sweep must be monotone non-decreasing — and the tuner's answer is
+    the smallest nprobe meeting the target within its log-search grid."""
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_write_bucketed(emb, idx, n_cells=16)
+    out = similarity.tune_ann_nprobe(
+        spark, emb, idx, target_recall=0.5, k=5, sample_queries=10
+    )
+    assert out["kind"] == "ivf" and out["met"] is True
+    recalls = [s["recall"] for s in out["sweep"]]
+    assert recalls == sorted(recalls), out["sweep"]
+    # the binary search's minimality: every probed nprobe below the
+    # answer missed the target
+    for s in out["sweep"]:
+        if s["nprobe"] < out["nprobe"]:
+            assert s["recall"] < 0.5
+
+
+def test_tune_ann_nprobe_guards(spark, emb, tmp_path):
+    """Flat PQ (nothing to tune) and sidecar-less dirs refuse loudly."""
+    flat = str(tmp_path / "flat")
+    similarity.pq_write_index(emb, flat, m=8, n_codes=16)
+    with pytest.raises(ValueError, match="flat"):
+        similarity.tune_ann_nprobe(spark, emb, flat)
+    bare = str(tmp_path / "bare")
+    emb.write.mode("overwrite").parquet(bare)
+    with pytest.raises(ValueError, match="sidecar"):
+        similarity.tune_ann_nprobe(spark, emb, bare)
