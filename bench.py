@@ -300,6 +300,11 @@ BENCH_EXCLUDED: dict[str, str] = {
     # --- iterative trainers / MLlib fits: model-fit cost, not engine
     # throughput ---
     "bpe_merges": "X75 iterative trainer (12 driver-coordinated rounds)",
+    "bpe_tokens": (
+        "X90 tokenize — retrains the 12-round X75 merge table inline "
+        "to stay self-contained, so the trainer dominates its wall; "
+        "the apply pass itself is one no-shuffle Arrow scan"
+    ),
     "rt_model_predictions": "MLlib RandomForest fit",
     "rt_scoring_roundtrip": "MLlib fit + warehouse roundtrip",
     "quality_classifier_scores": (

@@ -141,3 +141,93 @@ def learn_merges(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, weight bigint"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X90: APPLY a learned merge table to the corpus — the production
+    step :func:`learn_merges` trains for but (until r13) nothing
+    executed: tokenize every document into BPE subword units so the
+    downstream packing/export plan (``packing.pack_plan``,
+    ``export.shard_manifest``) can ship token-true shards instead of
+    whitespace-token approximations. Returns
+    ``(id_col, tokens array<string>, n_tokens int)``.
+
+    Semantics EXACTLY reproduce training: words are pre-tokenized the
+    same way as :func:`word_vocab` (whitespace split, characters with
+    ``</w>`` appended to the last), and merges apply in RANK ORDER,
+    each greedily left-to-right — the :func:`_apply_merge` kernel's
+    logic per word. Rank-order application is equivalent to the
+    lowest-rank-pair priority loop (GPT-2 style) here because merges
+    are learned sequentially: merge k's parts can only be symbols that
+    exist after merges 1..k-1, so applying a later merge can never
+    create an earlier merge's pair. The identity is pinned by test:
+    for every word of the training corpus, ``bpe_encode``'s
+    segmentation equals the trained vocabulary's final symbol
+    sequence.
+
+    ``merges`` is the :func:`learn_merges` output frame (collected —
+    it is n_merges rows, a driver constant by construction) or an
+    already-materialized list of ``(left, right)`` pairs in rank
+    order.
+
+    Scale: one Arrow-batched pass over the corpus; the merge table
+    ships as a closure constant and each batch keeps a WORD cache
+    (natural-language word frequency is Zipfian, so the per-batch hit
+    rate is high and the cost per batch approaches distinct-words x
+    merges, not tokens x merges). No shuffle at all — tokenization is
+    embarrassingly parallel; the one wide edge in the tokenize-and-
+    pack pipeline stays :func:`packing.pack_plan`'s window."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("rank").collect()
+        ]
+    pairs = [(str(l), str(r)) for l, r in merges]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def segment(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is not None:
+                return got
+            syms = [*list(word)[:-1], word[-1] + END]
+            for left, right in pairs:
+                if len(syms) < 2:
+                    break
+                res, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            cache[word] = syms
+            return syms
+
+        for pdf in batches:
+            toks = []
+            for text in pdf[text_col]:
+                out: list[str] = []
+                for w in (text or "").split(" "):
+                    if w:
+                        out.extend(segment(w))
+                toks.append(out)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "tokens": toks,
+                    "n_tokens": [len(t) for t in toks],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} long, tokens array<string>, n_tokens int"
+    )

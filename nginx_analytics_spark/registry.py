@@ -63,16 +63,19 @@ _ORACLES: dict[str, str] = {}
 # in (computed over CORRECTNESS_r1..r12): 27 names last green r10 —
 # exactly r12's designated spill plus bpe_pair_counts (position 51,
 # squeezed out of r12's 50-row budget) — 50 names r11, 50 names r12,
-# zero older, zero reds ever. The due set is 29: the two never-recorded
-# r13 queries and the 27-name r10 cohort; the remaining ~21 rows of a
+# zero older, zero reds ever. The due set is 30: the three
+# never-recorded r13 queries and the 27-name r10 cohort; the remaining
+# ~20 rows of a
 # 50-row budget fall on the r11 cohort, chosen for FAMILY BREADTH so no
 # operator family's freshest row predates r12:
-#   * positions 1-2: new this round, never recorded —
-#     ann_pq_indexed_residual (the X88 residual-encoded IVFADC probe)
-#     and ann_pq_indexed_residual_refined (its hash-exact oracle tier);
-#   * positions 3-29: the r10 cohort, in the order the r12 verdict
+#   * positions 1-3: new this round, never recorded —
+#     ann_pq_indexed_residual (the X88 residual-encoded IVFADC probe),
+#     ann_pq_indexed_residual_refined (its hash-exact oracle tier), and
+#     bpe_tokens (the X90 tokenize/apply step, rows-only by the X75
+#     iterative-trainer precedent);
+#   * positions 4-30: the r10 cohort, in the order the r12 verdict
 #     pre-committed;
-#   * positions 30-51: 22 r11 family heads — parse/agg/anomaly/feature
+#   * positions 31-52: 22 r11 family heads — parse/agg/anomaly/feature
 #     chains, ranking, TPC-H pricing+supplier, temporal, streaming
 #     windows, corpus/text, and the at-rest ANN probes;
 #   * positions 52+: the DESIGNATED r13 SPILL = the rest of the r11
@@ -86,10 +89,11 @@ _ORACLES: dict[str, str] = {}
 #     ann_ivf_topk~ann_ivf_indexed). Every spilled name stays
 #     oracle-verified at both pytest tiers every round.
 _CHECK_FIRST = [
-    # --- positions 1-2: new this round, no driver row yet ---
+    # --- positions 1-3: new this round, no driver row yet ---
     "ann_pq_indexed_residual",
     "ann_pq_indexed_residual_refined",
-    # --- positions 3-29: the r10 cohort (r12's designated spill) ---
+    "bpe_tokens",
+    # --- positions 4-30: the r10 cohort (r12's designated spill) ---
     "ann_cosine_topk",
     "ann_pq_topk",
     "ann_pq_topk_refined",
@@ -117,7 +121,7 @@ _CHECK_FIRST = [
     "value_deciles",
     "value_trends",
     "waiting_suppliers",
-    # --- positions 30-51: 22 r11 family heads (breadth-first) ---
+    # --- positions 31-52: 22 r11 family heads (breadth-first) ---
     "parse_enrich",
     "batch_ip_stats",
     "hourly_reagg",
@@ -140,7 +144,7 @@ _CHECK_FIRST = [
     "ann_ivf_indexed",
     "ann_lsh_topk",
     "embedding_lsh_pairs",
-    # --- positions 52+: the designated r13 spill (r11 cohort rest) ---
+    # --- positions 53+: the designated r13 spill (r11 cohort rest) ---
     # expensive shapes r12 deferred — extra budget lands here first
     "ngram_jaccard_pairs",
     "simhash_near_dup",

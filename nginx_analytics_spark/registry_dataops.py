@@ -197,6 +197,24 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bpe_tokens")  # applies the iterative trainer's table — rows-only
+def bpe_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90: APPLY the learned BPE merge table to the corpus — the
+    tokenize step between X75's trainer and the packing/export plan,
+    so shards can ship token-true lengths instead of whitespace
+    approximations. Merges learned inline over the same fixture
+    (self-contained, the bpe_merges configuration), then one
+    Arrow-batched no-shuffle encode pass with a per-batch word cache
+    (Zipf makes the hit rate high). Rank-order application exactly
+    reproduces the trainer's final vocabulary segmentation — the
+    identity a tokenizer must hold, pinned by tests/test_bpe.py
+    against the sequential reference."""
+    from nginx_analytics_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_encode(docs, bpe.learn_merges(docs, n_merges=12))
+
+
 @query(
     "doc_chunks",
     """
