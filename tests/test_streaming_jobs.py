@@ -1302,3 +1302,87 @@ def test_stop_compact_resume_exactly_once_lifecycle(spark, tmp_path):
     # the store's growth is bounded: phase A's three batch dirs became
     # one compacted file; phase B appended on top of both runs alike
     assert cmp_files < ctl_files
+
+
+def test_stop_compact_resume_embedding_lifecycle(spark, tmp_path):
+    """The X87 stop -> compact -> resume sequence for the EMBEDDING
+    loop (the text twin above): exactly-once batches, stream stopped
+    with the checkpoint committed past every on-disk batch,
+    compact_corpus, resume with the SAME checkpoint, more batches with
+    CROSS-STOP semantic near-dups. Admissions identical to an
+    uncompacted control; store file count bounded. One lifecycle, two
+    signing modalities — the store and its compactor are literally
+    shared code, this pins the composition on the embedding side too."""
+    import os
+
+    from nginx_analytics_spark.streaming.dedup_ingest import (
+        compact_corpus,
+        read_corpus,
+    )
+    from nginx_analytics_spark.streaming.embedding_ingest import (
+        start_embedding_dedup_ingest,
+    )
+
+    v = _unit_vecs(29, 4)
+    phase_a = [
+        ("a0.parquet", [(1, v[0]), (2, v[1])], 1700000000),
+        ("a1.parquet", [(3, v[2])], 1700000060),
+        # near-dup of corpus vec 2, caught via the index within phase A
+        ("a2.parquet", [(4, _perturb(v[1], 31))], 1700000120),
+    ]
+    phase_b = [
+        # cross-stop near-dup of phase-A admission 1 — must be rejected
+        # by the probe against the (compacted) corpus
+        ("b0.parquet", [(5, _perturb(v[0], 32))], 1700000300),
+        ("b1.parquet", [(6, v[3])], 1700000360),  # novel
+        # cross-stop near-dup of phase-A admission 3
+        ("b2.parquet", [(7, _perturb(v[2], 33))], 1700000420),
+    ]
+
+    def parquet_files(root: str) -> int:
+        return sum(
+            1
+            for r, _, files in os.walk(root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    def run(root, compact_between: bool):
+        src = root / "src"
+        src.mkdir(parents=True)
+        corpus, idx = str(root / "corpus"), str(root / "idx")
+        seen = []
+
+        def drain():
+            stream = (
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src))
+            )
+            q = start_embedding_dedup_ingest(
+                stream, corpus, idx, str(root / "ckpt"),
+                trigger={"availableNow": True}, exactly_once=True,
+                on_batch=lambda bid, n_in, n_novel, lw: seen.append(
+                    (n_in, n_novel)
+                ),
+            )
+            q.awaitTermination()
+
+        for name, rows, mtime in phase_a:
+            _write_emb_parquet(src / name, rows, mtime=mtime)
+        drain()
+        if compact_between:
+            stats = compact_corpus(spark, corpus, idx)
+            assert stats["files_after"] == 1
+        for name, rows, mtime in phase_b:
+            _write_emb_parquet(src / name, rows, mtime=mtime)
+        drain()
+        admitted = sorted(r.vec_id for r in read_corpus(spark, corpus).collect())
+        return admitted, parquet_files(corpus), seen
+
+    ctl_rows, ctl_files, ctl_seen = run(tmp_path / "ctl", False)
+    cmp_rows, cmp_files, cmp_seen = run(tmp_path / "cmp", True)
+
+    assert ctl_rows == cmp_rows == [1, 2, 3, 6]
+    assert ctl_seen == cmp_seen
+    assert cmp_files < ctl_files
