@@ -2749,20 +2749,25 @@ def label_centroids(
     )
 
 
-def _exact_l2_topk_sets(
+def _exact_topk_sets(
     corpus: DataFrame,
     q_rows: list[tuple],
     k: int,
     id_col: str,
     vec_col: str,
+    metric: str = "l2",
 ) -> dict[int, frozenset[int]]:
-    """Exact L2 ground-truth neighbor sets for a SMALL query sample —
-    the oracle :func:`tune_ann_nprobe` scores sweeps against. One
-    Arrow-batched matmul pass over the corpus with per-partition
-    per-query top-k (the ``_pq_scan_topk`` candidate-cut pattern), then
-    one tiny global window: O(sample x corpus) multiplies but only
+    """Exact ground-truth neighbor sets for a SMALL query sample — the
+    oracle :func:`tune_ann_nprobe` scores sweeps against, in the SAME
+    metric the probed index ranks by (``"l2"`` for the PQ/ADC path,
+    ``"cosine"`` for the IVF path — cosine and L2 rankings coincide
+    only at unit norm, so an L2 oracle under a cosine index would
+    mis-score recall on any non-normalized corpus). One Arrow-batched
+    matmul pass over the corpus with per-partition per-query top-k
+    (the ``_pq_scan_topk`` candidate-cut pattern), then one tiny global
+    window: O(sample x corpus) multiplies but only
     O(sample x k x partitions) rows ever shuffle. Self-matches
-    excluded."""
+    excluded; ties break by neighbor id, matching both probe paths."""
     qids = np.array([r[0] for r in q_rows])
     qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     qnorm = np.einsum("ij,ij->i", qv, qv)
@@ -2773,12 +2778,16 @@ def _exact_l2_topk_sets(
                 continue
             ids = pdf[id_col].to_numpy()
             x = np.stack(pdf["_v"].to_numpy())
-            # |q - x|^2 = |q|^2 - 2 q.x + |x|^2
-            d = (
-                qnorm[:, None]
-                - 2.0 * (qv @ x.T)
-                + np.einsum("ij,ij->i", x, x)[None, :]
-            )
+            xx = np.einsum("ij,ij->i", x, x)
+            if metric == "cosine":
+                # rank by cosine DESC == negated cosine ASC
+                denom = np.maximum(
+                    np.sqrt(qnorm)[:, None] * np.sqrt(xx)[None, :], 1e-12
+                )
+                d = -(qv @ x.T) / denom
+            else:
+                # |q - x|^2 = |q|^2 - 2 q.x + |x|^2
+                d = qnorm[:, None] - 2.0 * (qv @ x.T) + xx[None, :]
             rows = []
             for qi, qid in enumerate(qids):
                 mask = ids != qid
@@ -2830,8 +2839,9 @@ def tune_ann_nprobe(
     should measure per index, not copy from a different dataset's
     defaults. This job packages that measurement: sample queries FROM
     the corpus (deterministic crc32 order — re-runs tune identically),
-    compute exact-L2 ground truth once (one Arrow matmul pass,
-    :func:`_exact_l2_topk_sets`), then sweep nprobe by DOUBLING and
+    compute exact ground truth once in the INDEX's own ranking
+    metric (one Arrow matmul pass, :func:`_exact_topk_sets` — L2 for
+    PQ/ADC, cosine for IVF), then sweep nprobe by DOUBLING and
     binary-search the gap between the last miss and the first hit —
     O(log n_cells) probes instead of n_cells.
 
@@ -2892,7 +2902,13 @@ def tune_ann_nprobe(
     queries = sample.select(
         F.col(id_col).alias("query_id"), F.col(vec_col)
     ).localCheckpoint(eager=True)  # probed O(log n_cells) times
-    truth = _exact_l2_topk_sets(corpus, q_rows, k, id_col, vec_col)
+    # ground truth in the metric the probed index RANKS by: the PQ/ADC
+    # path scores squared L2, the IVF path exact cosine within probed
+    # cells — the two coincide only on unit-norm corpora
+    truth = _exact_topk_sets(
+        corpus, q_rows, k, id_col, vec_col,
+        metric="l2" if kind == "pq" else "cosine",
+    )
 
     def probe(nprobe: int) -> float:
         if kind == "pq":

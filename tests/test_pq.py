@@ -754,3 +754,29 @@ def test_tune_ann_nprobe_guards(spark, emb, tmp_path):
     emb.write.mode("overwrite").parquet(bare)
     with pytest.raises(ValueError, match="sidecar"):
         similarity.tune_ann_nprobe(spark, emb, bare)
+
+
+def test_tune_ann_oracle_metric_matches_index_kind(spark, tmp_path):
+    """The tuner's ground truth must rank in the INDEX's own metric —
+    the IVF path scores exact cosine within probed cells, so on a
+    corpus with VARYING NORMS (where cosine and L2 rankings diverge) a
+    full scan must measure recall exactly 1.0 against the oracle. An
+    L2 oracle under the cosine index would read < 1.0 at full scan —
+    the mis-scoring this pin exists to catch."""
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(200, 64))
+    # wildly varying magnitudes: cosine and L2 neighbor sets diverge
+    x *= rng.uniform(0.1, 50.0, size=(200, 1))
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_write_bucketed(corpus, idx, n_cells=4)
+    out = similarity.tune_ann_nprobe(
+        spark, corpus, idx, target_recall=0.999, k=5, sample_queries=8
+    )
+    assert out["kind"] == "ivf"
+    full = [s for s in out["sweep"] if s["nprobe"] == 4]
+    got_full = full[0]["recall"] if full else out["recall"]
+    assert got_full == 1.0, out["sweep"]
