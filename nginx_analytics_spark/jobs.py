@@ -670,6 +670,35 @@ def _build_parser():
         "--vec-col", default="embedding",
         help="vector column in the corpus store",
     )
+
+    rx = sub.add_parser(
+        "reconcile-index",
+        help=(
+            "X91: store<->index consistency check for an ingest loop's "
+            "corpus + banded dedup index (LSH/SRP, sidecar-detected). "
+            "Corpus rows missing from the index are PERMANENT dedup "
+            "blind spots — --repair signs exactly those rows under the "
+            "sidecar's parameters and appends their band keys; index "
+            "orphans (ids gone from the corpus) are reported only "
+            "(harmless to correctness — the probe's exact-verify join "
+            "drops them — they cost candidate volume until a rebuild). "
+            "Takes the index's single-writer mutex; exit 0 consistent "
+            "or repaired, 1 blind spots remain"
+        ),
+    )
+    rx.add_argument("--corpus", required=True, help="corpus store dir")
+    rx.add_argument("--index", required=True, help="at-rest LSH/SRP index")
+    rx.add_argument(
+        "--repair", action="store_true",
+        help="append band keys for corpus rows missing from the index",
+    )
+    rx.add_argument(
+        "--text-col", default="text", help="text column (LSH modality)"
+    )
+    rx.add_argument(
+        "--vec-col", default="embedding",
+        help="vector column (SRP modality)",
+    )
     return p
 
 
@@ -951,6 +980,34 @@ def main(argv: list[str] | None = None) -> int:
             f"{stats['old_mean_quant_err']:.6g} -> "
             f"{stats['new_mean_quant_err']:.6g}"
         )
+        return 0
+
+    if args.command == "reconcile-index":
+        from nginx_analytics_spark.streaming.dedup_ingest import (
+            reconcile_index,
+        )
+
+        out = reconcile_index(
+            spark, args.corpus, args.index,
+            text_col=args.text_col, vec_col=args.vec_col,
+            repair=args.repair,
+        )
+        print(
+            f"{out['kind']} index vs corpus: {out['corpus_ids']} corpus "
+            f"ids, {out['indexed_ids']} indexed; "
+            f"{out['missing_from_index']} missing from index"
+            f"{' (' + str(out['repaired']) + ' repaired)' if out['repaired'] else ''}, "
+            f"{out['index_orphans']} index orphans (candidate-volume "
+            "cost only; rebuild to reclaim)"
+        )
+        remaining = out["missing_from_index"] - out["repaired"]
+        if remaining:
+            print(
+                f"{remaining} corpus rows are DEDUP BLIND SPOTS — "
+                "near-duplicates of them will be admitted; re-run with "
+                "--repair"
+            )
+            return 1
         return 0
 
     if args.command == "tune-ann":

@@ -270,6 +270,127 @@ def compact_corpus(
     }
 
 
+def reconcile_index(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_path: str,
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    repair: bool = False,
+    fs=None,
+) -> dict:
+    """X91: store↔index consistency check (and repair) for the ingest
+    loops' two-sided state. The corpus store and its banded index are
+    written by the same batch but are not one atomic object, so
+    operator interventions outside the loop's replay discipline (a
+    lost/trimmed checkpoint, a manual corpus import, a
+    restored-from-backup store) can leave them diverged — in two very
+    different directions:
+
+      * **missing-from-index** (corpus rows with NO band keys): these
+        are PERMANENT DEDUP BLIND SPOTS — a future near-duplicate of an
+        unindexed document band-matches nothing and is admitted
+        forever. The dangerous direction, and the repairable one:
+        ``repair=True`` signs exactly the missing rows under the
+        SIDECAR's own parameters and appends their band keys (the
+        X79/X84 append path — cost scales with the missing set, never
+        the corpus).
+      * **index orphans** (band keys whose id left the corpus): benign
+        for correctness — the probe's exact-verify stage joins
+        candidates back to the corpus, so an orphan candidate drops
+        out of the join and can never produce a hit — they only waste
+        candidate volume. Reported, not repaired: removing rows from a
+        banded index means rewriting bands (X82 compaction rewrites
+        rows as-is, so orphans persist through it); the honest fix for
+        a heavy orphan load is rebuilding the index from the store
+        (``write_*_index`` over ``read_corpus``), and the returned
+        count is the number an operator decides that with.
+
+    Modality is sidecar-detected (MinHash/LSH text index or SRP
+    embedding index); the check runs under the index's single-writer
+    mutex (the verify-index rule: counting mid-append would report
+    transient divergence), so it fails loudly against a live loop.
+
+    Scale: two id-only anti-joins — the index side reads one
+    column of a three-long-column table, the corpus side reads only
+    ids; the payloads of missing rows are the ONLY corpus content
+    touched, and only under ``repair``. Returns ``{"kind",
+    "corpus_ids", "indexed_ids", "missing_from_index",
+    "index_orphans", "repaired"}``."""
+    from pyspark.sql import functions as F
+
+    from nginx_analytics_spark.operators import similarity
+    from nginx_analytics_spark.operators.index_fs import (
+        LOCAL_FS,
+        banded_index_read,
+    )
+
+    fs = fs or LOCAL_FS
+    if fs.isfile(dedup.lsh_index_meta_path(index_path)):
+        kind, meta = "lsh", dedup.read_lsh_index_meta(index_path, fs=fs)
+        payload_col = text_col
+    elif fs.isfile(similarity.srp_index_meta_path(index_path)):
+        kind, meta = "srp", similarity.read_srp_index_meta(index_path, fs=fs)
+        payload_col = vec_col
+    else:
+        raise ValueError(
+            f"no banded index sidecar at {index_path!r} "
+            "(_lsh_meta/_srp_meta.json) — reconcile pairs a corpus "
+            "store with its LSH/SRP dedup index"
+        )
+    id_col = meta["id_col"]
+    with fs.exclusive_lock(
+        dedup._lsh_compact_lock_path(index_path),
+        "reconcile counts (and repairs) only while no writer holds "
+        "the index; stop the ingest loop first",
+    ):
+        corpus = read_corpus(spark, corpus_dir)
+        cids = corpus.select(F.col(id_col)).distinct().localCheckpoint(
+            eager=True  # consumed by both anti-joins + the repair semi
+        )
+        iids = (
+            banded_index_read(spark, index_path, fs=fs)
+            .select(F.col(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_corpus, n_indexed = cids.count(), iids.count()
+        missing = cids.join(iids, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_missing = missing.count()
+        n_orphans = iids.join(cids, id_col, "left_anti").count()
+        repaired = 0
+        if repair and n_missing:
+            rows = corpus.select(id_col, payload_col).join(
+                F.broadcast(missing) if n_missing < 1_000_000 else missing,
+                id_col,
+                "left_semi",
+            )
+            if kind == "lsh":
+                dedup.append_lsh_index(
+                    rows, index_path, id_col=id_col, text_col=text_col,
+                    shingle_n=meta["shingle_n"],
+                    num_hashes=meta["num_hashes"],
+                    rows_per_band=meta["rows_per_band"], fs=fs,
+                )
+            else:
+                similarity.append_srp_index(
+                    rows, index_path, id_col=id_col, vec_col=vec_col,
+                    n_planes=meta["n_planes"], bands=meta["bands"],
+                    dim=meta["dim"], seed=meta["seed"], fs=fs,
+                )
+            repaired = n_missing
+    return {
+        "kind": kind,
+        "corpus_ids": int(n_corpus),
+        "indexed_ids": int(n_indexed),
+        "missing_from_index": int(n_missing),
+        "index_orphans": int(n_orphans),
+        "repaired": int(repaired),
+    }
+
+
 def _enter_index_mutex(
     stack,
     fs,

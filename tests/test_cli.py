@@ -754,3 +754,34 @@ def test_cli_tune_ann(spark, tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert rc == 1 and "target unreachable" in out
+
+
+def test_cli_reconcile_index(spark, tmp_path, capsys):
+    """X91 CLI: blind spots exit 1 with the repair hint; --repair
+    closes them and exits 0; orphans alone exit 0 (report only)."""
+    from nginx_analytics_spark.streaming.dedup_ingest import process_batch
+
+    corpus, idx = f"{tmp_path}/corpus", f"{tmp_path}/idx"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    process_batch(spark, docs, 0, corpus, idx)
+    spark.createDataFrame(
+        [(9, "manually imported words about bloom filters and codegen")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(corpus)
+
+    rc = jobs.main(["reconcile-index", "--corpus", corpus, "--index", idx])
+    out = capsys.readouterr().out
+    assert rc == 1 and "DEDUP BLIND SPOTS" in out and "1 missing" in out
+
+    rc = jobs.main(
+        ["reconcile-index", "--corpus", corpus, "--index", idx, "--repair"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "(1 repaired)" in out
+
+    rc = jobs.main(["reconcile-index", "--corpus", corpus, "--index", idx])
+    out = capsys.readouterr().out
+    assert rc == 0 and "0 missing from index" in out

@@ -1386,3 +1386,106 @@ def test_stop_compact_resume_embedding_lifecycle(spark, tmp_path):
     assert ctl_rows == cmp_rows == [1, 2, 3, 6]
     assert ctl_seen == cmp_seen
     assert cmp_files < ctl_files
+
+
+def test_reconcile_index_blind_spot_detected_and_repaired(spark, tmp_path):
+    """X91 on the text modality, with the stakes demonstrated: a corpus
+    row that bypassed the loop (manual import — written to the store
+    without an index append) is a PERMANENT dedup blind spot — a
+    near-duplicate of it band-matches nothing and is ADMITTED.
+    reconcile_index reports it; --repair signs exactly that row under
+    the sidecar's parameters; the same near-duplicate is then REJECTED.
+    An id removed from the corpus afterwards reads back as a reported
+    (never repaired) orphan, and probes stay correct throughout."""
+    from nginx_analytics_spark.streaming.dedup_ingest import (
+        dedup_batch_against_corpus,
+        process_batch,
+        reconcile_index,
+    )
+
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    base_a = "the quick brown fox jumps over the lazy dog near the river"
+    base_z = "zebra topic sentences about adaptive query execution and skew joins"
+    docs = spark.createDataFrame(
+        [(1, base_a),
+         (2, "unrelated text about parquet row groups and min max statistics")],
+        "doc_id long, text string",
+    )
+    process_batch(spark, docs, 0, corpus, idx)
+    out = reconcile_index(spark, corpus, idx)
+    assert out["kind"] == "lsh"
+    assert (out["corpus_ids"], out["indexed_ids"]) == (2, 2)
+    assert out["missing_from_index"] == 0 and out["index_orphans"] == 0
+
+    # a manual import bypasses the loop: corpus row, no band keys
+    spark.createDataFrame(
+        [(9, base_z)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    probe = spark.createDataFrame(
+        [(10, base_z + " trailer")], "doc_id long, text string"
+    )
+    # blind spot: the near-dup of the unindexed doc is ADMITTED
+    assert [r.doc_id for r in dedup_batch_against_corpus(
+        spark, probe, corpus, idx
+    ).collect()] == [10]
+
+    out = reconcile_index(spark, corpus, idx)
+    assert out["missing_from_index"] == 1 and out["repaired"] == 0
+    out = reconcile_index(spark, corpus, idx, repair=True)
+    assert out["missing_from_index"] == 1 and out["repaired"] == 1
+    out = reconcile_index(spark, corpus, idx)
+    assert out["missing_from_index"] == 0 and out["indexed_ids"] == 3
+    # blind spot closed: the same near-dup is now rejected
+    assert dedup_batch_against_corpus(
+        spark, probe, corpus, idx
+    ).count() == 0
+
+    # orphan direction: drop the imported doc's corpus file — its band
+    # keys remain; reported only, and the probe stays correct (the
+    # exact-verify join drops orphan candidates)
+    import os
+
+    for root, _, files in os.walk(corpus):
+        for f in files:
+            p = os.path.join(root, f)
+            if f.endswith(".parquet"):
+                rows = spark.read.parquet(p).collect()
+                if any(r.doc_id == 9 for r in rows):
+                    os.remove(p)
+    out = reconcile_index(spark, corpus, idx)
+    assert out["index_orphans"] == 1 and out["missing_from_index"] == 0
+    assert [r.doc_id for r in dedup_batch_against_corpus(
+        spark, probe, corpus, idx
+    ).collect()] == [10]  # orphan can no longer suppress anything
+
+
+def test_reconcile_index_embedding_modality(spark, tmp_path):
+    """X91's SRP side: same check, embedding corpus + SRP index — the
+    repair signs missing vectors under the sidecar's own plane/band
+    parameters (64-plane loop default)."""
+    from nginx_analytics_spark.streaming.dedup_ingest import reconcile_index
+    from nginx_analytics_spark.streaming.embedding_ingest import (
+        process_embedding_batch,
+    )
+
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    v = _unit_vecs(47, 3)
+    batch = spark.createDataFrame(
+        [(1, [float(x) for x in v[0]]), (2, [float(x) for x in v[1]])],
+        "vec_id long, embedding array<float>",
+    )
+    process_embedding_batch(spark, batch, 0, corpus, idx)
+    out = reconcile_index(spark, corpus, idx)
+    assert out["kind"] == "srp" and out["missing_from_index"] == 0
+
+    spark.createDataFrame(
+        [(9, [float(x) for x in v[2]])], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    out = reconcile_index(spark, corpus, idx, repair=True)
+    assert out["missing_from_index"] == 1 and out["repaired"] == 1
+    out = reconcile_index(spark, corpus, idx)
+    assert out["missing_from_index"] == 0 and out["indexed_ids"] == 3
+    # the repaired vector's band keys carry the sidecar's 64-plane
+    # signing: 8 band rows for the new id, consistent with the rest
+    rows = spark.read.parquet(idx).collect()
+    assert sum(1 for r in rows if r.vec_id == 9) == 8
