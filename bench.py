@@ -28,7 +28,13 @@ Methodology:
     pass spread + tight best = ambient, tight spread that moved
     round-over-round = a plan change. Throughput passes run
     THROUGHPUT_PASSES (2) times with every rate recorded
-    (``pass_rates``), best kept.
+    (``pass_rates``), best kept. The extra suite passes are
+    WALL-BUDGETED (SUITE_WALL_BUDGET_S, default 1200 s, env-overridable
+    via SPARK_GRAFT_BENCH_BUDGET_S): another pass starts only if the
+    projected total fits, so on an ambient-slow host the protocol
+    degrades to fewer passes — recorded as ``suite_passes`` in the
+    artifact — instead of tripling the wall into whatever timeout the
+    caller runs bench.py under and leaving NO artifact.
   * QUIET-MACHINE GATE (r5): the suite refuses to start while the 1-min
     loadavg exceeds LOAD_GATE (sleep-retry, bounded wait). Evidence: the
     r4 run started at loadavg 3.5 and four unchanged sub-second queries
@@ -141,8 +147,15 @@ import time
 LOAD_GATE = 1.0  # max 1-min loadavg to start (judge-mandated quiet-machine bar)
 LOAD_GATE_WAIT_S = 600  # give a busy machine up to 10 min to drain
 SUBSECOND = 1.0  # best-of-3 below this (worst relative jitter)
-SUITE_PASSES = 3  # fresh-JVM suite passes; per-query best reported (r13)
+SUITE_PASSES = 3  # max fresh-JVM suite passes; per-query best reported (r13)
 THROUGHPUT_PASSES = 2  # fresh-JVM throughput passes; best rate reported
+# Wall budget for the QUERY-SUITE passes: another full pass starts only
+# if (elapsed + the mean duration of completed passes) fits. The driver
+# runs bench.py under an unknown timeout; a protocol that can triple the
+# wall on a noisy host must degrade to fewer passes gracefully (passes
+# actually run are recorded in the artifact) rather than get killed
+# mid-run and leave no artifact at all. Override: SPARK_GRAFT_BENCH_BUDGET_S.
+SUITE_WALL_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1200"))
 
 # Groups run in separate fresh-JVM subprocesses (see docstring). The split
 # keeps each JVM's live expression-class population small and roughly
@@ -1269,11 +1282,22 @@ def main() -> None:
     # moved round-over-round is a plan change.
     timings: dict[str, float] = {}
     group_totals: dict[str, float] = {}
-    pass_group_totals: dict[str, list[float]] = {}
-    for group in BENCH_GROUPS:
-        best: dict[str, float] = {}
-        pass_group_totals[group] = []
-        for p in range(SUITE_PASSES):
+    pass_group_totals: dict[str, list[float]] = {g: [] for g in BENCH_GROUPS}
+    t_suite0 = time.monotonic()
+    passes_run = 0
+    for p in range(SUITE_PASSES):
+        elapsed = time.monotonic() - t_suite0
+        if p and elapsed + elapsed / passes_run > SUITE_WALL_BUDGET_S:
+            print(
+                f"suite pass {p + 1} skipped: projected wall "
+                f"{elapsed + elapsed / passes_run:.0f}s exceeds the "
+                f"{SUITE_WALL_BUDGET_S:.0f}s budget (ambient-slow host); "
+                f"artifact records {passes_run} passes",
+                file=sys.stderr,
+                flush=True,
+            )
+            break
+        for group in BENCH_GROUPS:
             print(
                 f"group {group} pass {p + 1}/{SUITE_PASSES} "
                 f"({len(BENCH_GROUPS[group])} queries):",
@@ -1283,9 +1307,10 @@ def main() -> None:
             got = child(group)
             pass_group_totals[group].append(round(sum(got.values()), 2))
             for name, sec in got.items():
-                best[name] = min(best.get(name, sec), sec)
-        timings.update(best)
-        group_totals[group] = round(sum(best.values()), 2)
+                timings[name] = min(timings.get(name, sec), sec)
+        passes_run = p + 1
+    for group, names in BENCH_GROUPS.items():
+        group_totals[group] = round(sum(timings[n] for n in names), 2)
 
     def throughput(arg: str, rate_key: str) -> dict:
         """Best of THROUGHPUT_PASSES fresh-JVM runs (the throughput
@@ -1324,11 +1349,17 @@ def main() -> None:
         "embedding_ingest": emb_ingest,
         "loadavg": {"start": load_start, "end": load_end},
         "load_gate": gate,
-        "suite_passes": SUITE_PASSES,
+        "suite_passes": passes_run,
+        "suite_passes_max": SUITE_PASSES,
+        "suite_wall_budget_s": SUITE_WALL_BUDGET_S,
         "throughput_passes": THROUGHPUT_PASSES,
         "pass_group_totals": pass_group_totals,
         "protocol": (
-            f"loadavg gate; {SUITE_PASSES} fresh-JVM suite passes, "
+            f"loadavg gate; {passes_run} of max {SUITE_PASSES} "
+            "fresh-JVM suite passes (another pass starts only if the "
+            "projected wall fits the stated budget — a noisy host "
+            "degrades to fewer passes, recorded, instead of a killed "
+            "run), "
             "per-query BEST across passes reported (per-pass group "
             "totals recorded — wide spread + tight best = ambient "
             "noise, not code); within a pass: fresh JVM per group, "
