@@ -242,6 +242,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "exact_jaccard_pairs",
         "training_handoff",
         "incremental_near_dups_probe",
+        "bpe_tokens_pretrained",
     ],
     # temporal/behavioral/sampling/ANN shapes
     "analytics": [
@@ -316,7 +317,8 @@ BENCH_EXCLUDED: dict[str, str] = {
     "bpe_tokens": (
         "X90 tokenize — retrains the 12-round X75 merge table inline "
         "to stay self-contained, so the trainer dominates its wall; "
-        "the apply pass itself is one no-shuffle Arrow scan"
+        "the apply pass is benched as bpe_tokens_pretrained (frozen "
+        "merge table, the production shape)"
     ),
     "rt_model_predictions": "MLlib RandomForest fit",
     "rt_scoring_roundtrip": "MLlib fit + warehouse roundtrip",
@@ -1369,7 +1371,12 @@ def main() -> None:
             "fresh-JVM throughput passes, best rate kept, all rates "
             "recorded; embedding_ingest benched at the ~2,000-row "
             "batch shape (replicate=10 — the honest sizing, "
-            "SCALING.md r12)"
+            "SCALING.md r12). PROTOCOL DISCONTINUITY (r13 ADVICE): "
+            "per-query best-of-N is a systematic downward bias vs the "
+            "single-pass r1-r12 artifacts — cross-round comparisons "
+            "against pre-r13 artifacts must use a same-protocol "
+            "old-code worktree rerun (the scaling record's control), "
+            "never the raw artifact totals"
         ),
     }
     full_line = json.dumps(full)

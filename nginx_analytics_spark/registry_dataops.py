@@ -208,11 +208,71 @@ def bpe_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Zipf makes the hit rate high). Rank-order application exactly
     reproduces the trainer's final vocabulary segmentation — the
     identity a tokenizer must hold, pinned by tests/test_bpe.py
-    against the sequential reference."""
+    against the sequential reference.
+
+    The ``tokens array<string>`` column is projected to a
+    space-joined ``token_text`` string: the driver contract's
+    canonicalizer hashes pandas columns, and array cells are
+    unhashable there (the r13 red row). Space-join is lossless for
+    BPE symbols — no learned symbol can contain a space because
+    :func:`bpe.word_vocab` pre-tokenizes on spaces, so the
+    projection is a bijection on token sequences. The registry-wide
+    no-nested-top-level-schema contract test
+    (tests/test_registry_contract.py) pins the failure class shut."""
     from nginx_analytics_spark.operators import bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    return bpe.bpe_encode(docs, bpe.learn_merges(docs, n_merges=12))
+    enc = bpe.bpe_encode(docs, bpe.learn_merges(docs, n_merges=12))
+    return enc.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("token_text"),
+        "n_tokens",
+    )
+
+
+# X90's production shape: tokenizers are trained once, applied forever —
+# the merge table is a deployment constant, not a per-query fit. This is
+# the learn_merges(documents@sf0.001, n_merges=12) output, frozen here so
+# the benched registry entry measures the one no-shuffle Arrow encode
+# pass (the serving cost) rather than the 12-round trainer. Rank order
+# matters; weights are provenance only.
+BPE_PRETRAINED_MERGES: list[tuple[str, str]] = [
+    ("e", "r</w>"),
+    ("o", "w</w>"),
+    ("o", "r"),
+    ("l", "u"),
+    ("i", "n"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("e", "r"),
+    ("a", "s"),
+    ("t", "o"),
+    ("a", "t"),
+    ("a", "n</w>"),
+]
+
+
+@query("bpe_tokens_pretrained")  # frozen merge table — rows-only
+def bpe_tokens_pretrained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90 (production shape): tokenize the corpus under the FROZEN
+    :data:`BPE_PRETRAINED_MERGES` table — the deployment pattern where
+    a tokenizer is trained once and applied to every later corpus.
+    This is the benchable entry the r13 verdict asked for: its wall is
+    exactly one Arrow-batched, no-shuffle ``mapInPandas`` scan with the
+    merge table as a closure constant (``bpe_tokens`` stays
+    bench-excluded because it retrains inline to remain
+    self-contained). Tokens are projected to the space-joined
+    ``token_text`` string like ``bpe_tokens`` — scalar-only top-level
+    schema per the registry contract."""
+    from nginx_analytics_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe.bpe_encode(docs, BPE_PRETRAINED_MERGES)
+    return enc.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("token_text"),
+        "n_tokens",
+    )
 
 
 @query(
