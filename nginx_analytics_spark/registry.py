@@ -59,134 +59,137 @@ _ORACLES: dict[str, str] = {}
 # row from the PREVIOUS round — re-checking them adds wall time, not
 # record. A doc-lint test pins every listed name to a registered query.
 #
-# Round 13 (executing the r12 verdict item 2 rotation). Freshness going
-# in (computed over CORRECTNESS_r1..r12): 27 names last green r10 —
-# exactly r12's designated spill plus bpe_pair_counts (position 51,
-# squeezed out of r12's 50-row budget) — 50 names r11, 50 names r12,
-# zero older, zero reds ever. The due set is 30: the three
-# never-recorded r13 queries and the 27-name r10 cohort; the remaining
-# ~20 rows of a
-# 50-row budget fall on the r11 cohort, chosen for FAMILY BREADTH so no
-# operator family's freshest row predates r12:
-#   * positions 1-3: new this round, never recorded —
-#     ann_pq_indexed_residual (the X88 residual-encoded IVFADC probe),
-#     ann_pq_indexed_residual_refined (its hash-exact oracle tier), and
-#     bpe_tokens (the X90 tokenize/apply step, rows-only by the X75
-#     iterative-trainer precedent);
-#   * positions 4-30: the r10 cohort, in the order the r12 verdict
+# Round 14 (executing the r13 verdict item 2 rotation). Freshness going
+# in (computed over CORRECTNESS_r1..r13): 30 names last green r11 —
+# exactly the set the r13 verdict pre-committed — 50 names r12, 49
+# names r13, zero older; ONE red ever (bpe_tokens r13, the array-column
+# canonicalizer crash, fixed this round with a registry-wide schema
+# contract test so the class cannot recur). The due set is 32: the red
+# re-check, the never-recorded bpe_tokens_pretrained (the X90
+# production shape the r13 verdict item 3 asked for), and the 30-name
+# r11 cohort; the remaining ~18 rows of a 50-row budget fall on the r12
+# cohort, chosen for FAMILY BREADTH so no operator family's freshest
+# row predates r13:
+#   * positions 1-2: bpe_tokens (red r13 -> re-check leads) and
+#     bpe_tokens_pretrained (new this round, no driver row yet);
+#   * positions 3-32: the r11 cohort, in the order the r13 verdict
 #     pre-committed;
-#   * positions 31-52: 22 r11 family heads — parse/agg/anomaly/feature
-#     chains, ranking, TPC-H pricing+supplier, temporal, streaming
-#     windows, corpus/text, and the at-rest ANN probes;
-#   * positions 52+: the DESIGNATED r13 SPILL = the rest of the r11
-#     cohort. Its head is the six expensive pair/iterative/roundtrip
-#     shapes r12 deliberately deferred (_CHECK_LAST last round) — any
-#     budget beyond ~51 lands on them first, and they lead r14's due
-#     set otherwise; then the r11 variant shapes whose families hold
-#     same-round recorded representatives (e.g. predict_features~
-#     training_features, windowed/sliding~session_windows,
-#     top_endpoints_bounded~top_endpoints, salted_*~batch_ip_stats,
-#     ann_ivf_topk~ann_ivf_indexed). Every spilled name stays
-#     oracle-verified at both pytest tiers every round.
+#   * positions 33-50: 18 r12 family heads — TPC-H join/agg shapes,
+#     the streaming anomaly roundtrip + stateful grouped-map, the
+#     sketch rollups, corpus/text heads, temporal joins, the at-rest
+#     PQ probe, the incremental-dedup probe, sampling and funnel;
+#   * positions 51+: the DESIGNATED r14 SPILL = the rest of the r12
+#     cohort. Its head is the expensive pair/roundtrip/iterative
+#     shapes r13 deliberately deferred (_CHECK_LAST last round:
+#     minhash_dedup_pairs, embedding_ingest_roundtrip,
+#     stream_stream_join, pii_redaction, scd2_user_plans) plus the
+#     iterative trainers (bpe_merges, traffic_forecast) — any budget
+#     beyond ~50 lands on them first, and they lead r15's due set
+#     otherwise; then the r12 variant shapes whose families hold
+#     same-round representatives (e.g. ann_pq_indexed_refined~
+#     ann_pq_indexed, priority_shipping~shipping_priority,
+#     corpus_report_incremental~corpus_report). Every spilled name
+#     stays oracle-verified at both pytest tiers every round.
 _CHECK_FIRST = [
-    # --- positions 1-3: new this round, no driver row yet ---
-    "ann_pq_indexed_residual",
-    "ann_pq_indexed_residual_refined",
+    # --- positions 1-2: the r13 red re-check + new this round ---
     "bpe_tokens",
-    # --- positions 4-30: the r10 cohort (r12's designated spill) ---
-    "ann_cosine_topk",
-    "ann_pq_topk",
-    "ann_pq_topk_refined",
-    "bpe_pair_counts",
-    "brand_size_revenue",
-    "dataset_split_counts",
-    "dedup_clusters",
-    "dedup_ingest_roundtrip",
-    "dominant_suppliers",
-    "embedding_centroids",
-    "embedding_dedup_pairs",
-    "engaged_users",
-    "error_only_users",
-    "exact_jaccard_pairs",
-    "idle_customers",
-    "important_parts",
-    "incremental_ip_stats",
-    "latency_percentiles_approx",
-    "minhash_lsh_pairs",
-    "quality_classifier_scores",
-    "quality_weighted_sample",
-    "sketch_distinct_users_7d",
-    "temperature_sample_docs",
-    "value_buckets_approx",
-    "value_deciles",
-    "value_trends",
-    "waiting_suppliers",
-    # --- positions 31-52: 22 r11 family heads (breadth-first) ---
-    "parse_enrich",
-    "batch_ip_stats",
-    "hourly_reagg",
-    "zscore_anomaly",
-    "anomaly_detail",
-    "training_features",
-    "count_raw",
-    "top_endpoints",
-    "distinct_users",
-    "pricing_summary",
-    "min_cost_supplier",
-    "latency_percentiles",
-    "session_windows",
-    "token_stats",
-    "language_id",
-    "doc_quality",
-    "doc_chunks",
-    "corpus_report",
-    "contamination_check",
-    "ann_ivf_indexed",
-    "ann_lsh_topk",
-    "embedding_lsh_pairs",
-    # --- positions 53+: the designated r13 spill (r11 cohort rest) ---
-    # expensive shapes r12 deferred — extra budget lands here first
-    "ngram_jaccard_pairs",
-    "simhash_near_dup",
-    "curate_corpus",
-    "incremental_embedding_near_dups",
-    "streaming_ingest_roundtrip",
-    "rt_scoring_roundtrip",
-    # r11 variant shapes with same-round recorded family heads
+    "bpe_tokens_pretrained",
+    # --- positions 3-32: the r11 cohort (r13's designated spill) ---
     "ann_ivf_topk",
+    "ann_lsh_topk",
+    "curate_corpus",
     "data_expectations",
+    "embedding_lsh_pairs",
     "exact_dedup_events",
     "frame_features",
+    "incremental_embedding_near_dups",
     "incremental_embedding_near_dups_probe",
     "incremental_near_dups",
     "incremental_new_docs",
+    "ngram_jaccard_pairs",
     "pack_chunks",
     "per_source_sample",
     "predict_features",
     "purchase_window_counts",
     "repetition_stats",
     "rt_model_predictions",
+    "rt_scoring_roundtrip",
     "salted_ip_stats",
     "salted_user_join",
     "shard_manifest",
+    "simhash_near_dup",
     "sliding_windowed_events",
     "stream_stream_left_join",
+    "streaming_ingest_roundtrip",
     "top_endpoints_bounded",
     "traffic_rollup",
     "value_rank_profile",
     "windowed_events",
-]
-# Expensive pair/iterative/roundtrip queries holding a FRESH green row
-# (r12) — re-checking them within the same budget would only displace
-# due rows, so they sit last, after the r12-green middle. (Last round's
-# six deferred names now head the spill above instead.)
-_CHECK_LAST = [
+    # --- positions 33-50: 18 r12 family heads (breadth-first) ---
+    "shipping_priority",
+    "local_supplier_volume",
+    "market_share",
+    "anomaly_job_roundtrip",
+    "stateful_key_profiles",
+    "kll_latency_percentiles_7d",
+    "theta_user_overlap",
+    "cms_user_counts_7d",
+    "clean_corpus",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "multimodal_features",
+    "asof_last_purchase",
+    "rolling_7d_avg",
+    "ann_pq_indexed",
+    "incremental_near_dups_probe",
+    "stratified_sample_events",
+    "conversion_funnel",
+    # --- positions 51+: the designated r14 spill (r12 cohort rest) ---
+    # expensive shapes r13 deferred — extra budget lands here first
     "minhash_dedup_pairs",
     "embedding_ingest_roundtrip",
-    "anomaly_job_roundtrip",
     "stream_stream_join",
     "pii_redaction",
     "scd2_user_plans",
+    "bpe_merges",
+    "traffic_forecast",
+    "training_handoff",
+    "incremental_index_near_dups",
+    # r12 variant shapes with same-round recorded family heads
+    "ann_pq_indexed_refined",
+    "approx_distinct_users",
+    "cohort_retention",
+    "corpus_report_incremental",
+    "customer_order_distribution",
+    "daily_event_matrix",
+    "doc_logprob",
+    "forecast_revenue",
+    "grouped_split_users",
+    "heavy_tokens",
+    "large_volume_customers",
+    "order_priority_check",
+    "priority_shipping",
+    "product_profit",
+    "promo_revenue",
+    "purchase_and_error_users",
+    "returned_items",
+    "small_quantity_revenue",
+    "supplier_part_counts",
+    "top_supplier",
+    "traffic_cube",
+    "user_sessions",
+    "volume_shipping",
+]
+# Expensive pair/iterative/roundtrip queries holding a FRESH green row
+# (r13) — re-checking them within the same budget would only displace
+# due rows, so they sit last, after the r13-green middle. (Last round's
+# five deferred names now head the spill above instead.)
+_CHECK_LAST = [
+    "dedup_clusters",
+    "exact_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "dedup_ingest_roundtrip",
+    "quality_classifier_scores",
 ]
 
 
