@@ -519,6 +519,19 @@ def _build_parser():
             "largest band, not the sum)"
         ),
     )
+    ci.add_argument(
+        "--prune-to-corpus",
+        default=None,
+        metavar="CORPUS_DIR",
+        help=(
+            "r13 item 4: also DROP orphan band rows (ids no longer in "
+            "this corpus store) from every band the pass rewrites — "
+            "reclaims the index_orphans `jobs reconcile-index` reports "
+            "without a full rebuild; combine with "
+            "--max-files-per-band 0 to force-rewrite (and prune) every "
+            "band"
+        ),
+    )
 
     cc = sub.add_parser(
         "compact-corpus",
@@ -681,7 +694,8 @@ def _build_parser():
             "sidecar's parameters and appends their band keys; index "
             "orphans (ids gone from the corpus) are reported only "
             "(harmless to correctness — the probe's exact-verify join "
-            "drops them — they cost candidate volume until a rebuild). "
+            "drops them — they cost candidate volume until reclaimed "
+            "by `compact-index --prune-to-corpus`). "
             "Takes the index's single-writer mutex; exit 0 consistent "
             "or repaired, 1 blind spots remain"
         ),
@@ -877,7 +891,14 @@ def main(argv: list[str] | None = None) -> int:
         # means the index is BUSY, not broken — exit 3, not 1, so a
         # cron alert distinguishes "re-check when quiesced" from
         # "rebuild now". --lock-timeout bounds the wait for a
-        # between-appends window (0 = one attempt).
+        # between-appends window (0 = one attempt). This ONE sibling
+        # covers every kind since r14: dedup._lsh_compact_lock_path and
+        # similarity.index_writer_lock_path are the same path, and all
+        # four PQ/IVF writers (pq_append_index / ivf_append_bucketed /
+        # rebuild_pq / recluster_ivf) acquire it first (r13 ADVICE
+        # medium: they used to be lock-free or lock distinct siblings,
+        # leaving this guard open for exactly the kinds with row_count
+        # semantics).
         lock = acquire_lock_wait(
             LOCAL_FS,
             dedup._lsh_compact_lock_path(p),
@@ -998,7 +1019,7 @@ def main(argv: list[str] | None = None) -> int:
             f"{out['missing_from_index']} missing from index"
             f"{' (' + str(out['repaired']) + ' repaired)' if out['repaired'] else ''}, "
             f"{out['index_orphans']} index orphans (candidate-volume "
-            "cost only; rebuild to reclaim)"
+            "cost only; reclaim with compact-index --prune-to-corpus)"
         )
         remaining = out["missing_from_index"] - out["repaired"]
         if remaining:
@@ -1026,6 +1047,14 @@ def main(argv: list[str] | None = None) -> int:
             vec_col=args.vec_col,
         )
         print(_json.dumps(out))
+        if out.get("non_monotone"):
+            print(
+                "note: non-monotone sweep — a measured recall DECREASED "
+                "as nprobe grew (PQ quantization noise can displace a "
+                "true neighbor from a larger ADC shortlist), so the "
+                "minimality of the answer is certified only at the "
+                "probed points"
+            )
         if out["met"]:
             print(
                 f"tuned: nprobe={out['nprobe']} of {out['n_cells']} "
@@ -1058,7 +1087,21 @@ def main(argv: list[str] | None = None) -> int:
             target_file_bytes=args.target_file_bytes,
             max_concurrency=args.max_concurrency,
         )
-        if LOCAL_FS.isfile(similarity.srp_index_meta_path(args.index)):
+        is_srp = LOCAL_FS.isfile(similarity.srp_index_meta_path(args.index))
+        if args.prune_to_corpus:
+            from nginx_analytics_spark.streaming.dedup_ingest import (
+                read_corpus,
+            )
+
+            meta = (
+                similarity.read_srp_index_meta(args.index)
+                if is_srp
+                else dedup.read_lsh_index_meta(args.index)
+            )
+            kwargs["prune_ids"] = read_corpus(
+                spark, args.prune_to_corpus
+            ).select(meta["id_col"])
+        if is_srp:
             stats = similarity.compact_srp_index(spark, args.index, **kwargs)
         else:
             stats = dedup.compact_lsh_index(spark, args.index, **kwargs)
@@ -1066,6 +1109,11 @@ def main(argv: list[str] | None = None) -> int:
             f"index compacted: {stats['bands_compacted']} of "
             f"{stats['bands_seen']} bands, {stats['files_before']} -> "
             f"{stats['files_after']} files"
+            + (
+                " (orphans pruned from rewritten bands)"
+                if args.prune_to_corpus
+                else ""
+            )
         )
         return 0
 

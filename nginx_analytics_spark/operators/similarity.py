@@ -553,7 +553,7 @@ def srp_band_keys(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 32,
+    n_planes: int = 64,
     bands: int = 8,
     dim: int = 64,
     seed: int = 42,
@@ -573,7 +573,13 @@ def srp_band_keys(
     additionally budget-checked: a config whose expected unrelated-pair
     collision fraction exceeds :data:`SRP_BG_COLLISION_WARN` warns —
     or raises with ``strict=True`` — citing the measured 32-vs-64-plane
-    horizon (r12 verdict item 6)."""
+    horizon (r12 verdict item 6). Accordingly the at-rest entry points
+    (this, :func:`write_srp_index`, :func:`append_srp_index`,
+    :func:`incremental_embedding_near_dups`) default to ``n_planes=64``
+    — the ingest loops' measured-good config — since r13's ADVICE
+    caught the 32-plane default warning against itself; 32 remains
+    available (and default on the one-shot pair/topk queries, whose
+    candidate volume is paid once, not per batch forever)."""
     _check_srp_banding(n_planes, bands)
     _check_srp_background_collisions(n_planes, bands, strict=strict)
     planes = hyperplanes(dim, n_planes, seed)
@@ -602,7 +608,7 @@ def write_srp_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 32,
+    n_planes: int = 64,
     bands: int = 8,
     dim: int = 64,
     seed: int = 42,
@@ -646,7 +652,7 @@ def append_srp_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 32,
+    n_planes: int = 64,
     bands: int = 8,
     dim: int = 64,
     seed: int = 42,
@@ -691,6 +697,7 @@ def compact_srp_index(
     target_file_bytes: int | None = None,
     max_concurrency: int | None = None,
     fs=None,
+    prune_ids: DataFrame | None = None,
 ) -> dict:
     """X82 per-band compaction for the SRP embedding index — the same
     maintenance half :func:`dedup.compact_lsh_index` gives the text
@@ -713,7 +720,15 @@ def compact_srp_index(
     manifest-layout (``store_compact``) dispatch all apply verbatim
     (r11 verdict item 1: one storage contract, one compactor, two
     signing modalities). Defaults are the shared X82 module constants.
-    Returns the same stats dict for caller telemetry."""
+    Returns the same stats dict for caller telemetry.
+
+    ``prune_ids`` (r13 verdict item 4): optional one-column frame of
+    surviving corpus ids — rewritten bands drop orphan band rows
+    during the rewrite (see ``dedup._compact_lsh_index_locked``), so a
+    heavy orphan load X91's ``reconcile_index`` reports is reclaimed
+    by the maintenance pass already running, without a full rebuild;
+    ``max_files_per_band=0`` force-rewrites every band for a full
+    reclaim."""
     from nginx_analytics_spark.operators import dedup
     from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
@@ -724,6 +739,7 @@ def compact_srp_index(
         target_files=target_files,
         target_file_bytes=target_file_bytes,
         max_concurrency=max_concurrency,
+        prune_ids=prune_ids,
     )
     kwargs = {k: v for k, v in kwargs.items() if v is not None}
     with fs.exclusive_lock(
@@ -751,7 +767,7 @@ def incremental_embedding_near_dups(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 32,
+    n_planes: int = 64,
     bands: int = 8,
     dim: int = 64,
     seed: int = 42,
@@ -1210,6 +1226,26 @@ def ivf_write_bucketed(
     return centroids
 
 
+def index_writer_lock_path(path: str) -> str:
+    """The at-rest ANN index's single-WRITER mutex: the sibling
+    ``<path>.compact.lock`` — deliberately the SAME sibling
+    :func:`dedup._lsh_compact_lock_path` uses for the banded dedup
+    indexes, so ``jobs verify-index`` holds ONE lock name and is
+    serialized against every writer of every index kind (r13 ADVICE
+    medium: the busy-guard took only the compact sibling while
+    ``pq_append_index``/``ivf_append_bucketed`` were lock-free and
+    ``rebuild_pq``/``recluster_ivf`` locked their own distinct
+    siblings, leaving the transient-false-TORN / vanished-sidecar race
+    open for exactly the kinds with row_count semantics). All four PQ/
+    IVF writers now take this mutex FIRST (``lock_held=True`` skips
+    re-acquisition for the appenders' inline actuator calls, which
+    already hold it); the rebuilders' ``.rebuild.lock`` /
+    ``.recluster.lock`` siblings remain as the inner recovery-
+    discipline locks, always acquired AFTER this one — a fixed order,
+    so no deadlock."""
+    return path.rstrip("/") + ".compact.lock"
+
+
 def ivf_index_verify(spark, path: str, fs=None) -> dict:
     """Check the at-rest IVF index's commit invariant: the parquet row
     count equals the sidecar's ``row_count``. A mismatch means a writer
@@ -1241,6 +1277,7 @@ def ivf_append_bucketed(
     fs=None,
     recluster_threshold: float | None = None,
     recluster_kwargs: dict | None = None,
+    lock_held: bool = False,
 ) -> dict:
     """Fold NEW vectors into an at-rest IVF index without a rebuild —
     the maintenance path that closes the write→append→probe lifecycle
@@ -1287,7 +1324,29 @@ def ivf_append_bucketed(
     tests/test_dataops.py). ``None`` (default) keeps the monitor
     signal-only for callers that schedule rebuilds themselves. The
     batch is checkpointed so the assignment kernel runs once for the
-    stats AND the write."""
+    stats AND the write.
+
+    Single-writer mutex (r13 ADVICE): the append runs under
+    :func:`index_writer_lock_path` — the sibling ``jobs verify-index``
+    and every other writer of this index serialize on — so a verify
+    can never observe the data-write→sidecar-flip window as a
+    transient false TORN. ``lock_held=True`` skips acquisition for a
+    caller that already owns the mutex (an ingest loop's writer
+    thread)."""
+    if not lock_held:
+        from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+        with (fs or LOCAL_FS).exclusive_lock(
+            index_writer_lock_path(path),
+            "IVF appends are single-writer: a concurrent writer or "
+            "verifier racing the data-write→sidecar-flip window would "
+            "read a transient false TORN",
+        ):
+            return ivf_append_bucketed(
+                new_vecs, path, id_col=id_col, vec_col=vec_col, fs=fs,
+                recluster_threshold=recluster_threshold,
+                recluster_kwargs=recluster_kwargs, lock_held=True,
+            )
     meta = read_ivf_index_meta(path, fs=fs)
     if meta["id_col"] != id_col:
         raise ValueError(
@@ -1377,7 +1436,7 @@ def ivf_append_bucketed(
         and ratio > recluster_threshold
     ):
         out["recluster"] = recluster_ivf(
-            spark, path, fs=fs, **(recluster_kwargs or {})
+            spark, path, fs=fs, lock_held=True, **(recluster_kwargs or {})
         )
         out["reclustered"] = True
     return out
@@ -1417,6 +1476,7 @@ def recluster_ivf(
     max_iter: int = 8,
     sample_cap: int = 4096,
     fs=None,
+    lock_held: bool = False,
 ) -> dict:
     """Re-fit the IVF quantizer over the index's OWN rows and swap the
     re-partitioned layout in atomically — the drift actuator
@@ -1440,13 +1500,30 @@ def recluster_ivf(
     routine rebuild changes geometry, not configuration. Returns
     ``{"n_rows", "n_cells", "old_mean_assign_dist",
     "new_mean_assign_dist"}`` — the new build mean becomes the drift
-    monitor's reference, which is what re-arms the trigger at ~1."""
+    monitor's reference, which is what re-arms the trigger at ~1.
+
+    Locking (r13 ADVICE): the GLOBAL writer mutex
+    (:func:`index_writer_lock_path`) is taken first unless the caller
+    already holds it (``lock_held=True`` — the inline actuator path
+    from :func:`ivf_append_bucketed`); the ``.recluster.lock`` sibling
+    stays as the inner recovery-discipline lock, acquired after — a
+    fixed order across all writers, so no deadlock."""
+    import contextlib
     import os
 
     from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
     fs = fs or LOCAL_FS
-    with fs.exclusive_lock(
+    writer_gate = (
+        contextlib.nullcontext()
+        if lock_held
+        else fs.exclusive_lock(
+            index_writer_lock_path(path),
+            "recluster serializes with appends and verify-index on the "
+            "index's single-writer mutex",
+        )
+    )
+    with writer_gate, fs.exclusive_lock(
         path.rstrip("/") + ".recluster.lock",
         "recluster is single-writer by design (two concurrent swaps "
         "would interleave renames on the same index dir)",
@@ -2308,6 +2385,7 @@ def pq_append_index(
     rebuild_corpus: DataFrame | None = None,
     rebuild_kwargs: dict | None = None,
     fs=None,
+    lock_held: bool = False,
 ) -> dict:
     """Fold NEW vectors into an at-rest PQ index without a rebuild —
     the maintenance path that closes the write→append→probe lifecycle
@@ -2349,13 +2427,36 @@ def pq_append_index(
     ``"rebuild"`` with ``"rebuilt": True``. ``rebuild_threshold``
     WITHOUT a corpus raises immediately — a trigger that could never
     fire its actuator would be worse than no trigger (the misconfig
-    would surface only once drift is already real)."""
+    would surface only once drift is already real). The "corpus
+    already includes this batch" requirement is ENFORCED, not just
+    documented (r13 ADVICE): the rebuilt sidecar's ``row_count`` must
+    cover what this append just committed, else the inline rebuild
+    raises — a stale corpus frame would otherwise silently drop the
+    acknowledged batch from the rebuilt index."""
     if rebuild_threshold is not None and rebuild_corpus is None:
         raise ValueError(
             "rebuild_threshold needs rebuild_corpus: the PQ index "
             "stores only m-byte codes, so the inline rebuild must be "
             "handed the raw corpus frame (including this batch's rows)"
         )
+    if not lock_held:
+        # r13 ADVICE: appends serialize on the index's single-writer
+        # mutex (the same sibling verify-index takes) so a verifier can
+        # never observe the data-write→sidecar-flip window as TORN.
+        from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+        with (fs or LOCAL_FS).exclusive_lock(
+            index_writer_lock_path(path),
+            "PQ appends are single-writer: a concurrent writer or "
+            "verifier racing the data-write→sidecar-flip window would "
+            "read a transient false TORN",
+        ):
+            return pq_append_index(
+                new_vecs, path, id_col=id_col, vec_col=vec_col,
+                rebuild_threshold=rebuild_threshold,
+                rebuild_corpus=rebuild_corpus,
+                rebuild_kwargs=rebuild_kwargs, fs=fs, lock_held=True,
+            )
     meta = read_pq_index_meta(path, fs=fs)
     if meta["id_col"] != id_col:
         raise ValueError(
@@ -2472,9 +2573,29 @@ def pq_append_index(
     ):
         out["rebuild"] = rebuild_pq(
             new_vecs.sparkSession, rebuild_corpus, path,
-            vec_col=vec_col, fs=fs, **(rebuild_kwargs or {}),
+            vec_col=vec_col, fs=fs, lock_held=True,
+            **(rebuild_kwargs or {}),
         )
         out["rebuilt"] = True
+        # r13 ADVICE: "rebuild_corpus already includes this batch's
+        # rows" was a docs-only contract — a caller handing a STALE
+        # corpus frame silently dropped the just-committed batch from
+        # the rebuilt index (the append's rows vanish with no error).
+        # The rebuilt sidecar's row_count is already in hand, so the
+        # check is free: the rebuild must cover at least what this
+        # append just committed.
+        pre = int(committed["row_count"])
+        post = int(out["rebuild"]["n_rows"])
+        if post < pre:
+            raise ValueError(
+                f"inline rebuild of the PQ index at {path!r} SHRANK it: "
+                f"the append committed {pre} rows but rebuild_corpus "
+                f"yielded only {post} — the corpus frame is stale (it "
+                "must already include this batch's rows; both ingest "
+                "loops append to their corpus store before or alongside "
+                "the index). The rebuilt index is missing acknowledged "
+                "rows; re-rebuild from the complete corpus store."
+            )
     return out
 
 
@@ -2532,6 +2653,7 @@ def rebuild_pq(
     ivf_max_iter: int = 8,
     ivf_sample_cap: int = 4096,
     fs=None,
+    lock_held: bool = False,
 ) -> dict:
     """Refit an at-rest PQ index from the RAW corpus and swap the new
     layout in atomically — the rebuild entry point the PQ drift monitor
@@ -2557,13 +2679,30 @@ def rebuild_pq(
     Returns ``{"n_rows", "n_cells", "residual",
     "old_mean_quant_err", "new_mean_quant_err"}`` — the new build mean
     becomes the drift monitor's reference, which re-arms the trigger
-    at ~1 for in-distribution appends."""
+    at ~1 for in-distribution appends.
+
+    Locking (r13 ADVICE): the GLOBAL writer mutex
+    (:func:`index_writer_lock_path`) is taken first unless the caller
+    already holds it (``lock_held=True`` — the inline actuator path
+    from :func:`pq_append_index`); the ``.rebuild.lock`` sibling stays
+    as the inner recovery-discipline lock, acquired after — a fixed
+    order across all writers, so no deadlock."""
+    import contextlib
     import os
 
     from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
     fs = fs or LOCAL_FS
-    with fs.exclusive_lock(
+    writer_gate = (
+        contextlib.nullcontext()
+        if lock_held
+        else fs.exclusive_lock(
+            index_writer_lock_path(path),
+            "rebuild-pq serializes with appends and verify-index on "
+            "the index's single-writer mutex",
+        )
+    )
+    with writer_gate, fs.exclusive_lock(
         path.rstrip("/") + ".rebuild.lock",
         "rebuild-pq is single-writer by design (two concurrent swaps "
         "would interleave renames on the same index dir)",
@@ -2851,10 +2990,20 @@ def tune_ann_nprobe(
     monotone-in-expectation (a larger candidate pool can displace a
     true neighbor from the ADC shortlist by quantization noise). The
     full sweep lands in the result so the operator sees the measured
-    curve, not just the answer.
+    curve, not just the answer — and the result carries a
+    ``non_monotone`` flag (r13 ADVICE): True when any measured recall
+    DECREASED as nprobe grew, which on the PQ path means the
+    doubling/binary-search minimality certificate holds only at the
+    probed points (an unprobed smaller nprobe could spike above the
+    target); the value below the returned ``nprobe`` is always among
+    the probed points by construction (binary search terminates at
+    ``hi - lo == 1`` with ``lo`` measured, or at ``nprobe=1``), so
+    local minimality is certified either way. On IVF the flag firing
+    would indicate a bug, pinned by test.
 
     Returns ``{"kind", "n_cells", "nprobe", "recall", "met",
-    "scan_fraction", "sweep", "k", "sample_queries", "target_recall"}``
+    "non_monotone", "scan_fraction", "sweep", "k", "sample_queries",
+    "target_recall"}``
     — ``met=False`` reports the full-scan ceiling (nprobe = n_cells)
     when the target is unreachable at this index configuration, which
     is itself the actionable answer (raise m/n_codes or refine_frac,
@@ -2955,6 +3104,7 @@ def tune_ann_nprobe(
             return {
                 "kind": kind, "n_cells": n_cells, "nprobe": n_cells,
                 "recall": round(r, 4), "met": False,
+                "non_monotone": _sweep_non_monotone(sweep),
                 "scan_fraction": 1.0, "sweep": sweep, "k": k,
                 "sample_queries": len(q_rows),
                 "target_recall": target_recall,
@@ -2970,7 +3120,18 @@ def tune_ann_nprobe(
     return {
         "kind": kind, "n_cells": n_cells, "nprobe": int(hi),
         "recall": round(float(hi_recall), 4), "met": True,
+        "non_monotone": _sweep_non_monotone(sweep),
         "scan_fraction": round(hi / n_cells, 4), "sweep": sweep,
         "k": k, "sample_queries": len(q_rows),
         "target_recall": target_recall,
     }
+
+
+def _sweep_non_monotone(sweep: list[dict]) -> bool:
+    """True when any measured recall DECREASED as nprobe grew (the
+    sweep list must already be nprobe-sorted) — the r13 ADVICE flag:
+    a non-monotone PQ sweep means the tuner's minimality certificate
+    holds only at the probed points."""
+    return any(
+        b["recall"] < a["recall"] for a, b in zip(sweep, sweep[1:])
+    )

@@ -14,6 +14,7 @@ import os
 import subprocess
 import sys
 
+import pytest
 from pyspark.sql import functions as F
 
 from nginx_analytics_spark import jobs
@@ -722,6 +723,63 @@ def test_cli_verify_index_busy_exits_3(spark, tmp_path, capsys):
         os.close(fd)
     # released: the same index now verifies healthy
     assert jobs.main(["verify-index", "--index", idx]) == 0
+
+
+def test_ann_writers_serialize_on_the_verify_mutex(spark, tmp_path):
+    """r13 ADVICE medium: verify-index's busy-guard takes ONE mutex
+    (the ``.compact.lock`` sibling), so every PQ/IVF writer must take
+    the SAME one — the appenders used to be lock-free and the
+    rebuilders locked only their own distinct siblings, leaving the
+    transient-false-TORN / vanished-sidecar race open for exactly the
+    kinds with row_count semantics. Against a held writer mutex all
+    four writers refuse with LockHeldError; released, the appends
+    commit (and lock_held=True skips re-acquisition for a caller that
+    already owns it — the inline actuator path)."""
+    import fcntl
+
+    from nginx_analytics_spark.operators import similarity
+    from nginx_analytics_spark.operators.index_fs import LockHeldError
+
+    emb = load_table(spark, SF, "embeddings").limit(30)
+    pq = f"{tmp_path}/pq"
+    ivf = f"{tmp_path}/ivf"
+    similarity.pq_write_index(emb, pq, m=8, n_codes=16)
+    similarity.ivf_write_bucketed(emb, ivf, n_cells=4)
+    more = emb.select((emb.vec_id + 10**6).alias("vec_id"), "embedding")
+    writers = {
+        pq: [
+            lambda: similarity.pq_append_index(more, pq),
+            lambda: similarity.rebuild_pq(spark, emb, pq),
+        ],
+        ivf: [
+            lambda: similarity.ivf_append_bucketed(more, ivf),
+            lambda: similarity.recluster_ivf(spark, ivf),
+        ],
+    }
+    for idx, fns in writers.items():
+        fd = os.open(
+            similarity.index_writer_lock_path(idx), os.O_CREAT | os.O_RDWR
+        )
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        try:
+            for fn in fns:
+                with pytest.raises(LockHeldError):
+                    fn()
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+    # released: the appends commit under the mutex they now take
+    assert similarity.pq_append_index(more, pq)["n"] == 30
+    assert similarity.ivf_append_bucketed(more, ivf)["n"] == 30
+    # and the held-mutex escape works for callers that already own it
+    # (the ingest-loop / inline-actuator shape)
+    more2 = emb.select((emb.vec_id + 2 * 10**6).alias("vec_id"), "embedding")
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    with LOCAL_FS.exclusive_lock(
+        similarity.index_writer_lock_path(pq), "test holds the mutex"
+    ):
+        assert similarity.pq_append_index(more2, pq, lock_held=True)["n"] == 30
 
 
 def test_cli_tune_ann(spark, tmp_path, capsys):
