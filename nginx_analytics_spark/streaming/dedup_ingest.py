@@ -299,12 +299,14 @@ def reconcile_index(
         for correctness — the probe's exact-verify stage joins
         candidates back to the corpus, so an orphan candidate drops
         out of the join and can never produce a hit — they only waste
-        candidate volume. Reported, not repaired: removing rows from a
-        banded index means rewriting bands (X82 compaction rewrites
-        rows as-is, so orphans persist through it); the honest fix for
-        a heavy orphan load is rebuilding the index from the store
-        (``write_*_index`` over ``read_corpus``), and the returned
-        count is the number an operator decides that with.
+        candidate volume. Reported, not repaired HERE: removing rows
+        from a banded index means rewriting bands, and the maintenance
+        pass that already rewrites bands owns that job — X82
+        compaction's ``prune_ids`` (r13 verdict item 4:
+        ``jobs compact-index --prune-to-corpus <store>``, with
+        ``--max-files-per-band 0`` for a full reclaim) drops orphan
+        rows from every band it rewrites, no full rebuild needed; the
+        returned count is the number an operator decides that with.
 
     Modality is sidecar-detected (MinHash/LSH text index or SRP
     embedding index); the check runs under the index's single-writer

@@ -1725,6 +1725,13 @@ def test_srp_background_collision_budget_check(spark, tmp_path):
         similarity.write_srp_index(
             emb, str(tmp_path / "ok"), n_planes=64, bands=8
         )
+    # r13 ADVICE: the API defaults must not warn against themselves —
+    # the at-rest entry points (band_keys / write / append / probe)
+    # default to the measured-good 64/8 config since r14
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        similarity.write_srp_index(emb, str(tmp_path / "default"))
+        similarity.append_srp_index(emb.limit(1), str(tmp_path / "default"))
     # strict mode turns the warning into a refusal (appends too — same
     # sidecar-matching params, so the budget check is the one that
     # fires, not the parameter-mismatch guard)

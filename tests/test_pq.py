@@ -690,6 +690,19 @@ def test_pq_append_rebuild_threshold_inline_actuator(spark, emb, tmp_path):
     more = shifted.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     assert similarity.pq_append_index(more, idx)["drift_ratio"] < 2.0
     assert similarity.pq_index_verify(spark, idx)["torn"] is False
+    # r13 ADVICE: a STALE rebuild_corpus (missing the just-committed
+    # batch) must raise loudly instead of silently dropping the
+    # acknowledged rows from the rebuilt index — the rebuilt sidecar's
+    # row_count cannot cover what the append committed
+    drifted2 = shifted.select(
+        (F.col("vec_id") + 3000000).alias("vec_id"),
+        F.transform("embedding", lambda v: v - F.lit(10.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="SHRANK|stale"):
+        similarity.pq_append_index(
+            drifted2, idx, rebuild_threshold=5.0,
+            rebuild_corpus=emb.select("vec_id", "embedding").limit(30),
+        )
 
 
 def test_tune_ann_nprobe_pq_residual(spark, emb, tmp_path):
@@ -709,6 +722,11 @@ def test_tune_ann_nprobe_pq_residual(spark, emb, tmp_path):
     assert out["met"] is True and 1 <= out["nprobe"] <= 16
     assert out["recall"] >= 0.3
     assert out["scan_fraction"] == round(out["nprobe"] / 16, 4)
+    # r13 ADVICE: the flag matches the sweep the result itself reports
+    rec = [s["recall"] for s in out["sweep"]]
+    assert out["non_monotone"] == any(
+        b < a for a, b in zip(rec, rec[1:])
+    )
     probed = [s["nprobe"] for s in out["sweep"]]
     assert probed == sorted(probed) and len(probed) <= 6  # O(log n_cells)
     assert all(0.0 <= s["recall"] <= 1.0 for s in out["sweep"])
@@ -737,6 +755,9 @@ def test_tune_ann_nprobe_ivf_monotone(spark, emb, tmp_path):
     assert out["kind"] == "ivf" and out["met"] is True
     recalls = [s["recall"] for s in out["sweep"]]
     assert recalls == sorted(recalls), out["sweep"]
+    # r13 ADVICE: the non-monotone flag exists, and on IVF it firing
+    # would indicate a bug (probed-cell nesting + exact scoring)
+    assert out["non_monotone"] is False
     # the binary search's minimality: every probed nprobe below the
     # answer missed the target
     for s in out["sweep"]:
