@@ -652,6 +652,19 @@ def _build_parser():
         default=None,
         help="new cell count (default: keep the standing sidecar's)",
     )
+    rp.add_argument(
+        "--residual",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help=(
+            "encode cell residuals (true IVFADC) instead of raw "
+            "vectors — the measured recall-recovery migration for an "
+            "index that has outgrown its refine floor (SCALING.md r13: "
+            "0.62 vs 0.50 recall@5 at x10 corpus); --no-residual "
+            "migrates back; default keeps the standing sidecar's "
+            "encoding"
+        ),
+    )
 
     ta = sub.add_parser(
         "tune-ann",
@@ -687,21 +700,31 @@ def _build_parser():
     rx = sub.add_parser(
         "reconcile-index",
         help=(
-            "X91: store<->index consistency check for an ingest loop's "
-            "corpus + banded dedup index (LSH/SRP, sidecar-detected). "
-            "Corpus rows missing from the index are PERMANENT dedup "
-            "blind spots — --repair signs exactly those rows under the "
-            "sidecar's parameters and appends their band keys; index "
-            "orphans (ids gone from the corpus) are reported only "
-            "(harmless to correctness — the probe's exact-verify join "
-            "drops them — they cost candidate volume until reclaimed "
-            "by `compact-index --prune-to-corpus`). "
+            "X91: store<->index consistency check for a corpus store "
+            "and ANY at-rest index over it — banded dedup (LSH/SRP) or "
+            "ANN serving (PQ/IVF), sidecar-detected. Corpus rows "
+            "missing from a dedup index are PERMANENT dedup blind "
+            "spots; missing from a serving index they are SILENT "
+            "RECALL LOSSES invisible to verify-index (the row_count "
+            "commit balances because the row was never appended). "
+            "--repair signs/encodes exactly those rows under the "
+            "sidecar's own parameters/codebooks/centroids and appends "
+            "them. Index orphans (ids gone from the corpus) are "
+            "reported only (dedup kinds: candidate-volume cost, "
+            "reclaim with `compact-index --prune-to-corpus`; serving "
+            "kinds: scan waste + possible shortlist displacement, "
+            "rebuild from the store with rebuild-pq / a fresh "
+            "ivf_write_bucketed — recluster-ivf refits from the "
+            "index's own rows and would KEEP them). "
             "Takes the index's single-writer mutex; exit 0 consistent "
             "or repaired, 1 blind spots remain"
         ),
     )
     rx.add_argument("--corpus", required=True, help="corpus store dir")
-    rx.add_argument("--index", required=True, help="at-rest LSH/SRP index")
+    rx.add_argument(
+        "--index", required=True,
+        help="at-rest LSH/SRP/PQ/IVF index (sidecar-detected)",
+    )
     rx.add_argument(
         "--repair", action="store_true",
         help="append band keys for corpus rows missing from the index",
@@ -988,6 +1011,7 @@ def main(argv: list[str] | None = None) -> int:
             args.index,
             vec_col=args.vec_col,
             n_cells=args.n_cells,
+            residual=args.residual,
         )
         layout = (
             f"{stats['n_cells']} cells"
@@ -1013,20 +1037,33 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col, vec_col=args.vec_col,
             repair=args.repair,
         )
+        serving = out["kind"] in ("pq", "ivf")
+        orphan_fix = (
+            "rebuild from the store to reclaim"
+            if serving
+            else "reclaim with compact-index --prune-to-corpus"
+        )
         print(
             f"{out['kind']} index vs corpus: {out['corpus_ids']} corpus "
             f"ids, {out['indexed_ids']} indexed; "
             f"{out['missing_from_index']} missing from index"
             f"{' (' + str(out['repaired']) + ' repaired)' if out['repaired'] else ''}, "
-            f"{out['index_orphans']} index orphans (candidate-volume "
-            "cost only; reclaim with compact-index --prune-to-corpus)"
+            f"{out['index_orphans']} index orphans "
+            f"({'scan waste' if serving else 'candidate-volume cost'} "
+            f"only; {orphan_fix})"
         )
         remaining = out["missing_from_index"] - out["repaired"]
         if remaining:
             print(
-                f"{remaining} corpus rows are DEDUP BLIND SPOTS — "
-                "near-duplicates of them will be admitted; re-run with "
-                "--repair"
+                f"{remaining} corpus rows are "
+                + (
+                    "SILENT RECALL LOSSES — no probe can ever return "
+                    "them"
+                    if serving
+                    else "DEDUP BLIND SPOTS — near-duplicates of them "
+                    "will be admitted"
+                )
+                + "; re-run with --repair"
             )
             return 1
         return 0

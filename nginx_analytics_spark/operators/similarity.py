@@ -2258,6 +2258,22 @@ def pq_write_index(
     contract, this mode keeps recall; the sidecar records which was
     built and :func:`pq_topk_indexed` decodes accordingly.
 
+    WHY THE DEFAULT STAYS ``residual=False`` (r13 verdict item 6 — a
+    deliberate, measured decision, pinned by test): the SCALING.md r13
+    table shows residual WINS where the index has outgrown its
+    refine floor (×10 grown fixture: recall@5 0.62 vs 0.50 at
+    identical m/nprobe) but LOSES at the 2,000-row base (0.52 vs 0.56)
+    where ``refine_floor=50`` already re-ranks a quarter of the corpus
+    exactly and the extra LUT-per-cell work buys nothing — small and
+    medium indexes are refine-floor-dominated, and a new index is
+    small by definition. Raw is also the only encoding that holds the
+    row-identity contract with :func:`pq_topk` (the exactness tier the
+    driver hash-checks). The migration is one command when a corpus
+    outgrows the floor: ``jobs rebuild-pq --residual`` (or the inline
+    ``rebuild_threshold`` actuator with ``residual=True`` in
+    ``rebuild_kwargs``), and ``jobs tune-ann`` re-measures the
+    nprobe/recall point on the rebuilt index.
+
     The ``_pq_meta.json`` sidecar carries the codebooks (and centroids,
     when celled) bit-faithfully plus a ``row_count`` written LAST —
     the flip is the commit, exactly the :func:`ivf_write_bucketed`

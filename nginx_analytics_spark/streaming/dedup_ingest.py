@@ -279,11 +279,11 @@ def reconcile_index(
     repair: bool = False,
     fs=None,
 ) -> dict:
-    """X91: store↔index consistency check (and repair) for the ingest
-    loops' two-sided state. The corpus store and its banded index are
-    written by the same batch but are not one atomic object, so
-    operator interventions outside the loop's replay discipline (a
-    lost/trimmed checkpoint, a manual corpus import, a
+    """X91: store↔index consistency check (and repair) for a corpus
+    store paired with ANY of the at-rest indexes derived from it. The
+    store and its index are written together but are not one atomic
+    object, so operator interventions outside the writers' replay
+    discipline (a lost/trimmed checkpoint, a manual corpus import, a
     restored-from-backup store) can leave them diverged — in two very
     different directions:
 
@@ -308,17 +308,35 @@ def reconcile_index(
         rows from every band it rewrites, no full rebuild needed; the
         returned count is the number an operator decides that with.
 
-    Modality is sidecar-detected (MinHash/LSH text index or SRP
-    embedding index); the check runs under the index's single-writer
-    mutex (the verify-index rule: counting mid-append would report
-    transient divergence), so it fails loudly against a live loop.
+    Kind is sidecar-detected — ALL FOUR at-rest index kinds since r14
+    (r13 verdict item 5): the banded dedup indexes (MinHash/LSH text,
+    SRP embedding) and the ANN SERVING indexes (celled/flat PQ,
+    bucketed IVF), which pair with the same corpus store and diverge
+    the same two ways. For the serving kinds a missing row is a SILENT
+    RECALL LOSS — the vector exists in the corpus but no probe can
+    ever return it, invisible to ``pq_index_verify``/
+    ``ivf_index_verify`` (those only check the row_count commit, which
+    balances because the row was never appended) — and ``repair=True``
+    appends exactly the missing vectors under the SIDECAR's own
+    codebooks/centroids (``pq_append_index``/``ivf_append_bucketed``
+    with the writer mutex already held, so the appends' torn-check and
+    commit-flip protocol run as usual; a TORN index fails the repair
+    loudly — heal it first). Serving-index orphans waste scan work and
+    can displace true neighbors from fixed-size shortlists; they are
+    reported with the rebuild guidance (``rebuild_pq`` from the store /
+    ``ivf_write_bucketed`` over ``read_corpus`` — NOT ``recluster_ivf``,
+    which refits from the index's own rows and would keep them).
+
+    The check runs under the index's single-writer mutex (the
+    verify-index rule: counting mid-append would report transient
+    divergence — since r14 the same sibling serializes every writer of
+    every kind), so it fails loudly against a live loop.
 
     Scale: two id-only anti-joins — the index side reads one
-    column of a three-long-column table, the corpus side reads only
-    ids; the payloads of missing rows are the ONLY corpus content
-    touched, and only under ``repair``. Returns ``{"kind",
-    "corpus_ids", "indexed_ids", "missing_from_index",
-    "index_orphans", "repaired"}``."""
+    column, the corpus side reads only ids; the payloads of missing
+    rows are the ONLY corpus content touched, and only under
+    ``repair``. Returns ``{"kind", "corpus_ids", "indexed_ids",
+    "missing_from_index", "index_orphans", "repaired"}``."""
     from pyspark.sql import functions as F
 
     from nginx_analytics_spark.operators import similarity
@@ -334,13 +352,20 @@ def reconcile_index(
     elif fs.isfile(similarity.srp_index_meta_path(index_path)):
         kind, meta = "srp", similarity.read_srp_index_meta(index_path, fs=fs)
         payload_col = vec_col
+    elif fs.isfile(similarity.pq_index_meta_path(index_path)):
+        kind, meta = "pq", similarity.read_pq_index_meta(index_path, fs=fs)
+        payload_col = vec_col
+    elif fs.isfile(similarity.ivf_index_meta_path(index_path)):
+        kind, meta = "ivf", similarity.read_ivf_index_meta(index_path, fs=fs)
+        payload_col = vec_col
     else:
         raise ValueError(
-            f"no banded index sidecar at {index_path!r} "
-            "(_lsh_meta/_srp_meta.json) — reconcile pairs a corpus "
-            "store with its LSH/SRP dedup index"
+            f"no at-rest index sidecar at {index_path!r} "
+            "(_lsh_meta/_srp_meta/_pq_meta/_ivf_meta.json) — reconcile "
+            "pairs a corpus store with its dedup or ANN serving index"
         )
     id_col = meta["id_col"]
+    banded = kind in ("lsh", "srp")
     with fs.exclusive_lock(
         dedup._lsh_compact_lock_path(index_path),
         "reconcile counts (and repairs) only while no writer holds "
@@ -350,9 +375,13 @@ def reconcile_index(
         cids = corpus.select(F.col(id_col)).distinct().localCheckpoint(
             eager=True  # consumed by both anti-joins + the repair semi
         )
-        iids = (
+        index_rows = (
             banded_index_read(spark, index_path, fs=fs)
-            .select(F.col(id_col))
+            if banded
+            else spark.read.parquet(index_path)
+        )
+        iids = (
+            index_rows.select(F.col(id_col))
             .distinct()
             .localCheckpoint(eager=True)
         )
@@ -376,11 +405,24 @@ def reconcile_index(
                     num_hashes=meta["num_hashes"],
                     rows_per_band=meta["rows_per_band"], fs=fs,
                 )
-            else:
+            elif kind == "srp":
                 similarity.append_srp_index(
                     rows, index_path, id_col=id_col, vec_col=vec_col,
                     n_planes=meta["n_planes"], bands=meta["bands"],
                     dim=meta["dim"], seed=meta["seed"], fs=fs,
+                )
+            elif kind == "pq":
+                # encodes under the SIDECAR's codebooks (never a refit)
+                # and flips the row_count commit; lock_held — this
+                # mutex IS the writers' since r14
+                similarity.pq_append_index(
+                    rows, index_path, id_col=id_col, vec_col=vec_col,
+                    fs=fs, lock_held=True,
+                )
+            else:
+                similarity.ivf_append_bucketed(
+                    rows, index_path, id_col=id_col, vec_col=vec_col,
+                    fs=fs, lock_held=True,
                 )
             repaired = n_missing
     return {

@@ -699,6 +699,45 @@ def test_cli_rebuild_pq(spark, tmp_path, capsys):
     assert jobs.main(["verify-index", "--index", idx]) == 0
 
 
+def test_cli_rebuild_pq_residual_migration(spark, tmp_path, capsys):
+    """r13 verdict item 6: the deliberate residual story — a NEW celled
+    index defaults to RAW codes (small indexes are refine-floor-
+    dominated and raw holds the pq_topk row-identity contract; the
+    measured rationale lives on pq_write_index's docstring +
+    SCALING.md), and the migration when a corpus outgrows the floor is
+    one CLI call: `rebuild-pq --residual` flips the encoding from the
+    raw corpus store, `--no-residual` migrates back, and the default
+    keeps the standing sidecar's encoding."""
+    from nginx_analytics_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    idx = f"{tmp_path}/pq"
+    corpus_dir = f"{tmp_path}/corpus"
+    emb.write.parquet(corpus_dir)
+    # the pinned default: celled build without an explicit residual
+    # flag writes RAW codes
+    similarity.pq_write_index(emb, idx, m=8, n_codes=16, n_cells=8)
+    assert similarity.read_pq_index_meta(idx)["residual"] is False
+    # migrate up: residual encoding from the raw store
+    rc = jobs.main([
+        "rebuild-pq", "--index", idx, "--corpus", corpus_dir, "--residual",
+    ])
+    assert rc == 0 and "residual codes" in capsys.readouterr().out
+    assert similarity.read_pq_index_meta(idx)["residual"] is True
+    # default rebuild keeps the standing encoding
+    assert jobs.main(["rebuild-pq", "--index", idx, "--corpus", corpus_dir]) == 0
+    capsys.readouterr()
+    assert similarity.read_pq_index_meta(idx)["residual"] is True
+    # migrate back
+    rc = jobs.main([
+        "rebuild-pq", "--index", idx, "--corpus", corpus_dir,
+        "--no-residual",
+    ])
+    assert rc == 0
+    assert similarity.read_pq_index_meta(idx)["residual"] is False
+    assert jobs.main(["verify-index", "--index", idx]) == 0
+
+
 def test_cli_verify_index_busy_exits_3(spark, tmp_path, capsys):
     """r12 ADVICE: verify-index must not count rows while a writer
     holds the index mutex (the window between a data write and its
@@ -843,3 +882,27 @@ def test_cli_reconcile_index(spark, tmp_path, capsys):
     rc = jobs.main(["reconcile-index", "--corpus", corpus, "--index", idx])
     out = capsys.readouterr().out
     assert rc == 0 and "0 missing from index" in out
+
+
+def test_cli_reconcile_index_serving_kind(spark, tmp_path, capsys):
+    """r13 verdict item 5 at the CLI: reconcile-index sidecar-detects a
+    PQ serving index; a corpus vector missing from it exits 1 with the
+    recall-loss wording (not the dedup blind-spot one), --repair
+    appends it under the sidecar's codebooks and exits 0."""
+    from nginx_analytics_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    corpus, idx = f"{tmp_path}/corpus", f"{tmp_path}/pq"
+    emb.write.parquet(corpus)
+    similarity.pq_write_index(
+        emb.filter("vec_id <> 0"), idx, m=8, n_codes=16, n_cells=4
+    )
+    rc = jobs.main(["reconcile-index", "--corpus", corpus, "--index", idx])
+    out = capsys.readouterr().out
+    assert rc == 1 and "SILENT RECALL LOSSES" in out and "pq index" in out
+    rc = jobs.main(
+        ["reconcile-index", "--corpus", corpus, "--index", idx, "--repair"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "(1 repaired)" in out
+    assert jobs.main(["verify-index", "--index", idx]) == 0

@@ -1491,6 +1491,84 @@ def test_reconcile_index_embedding_modality(spark, tmp_path):
     assert sum(1 for r in rows if r.vec_id == 9) == 8
 
 
+def test_reconcile_index_ann_serving_kinds(spark, tmp_path):
+    """r13 verdict item 5: reconcile_index extends to the at-rest ANN
+    SERVING indexes (celled PQ, bucketed IVF), which pair with the
+    same corpus store and diverge the same two ways. The stakes,
+    demonstrated: a corpus vector absent from the index is a SILENT
+    RECALL LOSS — the exact-nearest query for it cannot return it, and
+    pq_index_verify/ivf_index_verify stay green because the row_count
+    commit balances (the row was never appended). repair=True appends
+    exactly the missing vector under the sidecar's own codebooks/
+    centroids; the same query then returns it at rank 1. Orphans
+    (index rows whose id left the store) are reported, not repaired."""
+    from pyspark.sql import functions as F
+
+    from nginx_analytics_spark.operators import similarity
+    from nginx_analytics_spark.streaming.dedup_ingest import reconcile_index
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(200)
+        .localCheckpoint(eager=True)
+    )
+    hole_id = emb.agg(F.min("vec_id")).collect()[0][0]
+    rest = emb.filter(F.col("vec_id") != hole_id)
+    corpus = str(tmp_path / "corpus")
+    emb.write.parquet(corpus)
+    # query id deliberately distinct from every corpus id: the probe
+    # paths exclude self-matches (same id), and the test's point is
+    # that the VECTOR (exact match, distance 0) comes back
+    queries = emb.filter(F.col("vec_id") == hole_id).select(
+        (F.col("vec_id") + 10_000_000).alias("query_id"), "embedding"
+    ).localCheckpoint(eager=True)
+
+    # --- PQ (celled/IVFADC) ---
+    pq = str(tmp_path / "pq")
+    similarity.pq_write_index(rest, pq, m=8, n_codes=16, seed=42, n_cells=8)
+    got = similarity.pq_topk_indexed(
+        spark, emb, queries, pq, k=5, nprobe=None
+    ).collect()
+    assert hole_id not in {int(r.neighbor_id) for r in got}  # recall hole
+    assert similarity.pq_index_verify(spark, pq)["torn"] is False  # invisible
+    out = reconcile_index(spark, corpus, pq)
+    assert out["kind"] == "pq" and out["missing_from_index"] == 1
+    assert out["index_orphans"] == 0
+    out = reconcile_index(spark, corpus, pq, repair=True)
+    assert out["repaired"] == 1
+    assert similarity.pq_index_verify(spark, pq)["torn"] is False
+    got = similarity.pq_topk_indexed(
+        spark, emb, queries, pq, k=5, nprobe=None
+    ).collect()
+    by_rank = sorted(got, key=lambda r: r.rank)
+    assert int(by_rank[0].neighbor_id) == hole_id  # found, at rank 1
+
+    # --- IVF (bucketed) ---
+    ivf = str(tmp_path / "ivf")
+    similarity.ivf_write_bucketed(rest, ivf, n_cells=8)
+    got = similarity.ivf_topk_bucketed(
+        spark, ivf, None, queries, k=5, nprobe=8
+    ).collect()
+    assert hole_id not in {int(r.neighbor_id) for r in got}
+    out = reconcile_index(spark, corpus, ivf, repair=True)
+    assert out["kind"] == "ivf" and out["repaired"] == 1
+    assert similarity.ivf_index_verify(spark, ivf)["torn"] is False
+    got = similarity.ivf_topk_bucketed(
+        spark, ivf, None, queries, k=5, nprobe=8
+    ).collect()
+    by_rank = sorted(got, key=lambda r: r.rn)  # IVF ranks by cosine desc
+    assert int(by_rank[0].neighbor_id) == hole_id
+
+    # orphan direction: a store that lost a row reads back as a
+    # reported (never repaired) orphan on the serving kinds too
+    shrunk = str(tmp_path / "shrunk")
+    rest.write.parquet(shrunk)
+    out = reconcile_index(spark, shrunk, pq, repair=True)
+    assert out["index_orphans"] == 1 and out["repaired"] == 0
+    assert out["missing_from_index"] == 0
+
+
 def test_compact_index_prune_to_corpus_reclaims_orphans(spark, tmp_path):
     """r13 verdict item 4: X82 compaction's prune_ids drops orphan
     band rows (ids no longer in the corpus store) from every band it
