@@ -243,6 +243,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "training_handoff",
         "incremental_near_dups_probe",
         "bpe_tokens_pretrained",
+        "jaccard_pairs_prefix",
     ],
     # temporal/behavioral/sampling/ANN shapes
     "analytics": [
@@ -263,6 +264,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "stratified_sample_events",
         "grouped_split_users",
         "per_source_sample",
+        "weighted_sample_docs",
         "temperature_sample_docs",
         "quality_weighted_sample",
         "value_deciles",

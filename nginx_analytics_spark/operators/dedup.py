@@ -305,6 +305,116 @@ def exact_jaccard_pairs(
     return _relational_jaccard(sh, id_col, "sh", threshold, round_to)
 
 
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """X92: EXACT threshold-Jaccard pairs via PREFIX FILTERING (the
+    AllPairs/PPJoin candidate scheme — Bayardo et al., WWW 2007;
+    Xiao et al., WWW 2008) — the deterministic scale path between the
+    probabilistic MinHash band join and the exhaustive
+    :func:`exact_jaccard_pairs` co-occurrence plan. Same shingling,
+    same output contract, recall 1 by THEOREM instead of by banding
+    odds or by Σ df(g)² work:
+
+      order each document's distinct shingles by ascending global
+      document frequency (ties by value — a total order shared by all
+      documents); with ``p(d) = |d| - ceil(t·|d|) + 1``, any pair with
+      ``J(a,b) >= t`` must share a shingle lying in BOTH prefixes.
+      Proof sketch: J >= t implies ``|A∩B| >= t·|A∪B| >= t·max(|A|,
+      |B|)``; if no shared shingle sits in A's first ``p(A)`` tokens,
+      all shared shingles live in A's last ``ceil(t·|A|) - 1`` — fewer
+      than the required overlap. Symmetrically for B.
+
+    The candidate join therefore explodes ONLY prefixes: the rarest
+    ``|d| - ceil(t·|d|) + 1`` shingles of each document (at t=0.6,
+    ~40% of each set, and — because ordering is by ascending df — the
+    tokens with the SMALLEST join fan-out). Cost drops from
+    ``Σ_g df(g)²`` over all shingles to the same sum over prefix
+    occurrences of the rarest shingles, which is where the quadratic
+    mass isn't. A length filter (``t·max(|A|,|B|) <= min(|A|,|B|)``,
+    a necessary condition of J >= t) prunes candidates before
+    verification. Each surviving pair is verified EXACTLY once
+    (distinct) via one ``array_intersect`` of the two shingle arrays —
+    cost scales with candidates, never the corpus².
+
+    Float-safety: the prefix/overlap bound is computed as
+    ``ceil(t·n - 1e-9)`` so a float product landing an ulp ABOVE the
+    exact value (0.6*5 = 3.0000000000000004) cannot shorten a prefix
+    and silently lose recall — the slack only ever LENGTHENS a prefix
+    by one. Equality with :func:`exact_jaccard_pairs` is pinned across
+    thresholds in tests/test_dataops.py, and the registered query
+    hash-matches the brute-force DuckDB oracle.
+
+    Scale: one shuffle by shingle for the df counts, one window
+    shuffle by id for the per-document ordering, the prefix-only
+    candidate join, then id-keyed verification joins. At 100 TB the
+    df frame doubles as the skew report: a shingle whose df makes even
+    its prefix occurrences quadratic is a stop-shingle candidate —
+    exactly the knob the PPJoin literature tunes."""
+    if threshold <= 0.0:
+        raise ValueError(
+            "prefix filtering needs threshold > 0 (at t=0 the prefix "
+            "is the whole set — use exact_jaccard_pairs)"
+        )
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    ).localCheckpoint(eager=True)
+    grams = sh.select(F.col(id_col).alias("id"), F.explode("sh").alias("g"))
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
+    wn = Window.partitionBy("id")
+    ordered = (
+        grams.join(df_counts, "g")
+        .select(
+            "id", "g",
+            F.row_number().over(w).alias("pos"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    )
+    minreq = F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+    prefix = ordered.filter(
+        F.col("pos") <= F.col("n") - minreq + F.lit(1)
+    ).select("id", "g", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: J >= t needs t * max(|A|,|B|) <= min
+            & (
+                F.least(F.col("a.n"), F.col("b.n")).cast("double")
+                >= F.lit(float(threshold))
+                * F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
+                - F.lit(1e-9)
+            ),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    sha = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    j = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    ).cast("double")
+    if round_to is not None:
+        j = half_up(j, round_to)
+    return (
+        cands.join(sha, "id_a")
+        .join(shb, "id_b")
+        .select("id_a", "id_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -260,6 +260,99 @@ def quality_weighted_sample(
     return rated.filter(portable_frac(key, salt) < F.col("rate"))
 
 
+def weighted_sample_wor(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """X93: weighted sampling WITHOUT replacement — exactly
+    ``min(k, |group|)`` rows per group (one global group when
+    ``group_col`` is None), where a row's inclusion probability tracks
+    its weight, deterministically and engine-portably. This is the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006): give each row the key
+    ``u^(1/w)`` with ``u ~ U(0,1)`` and keep the k LARGEST — provably
+    equivalent to sequential weighted draws without replacement. Here
+    ``u`` is the portable hash fraction (offset to the open interval:
+    ``u = (h + 0.5) / 2^32``, never 0 or 1, still EXACT in a double —
+    h has 32 significand bits, the offset one more), so the sample is
+    a pure function of (key, weight, salt): partition-invariant,
+    repartition-invariant, and reproducible in any ANSI engine — the
+    module's contract, extended from uniform to weighted draws. Keys
+    are ranked in the log domain (``ln(u)/w`` descending — the same
+    order as ``u^(1/w)`` since exp is monotone and w > 0) to spend one
+    transcendental per row instead of pow's two.
+
+    Rows with NULL or non-positive weight carry zero sampling mass and
+    are EXCLUDED (A-ES is undefined there); the SQL twin filters
+    identically. Consistency property (pinned by test): the k-sample
+    is a strict prefix of the (k+m)-sample under the same salt — the
+    per-key order is fixed, deeper cuts only extend it. Salted streams
+    are independent per the module's Weyl-multiple scheme.
+
+    Float-parity note: ``ln`` is the one transcendental in the rank
+    key; JVM and DuckDB libm may disagree by an ulp, so two rows whose
+    keys collide within ~1e-15 RELATIVE could rank-swap across engines
+    — the knife-edge class SCALING.md documents for float-order
+    boundaries. Probability ~n²·2^-52 per group; the arithmetic before
+    ``ln`` is exact on both sides by construction.
+
+    Returns the selected rows plus ``sample_rank`` (1-based within
+    group). One window exchange on the group key — the
+    :func:`per_group_sample` cost shape; no shuffle when the input is
+    already hash-partitioned by the group."""
+    from pyspark.sql.window import Window
+
+    mult = (KNUTH * (2 * salt + 1)) % M32
+    h = F.pmod(
+        F.col(key).cast("bigint") * F.lit(mult) + F.lit(salt), F.lit(M32)
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(M32))
+    aes = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(
+        *([group_col] if group_col else [])
+    ).orderBy(F.col("__aes").desc(), F.col(key).asc())
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__aes", aes)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__aes")
+    )
+
+
+def weighted_sample_wor_sql(
+    table: str,
+    key: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    salt: int = 0,
+    select: str = "*",
+) -> str:
+    """The ANSI-SQL twin of :func:`weighted_sample_wor` (same hash, same
+    open-interval offset, same log-domain A-ES key, same tie-break)."""
+    mult = (KNUTH * (2 * salt + 1)) % M32
+    part = f"PARTITION BY {group_col} " if group_col else ""
+    return f"""
+    WITH __w AS (
+        SELECT {select},
+               ln((({key} * {mult} + {salt}) % {M32} + 0.5) / {float(M32)})
+                   / CAST({weight_col} AS DOUBLE) AS __aes
+        FROM {table}
+        WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+    ), __r AS (
+        SELECT * EXCLUDE (__aes),
+               row_number() OVER ({part}ORDER BY __aes DESC, {key} ASC)
+                   AS sample_rank
+        FROM __w
+    )
+    SELECT * FROM __r WHERE sample_rank <= {k}
+    """
+
+
 def per_group_sample(
     df: DataFrame,
     group_col: str,

@@ -91,9 +91,11 @@ _ORACLES: dict[str, str] = {}
 #     corpus_report_incremental~corpus_report). Every spilled name
 #     stays oracle-verified at both pytest tiers every round.
 _CHECK_FIRST = [
-    # --- positions 1-2: the r13 red re-check + new this round ---
+    # --- positions 1-4: the r13 red re-check + new this round ---
     "bpe_tokens",
     "bpe_tokens_pretrained",
+    "jaccard_pairs_prefix",
+    "weighted_sample_docs",
     # --- positions 3-32: the r11 cohort (r13's designated spill) ---
     "ann_ivf_topk",
     "ann_lsh_topk",

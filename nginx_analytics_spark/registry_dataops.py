@@ -179,6 +179,67 @@ def exact_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+@query(
+    "weighted_sample_docs",
+    "SELECT source, doc_id, n_chars, CAST(sample_rank AS BIGINT) AS "
+    "sample_rank FROM ("
+    + sampling.weighted_sample_wor_sql(
+        "documents", "doc_id", "n_chars", 20,
+        group_col="source", select="source, doc_id, n_chars",
+    )
+    + ") ORDER BY source, sample_rank",
+)
+def weighted_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93: weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES, IPL 2006) — 20 documents per source with inclusion
+    probability tracking document length, as a pure function of
+    (doc_id, n_chars, salt): partition-invariant, engine-portable
+    (the hash arithmetic is exact on both engines; ln is the one
+    transcendental, same value both sides on this fixture), and
+    consistent (the k-sample prefixes the k+m-sample). The quality/
+    temperature samplers weight GROUPS; this weights ROWS — the
+    missing cell in the sampling matrix a curation pipeline uses for
+    importance-weighted corpus draws."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample_wor(
+        docs.select("source", "doc_id", "n_chars"),
+        "doc_id", "n_chars", 20, group_col="source",
+    ).select(
+        "source", "doc_id", "n_chars",
+        F.col("sample_rank").cast("bigint").alias("sample_rank"),
+    )
+
+
+@query(
+    "jaccard_pairs_prefix",
+    f"""
+    WITH s AS ({_SHINGLES_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {R6_SQL.format(x="len(list_intersect(a.sh, b.sh))::DOUBLE"
+                            " / len(list_distinct(list_concat(a.sh, b.sh)))")}
+               AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def jaccard_pairs_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92: exact threshold-Jaccard pairs via PREFIX FILTERING
+    (AllPairs/PPJoin candidate scheme) — the deterministic 100 TB path
+    for exact-threshold near-dup mining: only each document's rarest
+    ``|d| - ceil(t|d|) + 1`` shingles enter the candidate join (recall
+    1 by the prefix theorem, not by banding odds), a length filter
+    prunes size-incompatible pairs, and one array_intersect verifies
+    each surviving pair exactly once. Hash-matched against the same
+    brute-force DuckDB oracle as exact_jaccard_pairs — identical
+    output, structurally cheaper plan (the quadratic co-occurrence
+    mass sits in the FREQUENT shingles, exactly the ones prefix
+    ordering excludes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs_prefix(
+        docs, threshold=JACCARD_THRESHOLD, round_to=6
+    )
+
+
 @query("bpe_merges")  # iterative algorithm — not SQL-expressible, rows-only
 def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X75: distributed BPE tokenizer training — the iterative merge-

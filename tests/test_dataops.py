@@ -104,6 +104,69 @@ def test_exact_jaccard_pairs_matches_brute_force(spark):
     assert got == expected
 
 
+def test_jaccard_pairs_prefix_equals_exact_plan(spark):
+    """X92: the prefix-filtered (AllPairs/PPJoin) plan emits EXACTLY
+    the exhaustive plan's pairs — recall 1 by the prefix theorem, same
+    rounded values — across thresholds spanning loose to tight. Also
+    pins the t<=0 refusal (at t=0 the prefix is the whole set) and the
+    pruning mechanism itself: the prefix row set the candidate join
+    explodes is a strict subset of all shingle occurrences, and the
+    candidate pair volume is strictly below the share-any-shingle
+    volume on the fixture."""
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for t in (0.3, 0.6, 0.9):
+        exact = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.exact_jaccard_pairs(docs, threshold=t).collect()
+        }
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert got == exact, f"threshold {t}"
+    with pytest.raises(ValueError, match="threshold > 0"):
+        dedup.jaccard_pairs_prefix(docs, threshold=0.0)
+
+    # the pruning is real: replicate the operator's prefix selection
+    # and compare exploded volumes + candidate pair volumes
+    t = 0.6
+    sh = docs.select("doc_id", dedup.word_shingles("text").alias("sh"))
+    grams = sh.select(F.col("doc_id").alias("id"), F.explode("sh").alias("g"))
+    dfc = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
+    wn = Window.partitionBy("id")
+    ordered = grams.join(dfc, "g").select(
+        "id", "g",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    prefix = ordered.filter(
+        F.col("pos")
+        <= F.col("n") - F.ceil(F.lit(t) * F.col("n") - F.lit(1e-9)) + 1
+    )
+    n_all, n_prefix = grams.count(), prefix.count()
+    assert n_prefix < n_all
+
+    def pair_volume(keys):
+        a, b = keys.alias("a"), keys.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select("a.id", "b.id")
+            .distinct()
+            .count()
+        )
+
+    assert pair_volume(prefix.select("id", "g")) < pair_volume(grams)
+
+
 def test_simhash_order_insensitive_and_selective(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     reordered = " ".join(reversed(base.split(" ")))  # same bag of tokens

@@ -183,3 +183,57 @@ def test_quality_weighted_sample_degenerate_weights_fail_loudly(spark):
     ok = spark.createDataFrame([(i, 0.5) for i in range(400)], ["k", "w"])
     n = sampling.quality_weighted_sample(ok, "w", "k", target_frac=0.5).count()
     assert abs(n / 400 - 0.5) < 0.08, n
+
+
+def test_weighted_sample_wor_aes_properties(spark):
+    """X93 (Efraimidis–Spirakis A-ES): exactly min(k, |group|) rows,
+    k-prefix consistency (same salt: the k-sample is a strict prefix
+    of the k+m-sample), NULL/non-positive weights excluded, and the
+    statistical contract — for k=1, P(select i) = w_i / Σw under A-ES,
+    so over many salted re-draws the heavy row's selection frequency
+    must track its weight share."""
+    docs = load_table(spark, SF, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    got = sampling.weighted_sample_wor(
+        docs, "doc_id", "n_chars", 5, group_col="source"
+    )
+    per = {r["source"]: r["n"] for r in got.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {s: min(5, n) for s, n in sizes.items()}
+    # prefix consistency
+    k5 = {(r.source, r.doc_id) for r in got.collect()}
+    k9 = {(r.source, r.doc_id) for r in sampling.weighted_sample_wor(
+        docs, "doc_id", "n_chars", 9, group_col="source").collect()}
+    assert k5 < k9
+    # zero/NULL weights carry no mass
+    wdf = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, None), (4, -2.0), (5, 1.0)],
+        "k long, w double",
+    )
+    picked = sampling.weighted_sample_wor(wdf, "k", "w", 10)
+    assert {r.k for r in picked.collect()} == {1, 5}
+    # statistical gate: two rows, weights 9:1 — over 1000 salted k=1
+    # draws the heavy row's frequency approaches 0.9 (A-ES exact
+    # marginal for k=1); the portable hash is uniform enough that a
+    # wide tolerance is a real gate, not a tautology. All salts in ONE
+    # job: the salted multiplier is a column expression of the same
+    # arithmetic weighted_sample_wor builds per call.
+    KNUTH, M32 = sampling.KNUTH, sampling.M32
+    two = spark.createDataFrame([(11, 9.0), (23, 1.0)], "k long, w double")
+    salts = spark.range(1000).withColumnRenamed("id", "salt")
+    mult = F.pmod(F.lit(KNUTH) * (F.lit(2) * F.col("salt") + 1), F.lit(M32))
+    h = F.pmod(F.col("k") * mult + F.col("salt"), F.lit(M32))
+    aes = F.log((h.cast("double") + F.lit(0.5)) / F.lit(float(M32))) / F.col(
+        "w"
+    )
+    winners = (
+        two.crossJoin(salts)
+        .withColumn("aes", aes)
+        .groupBy("salt")
+        .agg(F.max_by("k", "aes").alias("k"))
+    )
+    freq_heavy = winners.filter("k = 11").count() / 1000
+    assert 0.8 < freq_heavy < 0.97, freq_heavy
