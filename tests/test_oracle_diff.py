@@ -66,6 +66,10 @@ SF_BENCH = "/root/testdata/sf0.1"
 SF01_ORACLE_IMPRACTICAL = {
     "dedup_clusters",            # recursive CTE: DuckDB ground >15 min
     "exact_jaccard_pairs",       # pair joins over 10x docs in the oracle
+    "jaccard_pairs_prefix",      # same brute-force pair-join oracle;
+                                 # Spark-side sf0.1 equality with
+                                 # exact_jaccard_pairs is pinned in
+                                 # test_dataops + SCALING.md r14
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",       # (matches 0=0 — kept out for runtime only)
     "embedding_dedup_pairs",
