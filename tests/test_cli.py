@@ -565,7 +565,9 @@ def test_cli_compact_index_srp(spark, tmp_path):
             files = [f for f in os.listdir(os.path.join(idx, band))
                      if f.endswith(".parquet")]
             assert len(files) == 1
-    assert similarity.read_srp_index_meta(idx)["n_planes"] == 32
+    # sidecar untouched by compaction — carries the write default
+    # (64 planes since the r14 at-rest default bump)
+    assert similarity.read_srp_index_meta(idx)["n_planes"] == 64
 
 
 def test_cli_verify_index(spark, tmp_path):
