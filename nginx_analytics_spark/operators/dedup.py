@@ -364,17 +364,18 @@ def jaccard_pairs_prefix(
     sh = docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
     ).localCheckpoint(eager=True)
-    grams = sh.select(F.col(id_col).alias("id"), F.explode("sh").alias("g"))
+    # n rides along from the array size — one window pass (row_number),
+    # not two (a count-over-partition would re-aggregate what the
+    # pre-explode array already knows)
+    grams = sh.select(
+        F.col(id_col).alias("id"),
+        F.size("sh").alias("n"),
+        F.explode("sh").alias("g"),
+    )
     df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
-    wn = Window.partitionBy("id")
-    ordered = (
-        grams.join(df_counts, "g")
-        .select(
-            "id", "g",
-            F.row_number().over(w).alias("pos"),
-            F.count(F.lit(1)).over(wn).alias("n"),
-        )
+    ordered = grams.join(df_counts, "g").select(
+        "id", "g", "n", F.row_number().over(w).alias("pos")
     )
     minreq = F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
     prefix = ordered.filter(
