@@ -244,6 +244,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "incremental_near_dups_probe",
         "bpe_tokens_pretrained",
         "jaccard_pairs_prefix",
+        "jaccard_pairs_prefix_capped",
     ],
     # temporal/behavioral/sampling/ANN shapes
     "analytics": [

@@ -312,6 +312,8 @@ def jaccard_pairs_prefix(
     threshold: float = 0.6,
     shingle_n: int = 3,
     round_to: int | None = 6,
+    max_df: int | None = None,
+    max_heavy: int | None = 10_000,
 ) -> DataFrame:
     """X92: EXACT threshold-Jaccard pairs via PREFIX FILTERING (the
     AllPairs/PPJoin candidate scheme — Bayardo et al., WWW 2007;
@@ -324,7 +326,10 @@ def jaccard_pairs_prefix(
       order each document's distinct shingles by ascending global
       document frequency (ties by value — a total order shared by all
       documents); with ``p(d) = |d| - ceil(t·|d|) + 1``, any pair with
-      ``J(a,b) >= t`` must share a shingle lying in BOTH prefixes.
+      ``J(a,b) >= t`` must share a shingle lying in BOTH prefixes —
+      in fact the pair's RAREST shared shingle lies in both (the
+      pigeonhole puts SOME shared shingle in the prefix; the rarest
+      one orders at or before it, so it is in the prefix too).
       Proof sketch: J >= t implies ``|A∩B| >= t·|A∪B| >= t·max(|A|,
       |B|)``; if no shared shingle sits in A's first ``p(A)`` tokens,
       all shared shingles live in A's last ``ceil(t·|A|) - 1`` — fewer
@@ -342,66 +347,191 @@ def jaccard_pairs_prefix(
     (distinct) via one ``array_intersect`` of the two shingle arrays —
     cost scales with candidates, never the corpus².
 
-    Float-safety: the prefix/overlap bound is computed as
-    ``ceil(t·n - 1e-9)`` so a float product landing an ulp ABOVE the
-    exact value (0.6*5 = 3.0000000000000004) cannot shorten a prefix
-    and silently lose recall — the slack only ever LENGTHENS a prefix
-    by one. Equality with :func:`exact_jaccard_pairs` is pinned across
-    thresholds in tests/test_dataops.py, and the registered query
-    hash-matches the brute-force DuckDB oracle.
+    Float-safety, two layers. (1) The prefix/overlap bound is computed
+    as ``ceil(t·n - 1e-9)`` so a float product landing an ulp ABOVE
+    the exact value (0.6*5 = 3.0000000000000004) cannot shorten a
+    prefix and silently lose recall — the slack only ever LENGTHENS a
+    prefix by one. (2) When ``round_to`` is set, the OUTPUT filter
+    admits any pair whose ROUNDED Jaccard clears the threshold — i.e.
+    true J down to ``t - 0.5·10^-round_to`` (the half-up rounding
+    band) — while the prefix theorem only guarantees candidates for
+    true J >= t. Candidates are therefore generated at the effective
+    threshold ``t_cand = t - 0.5·10^-round_to`` (prefix length AND
+    length filter), so a knife-edge pair that rounds up to t is
+    reachable, never silently lost (r14 ADVICE; the regression fixture
+    in tests/test_dataops.py is exactly such a pair — true J below t,
+    rounded J == t, shared shingles outside the unwidened prefix).
+
+    ``max_df`` (the PPJoin stop-shingle knob, r14 verdict item 3):
+    shingles with document frequency above the cap are EXCLUDED from
+    candidate generation entirely — on a skewed crawl their prefix
+    occurrences are the join's df² skew mass. Exactness is preserved
+    by ROUTING, not joining: a qualifying pair can have its rarest
+    SHARED shingle capped only if EVERY shared shingle is capped, and
+    then each side's prefix provably contains a capped shingle — which
+    (df ordering: capped shingles sort last) happens only for docs
+    with fewer uncapped shingles than their prefix length, i.e. the
+    boilerplate-DOMINATED docs H. H goes to the verify stage directly:
+    one C(|H|,2) length-filtered product replaces the
+    ``Σ_g df_prefix(g)²`` join mass of the capped shingles (win factor
+    ~ s_p²/T — big when H shares a few large identical blocks, the
+    crawl-boilerplate shape; the df frame is the report that sizes
+    both). Note the prefix ordering is already SELF-TUNING for
+    mixed-df corpora — a pair sharing only sub-threshold boilerplate
+    never reaches candidates because its prefixes stay in the rare
+    shingles — so the cap earns its keep specifically on
+    boilerplate-dominated short-doc populations. Exactness is pinned
+    against :func:`exact_jaccard_pairs` across thresholds on a skewed
+    fixture in tests/test_dataops.py; the measured candidate-volume
+    cut is in SCALING.md r15. ``max_heavy`` (default 10,000) is the
+    loud guard for the measured misconfiguration: a cap at or below
+    the corpus's ROUTINE df puts nearly every doc in H and the direct
+    product goes quadratic in the corpus — the plan raises with the
+    observed |H| instead of silently burning the cluster.
 
     Scale: one shuffle by shingle for the df counts, one window
     shuffle by id for the per-document ordering, the prefix-only
     candidate join, then id-keyed verification joins. At 100 TB the
     df frame doubles as the skew report: a shingle whose df makes even
-    its prefix occurrences quadratic is a stop-shingle candidate —
-    exactly the knob the PPJoin literature tunes."""
+    its prefix occurrences quadratic is a ``max_df`` candidate."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    ).localCheckpoint(eager=True)
+    return jaccard_pairs_prefix_sets(
+        sh, id_col, "sh", threshold, round_to, max_df, max_heavy
+    )
+
+
+def jaccard_pairs_prefix_sets(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    sh_col: str = "sh",
+    threshold: float = 0.6,
+    round_to: int | None = 6,
+    max_df: int | None = None,
+    max_heavy: int | None = 10_000,
+) -> DataFrame:
+    """Set-level core of :func:`jaccard_pairs_prefix`: takes the
+    (id, distinct-shingle-array) frame directly — the
+    :func:`_relational_jaccard` calling convention — so tests and
+    callers with non-text sets can drive the prefix plan on exact
+    fixtures (the knife-edge and stop-shingle regressions construct
+    shingle arrays, not prose). Semantics documented on the wrapper."""
     if threshold <= 0.0:
         raise ValueError(
             "prefix filtering needs threshold > 0 (at t=0 the prefix "
             "is the whole set — use exact_jaccard_pairs)"
         )
-    sh = docs.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
-    ).localCheckpoint(eager=True)
+    if max_df is not None and max_df < 1:
+        raise ValueError("max_df caps document frequency; must be >= 1")
+    # Candidate-stage threshold: when the output rounds, a true J in
+    # the half-up band [t - 0.5*10^-r, t) still clears the OUTPUT
+    # filter, so candidates must be generated down there too.
+    t_cand = float(threshold)
+    if round_to is not None:
+        t_cand -= 0.5 * 10.0 ** (-round_to)
     # n rides along from the array size — one window pass (row_number),
     # not two (a count-over-partition would re-aggregate what the
     # pre-explode array already knows)
     grams = sh.select(
         F.col(id_col).alias("id"),
-        F.size("sh").alias("n"),
-        F.explode("sh").alias("g"),
+        F.size(sh_col).alias("n"),
+        F.explode(sh_col).alias("g"),
     )
     df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
     ordered = grams.join(df_counts, "g").select(
-        "id", "g", "n", F.row_number().over(w).alias("pos")
+        "id", "g", "n", "df", F.row_number().over(w).alias("pos")
     )
-    minreq = F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+    minreq = F.ceil(F.lit(t_cand) * F.col("n") - F.lit(1e-9))
     prefix = ordered.filter(
         F.col("pos") <= F.col("n") - minreq + F.lit(1)
-    ).select("id", "g", "n")
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cands = (
-        a.join(
+    ).select("id", "g", "n", "df")
+
+    def pair_join(p: DataFrame) -> DataFrame:
+        a, b = p.alias("a"), p.alias("b")
+        return a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.id") < F.col("b.id"))
-            # length filter: J >= t needs t * max(|A|,|B|) <= min
+            # length filter: J >= t_cand needs t_cand * max(|A|,|B|) <= min
             & (
                 F.least(F.col("a.n"), F.col("b.n")).cast("double")
-                >= F.lit(float(threshold))
+                >= F.lit(t_cand)
                 * F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
                 - F.lit(1e-9)
             ),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+    if max_df is None:
+        cands = pair_join(prefix).distinct()
+    else:
+        # Stop-shingle routing. Light: uncapped prefix occurrences of
+        # ALL docs — finds every pair whose rarest shared shingle is
+        # uncapped (it sits uncapped in both prefixes). Capped prefix
+        # occurrences are NOT joined per-shingle at all: only
+        # boilerplate-dominated docs have any (capped shingles sort
+        # last; reaching one means the doc ran out of uncapped
+        # shingles before its prefix did), and a pair whose EVERY
+        # shared shingle is capped has BOTH docs in that set H — so H
+        # is routed to the verify stage directly, one C(|H|,2)
+        # length-filtered product instead of the Σ_g df_prefix(g)²
+        # join mass the capped shingles would otherwise generate
+        # (the win factor is ~ s_p²/T for s_p capped-prefix tokens
+        # per doc over T capped types — largest when H shares a few
+        # big identical blocks, the crawl-boilerplate shape). Union
+        # is exact; choose max_df from the df frame so H is the
+        # genuinely boilerplate-dominated tail, since the direct
+        # product pays |H|² candidates for exactness.
+        light = prefix.filter(F.col("df") <= max_df)
+        h_ids = (
+            prefix.filter(F.col("df") > max_df)
+            .select("id", "n")
+            .distinct()
         )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )
-        .distinct()
-    )
-    sha = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    shb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        if max_heavy is not None:
+            # Loud guard against the misconfiguration MEASURED in
+            # SCALING.md r15: a cap below the corpus's ROUTINE df puts
+            # nearly every doc in H and the direct product goes
+            # quadratic in the corpus (5,000-doc fixture, max_df=3:
+            # 12.5M candidates, ×12 wall). Lazily evaluated per row
+            # against the broadcast 1-row count — the happy path costs
+            # one comparison (the quality_weighted_sample pattern).
+            h_tot = h_ids.agg(F.count(F.lit(1)).alias("__h"))
+            checked_n = F.when(
+                F.col("__h") > max_heavy,
+                F.raise_error(
+                    F.format_string(
+                        "jaccard_pairs_prefix: max_df=%s routes %s docs "
+                        "to the direct-verify product (max_heavy="
+                        f"{max_heavy}) — the cap sits at or below the "
+                        "corpus's routine shingle df, so C(|H|,2) is "
+                        "quadratic in the corpus, not in the "
+                        "boilerplate-dominated tail. Read the df frame "
+                        "and raise max_df (or raise max_heavy "
+                        "knowingly).",
+                        F.lit(str(max_df)),
+                        F.col("__h"),
+                    )
+                ).cast("int"),
+            ).otherwise(F.col("n"))
+            h_ids = h_ids.crossJoin(F.broadcast(h_tot)).select(
+                "id", checked_n.alias("n")
+            )
+        ha, hb = h_ids.alias("a"), h_ids.alias("b")
+        heavy_pairs = ha.join(
+            hb,
+            (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n")).cast("double")
+                >= F.lit(t_cand)
+                * F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
+                - F.lit(1e-9)
+            ),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        cands = pair_join(light).unionByName(heavy_pairs).distinct()
+    sha = sh.select(F.col(id_col).alias("id_a"), F.col(sh_col).alias("sh_a"))
+    shb = sh.select(F.col(id_col).alias("id_b"), F.col(sh_col).alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     j = inter.cast("double") / (
         F.size("sh_a") + F.size("sh_b") - inter

@@ -300,9 +300,25 @@ def weighted_sample_wor(
     ``ln`` is exact on both sides by construction.
 
     Returns the selected rows plus ``sample_rank`` (1-based within
-    group). One window exchange on the group key — the
-    :func:`per_group_sample` cost shape; no shuffle when the input is
-    already hash-partitioned by the group."""
+    group). Scale shape (r14 verdict item 4 — measured, then resolved
+    the Spark-first way): the window's ``row_number() <= k`` filter is
+    exactly the pattern Catalyst's ``InferWindowGroupLimit`` rule
+    rewrites, so the seemingly-scary exchange is ALREADY bounded
+    map-side in the JVM: grouped mode plans a partial
+    ``WindowGroupLimit`` BEFORE the exchange (each input partition
+    forwards at most k rows per group), and global mode
+    (``group_col=None``) collapses the single-partition window's sort
+    into ``TakeOrderedAndProject`` (each partition forwards its local
+    top-k; the funnel receives ``k × n_partitions`` rows, never the
+    corpus). Measured on a 2M-row frame: the JVM rewrite is ×3 faster
+    than an explicit Arrow ``partition_topk`` pre-truncation stage
+    doing the same thing (0.33 s vs 1.01 s, SCALING.md r15), which is
+    why no manual pre-truncation is added — the declarative plan IS
+    the X14 two-phase pattern. Both bounds are pinned by
+    shuffle-records metrics tests (tests/test_plans.py). One knob at
+    extreme k: the rewrite applies while
+    ``k <= spark.sql.window.group.limit.threshold`` (default 1000);
+    raise the threshold rather than materializing the window whole."""
     from pyspark.sql.window import Window
 
     mult = (KNUTH * (2 * salt + 1)) % M32
@@ -370,6 +386,20 @@ def per_group_sample(
     ``temperature_rates`` when proportional rather than equal allocation
     is wanted. Consistency property: the k=10 sample is a strict prefix
     of the k=20 sample (same hash order).
+
+    Scale shape (r14 verdict item 4, resolved as on
+    :func:`weighted_sample_wor`): the largest group — a hot label on a
+    skewed corpus — does NOT ride the window exchange whole, because
+    the ``row_number() <= k`` filter triggers Catalyst's
+    ``InferWindowGroupLimit``: a partial ``WindowGroupLimit`` before
+    the exchange caps each input partition's contribution at k rows
+    per group, so the exchange carries at most ``k × n_partitions``
+    rows per group regardless of group size (pinned by a
+    shuffle-records metrics test; the measured JVM-vs-Arrow comparison
+    that decided AGAINST a manual pre-truncation stage is on
+    ``weighted_sample_wor`` and in SCALING.md r15). The rewrite
+    applies while ``k <= spark.sql.window.group.limit.threshold``
+    (default 1000).
     """
     from pyspark.sql.window import Window
 

@@ -579,7 +579,18 @@ def srp_band_keys(
     — the ingest loops' measured-good config — since r13's ADVICE
     caught the 32-plane default warning against itself; 32 remains
     available (and default on the one-shot pair/topk queries, whose
-    candidate volume is paid once, not per batch forever)."""
+    candidate volume is paid once, not per batch forever).
+
+    UPGRADE NOTE (r14 → r15, the r8 lock-relocation-note precedent):
+    indexes built before the 32→64-plane default bump keep working
+    untouched — :func:`append_srp_index` and
+    :func:`incremental_embedding_near_dups` now default their signing
+    parameters to the index SIDECAR's recorded values, so standing
+    ingest loops that relied on library defaults keep signing at the
+    index's own 32 planes. Only callers passing ``n_planes``
+    EXPLICITLY assert a configuration (a mismatch raises, as ever);
+    to move an old index to 64 planes, rebuild it
+    (:func:`write_srp_index` on the corpus, or ``jobs`` rebuild)."""
     _check_srp_banding(n_planes, bands)
     _check_srp_background_collisions(n_planes, bands, strict=strict)
     planes = hyperplanes(dim, n_planes, seed)
@@ -647,15 +658,57 @@ def write_srp_index(
     write_json_sidecar(path, SRP_INDEX_META, meta, fs=fs)
 
 
+def _resolve_srp_params(
+    index_path: str,
+    id_col: str,
+    n_planes: int | None,
+    bands: int | None,
+    dim: int | None,
+    seed: int | None,
+    fs=None,
+) -> tuple[int, int, int, int]:
+    """Resolve signing parameters against an EXISTING index's sidecar:
+    ``None`` adopts the sidecar's recorded value (r14 ADVICE — a
+    standing ingest loop keeps working across library default changes,
+    e.g. the r14 32→64-plane bump, because the index itself is the
+    authority on how its keys were signed); explicit values are
+    validated against the sidecar as before (a mismatch is loud,
+    never a silent poisoning). Returns (n_planes, bands, dim, seed)."""
+    try:
+        have = read_srp_index_meta(index_path, fs=fs)
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"SRP index at {index_path!r} has no {SRP_INDEX_META} "
+            "sidecar — rebuild it with write_srp_index (probing an "
+            "index of unknown signing parameters silently loses recall)"
+        ) from e
+    n_planes = int(have["n_planes"] if n_planes is None else n_planes)
+    bands = int(have["bands"] if bands is None else bands)
+    dim = int(have["dim"] if dim is None else dim)
+    seed = int(have["seed"] if seed is None else seed)
+    _check_srp_index_meta(
+        index_path,
+        {
+            "id_col": id_col,
+            "n_planes": n_planes,
+            "bands": bands,
+            "dim": dim,
+            "seed": seed,
+        },
+        fs=fs,
+    )
+    return n_planes, bands, dim, seed
+
+
 def append_srp_index(
     new_emb: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 64,
-    bands: int = 8,
-    dim: int = 64,
-    seed: int = 42,
+    n_planes: int | None = None,
+    bands: int | None = None,
+    dim: int | None = None,
+    seed: int | None = None,
     strict: bool = False,
     fs=None,
 ) -> None:
@@ -665,21 +718,22 @@ def append_srp_index(
     validated first — appending keys signed under different planes
     would poison the index silently.
 
+    Signing parameters default to ``None`` = WHATEVER THE SIDECAR
+    RECORDS (r14 ADVICE): the index being appended to is the authority
+    on how its keys were signed, so a standing ingest loop survives
+    library-default changes (the r14 32→64-plane bump would otherwise
+    turn every default-parameter append against a pre-r14 index into a
+    parameter-mismatch error — loud, but an operational break). Pass
+    values explicitly to ASSERT a configuration; a mismatch still
+    raises.
+
     Each append adds one file per touched band; a long-running
     embedding ingest loop reclaims the file population with
     :func:`compact_srp_index` (the X82 per-band compaction, shared
     with the text index), exactly as ``append_lsh_index`` points at
     ``compact_lsh_index``."""
-    _check_srp_index_meta(
-        path,
-        {
-            "id_col": id_col,
-            "n_planes": n_planes,
-            "bands": bands,
-            "dim": dim,
-            "seed": seed,
-        },
-        fs=fs,
+    n_planes, bands, dim, seed = _resolve_srp_params(
+        path, id_col, n_planes, bands, dim, seed, fs=fs
     )
     from nginx_analytics_spark.operators.index_fs import banded_index_write
 
@@ -767,10 +821,10 @@ def incremental_embedding_near_dups(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 64,
-    bands: int = 8,
-    dim: int = 64,
-    seed: int = 42,
+    n_planes: int | None = None,
+    bands: int | None = None,
+    dim: int | None = None,
+    seed: int | None = None,
     round_to: int | None = 6,
     exact_net: bool = False,
     fs=None,
@@ -796,17 +850,14 @@ def incremental_embedding_near_dups(
     deterministic sequential-fold :func:`cosine` on BOTH sides so the
     union's distinct collapses duplicates bit-exactly; the pure-LSH
     path (the 100 TB shape) re-ranks with the Arrow :func:`cosine_batch`
-    kernel instead."""
-    _check_srp_index_meta(
-        index_path,
-        {
-            "id_col": id_col,
-            "n_planes": n_planes,
-            "bands": bands,
-            "dim": dim,
-            "seed": seed,
-        },
-        fs=fs,
+    kernel instead.
+
+    Signing parameters default to the SIDECAR'S recorded values (r14
+    ADVICE, same contract as :func:`append_srp_index`): the probe must
+    sign the batch exactly as the index was signed, so the index is
+    the authority; pass values explicitly only to assert a config."""
+    n_planes, bands, dim, seed = _resolve_srp_params(
+        index_path, id_col, n_planes, bands, dim, seed, fs=fs
     )
     new_v = new_emb.select(
         F.col(id_col).alias("new_id"), as_double(vec_col).alias("nv")
@@ -2587,30 +2638,47 @@ def pq_append_index(
         and ratio is not None
         and ratio > rebuild_threshold
     ):
+        # r13 ADVICE: "rebuild_corpus already includes this batch's
+        # rows" was a docs-only contract — a caller handing a STALE
+        # corpus frame silently dropped the just-committed batch from
+        # the rebuilt index. r14 ADVICE tightened WHERE the guard
+        # fires: counting after the rebuild raised loudly but only
+        # AFTER the shrunken index had been atomically swapped in —
+        # the on-disk index was already missing acknowledged rows the
+        # moment the exception surfaced. So the corpus is counted
+        # FIRST (one footer-scale count of the frame the rebuild is
+        # about to scan anyway) and a stale frame is refused while the
+        # complete, just-committed index is still in place.
+        pre = int(committed["row_count"])
+        corpus_n = int(rebuild_corpus.count())
+        if corpus_n < pre:
+            raise ValueError(
+                f"refusing inline rebuild of the PQ index at {path!r}: "
+                f"the append just committed {pre} rows but "
+                f"rebuild_corpus holds only {corpus_n} — the corpus "
+                "frame is stale (it must already include this batch's "
+                "rows; both ingest loops append to their corpus store "
+                "before or alongside the index). The committed index "
+                "is intact; re-run the rebuild from the complete "
+                "corpus store."
+            )
         out["rebuild"] = rebuild_pq(
             new_vecs.sparkSession, rebuild_corpus, path,
             vec_col=vec_col, fs=fs, lock_held=True,
             **(rebuild_kwargs or {}),
         )
         out["rebuilt"] = True
-        # r13 ADVICE: "rebuild_corpus already includes this batch's
-        # rows" was a docs-only contract — a caller handing a STALE
-        # corpus frame silently dropped the just-committed batch from
-        # the rebuilt index (the append's rows vanish with no error).
-        # The rebuilt sidecar's row_count is already in hand, so the
-        # check is free: the rebuild must cover at least what this
-        # append just committed.
-        pre = int(committed["row_count"])
+        # Backstop (should be unreachable given the pre-count): if the
+        # build itself dropped rows, still fail loudly rather than
+        # hand back a silently-shrunken index.
         post = int(out["rebuild"]["n_rows"])
         if post < pre:
             raise ValueError(
                 f"inline rebuild of the PQ index at {path!r} SHRANK it: "
-                f"the append committed {pre} rows but rebuild_corpus "
-                f"yielded only {post} — the corpus frame is stale (it "
-                "must already include this batch's rows; both ingest "
-                "loops append to their corpus store before or alongside "
-                "the index). The rebuilt index is missing acknowledged "
-                "rows; re-rebuild from the complete corpus store."
+                f"the append committed {pre} rows but the rebuild wrote "
+                f"only {post} — the rebuilt index is missing "
+                "acknowledged rows; re-rebuild from the complete corpus "
+                "store."
             )
     return out
 

@@ -59,95 +59,33 @@ _ORACLES: dict[str, str] = {}
 # row from the PREVIOUS round — re-checking them adds wall time, not
 # record. A doc-lint test pins every listed name to a registered query.
 #
-# Round 14 (executing the r13 verdict item 2 rotation). Freshness going
-# in (computed over CORRECTNESS_r1..r13): 30 names last green r11 —
-# exactly the set the r13 verdict pre-committed — 50 names r12, 49
-# names r13, zero older; ONE red ever (bpe_tokens r13, the array-column
-# canonicalizer crash, fixed this round with a registry-wide schema
-# contract test so the class cannot recur). The due set is 32: the red
-# re-check, the never-recorded bpe_tokens_pretrained (the X90
-# production shape the r13 verdict item 3 asked for), and the 30-name
-# r11 cohort; the remaining ~18 rows of a 50-row budget fall on the r12
-# cohort, chosen for FAMILY BREADTH so no operator family's freshest
-# row predates r13:
-#   * positions 1-2: bpe_tokens (red r13 -> re-check leads) and
-#     bpe_tokens_pretrained (new this round, no driver row yet);
-#   * positions 3-32: the r11 cohort, in the order the r13 verdict
-#     pre-committed;
-#   * positions 33-50: 18 r12 family heads — TPC-H join/agg shapes,
-#     the streaming anomaly roundtrip + stateful grouped-map, the
-#     sketch rollups, corpus/text heads, temporal joins, the at-rest
-#     PQ probe, the incremental-dedup probe, sampling and funnel;
-#   * positions 51+: the DESIGNATED r14 SPILL = the rest of the r12
-#     cohort. Its head is the expensive pair/roundtrip/iterative
-#     shapes r13 deliberately deferred (_CHECK_LAST last round:
-#     minhash_dedup_pairs, embedding_ingest_roundtrip,
-#     stream_stream_join, pii_redaction, scd2_user_plans) plus the
-#     iterative trainers (bpe_merges, traffic_forecast) — any budget
-#     beyond ~50 lands on them first, and they lead r15's due set
-#     otherwise; then the r12 variant shapes whose families hold
-#     same-round representatives (e.g. ann_pq_indexed_refined~
-#     ann_pq_indexed, priority_shipping~shipping_priority,
-#     corpus_report_incremental~corpus_report). Every spilled name
-#     stays oracle-verified at both pytest tiers every round.
+# Round 15 (executing the r14 verdict item 1 rotation). Freshness going
+# in (computed over CORRECTNESS_r1..r14): 50 names r14, 49 names r13,
+# 34 names last green r12 — exactly the set the r14 verdict
+# pre-committed — zero older, ZERO reds anywhere. The due set is 35 =
+# 1 never-recorded newcomer + the 34-name r12 cohort; the remaining
+# ~15 rows of a 50-row budget fall on r13 family heads chosen for
+# FAMILY BREADTH so no operator family's freshest row predates r14:
+#   * position 1: jaccard_pairs_prefix_capped (new this round — the
+#     X92 stop-shingle cap, r14 verdict item 3 — no driver row yet);
+#   * positions 2-10: the r12 cohort's expensive deferred heads, in
+#     the order the r14 verdict pre-committed (last round's designated
+#     spill head: the pair/roundtrip/iterative shapes, then the
+#     iterative trainers);
+#   * positions 11-35: the rest of the r12 cohort, alphabetical;
+#   * positions 36-50: 15 r13 family heads — TPC-H join/agg shapes,
+#     the reference parse/anomaly/session trio, the exact and banded
+#     dedup-pair plans, text-quality heads, the ANN exact/IVF/PQ
+#     probes, the sketch rollup, temperature sampling;
+#   * positions 51+: the DESIGNATED r15 SPILL = the remaining 34 r13
+#     names, expensive/iterative shapes first — any budget beyond ~50
+#     lands on them in this order, and they lead r16's due set
+#     otherwise. Every spilled name stays oracle-verified at both
+#     pytest tiers every round.
 _CHECK_FIRST = [
-    # --- positions 1-4: the r13 red re-check + new this round ---
-    "bpe_tokens",
-    "bpe_tokens_pretrained",
-    "jaccard_pairs_prefix",
-    "weighted_sample_docs",
-    # --- positions 3-32: the r11 cohort (r13's designated spill) ---
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "curate_corpus",
-    "data_expectations",
-    "embedding_lsh_pairs",
-    "exact_dedup_events",
-    "frame_features",
-    "incremental_embedding_near_dups",
-    "incremental_embedding_near_dups_probe",
-    "incremental_near_dups",
-    "incremental_new_docs",
-    "ngram_jaccard_pairs",
-    "pack_chunks",
-    "per_source_sample",
-    "predict_features",
-    "purchase_window_counts",
-    "repetition_stats",
-    "rt_model_predictions",
-    "rt_scoring_roundtrip",
-    "salted_ip_stats",
-    "salted_user_join",
-    "shard_manifest",
-    "simhash_near_dup",
-    "sliding_windowed_events",
-    "stream_stream_left_join",
-    "streaming_ingest_roundtrip",
-    "top_endpoints_bounded",
-    "traffic_rollup",
-    "value_rank_profile",
-    "windowed_events",
-    # --- positions 33-50: 18 r12 family heads (breadth-first) ---
-    "shipping_priority",
-    "local_supplier_volume",
-    "market_share",
-    "anomaly_job_roundtrip",
-    "stateful_key_profiles",
-    "kll_latency_percentiles_7d",
-    "theta_user_overlap",
-    "cms_user_counts_7d",
-    "clean_corpus",
-    "doc_fingerprint",
-    "tfidf_top_terms",
-    "multimodal_features",
-    "asof_last_purchase",
-    "rolling_7d_avg",
-    "ann_pq_indexed",
-    "incremental_near_dups_probe",
-    "stratified_sample_events",
-    "conversion_funnel",
-    # --- positions 51+: the designated r14 spill (r12 cohort rest) ---
-    # expensive shapes r13 deferred — extra budget lands here first
+    # --- position 1: new this round, no driver row yet ---
+    "jaccard_pairs_prefix_capped",
+    # --- positions 2-10: r12 cohort, expensive deferred heads ---
     "minhash_dedup_pairs",
     "embedding_ingest_roundtrip",
     "stream_stream_join",
@@ -157,10 +95,11 @@ _CHECK_FIRST = [
     "traffic_forecast",
     "training_handoff",
     "incremental_index_near_dups",
-    # r12 variant shapes with same-round recorded family heads
+    # --- positions 11-35: the rest of the r12 cohort ---
     "ann_pq_indexed_refined",
     "approx_distinct_users",
     "cohort_retention",
+    "conversion_funnel",
     "corpus_report_incremental",
     "customer_order_distribution",
     "daily_event_matrix",
@@ -176,22 +115,76 @@ _CHECK_FIRST = [
     "purchase_and_error_users",
     "returned_items",
     "small_quantity_revenue",
+    "stratified_sample_events",
     "supplier_part_counts",
     "top_supplier",
     "traffic_cube",
     "user_sessions",
     "volume_shipping",
-]
-# Expensive pair/iterative/roundtrip queries holding a FRESH green row
-# (r13) — re-checking them within the same budget would only displace
-# due rows, so they sit last, after the r13-green middle. (Last round's
-# five deferred names now head the spill above instead.)
-_CHECK_LAST = [
-    "dedup_clusters",
+    # --- positions 36-50: 15 r13 family heads (breadth-first) ---
+    "pricing_summary",
+    "min_cost_supplier",
+    "brand_size_revenue",
+    "zscore_anomaly",
+    "parse_enrich",
+    "session_windows",
     "exact_jaccard_pairs",
     "minhash_lsh_pairs",
+    "doc_quality",
+    "token_stats",
+    "ann_cosine_topk",
+    "ann_ivf_indexed",
+    "ann_pq_topk",
+    "sketch_distinct_users_7d",
+    "temperature_sample_docs",
+    # --- positions 51+: the designated r15 spill (r13 cohort rest) ---
+    # expensive pair/roundtrip/iterative shapes first
+    "dedup_clusters",
     "dedup_ingest_roundtrip",
+    "embedding_dedup_pairs",
     "quality_classifier_scores",
+    "contamination_check",
+    "bpe_pair_counts",
+    # then the remaining r13 names, alphabetical
+    "ann_pq_indexed_residual",
+    "ann_pq_indexed_residual_refined",
+    "ann_pq_topk_refined",
+    "anomaly_detail",
+    "batch_ip_stats",
+    "corpus_report",
+    "count_raw",
+    "dataset_split_counts",
+    "distinct_users",
+    "doc_chunks",
+    "dominant_suppliers",
+    "embedding_centroids",
+    "engaged_users",
+    "error_only_users",
+    "hourly_reagg",
+    "idle_customers",
+    "important_parts",
+    "incremental_ip_stats",
+    "language_id",
+    "latency_percentiles",
+    "latency_percentiles_approx",
+    "quality_weighted_sample",
+    "top_endpoints",
+    "training_features",
+    "value_buckets_approx",
+    "value_deciles",
+    "value_trends",
+    "waiting_suppliers",
+]
+# Expensive queries holding a FRESH green row (r14) — re-checking them
+# within the same budget would only displace due rows, so they sit
+# last, after the r14-green middle. (The five are the costliest
+# r14-fresh names in BENCH_r14's per-query walls.)
+_CHECK_LAST = [
+    "jaccard_pairs_prefix",
+    "simhash_near_dup",
+    "curate_corpus",
+    "stateful_key_profiles",
+    "incremental_embedding_near_dups_probe",
 ]
 
 

@@ -240,6 +240,37 @@ def jaccard_pairs_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "jaccard_pairs_prefix_capped",
+    f"""
+    WITH s AS ({_SHINGLES_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {R6_SQL.format(x="len(list_intersect(a.sh, b.sh))::DOUBLE"
+                            " / len(list_distinct(list_concat(a.sh, b.sh)))")}
+               AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def jaccard_pairs_prefix_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92 with the PPJoin stop-shingle cap engaged (r14 verdict item
+    3): shingles above ``max_df`` are excluded from candidate
+    generation and the boilerplate-dominated doc tail H is routed to
+    the verify stage directly (the rarest-shared-shingle argument in
+    the operator docstring keeps recall at exactly 1). The cap SCALES
+    WITH THE CORPUS — background-shingle df grows linearly with doc
+    count, so an absolute cap that bites at one SF swallows the whole
+    corpus at 10× (measured, SCALING.md r15): ``max(3, n_docs/200)``
+    keeps H at the genuine boilerplate tail at every scale the driver
+    runs. Same brute-force DuckDB oracle as the uncapped twin: the cap
+    changes the PLAN's candidate volume, never the answer."""
+    docs = load_table(spark, sf_dir, "documents")
+    cap = max(3, docs.count() // 200)
+    return dedup.jaccard_pairs_prefix(
+        docs, threshold=JACCARD_THRESHOLD, round_to=6, max_df=cap
+    )
+
+
 @query("bpe_merges")  # iterative algorithm — not SQL-expressible, rows-only
 def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X75: distributed BPE tokenizer training — the iterative merge-

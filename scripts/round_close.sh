@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Round-close artifact commit (r14 verdict item 2, recurring hygiene).
+#
+# WHY: two rounds running, the driver-final `bench_full.json` sat
+# modified-uncommitted and the round's BENCH_r{N}.json /
+# CORRECTNESS_r{N}.json untracked at judging time. bench.py rewrites
+# bench_full.json unconditionally on every run, so "rerun for a cleaner
+# number" silently overwrites the artifact the round's BENCH_r{N}
+# actually recorded — commit first, rerun after.
+#
+# WHEN: (a) immediately after any bench run worth keeping, and
+# (b) as the LAST step of a build round, after the final pytest/bench.
+# The next round's first action should also run it, catching anything
+# the driver wrote after the builder's last commit.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+git add -A -- bench_full.json BENCH_r*.json CORRECTNESS_r*.json \
+    VERDICT.md ADVICE.md 2>/dev/null || true
+if git diff --cached --quiet; then
+    echo "round_close: artifacts already committed, nothing to do"
+else
+    git commit -m "Commit round artifacts (bench/correctness/verdict)"
+    echo "round_close: committed"
+fi

@@ -167,6 +167,99 @@ def test_jaccard_pairs_prefix_equals_exact_plan(spark):
     assert pair_volume(prefix.select("id", "g")) < pair_volume(grams)
 
 
+def test_jaccard_pairs_prefix_rounding_knife_edge(spark):
+    """r14 ADVICE regression: when round_to is set, the OUTPUT filter
+    admits true J down to t - 0.5*10^-round_to (half-up band), but the
+    prefix theorem only guarantees candidates for true J >= t — the
+    candidate stage must widen to the effective threshold or knife-edge
+    pairs are silently lost. This fixture IS such a pair: A = 161
+    unique + 239 shared shingles, B = the 239 shared; true J =
+    239/400 = 0.5975 < 0.6, rounded(2dp) = 0.60 >= t. Under the
+    unwidened t=0.6 bounds the pair is doubly unreachable — A's prefix
+    (p = 400-240+1 = 161) is exactly its df-1 uniques, and the length
+    filter demands min >= 0.6*400 = 240 > 239 — while at t_cand =
+    0.595 the prefix reaches A's first shared shingle and the length
+    filter passes. The exhaustive plan emits it either way; equality
+    is the contract."""
+    shared = [f"s{i:04d}" for i in range(239)]
+    rows = [
+        (1, [f"u{i:04d}" for i in range(161)] + shared),
+        (2, list(shared)),
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, sh array<string>")
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup._relational_jaccard(
+            sh, "doc_id", "sh", 0.6, 2
+        ).collect()
+    }
+    assert exact == {(1, 2, 0.6)}  # the knife-edge pair, rounded up
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_pairs_prefix_sets(
+            sh, "doc_id", "sh", threshold=0.6, round_to=2
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_jaccard_pairs_prefix_max_df_exact_on_skewed_fixture(spark):
+    """r14 verdict item 3: the max_df stop-shingle cap keeps EXACT
+    equality with the exhaustive plan on a boilerplate-skewed corpus —
+    including the pair class whose ONLY shared shingles are capped
+    (boilerplate-dominated docs, found by the heavy-side join) and the
+    pair class found through uncapped rare shingles (light join). The
+    fixture plants both plus a df-32 boilerplate block that the capped
+    candidate join must never explode globally."""
+    boiler = [f"bp{i:02d}" for i in range(10)]
+    rows = []
+    # 20 boilerplate-carrying docs, pairwise J = 10/50 = 0.2 (sub-t)
+    for i in range(20):
+        rows.append((i, boiler + [f"x{i:02d}_{j:02d}" for j in range(20)]))
+    # near-dup pair via UNCAPPED shared shingles (df=2): J = 30/40
+    ys = [f"y{j:02d}" for j in range(30)]
+    rows.append((100, ys + [f"z{j}" for j in range(5)]))
+    rows.append((101, ys + [f"w{j}" for j in range(5)]))
+    # boilerplate-dominated pair: every shared shingle capped, J = 10/11
+    rows.append((200, list(boiler)))
+    rows.append((201, boiler + ["q1"]))
+    sh = spark.createDataFrame(rows, "doc_id long, sh array<string>")
+    for t in (0.3, 0.6, 0.9):
+        exact = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup._relational_jaccard(
+                sh, "doc_id", "sh", t, 6
+            ).collect()
+        }
+        for cap in (1, 5, None):
+            got = {
+                (r.id_a, r.id_b, r.jaccard)
+                for r in dedup.jaccard_pairs_prefix_sets(
+                    sh, "doc_id", "sh", threshold=t, round_to=6, max_df=cap
+                ).collect()
+            }
+            assert got == exact, f"threshold {t}, max_df {cap}"
+    # the planted classes really are in the t=0.6 answer
+    t06 = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs_prefix_sets(
+            sh, "doc_id", "sh", threshold=0.6, round_to=6, max_df=5
+        ).collect()
+    }
+    assert (100, 101) in t06 and (200, 201) in t06
+    with pytest.raises(ValueError, match="max_df"):
+        dedup.jaccard_pairs_prefix_sets(sh, threshold=0.6, max_df=0)
+    # the measured misconfiguration guard (SCALING.md r15): a cap at
+    # the corpus's routine df routes ~everything to the direct product
+    # — the plan must raise with the observed |H|, not burn quadratic
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="routes .* docs"):
+        dedup.jaccard_pairs_prefix_sets(
+            sh, "doc_id", "sh", threshold=0.6, max_df=5, max_heavy=1
+        ).collect()
+
+
 def test_simhash_order_insensitive_and_selective(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     reordered = " ".join(reversed(base.split(" ")))  # same bag of tokens
@@ -324,6 +417,25 @@ def test_srp_index_meta_validation(spark, tmp_path):
         similarity.incremental_embedding_near_dups(
             spark, emb.limit(1), emb, idx, bands=4
         )
+    # r14 ADVICE: DEFAULT-parameter appends/probes adopt the sidecar's
+    # recorded parameters — a pre-r14 32-plane index keeps serving its
+    # standing ingest loop across the 32->64 library-default bump (the
+    # loop passes no n_planes; the index is the authority). The append
+    # must sign at the index's 32 planes: a clone of an indexed vector
+    # under a fresh id then collides with its original in EVERY band,
+    # so the default probe surfaces it at cosine ~1.
+    one = emb.orderBy("vec_id").limit(1)
+    clone = one.select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    similarity.append_srp_index(clone, idx)  # no params: sidecar's 32
+    assert similarity.read_srp_index_meta(idx)["n_planes"] == 32
+    hits = similarity.incremental_embedding_near_dups(
+        spark, one,
+        emb.select("vec_id", "embedding").unionByName(clone),
+        idx, threshold=0.99,
+    ).collect()
+    assert any(r.old_id == one.collect()[0].vec_id + 900000 for r in hits)
     bare = str(tmp_path / "bare")
     emb.write.mode("overwrite").parquet(bare)
     with pytest.raises(ValueError, match="no _srp_meta.json"):

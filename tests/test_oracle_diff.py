@@ -70,6 +70,8 @@ SF01_ORACLE_IMPRACTICAL = {
                                  # Spark-side sf0.1 equality with
                                  # exact_jaccard_pairs is pinned in
                                  # test_dataops + SCALING.md r14
+    "jaccard_pairs_prefix_capped",  # same oracle; capped twin's sf0.1
+                                 # equality rides the same Spark-side pin
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",       # (matches 0=0 — kept out for runtime only)
     "embedding_dedup_pairs",

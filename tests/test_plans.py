@@ -324,3 +324,104 @@ def test_multi_branch_shapes_reuse_fact_exchange_at_runtime(spark):
         final = executed.split("== Initial Plan ==")[0]
         assert "isFinalPlan=true" in executed, name
         assert "ReusedExchange" in final, name
+
+
+def _shuffle_records_written(df) -> dict[str, list[int]]:
+    """Execute df and read each shuffle's records-written metric from
+    the AQE final physical plan — the direct evidence for 'this
+    exchange carries N rows', not an inference from the plan shape."""
+    df.collect()
+    node = df._jdf.queryExecution().executedPlan()
+    out: dict[str, list[int]] = {}
+
+    def walk(n):
+        name = n.nodeName()
+        it = n.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "shuffleRecordsWritten":
+                out.setdefault(name, []).append(int(kv._2().value()))
+        if "QueryStage" in name or name == "AdaptiveSparkPlan":
+            walk(n.plan() if "QueryStage" in name else n.executedPlan())
+            return
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(node)
+    return out
+
+
+def test_weighted_sample_global_mode_exchange_bounded(spark):
+    """r14 verdict item 4: weighted_sample_wor with group_col=None
+    funnels through ONE window partition — but Catalyst's
+    InferWindowGroupLimit collapses the rank-filtered single-partition
+    window into TakeOrderedAndProject, whose shuffle moves each input
+    partition's local top-k only. The metric is the proof: on a 10k-row
+    8-partition frame with k=5, every shuffle in the plan writes at
+    most k x n_partitions = 40 records — the corpus never rides the
+    funnel. (The measured JVM-vs-Arrow comparison that decided against
+    a manual partition_topk pre-truncation stage is in SCALING.md r15.)
+    """
+    from pyspark.sql import functions as F
+
+    from nginx_analytics_spark.operators import sampling
+
+    df = spark.range(0, 10_000, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), F.lit(97)) + 1).cast("double").alias("w"),
+    )
+    out = sampling.weighted_sample_wor(df, "doc_id", "w", 5)
+    recs = _shuffle_records_written(out)
+    assert recs, "expected at least one bounded shuffle in the plan"
+    flat = [v for vals in recs.values() for v in vals]
+    assert max(flat) <= 5 * 8, recs
+    assert out.count() == 5
+
+
+def test_weighted_sample_grouped_window_group_limit(spark):
+    """Grouped mode: the rank filter plans a PARTIAL WindowGroupLimit
+    upstream of the window exchange, so each input partition forwards
+    at most k rows per group — the exchange writes at most
+    groups x k x n_partitions records even when one group holds almost
+    the whole frame (the skewed-crawl case the r14 verdict named)."""
+    from pyspark.sql import functions as F
+
+    from nginx_analytics_spark.operators import sampling
+
+    # skew: group 0 holds ~94% of rows
+    df = spark.range(0, 10_000, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 9_400, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), F.lit(7)))
+        .alias("grp"),
+        (F.pmod(F.col("id"), F.lit(97)) + 1).cast("double").alias("w"),
+    )
+    out = sampling.weighted_sample_wor(df, "doc_id", "w", 5, group_col="grp")
+    p = plan_of(out)
+    assert n_nodes(p, "WindowGroupLimit") == 2  # partial below, final above
+    recs = _shuffle_records_written(out)
+    flat = [v for vals in recs.values() for v in vals]
+    assert flat and max(flat) <= 7 * 5 * 8, recs
+
+
+def test_per_group_sample_window_group_limit(spark):
+    """The uniform twin rides the same rewrite: partial WindowGroupLimit
+    before the exchange, bounded shuffle on a skewed frame."""
+    from pyspark.sql import functions as F
+
+    from nginx_analytics_spark.operators import sampling
+
+    df = spark.range(0, 10_000, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 9_000, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("grp"),
+    )
+    out = sampling.per_group_sample(df, "grp", "doc_id", 4)
+    p = plan_of(out)
+    assert n_nodes(p, "WindowGroupLimit") == 2
+    recs = _shuffle_records_written(out)
+    flat = [v for vals in recs.values() for v in vals]
+    assert flat and max(flat) <= 2 * 4 * 8, recs
+    assert out.count() == 8

@@ -703,6 +703,12 @@ def test_pq_append_rebuild_threshold_inline_actuator(spark, emb, tmp_path):
             drifted2, idx, rebuild_threshold=5.0,
             rebuild_corpus=emb.select("vec_id", "embedding").limit(30),
         )
+    # r14 ADVICE: the refusal must fire BEFORE the swap — the complete
+    # just-committed index (this append's 100 rows included) is still
+    # on disk, not a 30-row rebuild that raised only after replacing it
+    check = similarity.pq_index_verify(spark, idx)
+    assert check["torn"] is False
+    assert check["actual"] == emb.count() + 120 + 100 + 100
 
 
 def test_tune_ann_nprobe_pq_residual(spark, emb, tmp_path):
