@@ -245,6 +245,10 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "bpe_tokens_pretrained",
         "jaccard_pairs_prefix",
         "jaccard_pairs_prefix_capped",
+        "incremental_jaccard_prefix",
+        "incremental_jaccard_prefix_probe",
+        "paragraph_dedup_docs",
+        "boilerplate_strip_docs",
     ],
     # temporal/behavioral/sampling/ANN shapes
     "analytics": [

@@ -947,8 +947,10 @@ def main(argv: list[str] | None = None) -> int:
             elif LOCAL_FS.isfile(similarity.ivf_index_meta_path(p)):
                 check = similarity.ivf_index_verify(spark, p)
                 kind = "ivf"
-            elif LOCAL_FS.isfile(similarity.srp_index_meta_path(p)) or LOCAL_FS.isfile(
-                dedup.lsh_index_meta_path(p)
+            elif (
+                LOCAL_FS.isfile(similarity.srp_index_meta_path(p))
+                or LOCAL_FS.isfile(dedup.lsh_index_meta_path(p))
+                or LOCAL_FS.isfile(dedup.prefix_index_meta_path(p))
             ):
                 # banded indexes carry no row_count commit (appends are
                 # at-least-once by design — duplicate band rows collapse in
@@ -957,6 +959,9 @@ def main(argv: list[str] | None = None) -> int:
                 if LOCAL_FS.isfile(similarity.srp_index_meta_path(p)):
                     similarity.read_srp_index_meta(p)
                     kind = "srp"
+                elif LOCAL_FS.isfile(dedup.prefix_index_meta_path(p)):
+                    dedup.read_prefix_index_meta(p)
+                    kind = "prefix"
                 else:
                     dedup.read_lsh_index_meta(p)
                     kind = "lsh"
@@ -971,7 +976,8 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 print(
                     f"no index sidecar found at {p!r} (_pq_meta/_ivf_meta/"
-                    "_srp_meta/_lsh_meta.json) — not an at-rest index"
+                    "_srp_meta/_lsh_meta/_prefix_meta.json) — not an "
+                    "at-rest index"
                 )
                 return 1
             state = (
@@ -1124,24 +1130,34 @@ def main(argv: list[str] | None = None) -> int:
             target_file_bytes=args.target_file_bytes,
             max_concurrency=args.max_concurrency,
         )
-        is_srp = LOCAL_FS.isfile(similarity.srp_index_meta_path(args.index))
+        if LOCAL_FS.isfile(similarity.srp_index_meta_path(args.index)):
+            kind = "srp"
+            meta_reader, compactor = (
+                similarity.read_srp_index_meta,
+                similarity.compact_srp_index,
+            )
+        elif LOCAL_FS.isfile(dedup.prefix_index_meta_path(args.index)):
+            kind = "prefix"
+            meta_reader, compactor = (
+                dedup.read_prefix_index_meta,
+                dedup.compact_prefix_index,
+            )
+        else:
+            kind = "lsh"
+            meta_reader, compactor = (
+                dedup.read_lsh_index_meta,
+                dedup.compact_lsh_index,
+            )
         if args.prune_to_corpus:
             from nginx_analytics_spark.streaming.dedup_ingest import (
                 read_corpus,
             )
 
-            meta = (
-                similarity.read_srp_index_meta(args.index)
-                if is_srp
-                else dedup.read_lsh_index_meta(args.index)
-            )
+            meta = meta_reader(args.index)
             kwargs["prune_ids"] = read_corpus(
                 spark, args.prune_to_corpus
             ).select(meta["id_col"])
-        if is_srp:
-            stats = similarity.compact_srp_index(spark, args.index, **kwargs)
-        else:
-            stats = dedup.compact_lsh_index(spark, args.index, **kwargs)
+        stats = compactor(spark, args.index, **kwargs)
         print(
             f"index compacted: {stats['bands_compacted']} of "
             f"{stats['bands_seen']} bands, {stats['files_before']} -> "

@@ -546,6 +546,663 @@ def jaccard_pairs_prefix_sets(
     )
 
 
+def jaccard_pairs_prefix_cross(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    round_to: int | None = 6,
+    max_df: int | None = None,
+    max_heavy: int | None = 10_000,
+) -> DataFrame:
+    """X94: EXACT cross-set threshold-Jaccard pairs (new × old) via
+    prefix filtering — the incremental-direction twin of
+    :func:`jaccard_pairs_prefix`, completing the incremental dedup
+    trilogy: :func:`incremental_near_dups` is the probabilistic banded
+    probe (recall = banding odds), :func:`_relational_jaccard_cross`
+    the exhaustive oracle twin (Σ df_new·df_old work), and this the
+    deterministic exact-threshold scale path (recall 1 by the prefix
+    theorem, candidate work confined to the rarest shingles).
+
+    The theorem needs ONE total order shared by both sides, so
+    document frequency is counted over the UNION of the two shingle
+    sets — one count aggregation across both frames (at batch-vs-
+    corpus scale that is a corpus scan, but an int-count scan of
+    shingles, not a pair join; an at-rest variant would freeze an
+    order that never drifts, e.g. xxhash64(shingle) — the theorem
+    holds for ANY fixed total order, df-ascending is just the one
+    with the smallest join fan-out). Prefixes, the candidate-stage
+    effective threshold (``t - 0.5·10^-round_to`` when rounding — the
+    knife-edge class), the length filter, the ``max_df`` stop-shingle
+    routing (capped shingles leave candidate generation; the
+    boilerplate-dominated tails H_new × H_old go to verify directly,
+    guarded by ``max_heavy``), and the one-``array_intersect``-per-
+    candidate verify all match the self-join twin — see its docstring
+    for the proofs; the cross-set form only restricts pairs to
+    new × old instead of id_a < id_b.
+
+    Output: (new_id, old_id, jaccard >= threshold). Equality with the
+    exhaustive cross plan is pinned across thresholds (and under
+    max_df on a skewed fixture) in tests/test_dataops.py; the
+    registered query hash-matches the brute-force DuckDB cross
+    oracle."""
+    if threshold <= 0.0:
+        raise ValueError(
+            "prefix filtering needs threshold > 0 (at t=0 the prefix "
+            "is the whole set — use the exhaustive cross plan)"
+        )
+    if max_df is not None and max_df < 1:
+        raise ValueError("max_df caps document frequency; must be >= 1")
+    t_cand = float(threshold)
+    if round_to is not None:
+        t_cand -= 0.5 * 10.0 ** (-round_to)
+    sh_new = new_docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    ).localCheckpoint(eager=True)
+    sh_old = old_docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    ).localCheckpoint(eager=True)
+
+    def grams_of(sh: DataFrame, side: str) -> DataFrame:
+        return sh.select(
+            F.col(id_col).alias("id"),
+            F.lit(side).alias("side"),
+            F.size("sh").alias("n"),
+            F.explode("sh").alias("g"),
+        )
+
+    grams = grams_of(sh_new, "new").unionByName(grams_of(sh_old, "old"))
+    # ONE df frame over the union — the shared total order both sides'
+    # prefixes are cut under (a per-side df would break the
+    # rarest-shared-shingle argument across the join)
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("side", "id").orderBy(
+        F.col("df").asc(), F.col("g").asc()
+    )
+    ordered = grams.join(df_counts, "g").select(
+        "side", "id", "g", "n", "df", F.row_number().over(w).alias("pos")
+    )
+    minreq = F.ceil(F.lit(t_cand) * F.col("n") - F.lit(1e-9))
+    prefix = ordered.filter(
+        F.col("pos") <= F.col("n") - minreq + F.lit(1)
+    ).select("side", "id", "g", "n", "df")
+
+    def cross_join(pn: DataFrame, po: DataFrame) -> DataFrame:
+        a, b = pn.alias("a"), po.alias("b")
+        return a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n")).cast("double")
+                >= F.lit(t_cand)
+                * F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
+                - F.lit(1e-9)
+            ),
+        ).select(F.col("a.id").alias("new_id"), F.col("b.id").alias("old_id"))
+
+    p_new = prefix.filter(F.col("side") == "new").select("id", "g", "n", "df")
+    p_old = prefix.filter(F.col("side") == "old").select("id", "g", "n", "df")
+    if max_df is None:
+        cands = cross_join(p_new, p_old).distinct()
+    else:
+        light = cross_join(
+            p_new.filter(F.col("df") <= max_df),
+            p_old.filter(F.col("df") <= max_df),
+        )
+
+        def heavy_ids(p: DataFrame) -> DataFrame:
+            h = p.filter(F.col("df") > max_df).select("id", "n").distinct()
+            if max_heavy is None:
+                return h
+            h_tot = h.agg(F.count(F.lit(1)).alias("__h"))
+            checked_n = F.when(
+                F.col("__h") > max_heavy,
+                F.raise_error(
+                    F.format_string(
+                        "jaccard_pairs_prefix_cross: max_df=%s routes "
+                        "%s docs to the direct-verify product "
+                        f"(max_heavy={max_heavy}) — the cap sits at or "
+                        "below the corpus's routine shingle df; read "
+                        "the df frame and raise max_df (or max_heavy "
+                        "knowingly).",
+                        F.lit(str(max_df)),
+                        F.col("__h"),
+                    )
+                ).cast("int"),
+            ).otherwise(F.col("n"))
+            return h.crossJoin(F.broadcast(h_tot)).select(
+                "id", checked_n.alias("n")
+            )
+
+        ha = heavy_ids(p_new).alias("a")
+        hb = heavy_ids(p_old).alias("b")
+        heavy_pairs = ha.join(
+            hb,
+            F.least(F.col("a.n"), F.col("b.n")).cast("double")
+            >= F.lit(t_cand)
+            * F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
+            - F.lit(1e-9),
+        ).select(F.col("a.id").alias("new_id"), F.col("b.id").alias("old_id"))
+        cands = light.unionByName(heavy_pairs).distinct()
+    sha = sh_new.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh_a"))
+    shb = sh_old.select(F.col(id_col).alias("old_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    j = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    ).cast("double")
+    if round_to is not None:
+        j = half_up(j, round_to)
+    return (
+        cands.join(sha, "new_id")
+        .join(shb, "old_id")
+        .select("new_id", "old_id", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# X94 at-rest half: the exact prefix index
+# --------------------------------------------------------------------------
+#
+# The one-shot cross operator above re-pays the corpus-side df count and
+# ordering window EVERY batch (measured: slower than the exhaustive
+# cross at fixture scale, SCALING.md r15). The production recurrence
+# freezes the ordering instead: the prefix theorem holds for ANY fixed
+# total order — df-ascending merely minimizes fan-out — so the at-rest
+# index freezes a BUILD-TIME order that never drifts as the corpus
+# grows: rare shingles spread uniformly by xxhash64, and the recorded
+# frequent tail (sidecar, bounded — see PREFIX_FREQ_TOP_K) sorts last
+# by its frozen df, keeping boilerplate out of prefixes exactly as live
+# df order would. Each doc's prefix rows are stored ONCE. A probe signs
+# only the batch (a batch-local window + one broadcast join against the
+# sidecar's tail), band-joins the index, and exact-verifies candidates
+# — per-batch cost scales with the batch and its collision volume,
+# never the corpus: the X69 recurrence with recall 1 by THEOREM instead
+# of banding odds.
+#
+# Storage is the shared banded layout verbatim — (id, band_idx,
+# band_hash) with band_hash = xxhash64(shingle) and band_idx its
+# bucket — so index_fs.banded_index_write/read, the X82 compactor's
+# locked body, and X91 reconciliation all apply unchanged (one storage
+# contract, three signing modalities). Candidates are exact-verified,
+# so a 64-bit shingle-hash collision can only ADD a candidate, never
+# lose one; doc sizes are not stored (the banded schema is fixed) —
+# the length filter runs at verify where both arrays are in hand.
+
+PREFIX_INDEX_META = "_prefix_meta.json"
+PREFIX_INDEX_BANDS = 16
+# Prefixes are cut at threshold - PREFIX_ROUND_SLACK so a probe that
+# rounds its output (round_to >= 6) keeps knife-edge recall; coarser
+# probe rounding is validated against this at probe time.
+PREFIX_ROUND_SLACK = 0.5e-6
+# The frozen order's frequent tail: build-time document frequencies of
+# the top-K most frequent shingles (df >= the floor) ride in the
+# sidecar, and those shingles sort LAST, by df ascending — everything
+# df-ascending order buys (frequent shingles stay out of prefixes,
+# so their df² fan-out never reaches the candidate join) with a
+# BOUNDED, seam-portable store: rare shingles need no entry at all
+# (they tie at rank 0 and spread uniformly by hash). Measured at
+# sf0.1: the frozen-df order cuts probe candidates ~2.3x vs pure hash
+# order (SCALING.md r15); on a boilerplate-skewed corpus the gap is
+# the difference between linear and quadratic.
+PREFIX_FREQ_TOP_K = 8192
+PREFIX_FREQ_MIN_DF = 8
+
+
+def prefix_index_meta_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{PREFIX_INDEX_META}"
+
+
+def read_prefix_index_meta(path: str, fs=None) -> dict:
+    """Load the prefix index's parameter sidecar (FileNotFoundError on a
+    pre-sidecar/foreign dir — probing with unknown shingling or a
+    higher build threshold silently loses recall)."""
+    from nginx_analytics_spark.operators.index_fs import read_json_sidecar
+
+    return read_json_sidecar(path, PREFIX_INDEX_META, fs=fs)
+
+
+def _prefix_freq_table(
+    docs: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> list[list[int]]:
+    """Build-time frequent tail: [[xxhash64(g), df], ...] for the top
+    ``PREFIX_FREQ_TOP_K`` shingles with df >= ``PREFIX_FREQ_MIN_DF``
+    — bounded by construction (a driver-side list the sidecar can
+    carry through any fs seam). Keyed by HASH, not the shingle string:
+    a 64-bit collision merely conflates two shingles' dfs, which is
+    still a deterministic, side-consistent key — the total order
+    survives, exactness is untouched."""
+    sh = docs.select(word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    rows = (
+        sh.select(F.explode("sh").alias("g"))
+        .select(F.xxhash64("g").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= PREFIX_FREQ_MIN_DF)
+        .orderBy(F.col("df").desc(), F.col("h").asc())
+        .limit(PREFIX_FREQ_TOP_K)
+        .collect()
+    )
+    return [[int(r.h), int(r.df)] for r in rows]
+
+
+def _prefix_freq_frame(spark: SparkSession, freq: list) -> DataFrame | None:
+    if not freq:
+        return None
+    return spark.createDataFrame(
+        [(int(h), int(d)) for h, d in freq], "band_hash long, __df0 long"
+    )
+
+
+def _prefix_keys(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    t_cand: float,
+    freq: DataFrame | None,
+) -> DataFrame:
+    """(id, band_idx, band_hash) prefix rows under the FROZEN order
+    (module note above): each doc's first ``n - ceil(t_cand·n) + 1``
+    distinct shingles by (frozen df0 asc — 0 for every shingle outside
+    the recorded frequent tail — then xxhash64(shingle) asc, then
+    shingle asc)."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    return _prefix_keys_sets(sh, id_col, "sh", t_cand, freq)
+
+
+def _prefix_keys_sets(
+    sh: DataFrame,
+    id_col: str,
+    sh_col: str,
+    t_cand: float,
+    freq: DataFrame | None,
+) -> DataFrame:
+    """:func:`_prefix_keys` over an already-shingled (id, array) frame
+    — the probe signs its checkpointed batch arrays without
+    re-shingling."""
+    grams = sh.select(
+        F.col(id_col),
+        F.size(sh_col).alias("n"),
+        F.explode(sh_col).alias("g"),
+    ).withColumn("band_hash", F.xxhash64("g"))
+    if freq is not None:
+        grams = grams.join(F.broadcast(freq), "band_hash", "left")
+        df0 = F.coalesce(F.col("__df0"), F.lit(0))
+    else:
+        df0 = F.lit(0)
+    w = Window.partitionBy(id_col).orderBy(
+        df0.asc(), F.col("band_hash").asc(), F.col("g").asc()
+    )
+    minreq = F.ceil(F.lit(float(t_cand)) * F.col("n") - F.lit(1e-9))
+    return (
+        grams.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.col("n") - minreq + F.lit(1))
+        .select(
+            id_col,
+            F.pmod(F.col("band_hash"), F.lit(PREFIX_INDEX_BANDS))
+            .cast("int")
+            .alias("band_idx"),
+            "band_hash",
+        )
+    )
+
+
+def write_prefix_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    fs=None,
+) -> None:
+    """Materialize the corpus's EXACT prefix index at rest (module note
+    above): hash-ordered prefix rows in the shared banded layout, plus
+    a ``_prefix_meta.json`` sidecar pinning (id_col, shingle_n,
+    threshold, order). ``threshold`` is the MINIMUM probe threshold the
+    index supports: prefixes shrink as t grows, so an index cut at t0
+    contains every prefix any probe at t >= t0 needs (a lower-t probe
+    would need longer prefixes than were stored — validated loudly).
+    The corpus-side ordering window is paid HERE, once, not per batch."""
+    if threshold <= 0.0:
+        raise ValueError("prefix index needs threshold > 0")
+    from nginx_analytics_spark.operators.index_fs import (
+        banded_index_write,
+        write_json_sidecar,
+    )
+
+    freq = _prefix_freq_table(docs, id_col, text_col, shingle_n)
+    keys = _prefix_keys(
+        docs, id_col, text_col, shingle_n, threshold - PREFIX_ROUND_SLACK,
+        _prefix_freq_frame(docs.sparkSession, freq),
+    )
+    banded_index_write(keys, path, fs=fs)
+    write_json_sidecar(
+        path,
+        PREFIX_INDEX_META,
+        {
+            "id_col": id_col,
+            "shingle_n": shingle_n,
+            "threshold": float(threshold),
+            "order": "frozen-df-v1",
+            "bands": PREFIX_INDEX_BANDS,
+            "freq": freq,
+        },
+        fs=fs,
+    )
+
+
+def _check_prefix_index_meta(index_path: str, want: dict, fs=None) -> dict:
+    try:
+        have = read_prefix_index_meta(index_path, fs=fs)
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"prefix index at {index_path!r} has no {PREFIX_INDEX_META} "
+            "sidecar — rebuild it with write_prefix_index (probing an "
+            "index of unknown shingling/threshold silently loses recall)"
+        ) from e
+    if {k: have.get(k) for k in want} != want or set(have) != (
+        set(want) | {"threshold", "freq"}
+    ):
+        shown = {k: v for k, v in have.items() if k != "freq"}
+        raise ValueError(
+            f"prefix index at {index_path!r} was built under different "
+            f"parameters: sidecar {shown} (+frozen freq table), caller "
+            f"{want} — probe with the index's parameters or rebuild"
+        )
+    return have
+
+
+def append_prefix_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    fs=None,
+) -> None:
+    """Fold a new batch into the at-rest prefix index WITHOUT touching
+    the corpus rows (the X79 discipline): sign only the batch under the
+    INDEX's frozen order — which, unlike live df order, is identical no
+    matter when a doc arrives, so write(A) then append(B) holds exactly
+    the rows write(A ∪ B) would hold UNDER A's FROZEN ORDER
+    (property-tested), and probe recall stays 1 (the theorem needs any
+    one shared total order, which this is). What drifts as the corpus
+    grows is candidate QUALITY: a shingle that becomes boilerplate
+    after the build is not in the frozen frequent tail and keeps
+    entering prefixes at full fan-out — rebuild to refresh the tail
+    when the probe's candidate volume says so. Build threshold and
+    frozen tail come from the sidecar (the index's geometry, not the
+    caller's choice). Reclaim file population with
+    :func:`compact_prefix_index`."""
+    have = _check_prefix_index_meta(
+        path,
+        {
+            "id_col": id_col,
+            "shingle_n": shingle_n,
+            "order": "frozen-df-v1",
+            "bands": PREFIX_INDEX_BANDS,
+        },
+        fs=fs,
+    )
+    from nginx_analytics_spark.operators.index_fs import banded_index_write
+
+    keys = _prefix_keys(
+        docs, id_col, text_col, shingle_n,
+        float(have["threshold"]) - PREFIX_ROUND_SLACK,
+        _prefix_freq_frame(docs.sparkSession, have["freq"]),
+    )
+    banded_index_write(keys, path, fs=fs, mode="append")
+
+
+def compact_prefix_index(
+    spark: SparkSession,
+    path: str,
+    max_files_per_band: int | None = None,
+    target_files: int | None = None,
+    target_file_bytes: int | None = None,
+    max_concurrency: int | None = None,
+    fs=None,
+    prune_ids: DataFrame | None = None,
+) -> dict:
+    """X82 per-band compaction for the prefix index — the same locked
+    body as the LSH/SRP indexes, because all three share one at-rest
+    format by construction: validates THIS index's sidecar, then enters
+    ``_compact_lsh_index_locked`` (band-dir rewrites, crash-recovery
+    swap discipline, ``prune_ids`` orphan reclamation) verbatim."""
+    from nginx_analytics_spark.operators.index_fs import LOCAL_FS
+
+    fs = fs or LOCAL_FS
+    read_prefix_index_meta(path, fs=fs)  # loud on a non-index dir
+    kwargs = dict(
+        max_files_per_band=max_files_per_band,
+        target_files=target_files,
+        target_file_bytes=target_file_bytes,
+        max_concurrency=max_concurrency,
+        prune_ids=prune_ids,
+    )
+    kwargs = {k: v for k, v in kwargs.items() if v is not None}
+    with fs.exclusive_lock(
+        _lsh_compact_lock_path(path),
+        "X82 is single-compactor by design (interleaved band swaps "
+        "would corrupt the two-rename discipline)",
+    ):
+        return _compact_lsh_index_locked(spark, path, fs=fs, **kwargs)
+
+
+def incremental_jaccard_prefix_probe(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    round_to: int | None = 6,
+    fs=None,
+) -> DataFrame:
+    """X94 headline: EXACT cross-set threshold-Jaccard of an incoming
+    batch against the INDEXED corpus — recall 1 by the prefix theorem,
+    per-batch cost scaling with the batch and its collision volume,
+    never the corpus (the X69 recurrence, exactness tier):
+
+      1. sign ONLY the batch: its prefix rows under the frozen hash
+         order (a batch-local window — no corpus df count, no corpus
+         ordering; that was paid once at :func:`write_prefix_index`);
+      2. band-join against the at-rest index (directory-pruned by
+         band_idx, row-group-pruned by the sorted band_hash);
+      3. exact-verify candidates — the corpus TEXT scan is semi-join-
+         pruned to candidate ids; the threshold length filter runs
+         here, where both shingle arrays are in hand.
+
+    The probe threshold must be >= the index's build threshold (after
+    each side's rounding slack): stored prefixes were cut for t_build,
+    and a lower-t probe needs LONGER corpus prefixes than exist —
+    validated loudly, never a silent recall loss. Unlike the banded
+    MinHash probe (:func:`incremental_near_dups`), the output is exact
+    by construction, so the registered query hash-matches the same
+    brute-force cross oracle WITHOUT an exact_net union."""
+    have = _check_prefix_index_meta(
+        index_path,
+        {
+            "id_col": id_col,
+            "shingle_n": shingle_n,
+            "order": "frozen-df-v1",
+            "bands": PREFIX_INDEX_BANDS,
+        },
+        fs=fs,
+    )
+    t_cand = float(threshold)
+    if round_to is not None:
+        t_cand -= 0.5 * 10.0 ** (-round_to)
+    t_build_cand = float(have["threshold"]) - PREFIX_ROUND_SLACK
+    if t_cand < t_build_cand - 1e-12:
+        raise ValueError(
+            f"prefix index at {index_path!r} was built for probes at "
+            f"threshold >= {have['threshold']} (candidate bound "
+            f"{t_build_cand}); this probe needs {t_cand} — its pairs "
+            "can hide beyond the stored prefixes. Rebuild the index at "
+            "the lower threshold."
+        )
+    new_sh = new_docs.select(
+        F.col(id_col).alias("new_id"),
+        word_shingles(text_col, shingle_n).alias("sh_a"),
+    ).localCheckpoint(eager=True)  # consumed by sign AND verify
+    batch_keys = _prefix_keys_sets(
+        new_sh, "new_id", "sh_a", t_cand,
+        _prefix_freq_frame(spark, have["freq"]),
+    )
+    idx = read_lsh_index_rows(spark, index_path, fs=fs).withColumnRenamed(
+        have["id_col"], "old_id"
+    )
+    cands = (
+        batch_keys.join(idx, ["band_idx", "band_hash"])
+        .select("new_id", "old_id")
+        .distinct()
+        # collision-volume-sized, consumed by the corpus prune AND the
+        # verify join — one probe, one band join (the X69 discipline)
+        .localCheckpoint(eager=True)
+    )
+    old_sh = corpus.join(
+        F.broadcast(cands.select(F.col("old_id").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    ).select(
+        F.col(id_col).alias("old_id"),
+        word_shingles(text_col, shingle_n).alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    j = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    ).cast("double")
+    if round_to is not None:
+        j = half_up(j, round_to)
+    return (
+        cands.join(F.broadcast(new_sh), "new_id")
+        .join(old_sh, "old_id")
+        # the length filter, applied where both sizes are free — a
+        # necessary condition of J >= t, pruning before the intersect
+        .filter(
+            F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+            >= F.lit(t_cand)
+            * F.greatest(F.size("sh_a"), F.size("sh_b")).cast("double")
+            - F.lit(1e-9)
+        )
+        .select("new_id", "old_id", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    mode: str = "first",
+    max_df: int | None = None,
+    min_chars: int = 1,
+) -> DataFrame:
+    """X95: SUB-document exact dedup — the paragraph/line-granularity
+    pass every large-scale curation pipeline runs BETWEEN exact
+    doc-hash dedup and fuzzy near-dedup (CCNet's duplicated-line strip;
+    Dolma's paragraph dedup): whole-doc dedup misses documents that
+    share most paragraphs without being equal, and near-dup dedup
+    keeps one replica of boilerplate that should vanish from EVERY
+    document. Two modes over the same decomposition:
+
+      * ``mode="first"``: a paragraph occurring in several documents
+        survives only at its FIRST occurrence (ordered by (doc, pos) —
+        deterministic, partition-invariant); later occurrences are cut
+        from their documents. The Dolma semantics.
+      * ``mode="df"``: paragraphs occurring in more than ``max_df``
+        documents are cut from ALL documents (frequency-based
+        boilerplate strip, the CCNet semantics — nav bars, footers,
+        cookie banners disappear wholesale).
+
+    Decomposition: split on the literal ``sep``, trim, drop segments
+    shorter than ``min_chars``; positions are pre-filter, so surviving
+    segments rejoin in original order. Returns one row per input doc:
+    (id, clean_text, n_kept, n_removed) — a doc whose every paragraph
+    was cut keeps its row with clean_text = '' (the curation gate
+    downstream decides whether to drop it; this operator never loses
+    rows).
+
+    Scale shape: one explode, one aggregation keyed by the paragraph
+    STRING (exact — no hash-collision caveat; the map-side partial
+    combine absorbs the boilerplate skew for mode="df", and
+    mode="first"'s min-struct agg is likewise combine-friendly — no
+    window over a hot paragraph key), one join back, one per-doc
+    reassembly agg. At 100 TB the shuffle carries distinct paragraphs
+    once plus (paragraph, doc) pairs — hash-prefixing the key is the
+    known bytes optimization, traded away here for exactness and
+    engine portability (the DuckDB oracle groups by the same string).
+
+    Reference: none — the reference has no corpus pipeline; semantics
+    follow the published CCNet/Dolma passes. Registered
+    ``paragraph_dedup_docs`` / ``boilerplate_strip_docs`` hash-match
+    DuckDB oracles (the fixture's synthetic text has no newlines, so
+    the registered queries segment on a frequent token; production
+    uses the default ``sep="\\n"``)."""
+    import re as _re
+
+    if mode not in ("first", "df"):
+        raise ValueError(f"mode must be 'first' or 'df', got {mode!r}")
+    if mode == "df" and (max_df is None or max_df < 1):
+        raise ValueError("mode='df' needs max_df >= 1")
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(sep))
+            ).alias("pos", "rawp"),
+        )
+        .select(F.col(id_col), "pos", F.trim(F.col("rawp")).alias("para"))
+        .filter(F.length("para") >= min_chars)
+    )
+    if mode == "first":
+        firsts = paras.groupBy("para").agg(
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
+        )
+        kept = paras.join(firsts, "para").filter(
+            F.struct(F.col(id_col), F.col("pos")) == F.col("__first")
+        )
+    else:
+        dfs = paras.groupBy("para").agg(
+            F.count_distinct(F.col(id_col)).alias("__df")
+        )
+        kept = paras.join(dfs, "para").filter(F.col("__df") <= max_df)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    orig = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_orig"))
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(orig, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.coalesce("__n_orig", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",

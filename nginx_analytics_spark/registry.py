@@ -65,27 +65,41 @@ _ORACLES: dict[str, str] = {}
 # pre-committed — zero older, ZERO reds anywhere. The due set is 35 =
 # 1 never-recorded newcomer + the 34-name r12 cohort; the remaining
 # ~15 rows of a 50-row budget fall on r13 family heads chosen for
-# FAMILY BREADTH so no operator family's freshest row predates r14:
-#   * position 1: jaccard_pairs_prefix_capped (new this round — the
-#     X92 stop-shingle cap, r14 verdict item 3 — no driver row yet);
-#   * positions 2-10: the r12 cohort's expensive deferred heads, in
+# FAMILY BREADTH so no operator family's freshest row predates r14
+# (due set = 39 = 5 newcomers + the 34-name r12 cohort; 39 + 11 heads
+# = the 50-row budget):
+#   * positions 1-5: the five newcomers, no driver row yet —
+#     jaccard_pairs_prefix_capped (the X92 stop-shingle cap, r14
+#     verdict item 3), incremental_jaccard_prefix (X94, the exact
+#     cross-set prefix join), incremental_jaccard_prefix_probe
+#     (X94's at-rest headline — the exact indexed probe), and the two
+#     X95 paragraph-granularity dedup modes;
+#   * positions 6-14: the r12 cohort's expensive deferred heads, in
 #     the order the r14 verdict pre-committed (last round's designated
 #     spill head: the pair/roundtrip/iterative shapes, then the
 #     iterative trainers);
-#   * positions 11-35: the rest of the r12 cohort, alphabetical;
-#   * positions 36-50: 15 r13 family heads — TPC-H join/agg shapes,
-#     the reference parse/anomaly/session trio, the exact and banded
-#     dedup-pair plans, text-quality heads, the ANN exact/IVF/PQ
-#     probes, the sketch rollup, temperature sampling;
+#   * positions 15-39: the rest of the r12 cohort, alphabetical;
+#   * positions 40-50: 11 r13 family heads — TPC-H join/agg shapes,
+#     the reference parse/anomaly pair, the exact dedup-pair plan,
+#     text-quality heads, the ANN exact/IVF probes, the sketch rollup
+#     (temperature sampling, minhash_lsh_pairs, session_windows and
+#     ann_pq_topk moved to the spill head — their families' freshest
+#     rows are covered by r14 rows or by r12-due cohort members:
+#     weighted_sample_docs r14, minhash_dedup_pairs due at position 6,
+#     windowed_events r14, ann_pq_indexed_refined due in the cohort);
 #   * positions 51+: the DESIGNATED r15 SPILL = the remaining 34 r13
 #     names, expensive/iterative shapes first — any budget beyond ~50
 #     lands on them in this order, and they lead r16's due set
 #     otherwise. Every spilled name stays oracle-verified at both
 #     pytest tiers every round.
 _CHECK_FIRST = [
-    # --- position 1: new this round, no driver row yet ---
+    # --- positions 1-5: new this round, no driver row yet ---
     "jaccard_pairs_prefix_capped",
-    # --- positions 2-10: r12 cohort, expensive deferred heads ---
+    "incremental_jaccard_prefix",
+    "incremental_jaccard_prefix_probe",
+    "paragraph_dedup_docs",
+    "boilerplate_strip_docs",
+    # --- positions 6-14: r12 cohort, expensive deferred heads ---
     "minhash_dedup_pairs",
     "embedding_ingest_roundtrip",
     "stream_stream_join",
@@ -95,7 +109,7 @@ _CHECK_FIRST = [
     "traffic_forecast",
     "training_handoff",
     "incremental_index_near_dups",
-    # --- positions 11-35: the rest of the r12 cohort ---
+    # --- positions 15-39: the rest of the r12 cohort ---
     "ann_pq_indexed_refined",
     "approx_distinct_users",
     "cohort_retention",
@@ -121,24 +135,24 @@ _CHECK_FIRST = [
     "traffic_cube",
     "user_sessions",
     "volume_shipping",
-    # --- positions 36-50: 15 r13 family heads (breadth-first) ---
+    # --- positions 40-50: 11 r13 family heads (breadth-first) ---
     "pricing_summary",
     "min_cost_supplier",
     "brand_size_revenue",
     "zscore_anomaly",
     "parse_enrich",
-    "session_windows",
     "exact_jaccard_pairs",
-    "minhash_lsh_pairs",
     "doc_quality",
     "token_stats",
     "ann_cosine_topk",
     "ann_ivf_indexed",
-    "ann_pq_topk",
     "sketch_distinct_users_7d",
-    "temperature_sample_docs",
     # --- positions 51+: the designated r15 spill (r13 cohort rest) ---
     # expensive pair/roundtrip/iterative shapes first
+    "temperature_sample_docs",
+    "minhash_lsh_pairs",
+    "session_windows",
+    "ann_pq_topk",
     "dedup_clusters",
     "dedup_ingest_roundtrip",
     "embedding_dedup_pairs",

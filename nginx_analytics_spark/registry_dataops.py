@@ -643,6 +643,145 @@ def incremental_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+@query("incremental_jaccard_prefix", _INCR_NEAR_DUPS_SQL)
+def incremental_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94: exact cross-set threshold-Jaccard of the incoming batch
+    against the standing corpus via prefix filtering — the
+    deterministic exact-threshold member of the incremental trilogy:
+    incremental_near_dups(_probe) is the banded at-rest probe (recall
+    = banding odds), its exact_net twin the brute-force oracle gate,
+    and this the 100 TB path when banding odds are not acceptable:
+    recall 1 by the prefix theorem under the union-df shared order,
+    candidate work confined to the rarest shingles of each side's
+    prefixes, one array_intersect per surviving candidate. Same split
+    constants and the SAME brute-force DuckDB cross oracle as
+    incremental_near_dups — identical output, structurally cheaper
+    plan (the self-join twin's r14 crossover measurements carry over;
+    the cross form's volumes are in SCALING.md r15)."""
+    new_docs, corpus = _incr_split(spark, sf_dir)
+    return dedup.jaccard_pairs_prefix_cross(
+        new_docs, corpus, threshold=JACCARD_THRESHOLD, round_to=6
+    )
+
+
+def _staged_prefix_index(corpus: DataFrame, sf_dir: str) -> str:
+    """Stage (or reuse) the X94 exact prefix index over the corpus
+    slice (mechanics: :func:`_staged_index`). The frozen hash order
+    makes the build a pure function of the row set and (threshold,
+    shingle_n), so the cache key is sound; split constants are in the
+    key for the same reason as :func:`_staged_lsh_index`."""
+
+    def build(idx: str) -> None:
+        dedup.write_prefix_index(
+            corpus, idx, threshold=JACCARD_THRESHOLD, shingle_n=3
+        )
+
+    # v2: the frozen order gained the sidecar frequent tail
+    # (order=frozen-df-v1) — v1 hash-order layouts must miss
+    return _staged_index(
+        sf_dir,
+        "documents",
+        f"{sf_dir}|prefix-v2|t{JACCARD_THRESHOLD}|n3"
+        f"|k{dedup.PREFIX_FREQ_TOP_K}|m{dedup.PREFIX_FREQ_MIN_DF}"
+        f"|salt{_INCR_SALT}|nf{_INCR_NEW_FRAC}",
+        dedup.read_prefix_index_meta,
+        build,
+    )
+
+
+@query("incremental_jaccard_prefix_probe", _INCR_NEAR_DUPS_SQL)
+def incremental_jaccard_prefix_probe_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X94 headline: the pure per-batch EXACT probe — sign only the
+    batch under the frozen hash order (a batch-local window; the
+    corpus-side ordering was paid once at index build, staged at rest
+    like the X69 LSH index), band-join the at-rest prefix rows, exact-
+    verify candidates with the corpus text semi-join-pruned to them.
+    Per-batch cost scales with the batch and its collision volume,
+    never the corpus — the X69 recurrence at the EXACTNESS tier:
+    unlike incremental_near_dups_probe (recall = banding odds,
+    rows-only driver row), this probe's recall is 1 by the prefix
+    theorem, so it hash-matches the same brute-force cross oracle
+    DIRECTLY, no exact_net union needed."""
+    new_docs, corpus = _incr_split(spark, sf_dir)
+    index_path = _staged_prefix_index(corpus, sf_dir)
+    return dedup.incremental_jaccard_prefix_probe(
+        spark, new_docs, corpus, index_path,
+        threshold=JACCARD_THRESHOLD, round_to=6,
+    )
+
+
+# X95 paragraph decomposition, shared by both modes' oracles. The
+# synthetic fixture text has no newline structure, so the registered
+# queries segment on a frequent token (production uses sep="\n"); at
+# sf0.01 ~11% of segments are cross-doc duplicates, so both modes cut.
+_PARA_SEP = " the "
+_PARA_SQL_BASE = f"""
+    WITH p AS (
+        SELECT doc_id, trim(arr[pos]) AS para, pos
+        FROM (SELECT doc_id, string_split(text, '{_PARA_SEP}') AS arr
+              FROM documents) t,
+             LATERAL (SELECT unnest(generate_series(1, len(arr))) AS pos) u
+        WHERE length(trim(arr[pos])) >= 1
+    ), k AS (
+        SELECT doc_id, para, pos, {{keep}} AS keep
+        FROM ({{scored}})
+    ), agg AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN keep THEN para END, '{_PARA_SEP}'
+                          ORDER BY pos) AS clean_text,
+               count(*) FILTER (keep) AS n_kept,
+               count(*) AS n_orig
+        FROM k GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+           (coalesce(a.n_orig, 0) - coalesce(a.n_kept, 0))::BIGINT
+               AS n_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+_PARA_FIRST_SQL = _PARA_SQL_BASE.format(
+    scored="SELECT doc_id, para, pos, row_number() OVER "
+    "(PARTITION BY para ORDER BY doc_id, pos) AS rn FROM p",
+    keep="rn = 1",
+)
+_PARA_DF_SQL = _PARA_SQL_BASE.format(
+    scored="SELECT doc_id, para, pos, count(DISTINCT doc_id) OVER "
+    "(PARTITION BY para) AS df FROM p",
+    keep="df <= 2",
+)
+
+
+@query("paragraph_dedup_docs", _PARA_FIRST_SQL)
+def paragraph_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95 mode="first" (the Dolma paragraph-dedup semantics): a
+    segment occurring in several documents survives only at its first
+    (doc, pos) occurrence — the sub-document granularity whole-doc
+    dedup cannot reach (documents sharing most paragraphs without
+    being equal) — and documents reassemble from their surviving
+    segments in original order, never losing rows. All-JVM plan: one
+    explode, combine-friendly min-struct agg keyed by the paragraph
+    string, join back, per-doc ordered reassembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup(docs, sep=_PARA_SEP, mode="first")
+
+
+@query("boilerplate_strip_docs", _PARA_DF_SQL)
+def boilerplate_strip_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95 mode="df" (the CCNet duplicated-line strip): segments
+    occurring in more than max_df=2 documents are boilerplate and are
+    cut from ALL documents — the pass that removes nav bars, footers
+    and cookie banners wholesale, where keep-first dedup would leave
+    one stranded copy. Same decomposition and reassembly as the
+    keep-first twin; the df agg's map-side combine absorbs the
+    boilerplate key skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup(docs, sep=_PARA_SEP, mode="df", max_df=2)
+
+
 @query("incremental_near_dups_probe")  # pure-LSH probe: recall is banding
 # odds (property-tested >= the 16x2 banding curve), so no exact SQL twin —
 # rows-only driver check, precision-1 by construction (exact verify stage).

@@ -308,11 +308,12 @@ def reconcile_index(
         rows from every band it rewrites, no full rebuild needed; the
         returned count is the number an operator decides that with.
 
-    Kind is sidecar-detected — ALL FOUR at-rest index kinds since r14
-    (r13 verdict item 5): the banded dedup indexes (MinHash/LSH text,
-    SRP embedding) and the ANN SERVING indexes (celled/flat PQ,
-    bucketed IVF), which pair with the same corpus store and diverge
-    the same two ways. For the serving kinds a missing row is a SILENT
+    Kind is sidecar-detected — ALL FIVE at-rest index kinds (four since
+    r14 per r13 verdict item 5; the X94 exact prefix index joined in
+    r15): the banded dedup indexes (MinHash/LSH text, X94 hash-order
+    prefix, SRP embedding) and the ANN SERVING indexes (celled/flat
+    PQ, bucketed IVF), which pair with the same corpus store and
+    diverge the same two ways. For the serving kinds a missing row is a SILENT
     RECALL LOSS — the vector exists in the corpus but no probe can
     ever return it, invisible to ``pq_index_verify``/
     ``ivf_index_verify`` (those only check the row_count commit, which
@@ -349,6 +350,9 @@ def reconcile_index(
     if fs.isfile(dedup.lsh_index_meta_path(index_path)):
         kind, meta = "lsh", dedup.read_lsh_index_meta(index_path, fs=fs)
         payload_col = text_col
+    elif fs.isfile(dedup.prefix_index_meta_path(index_path)):
+        kind, meta = "prefix", dedup.read_prefix_index_meta(index_path, fs=fs)
+        payload_col = text_col
     elif fs.isfile(similarity.srp_index_meta_path(index_path)):
         kind, meta = "srp", similarity.read_srp_index_meta(index_path, fs=fs)
         payload_col = vec_col
@@ -365,7 +369,7 @@ def reconcile_index(
             "pairs a corpus store with its dedup or ANN serving index"
         )
     id_col = meta["id_col"]
-    banded = kind in ("lsh", "srp")
+    banded = kind in ("lsh", "prefix", "srp")
     with fs.exclusive_lock(
         dedup._lsh_compact_lock_path(index_path),
         "reconcile counts (and repairs) only while no writer holds "
@@ -404,6 +408,14 @@ def reconcile_index(
                     shingle_n=meta["shingle_n"],
                     num_hashes=meta["num_hashes"],
                     rows_per_band=meta["rows_per_band"], fs=fs,
+                )
+            elif kind == "prefix":
+                # signs under the frozen hash order at the sidecar's
+                # build threshold — order-stable, so the repaired rows
+                # are exactly what the original write would have held
+                dedup.append_prefix_index(
+                    rows, index_path, id_col=id_col, text_col=text_col,
+                    shingle_n=meta["shingle_n"], fs=fs,
                 )
             elif kind == "srp":
                 similarity.append_srp_index(

@@ -586,13 +586,21 @@ def test_cli_verify_index(spark, tmp_path):
     )
     lsh, srp = f"{tmp_path}/lsh", f"{tmp_path}/srp"
     ivf, pq = f"{tmp_path}/ivf", f"{tmp_path}/pq"
+    pfx = f"{tmp_path}/pfx"
     dedup.write_lsh_index(docs, lsh)
+    dedup.write_prefix_index(docs, pfx, threshold=0.6)
     similarity.write_srp_index(emb, srp)
     similarity.ivf_write_bucketed(emb, ivf, n_cells=4)
     books = similarity.pq_write_index(emb, pq, m=8, n_codes=16)
 
-    for idx in (lsh, srp, ivf, pq):
+    for idx in (lsh, srp, pfx, ivf, pq):
         assert jobs.main(["verify-index", "--index", idx]) == 0, idx
+
+    # the prefix kind routes through the shared compactor too
+    assert jobs.main(
+        ["compact-index", "--index", pfx, "--max-files-per-band", "0"]
+    ) == 0
+    assert jobs.main(["verify-index", "--index", pfx]) == 0
 
     # tear the PQ index: rows beyond the committed count
     extra = emb.limit(2).select(

@@ -260,6 +260,265 @@ def test_jaccard_pairs_prefix_max_df_exact_on_skewed_fixture(spark):
         ).collect()
 
 
+def test_jaccard_pairs_prefix_cross_equals_exhaustive(spark):
+    """X94: the cross-set prefix plan emits EXACTLY the exhaustive
+    cross plan's (new_id, old_id, jaccard) rows across thresholds —
+    recall 1 by the prefix theorem under the union-df shared order.
+    Split: trailing ~30% of fixture doc_ids are 'new'."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    new_docs = docs.filter(F.col("doc_id") % 10 >= 7)
+    old_docs = docs.filter(F.col("doc_id") % 10 < 7)
+
+    def exhaustive(t):
+        sn = new_docs.select(
+            "doc_id", dedup.word_shingles("text").alias("sh")
+        )
+        so = old_docs.select(
+            "doc_id", dedup.word_shingles("text").alias("sh")
+        )
+        return {
+            (r.new_id, r.old_id, r.jaccard)
+            for r in dedup._relational_jaccard_cross(
+                sn, so, "doc_id", "sh", t, 6
+            ).collect()
+        }
+
+    for t in (0.3, 0.6, 0.9):
+        got = {
+            (r.new_id, r.old_id, r.jaccard)
+            for r in dedup.jaccard_pairs_prefix_cross(
+                new_docs, old_docs, threshold=t
+            ).collect()
+        }
+        assert got == exhaustive(t), f"threshold {t}"
+    with pytest.raises(ValueError, match="threshold > 0"):
+        dedup.jaccard_pairs_prefix_cross(new_docs, old_docs, threshold=0.0)
+
+
+def test_jaccard_pairs_prefix_cross_max_df_exact_on_skewed(spark):
+    """X94 stop-shingle routing stays exact on the boilerplate-skewed
+    shape: a new boilerplate-dominated doc must find its old
+    boilerplate twin through the H_new x H_old direct product (every
+    shared shingle capped), and a new clean doc its old near-dup
+    through the light join — both equal the exhaustive cross plan."""
+    boiler = [f"bp{i:02d}" for i in range(12)]
+    mk = lambda toks: " ".join(toks)
+    old_rows = [(i, mk(boiler + [f"x{i}_{j}" for j in range(20)]))
+                for i in range(15)]
+    old_rows.append((200, mk(boiler)))                      # old boiler twin
+    ys = [f"y{j:02d}" for j in range(30)]
+    old_rows.append((100, mk(ys + ["z1", "z2"])))           # old clean twin
+    new_rows = [(500, mk(boiler + ["q9"]))]                 # new boiler doc
+    new_rows.append((501, mk(ys + ["w1", "w2"])))           # new clean doc
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    sn = new.select("doc_id", dedup.word_shingles("text").alias("sh"))
+    so = old.select("doc_id", dedup.word_shingles("text").alias("sh"))
+    for t in (0.3, 0.6):
+        exact = {
+            (r.new_id, r.old_id, r.jaccard)
+            for r in dedup._relational_jaccard_cross(
+                sn, so, "doc_id", "sh", t, 6
+            ).collect()
+        }
+        for cap in (2, 5, None):
+            got = {
+                (r.new_id, r.old_id, r.jaccard)
+                for r in dedup.jaccard_pairs_prefix_cross(
+                    new, old, threshold=t, max_df=cap
+                ).collect()
+            }
+            assert got == exact, f"t={t} cap={cap}"
+    t06 = {
+        (r.new_id, r.old_id)
+        for r in dedup.jaccard_pairs_prefix_cross(
+            new, old, threshold=0.6, max_df=5
+        ).collect()
+    }
+    assert (500, 200) in t06 and (501, 100) in t06
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="routes .* docs"):
+        dedup.jaccard_pairs_prefix_cross(
+            new, old, threshold=0.6, max_df=2, max_heavy=0
+        ).collect()
+
+
+def test_prefix_index_probe_exact_and_lifecycle(spark, tmp_path):
+    """X94 at-rest half: the indexed probe equals the exhaustive cross
+    plan at every threshold >= the build threshold (recall 1 by the
+    prefix theorem under the frozen hash order); write(A)+append(B)
+    holds exactly write(A∪B)'s rows (the hash order is arrival-
+    invariant — the property df order cannot have); sidecar and
+    threshold validation are loud; compaction preserves rows."""
+    from nginx_analytics_spark.operators.sampling import portable_frac
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    frac = portable_frac("doc_id", salt=13)
+    new, old = docs.filter(frac >= 0.9), docs.filter(frac < 0.9)
+    idx = str(tmp_path / "pidx")
+    dedup.write_prefix_index(old, idx, threshold=0.6)
+
+    sn = new.select("doc_id", dedup.word_shingles("text").alias("sh"))
+    so = old.select("doc_id", dedup.word_shingles("text").alias("sh"))
+    for t in (0.6, 0.9):  # probe thresholds >= build threshold
+        exact = {
+            (r.new_id, r.old_id, r.jaccard)
+            for r in dedup._relational_jaccard_cross(
+                sn, so, "doc_id", "sh", t, 6
+            ).collect()
+        }
+        got = {
+            (r.new_id, r.old_id, r.jaccard)
+            for r in dedup.incremental_jaccard_prefix_probe(
+                spark, new, old, idx, threshold=t
+            ).collect()
+        }
+        assert got == exact, f"threshold {t}"
+
+    # probing BELOW the build threshold must refuse (stored prefixes
+    # are too short — a silent run would lose recall)
+    with pytest.raises(ValueError, match="built for probes"):
+        dedup.incremental_jaccard_prefix_probe(
+            spark, new, old, idx, threshold=0.4
+        )
+    # parameter mismatch + bare dir are loud
+    with pytest.raises(ValueError, match="different\\s+parameters"):
+        dedup.append_prefix_index(new, idx, shingle_n=5)
+    bare = str(tmp_path / "bare")
+    old.write.parquet(bare)
+    with pytest.raises(ValueError, match="no _prefix_meta.json"):
+        dedup.incremental_jaccard_prefix_probe(spark, new, old, bare)
+
+    # write(A) + append(B) == write(A ∪ B) UNDER A'S FROZEN ORDER —
+    # the appended half signs with the index's sidecar tail, not a
+    # fresh df count, so arrival order cannot change the rows...
+    half = portable_frac("doc_id", salt=7) < F.lit(0.5)
+    split_idx = str(tmp_path / "split")
+    dedup.write_prefix_index(old.filter(half), split_idx, threshold=0.6)
+    dedup.append_prefix_index(old.filter(~half), split_idx)
+    rows = lambda p: {
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in dedup.read_lsh_index_rows(spark, p).collect()
+    }
+    frozen = dedup._prefix_freq_frame(
+        spark, dedup.read_prefix_index_meta(split_idx)["freq"]
+    )
+    expected = {
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in dedup._prefix_keys(
+            old, "doc_id", "text", 3, 0.6 - dedup.PREFIX_ROUND_SLACK, frozen
+        ).collect()
+    }
+    assert rows(split_idx) == expected
+    # ...and the probe over the incrementally-built index is still
+    # exact (any one frozen total order satisfies the theorem)
+    exact06 = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in dedup._relational_jaccard_cross(
+            sn, so, "doc_id", "sh", 0.6, 6
+        ).collect()
+    }
+    got06 = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in dedup.incremental_jaccard_prefix_probe(
+            spark, new, old, split_idx, threshold=0.6
+        ).collect()
+    }
+    assert got06 == exact06
+
+    # X82 compaction: rewrite every band, rows unchanged, probe parity
+    before = rows(split_idx)
+    stats = dedup.compact_prefix_index(spark, split_idx, max_files_per_band=0)
+    assert stats["bands_compacted"] > 0
+    assert rows(split_idx) == before
+
+
+def test_reconcile_index_prefix_kind(spark, tmp_path):
+    """X91 reconciliation covers the prefix index (the fifth at-rest
+    kind): a corpus doc with no prefix rows is a permanent EXACT-dedup
+    blind spot — detected, repaired under the sidecar's own threshold/
+    order, and the repaired probe then finds the planted near-dup."""
+    from nginx_analytics_spark.streaming.dedup_ingest import reconcile_index
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(120)
+        .localCheckpoint(eager=True)
+    )
+    hole = docs.orderBy("doc_id").limit(1)
+    hole_id = hole.collect()[0].doc_id
+    rest = docs.filter(F.col("doc_id") != hole_id)
+    corpus_dir = str(tmp_path / "corpus")
+    docs.write.parquet(corpus_dir)
+    idx = str(tmp_path / "pidx")
+    dedup.write_prefix_index(rest, idx, threshold=0.6)
+    # the probe batch: the hole doc itself under a fresh id — its
+    # exact twin is in the corpus but NOT in the index
+    probe_batch = hole.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    got = dedup.incremental_jaccard_prefix_probe(
+        spark, probe_batch, docs, idx, threshold=0.6
+    ).collect()
+    assert hole_id not in {r.old_id for r in got}  # blind spot
+    out = reconcile_index(spark, corpus_dir, idx)
+    assert out["kind"] == "prefix" and out["missing_from_index"] == 1
+    out = reconcile_index(spark, corpus_dir, idx, repair=True)
+    assert out["repaired"] == 1
+    got = dedup.incremental_jaccard_prefix_probe(
+        spark, probe_batch, docs, idx, threshold=0.6
+    ).collect()
+    assert any(r.old_id == hole_id and r.jaccard == 1.0 for r in got)
+    assert reconcile_index(spark, corpus_dir, idx)["missing_from_index"] == 0
+
+
+def test_paragraph_dedup_modes(spark):
+    """X95 semantics on hand-built documents (newline segmentation —
+    the production default): keep-first cuts later cross-doc (and
+    within-doc) occurrences, keeping first by (doc, pos); df mode cuts
+    boilerplate from EVERY doc including the first; docs never lose
+    rows (a fully-cut doc keeps clean_text=''); short segments are
+    dropped by min_chars; counts reconcile."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nBOILER\ngamma"),
+            (2, "BOILER\ndelta\nalpha beta"),
+            (3, "BOILER\nBOILER\n  \nepsilon"),
+            (4, "BOILER"),
+        ],
+        "doc_id long, text string",
+    )
+    first = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in dedup.paragraph_dedup(docs, mode="first").collect()
+    }
+    assert first[1] == ("alpha beta\nBOILER\ngamma", 3, 0)  # all first
+    assert first[2] == ("delta", 1, 2)  # BOILER + 'alpha beta' seen in 1
+    assert first[3] == ("epsilon", 1, 2)  # both BOILER copies cut; blank dropped
+    assert first[4] == ("", 0, 1)  # fully cut, row kept
+    stripped = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in dedup.paragraph_dedup(docs, mode="df", max_df=2).collect()
+    }
+    # BOILER is in 4 docs > 2 -> cut everywhere, including doc 1;
+    # 'alpha beta' is in exactly 2 docs -> kept in both
+    assert stripped[1] == ("alpha beta\ngamma", 2, 1)
+    assert stripped[2] == ("delta\nalpha beta", 2, 1)
+    assert stripped[3] == ("epsilon", 1, 2)
+    assert stripped[4] == ("", 0, 1)
+    with pytest.raises(ValueError, match="max_df"):
+        dedup.paragraph_dedup(docs, mode="df")
+    with pytest.raises(ValueError, match="mode"):
+        dedup.paragraph_dedup(docs, mode="all")
+
+
 def test_simhash_order_insensitive_and_selective(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     reordered = " ".join(reversed(base.split(" ")))  # same bag of tokens

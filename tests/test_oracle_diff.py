@@ -73,6 +73,8 @@ SF01_ORACLE_IMPRACTICAL = {
     "jaccard_pairs_prefix_capped",  # same oracle; capped twin's sf0.1
                                  # equality rides the same Spark-side pin
     "minhash_dedup_pairs",
+    "incremental_jaccard_prefix",  # same brute-force cross-pair oracle
+    "incremental_jaccard_prefix_probe",  # same cross oracle (exact probe)
     "ngram_jaccard_pairs",       # (matches 0=0 — kept out for runtime only)
     "embedding_dedup_pairs",
     "incremental_near_dups",
