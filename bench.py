@@ -249,6 +249,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "incremental_jaccard_prefix_probe",
         "paragraph_dedup_docs",
         "boilerplate_strip_docs",
+        "exact_substring_dedup_docs",
     ],
     # temporal/behavioral/sampling/ANN shapes
     "analytics": [

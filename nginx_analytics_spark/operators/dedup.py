@@ -1203,6 +1203,130 @@ def paragraph_dedup(
     )
 
 
+def exact_substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 50,
+) -> DataFrame:
+    """X96: EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    pass): remove every token span that occurs more than once in the
+    corpus, at SPAN granularity — the tier between X95's paragraph
+    dedup (needs a separator structure) and near-dedup (whole-doc
+    granularity). The published method finds repeated runs >= 50
+    tokens with a suffix array; the Spark-native equivalent slides a
+    ``window_tokens``-token window at stride 1 over every document —
+    any repeated run of length >= W contains only repeated windows,
+    and every repeated W-window is a repeated run — so marking
+    repeated windows and cutting their MERGED spans removes exactly
+    the tokens lying inside some repeated run of >= W tokens, in every
+    copy (the paper's remove-all-occurrences finding).
+
+    Plan, all JVM expressions + relational ops: (1) per doc, the token
+    array once, windows as a ``transform(sequence(...))`` expression
+    over array slices (no per-window row explosion until the single
+    explode); (2) repeated = windows with global count > 1, grouped by
+    the window STRING — exact, no hash-collision caveat, and the same
+    key the DuckDB oracle groups by; (3) per doc, merge hit windows
+    into maximal spans with the gaps-and-islands window (running max
+    of span end); (4) rebuild each doc from the tokens OUTSIDE its
+    spans (an expression-level complement over the token array).
+    Returns one row per input doc — (id, clean_text, n_tokens_kept,
+    n_tokens_removed); a fully-repeated doc keeps its row with
+    clean_text = ''. Output text is single-space token-joined
+    (tokenization is whitespace split — the module's convention).
+
+    Scale: the window rows carry ~W tokens of payload each, so the
+    repeated-window shuffle moves O(corpus tokens × W) bytes — the
+    honest cost of exactness (the paper's suffix array is likewise
+    bytes-linear); W is the knob (longer = fewer, more selective
+    spans) and hash-prefixing the group key is the known bytes
+    optimization, traded away for exactness and oracle portability.
+    Reference: none — the reference has no corpus pipeline; semantics
+    follow the published ExactSubstr pass."""
+    W = int(window_tokens)
+    if W < 2:
+        raise ValueError("window_tokens must be >= 2")
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    ).localCheckpoint(eager=True)  # windows + reassembly + sizes
+    wins = (
+        toks.filter(F.size("toks") >= W)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - W),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice("toks", i + 1, W)
+                        ).alias("win"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select(F.col(id_col), F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    )
+    repeated = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("win")
+    )
+    hits = wins.join(repeated, "win", "left_semi").select(
+        F.col(id_col), "pos", (F.col("pos") + F.lit(W - 1)).alias("end")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("end").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        hits.withColumn(
+            "__new",
+            F.when(
+                prev_max.isNull() | (F.col("pos") > prev_max), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "__isl")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size("toks") - 1),
+        lambda i: ~F.exists(
+            "ivs", lambda iv: (i >= iv["s"]) & (i <= iv["e"])
+        ),
+    )
+    return (
+        toks.join(islands, id_col, "left")
+        .withColumn(
+            "__kept",
+            F.when(F.col("ivs").isNull(), F.col("toks")).otherwise(
+                F.transform(
+                    kept_idx, lambda i: F.element_at("toks", i + 1)
+                )
+            ),
+        )
+        .select(
+            id_col,
+            F.array_join("__kept", " ").alias("clean_text"),
+            F.size("__kept").cast("bigint").alias("n_tokens_kept"),
+            (F.size("toks") - F.size("__kept"))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -66,24 +66,25 @@ _ORACLES: dict[str, str] = {}
 # 1 never-recorded newcomer + the 34-name r12 cohort; the remaining
 # ~15 rows of a 50-row budget fall on r13 family heads chosen for
 # FAMILY BREADTH so no operator family's freshest row predates r14
-# (due set = 39 = 5 newcomers + the 34-name r12 cohort; 39 + 11 heads
+# (due set = 40 = 6 newcomers + the 34-name r12 cohort; 40 + 10 heads
 # = the 50-row budget):
-#   * positions 1-5: the five newcomers, no driver row yet —
+#   * positions 1-6: the six newcomers, no driver row yet —
 #     jaccard_pairs_prefix_capped (the X92 stop-shingle cap, r14
 #     verdict item 3), incremental_jaccard_prefix (X94, the exact
 #     cross-set prefix join), incremental_jaccard_prefix_probe
-#     (X94's at-rest headline — the exact indexed probe), and the two
-#     X95 paragraph-granularity dedup modes;
-#   * positions 6-14: the r12 cohort's expensive deferred heads, in
+#     (X94's at-rest headline — the exact indexed probe), the two
+#     X95 paragraph-granularity dedup modes, and X96 ExactSubstr
+#     span-granularity dedup;
+#   * positions 7-15: the r12 cohort's expensive deferred heads, in
 #     the order the r14 verdict pre-committed (last round's designated
 #     spill head: the pair/roundtrip/iterative shapes, then the
 #     iterative trainers);
-#   * positions 15-39: the rest of the r12 cohort, alphabetical;
-#   * positions 40-50: 11 r13 family heads — TPC-H join/agg shapes,
+#   * positions 16-40: the rest of the r12 cohort, alphabetical;
+#   * positions 41-50: 10 r13 family heads — TPC-H join/agg shapes,
 #     the reference parse/anomaly pair, the exact dedup-pair plan,
-#     text-quality heads, the ANN exact/IVF probes, the sketch rollup
-#     (temperature sampling, minhash_lsh_pairs, session_windows and
-#     ann_pq_topk moved to the spill head — their families' freshest
+#     text-quality heads, the ANN exact probe, the sketch rollup
+#     (temperature sampling, minhash_lsh_pairs, session_windows,
+#     ann_pq_topk and ann_ivf_indexed moved to the spill head — their families' freshest
 #     rows are covered by r14 rows or by r12-due cohort members:
 #     weighted_sample_docs r14, minhash_dedup_pairs due at position 6,
 #     windowed_events r14, ann_pq_indexed_refined due in the cohort);
@@ -99,7 +100,8 @@ _CHECK_FIRST = [
     "incremental_jaccard_prefix_probe",
     "paragraph_dedup_docs",
     "boilerplate_strip_docs",
-    # --- positions 6-14: r12 cohort, expensive deferred heads ---
+    "exact_substring_dedup_docs",
+    # --- positions 7-15: r12 cohort, expensive deferred heads ---
     "minhash_dedup_pairs",
     "embedding_ingest_roundtrip",
     "stream_stream_join",
@@ -109,7 +111,7 @@ _CHECK_FIRST = [
     "traffic_forecast",
     "training_handoff",
     "incremental_index_near_dups",
-    # --- positions 15-39: the rest of the r12 cohort ---
+    # --- positions 16-40: the rest of the r12 cohort ---
     "ann_pq_indexed_refined",
     "approx_distinct_users",
     "cohort_retention",
@@ -135,7 +137,7 @@ _CHECK_FIRST = [
     "traffic_cube",
     "user_sessions",
     "volume_shipping",
-    # --- positions 40-50: 11 r13 family heads (breadth-first) ---
+    # --- positions 41-50: 10 r13 family heads (breadth-first) ---
     "pricing_summary",
     "min_cost_supplier",
     "brand_size_revenue",
@@ -145,7 +147,6 @@ _CHECK_FIRST = [
     "doc_quality",
     "token_stats",
     "ann_cosine_topk",
-    "ann_ivf_indexed",
     "sketch_distinct_users_7d",
     # --- positions 51+: the designated r15 spill (r13 cohort rest) ---
     # expensive pair/roundtrip/iterative shapes first
@@ -153,6 +154,7 @@ _CHECK_FIRST = [
     "minhash_lsh_pairs",
     "session_windows",
     "ann_pq_topk",
+    "ann_ivf_indexed",
     "dedup_clusters",
     "dedup_ingest_roundtrip",
     "embedding_dedup_pairs",

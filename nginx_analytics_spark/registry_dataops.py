@@ -782,6 +782,60 @@ def boilerplate_strip_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.paragraph_dedup(docs, sep=_PARA_SEP, mode="df", max_df=2)
 
 
+# X96 ExactSubstr window length for the registered query: the fixture's
+# near-dup documents share long token runs (~18% of 20-token windows
+# repeat at sf0.01); the paper's 50 stays the API default.
+_SUBSTR_W = 20
+_SUBSTR_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+    w AS (SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+{_SUBSTR_W}],' ') AS win
+          FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks)-{_SUBSTR_W})) AS i)
+          WHERE len(toks) >= {_SUBSTR_W}),
+    rep AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+    hit AS (SELECT w.doc_id, w.pos, w.pos + {_SUBSTR_W} - 1 AS e
+            FROM w SEMI JOIN rep USING (win)),
+    isl0 AS (SELECT doc_id, pos, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pmax
+             FROM hit),
+    isl1 AS (SELECT doc_id, pos, e,
+             sum(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+             FROM isl0),
+    ivs AS (SELECT doc_id, min(pos) AS s, max(e) AS e
+            FROM isl1 GROUP BY doc_id, isl),
+    tok AS (SELECT doc_id, idx, toks[idx+1] AS tk FROM t,
+            LATERAL (SELECT unnest(generate_series(0, len(toks)-1)) AS idx)),
+    keep AS (SELECT tok.doc_id, idx, tk FROM tok
+             WHERE NOT EXISTS (SELECT 1 FROM ivs
+                               WHERE ivs.doc_id = tok.doc_id
+                                 AND idx BETWEEN ivs.s AND ivs.e)),
+    agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) AS clean_text,
+                   count(*) AS n_kept FROM keep GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.clean_text,'') AS clean_text,
+           coalesce(a.n_kept,0)::BIGINT AS n_tokens_kept,
+           (len(string_split(d.text,' ')) - coalesce(a.n_kept,0))::BIGINT
+               AS n_tokens_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("exact_substring_dedup_docs", _SUBSTR_SQL)
+def exact_substring_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96: ExactSubstr dedup (Lee et al. 2022) — every token span
+    occurring more than once in the corpus is cut from EVERY document
+    (the paper's remove-all-occurrences finding), at span granularity:
+    the tier between paragraph dedup (needs separator structure) and
+    whole-doc near-dedup. Stride-1 windows of W tokens mark repeated
+    runs exactly (a repeated run >= W is a union of repeated windows);
+    gaps-and-islands merges hits into maximal spans; docs rebuild from
+    the complement. Hash-matched against the full windowed/island
+    DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_dedup(docs, window_tokens=_SUBSTR_W)
+
+
 @query("incremental_near_dups_probe")  # pure-LSH probe: recall is banding
 # odds (property-tested >= the 16x2 banding curve), so no exact SQL twin —
 # rows-only driver check, precision-1 by construction (exact verify stage).

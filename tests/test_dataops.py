@@ -519,6 +519,39 @@ def test_paragraph_dedup_modes(spark):
         dedup.paragraph_dedup(docs, mode="all")
 
 
+def test_exact_substring_dedup_semantics(spark):
+    """X96 on hand-built docs, W=10: a 25-token run shared by two docs
+    is cut from BOTH (merged into one maximal span each — overlapping
+    hit windows island-merge), surrounding unique text survives; a doc
+    shorter than W is untouched; two identical docs vanish entirely
+    (rows kept, clean_text=''); a WITHIN-doc repeat is cut too; counts
+    reconcile."""
+    run = " ".join(f"r{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a0 a1 a2 {run} a3 a4"),
+            (2, f"b0 {run} b1"),
+            (3, "c0 c1 c2 c3 c4 c5"),
+            (4, " ".join(f"d{i}" for i in range(12))),
+            (5, " ".join(f"d{i}" for i in range(12))),
+            (6, " ".join(f"p{i}" for i in range(10)) * 1
+                + " " + " ".join(f"p{i}" for i in range(10))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in dedup.exact_substring_dedup(docs, window_tokens=10).collect()
+    }
+    assert out[1] == ("a0 a1 a2 a3 a4", 5, 25)
+    assert out[2] == ("b0 b1", 2, 25)
+    assert out[3] == ("c0 c1 c2 c3 c4 c5", 6, 0)  # < W tokens: untouched
+    assert out[4] == ("", 0, 12) and out[5] == ("", 0, 12)
+    assert out[6] == ("", 0, 20)  # within-doc repeat: both copies cut
+    with pytest.raises(ValueError, match="window_tokens"):
+        dedup.exact_substring_dedup(docs, window_tokens=1)
+
+
 def test_simhash_order_insensitive_and_selective(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     reordered = " ".join(reversed(base.split(" ")))  # same bag of tokens
