@@ -250,6 +250,7 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "paragraph_dedup_docs",
         "boilerplate_strip_docs",
         "exact_substring_dedup_docs",
+        "incremental_paragraph_dedup_docs",
     ],
     # temporal/behavioral/sampling/ANN shapes
     "analytics": [

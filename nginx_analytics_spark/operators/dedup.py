@@ -1203,6 +1203,200 @@ def paragraph_dedup(
     )
 
 
+PARASEEN_META = "_paraseen_meta.json"
+
+
+def paraseen_meta_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{PARASEEN_META}"
+
+
+def read_paraseen_meta(path: str, fs=None) -> dict:
+    """Load the seen-paragraph store's parameter sidecar
+    (FileNotFoundError on a pre-sidecar/foreign dir)."""
+    from nginx_analytics_spark.operators.index_fs import read_json_sidecar
+
+    return read_json_sidecar(path, PARASEEN_META, fs=fs)
+
+
+def _paraseen_check(path: str, want: dict, fs=None) -> None:
+    from nginx_analytics_spark.operators.index_fs import read_json_sidecar
+
+    try:
+        have = read_json_sidecar(path, PARASEEN_META, fs=fs)
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"seen-paragraph store at {path!r} has no {PARASEEN_META} "
+            "sidecar — create it with write_paraseen_store (probing a "
+            "store of unknown segmentation silently loses recall)"
+        ) from e
+    if have != want:
+        raise ValueError(
+            f"seen-paragraph store at {path!r} was built under different "
+            f"parameters: sidecar {have}, caller {want} — a mismatched "
+            "separator/min_chars segments differently and the anti-join "
+            "silently stops deduping"
+        )
+
+
+def _paras_of(
+    docs: DataFrame, id_col: str, text_col: str, sep: str, min_chars: int
+) -> DataFrame:
+    """(id, pos, para) segments — X95's decomposition, shared by the
+    batch operator and the incremental loop."""
+    import re as _re
+
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(sep))
+            ).alias("pos", "rawp"),
+        )
+        .select(F.col(id_col), "pos", F.trim(F.col("rawp")).alias("para"))
+        .filter(F.length("para") >= min_chars)
+    )
+
+
+def write_paraseen_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+    fs=None,
+) -> None:
+    """Materialize the corpus's SEEN-PARAGRAPH set at rest: distinct
+    xxhash64 keys of every segment, one bigint column — the state the
+    X97 incremental loop anti-joins each batch against. 8 bytes per
+    distinct paragraph (vs the paragraphs themselves), and EXACT up to
+    64-bit hash equality — tighter than the published streaming
+    equivalent (Dolma's paragraph dedup keys a Bloom filter, which
+    false-positives by design; a 64-bit hash collision needs ~2^32
+    distinct paragraphs before the first expected dup). A
+    ``_paraseen_meta.json`` sidecar pins (sep, min_chars) — a store
+    segmented differently would silently stop deduping."""
+    from nginx_analytics_spark.operators.index_fs import write_json_sidecar
+
+    (
+        _paras_of(docs, id_col, text_col, sep, min_chars)
+        .select(F.xxhash64("para").alias("h"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    write_json_sidecar(
+        path, PARASEEN_META, {"sep": sep, "min_chars": int(min_chars)}, fs=fs
+    )
+
+
+def reconcile_paraseen_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fs=None,
+) -> dict:
+    """X91's discipline for the seen-paragraph store: a corpus
+    paragraph missing from the store is a PERMANENT dedup blind spot
+    (its future repeats pass the anti-join forever). One anti-join
+    detects; the missing keys append (cost scales with the missing
+    set). Returns {"missing", "appended"}. Orphan keys (paragraphs no
+    longer in any corpus doc) are harmless — they can only dedup text
+    that genuinely occurred before — and are left in place (the set is
+    monotone by design, like the exact-dup ledger)."""
+    from nginx_analytics_spark.operators.index_fs import read_json_sidecar
+
+    meta = read_json_sidecar(path, PARASEEN_META, fs=fs)
+    have = spark.read.parquet(path)
+    missing = (
+        _paras_of(corpus, id_col, text_col, meta["sep"], meta["min_chars"])
+        .select(F.xxhash64("para").alias("h"))
+        .distinct()
+        .join(have, "h", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n = missing.count()
+    if n:
+        missing.write.mode("append").parquet(path)
+    return {"missing": int(n), "appended": int(n)}
+
+
+def incremental_paragraph_dedup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+    update_store: bool = True,
+    fs=None,
+) -> DataFrame:
+    """X97: INCREMENTAL paragraph dedup — X95's keep-first semantics
+    extended across batches, the way a streaming ingest runs it (the
+    X43 exact-doc ledger's sub-document sibling): a paragraph survives
+    only at its first occurrence EVER — across the already-ingested
+    corpus (the at-rest seen-store anti-join) and within the batch
+    (X95's min-struct first-occurrence choice) — and each document
+    reassembles from its surviving segments. Per-batch cost scales
+    with the batch and the store anti-join (8-byte keys, broadcast
+    when the batch's distinct-paragraph set is small), never with
+    re-reading corpus text.
+
+    ``update_store=True`` appends the batch's NOVEL paragraph keys so
+    the next batch dedups against them too — duplicate keys from an
+    at-least-once replay are harmless (the store is a set; the
+    anti-join ignores multiplicity). Returns X95's row contract:
+    (id, clean_text, n_kept, n_removed), one row per input doc."""
+    _paraseen_check(
+        path, {"sep": sep, "min_chars": int(min_chars)}, fs=fs
+    )
+    paras = _paras_of(new_docs, id_col, text_col, sep, min_chars).withColumn(
+        "h", F.xxhash64("para")
+    ).localCheckpoint(eager=True)  # consumed by anti-join AND novel append
+    seen = spark.read.parquet(path)
+    # EAGER: the returned plan must read the store's PRE-append state —
+    # update_store appends the batch's novel keys below, before the
+    # caller runs its action, and a lazy anti-join would then see the
+    # batch's own keys as "seen" and cut every paragraph.
+    unseen = paras.join(seen, "h", "left_anti").localCheckpoint(eager=True)
+    firsts = unseen.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
+    )
+    kept = unseen.join(firsts, "h").filter(
+        F.struct(F.col(id_col), F.col("pos")) == F.col("__first")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    orig = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_orig"))
+    out = (
+        new_docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(orig, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.coalesce("__n_orig", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+    if update_store:
+        firsts.select("h").write.mode("append").parquet(path)
+    return out
+
+
 def exact_substring_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

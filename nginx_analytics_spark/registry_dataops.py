@@ -836,6 +836,82 @@ def exact_substring_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_substring_dedup(docs, window_tokens=_SUBSTR_W)
 
 
+_PARASEEN_SQL = f"""
+    WITH seg AS (
+        SELECT doc_id, trim(arr[pos]) AS para, pos,
+               {portable_frac_sql("doc_id", _INCR_SALT)} >= {_INCR_NEW_FRAC}
+                   AS is_new
+        FROM (SELECT doc_id, string_split(text, '{_PARA_SEP}') AS arr
+              FROM documents) t,
+             LATERAL (SELECT unnest(generate_series(1, len(arr))) AS pos) u
+        WHERE length(trim(arr[pos])) >= 1
+    ), corp AS (SELECT DISTINCT para FROM seg WHERE NOT is_new),
+    b AS (SELECT doc_id, para, pos FROM seg WHERE is_new),
+    k AS (
+        SELECT doc_id, para, pos,
+               para NOT IN (SELECT para FROM corp)
+               AND row_number() OVER (PARTITION BY para
+                                      ORDER BY doc_id, pos) = 1 AS keep
+        FROM b
+    ), agg AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN keep THEN para END, '{_PARA_SEP}'
+                          ORDER BY pos) AS clean_text,
+               count(*) FILTER (keep) AS n_kept,
+               count(*) AS n_orig
+        FROM k GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+           (coalesce(a.n_orig, 0) - coalesce(a.n_kept, 0))::BIGINT
+               AS n_removed
+    FROM (SELECT doc_id FROM documents
+          WHERE {portable_frac_sql("doc_id", _INCR_SALT)}
+                >= {_INCR_NEW_FRAC}) d
+    LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _staged_paraseen_store(corpus: DataFrame, sf_dir: str) -> str:
+    """Stage (or reuse) the X97 seen-paragraph store over the corpus
+    slice (mechanics: :func:`_staged_index`; split constants in the
+    key for the :func:`_staged_lsh_index` reason)."""
+
+    def build(idx: str) -> None:
+        dedup.write_paraseen_store(corpus, idx, sep=_PARA_SEP)
+
+    return _staged_index(
+        sf_dir,
+        "documents",
+        f"{sf_dir}|paraseen-v1|m1|salt{_INCR_SALT}|nf{_INCR_NEW_FRAC}",
+        dedup.read_paraseen_meta,
+        build,
+    )
+
+
+@query("incremental_paragraph_dedup_docs", _PARASEEN_SQL)
+def incremental_paragraph_dedup_docs_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X97: X95's keep-first paragraph dedup extended ACROSS batches —
+    the way a streaming ingest runs it (the X43 exact-doc ledger's
+    sub-document sibling): a paragraph survives only at its first
+    occurrence ever, across the already-ingested corpus (anti-join
+    against the at-rest 8-byte-key seen store — staged once per
+    fixture, the recurring probe never re-reads corpus text) and
+    within the batch. update_store=False here: the driver runs the
+    query repeatedly and the comparison must be idempotent; the ingest
+    loop's call site flips it on. Exact up to 64-bit hash equality —
+    tighter than the published streaming equivalent (Dolma keys a
+    Bloom filter, which false-positives by design)."""
+    new_docs, corpus = _incr_split(spark, sf_dir)
+    store = _staged_paraseen_store(corpus, sf_dir)
+    return dedup.incremental_paragraph_dedup(
+        spark, new_docs, store, sep=_PARA_SEP, update_store=False
+    )
+
+
 @query("incremental_near_dups_probe")  # pure-LSH probe: recall is banding
 # odds (property-tested >= the 16x2 banding curve), so no exact SQL twin —
 # rows-only driver check, precision-1 by construction (exact verify stage).

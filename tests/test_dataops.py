@@ -552,6 +552,77 @@ def test_exact_substring_dedup_semantics(spark):
         dedup.exact_substring_dedup(docs, window_tokens=1)
 
 
+def test_incremental_paragraph_dedup_lifecycle(spark, tmp_path):
+    """X97: cross-batch keep-first — corpus-seen paragraphs cut, novel
+    paragraphs kept once within the batch; update_store=True advances
+    the ledger so the NEXT batch's repeat of a novel paragraph is cut;
+    update_store=False leaves the store byte-identical; sidecar
+    segmentation mismatch and a bare dir refuse loudly; reconcile
+    detects and closes a planted blind spot."""
+    corpus = spark.createDataFrame(
+        [(1, "old one\ncommon para"), (2, "old two")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "seen")
+    dedup.write_paraseen_store(corpus, store)
+    b1 = spark.createDataFrame(
+        [(10, "common para\nfresh alpha\nfresh alpha"),
+         (11, "fresh alpha\nfresh beta")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in dedup.incremental_paragraph_dedup(
+            spark, b1, store
+        ).collect()
+    }
+    # corpus-seen 'common para' cut; 'fresh alpha' kept ONCE at its
+    # first (doc,pos) = (10,1); doc 11 keeps only 'fresh beta'
+    assert out[10] == ("fresh alpha", 1, 2)
+    assert out[11] == ("fresh beta", 1, 1)
+    # the ledger advanced: a later batch repeating 'fresh beta' is cut
+    b2 = spark.createDataFrame(
+        [(20, "fresh beta\nbrand new")], "doc_id long, text string"
+    )
+    out2 = dedup.incremental_paragraph_dedup(spark, b2, store).collect()[0]
+    assert (out2.clean_text, out2.n_kept, out2.n_removed) == ("brand new", 1, 1)
+    # update_store=False: same answer twice, store untouched
+    n_before = spark.read.parquet(store).count()
+    b3 = spark.createDataFrame(
+        [(30, "ephemeral one")], "doc_id long, text string"
+    )
+    for _ in range(2):
+        r = dedup.incremental_paragraph_dedup(
+            spark, b3, store, update_store=False
+        ).collect()[0]
+        assert r.clean_text == "ephemeral one"
+    assert spark.read.parquet(store).count() == n_before
+    # loud refusals
+    with pytest.raises(ValueError, match="different\\s+parameters"):
+        dedup.incremental_paragraph_dedup(spark, b3, store, sep="\t")
+    bare = str(tmp_path / "bare")
+    corpus.write.parquet(bare)
+    with pytest.raises(ValueError, match="no _paraseen_meta.json"):
+        dedup.incremental_paragraph_dedup(spark, b3, bare)
+    # reconcile: a store built before part of the corpus landed has a
+    # blind spot; reconcile appends exactly the missing keys
+    grown = corpus.unionByName(
+        spark.createDataFrame(
+            [(3, "late arrival")], "doc_id long, text string"
+        )
+    )
+    rep = dedup.reconcile_paraseen_store(spark, grown, store)
+    assert rep["missing"] == 1 and rep["appended"] == 1
+    b4 = spark.createDataFrame(
+        [(40, "late arrival\nsurvivor")], "doc_id long, text string"
+    )
+    r = dedup.incremental_paragraph_dedup(
+        spark, b4, store, update_store=False
+    ).collect()[0]
+    assert (r.clean_text, r.n_kept, r.n_removed) == ("survivor", 1, 1)
+    assert dedup.reconcile_paraseen_store(spark, grown, store)["missing"] == 0
+
+
 def test_simhash_order_insensitive_and_selective(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     reordered = " ".join(reversed(base.split(" ")))  # same bag of tokens
