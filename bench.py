@@ -251,6 +251,8 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "boilerplate_strip_docs",
         "exact_substring_dedup_docs",
         "incremental_paragraph_dedup_docs",
+        "decontaminate_docs",
+        "prefix_cap_report",
     ],
     # temporal/behavioral/sampling/ANN shapes
     "analytics": [

@@ -1099,6 +1099,110 @@ def incremental_jaccard_prefix_probe(
     )
 
 
+def suggest_max_df(
+    docs: DataFrame,
+    caps: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """X99: the stop-shingle cap tuner — turns
+    :func:`jaccard_pairs_prefix`'s df frame ("the skew report") into
+    the decision it exists for. For each candidate ``cap`` it computes
+    EXACTLY (not by sampling) the candidate-stage volumes the capped
+    plan would generate, from one pass over the same prefix frame the
+    join itself builds:
+
+      * ``light_rows``  = Σ_{g: df(g) <= cap} C(occ_p(g), 2) — the
+        per-shingle join mass that stays in candidate generation
+        (occ_p = the shingle's PREFIX occurrences; the length filter
+        prunes further, so this is the upper bound the shuffle pays);
+      * ``heavy_docs``  = |H| — docs whose prefix reaches a capped
+        shingle (the boilerplate-dominated tail the cap routes to the
+        direct-verify product);
+      * ``heavy_rows``  = C(|H|, 2) — that product's upper bound;
+      * ``total_rows``  = light + heavy, the number to MINIMIZE —
+        and the `max_heavy` guard's sizing input.
+
+    Read the frame, pick the cap at the knee (or conclude ``None``:
+    on a clean corpus every cap's total exceeds the uncapped row —
+    the prefix ordering is already self-tuning there, SCALING.md r15).
+    Registered ``prefix_cap_report`` hash-matches a DuckDB oracle
+    computing the same arithmetic, so the tuner itself is
+    driver-verified. One aggregation per frame; the caps list
+    broadcasts (it is a handful of ints)."""
+    if not caps or any(int(c) < 1 for c in caps):
+        raise ValueError("caps must be a non-empty list of ints >= 1")
+    if threshold <= 0.0:
+        raise ValueError("prefix filtering needs threshold > 0")
+    t_cand = float(threshold)
+    if round_to is not None:
+        t_cand -= 0.5 * 10.0 ** (-round_to)
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    grams = sh.select(
+        F.col(id_col).alias("id"),
+        F.size("sh").alias("n"),
+        F.explode("sh").alias("g"),
+    )
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
+    minreq = F.ceil(F.lit(t_cand) * F.col("n") - F.lit(1e-9))
+    prefix = (
+        grams.join(df_counts, "g")
+        .select("id", "g", "df", F.row_number().over(w).alias("pos"),
+                (F.col("n") - minreq + F.lit(1)).alias("plen"))
+        .filter(F.col("pos") <= F.col("plen"))
+        .select("id", "g", "df")
+        .localCheckpoint(eager=True)  # feeds both per-shingle and per-doc aggs
+    )
+    spark = docs.sparkSession
+    caps_df = spark.createDataFrame(
+        [(int(c),) for c in sorted(set(int(c) for c in caps))], "cap bigint"
+    )
+    per_g = prefix.groupBy("g").agg(
+        F.count(F.lit(1)).alias("occ"), F.first("df").alias("df")
+    )
+    light = (
+        caps_df.crossJoin(per_g)
+        .filter(F.col("df") <= F.col("cap"))
+        .groupBy("cap")
+        .agg(
+            (F.sum(F.col("occ") * (F.col("occ") - 1)) / 2)
+            .cast("bigint")
+            .alias("light_rows")
+        )
+    )
+    per_doc = prefix.groupBy("id").agg(F.max("df").alias("mx"))
+    heavy = (
+        caps_df.crossJoin(per_doc)
+        .filter(F.col("mx") > F.col("cap"))
+        .groupBy("cap")
+        .agg(F.count(F.lit(1)).alias("heavy_docs"))
+    )
+    return (
+        caps_df.join(light, "cap", "left")
+        .join(heavy, "cap", "left")
+        .select(
+            "cap",
+            F.coalesce("light_rows", F.lit(0)).alias("light_rows"),
+            F.coalesce("heavy_docs", F.lit(0)).alias("heavy_docs"),
+        )
+        .withColumn(
+            "heavy_rows",
+            (F.col("heavy_docs") * (F.col("heavy_docs") - 1) / 2).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "total_rows", (F.col("light_rows") + F.col("heavy_rows")).cast("bigint")
+        )
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1445,7 +1549,22 @@ def exact_substring_dedup(
     toks = docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
     ).localCheckpoint(eager=True)  # windows + reassembly + sizes
-    wins = (
+    wins = _token_windows(toks, id_col, W)
+    repeated = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("win")
+    )
+    hits = wins.join(repeated, "win", "left_semi")
+    return _cut_spans(toks, hits, id_col, W)
+
+
+def _token_windows(toks: DataFrame, id_col: str, W: int) -> DataFrame:
+    """(id, pos, win): every stride-1 W-token window of each doc's
+    token array, generated as one transform(sequence)/slice expression
+    then a single explode (docs shorter than W yield none)."""
+    return (
         toks.filter(F.size("toks") >= W)
         .select(
             F.col(id_col),
@@ -1461,15 +1580,19 @@ def exact_substring_dedup(
                 )
             ).alias("w"),
         )
-        .select(F.col(id_col), F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+        .select(
+            F.col(id_col), F.col("w.pos").alias("pos"), F.col("w.win").alias("win")
+        )
     )
-    repeated = (
-        wins.groupBy("win")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") > 1)
-        .select("win")
-    )
-    hits = wins.join(repeated, "win", "left_semi").select(
+
+
+def _cut_spans(
+    toks: DataFrame, hits: DataFrame, id_col: str, W: int
+) -> DataFrame:
+    """Merge each doc's hit windows (id, pos, ...) into maximal spans
+    (gaps-and-islands running max) and rebuild every doc from the
+    tokens OUTSIDE its spans — the shared tail of X96/X98."""
+    hits = hits.select(
         F.col(id_col), "pos", (F.col("pos") + F.lit(W - 1)).alias("end")
     )
     w_doc = Window.partitionBy(id_col).orderBy("pos")
@@ -1519,6 +1642,58 @@ def exact_substring_dedup(
             .alias("n_tokens_removed"),
         )
     )
+
+
+def exact_substring_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 50,
+) -> DataFrame:
+    """X98: span-level EVAL DECONTAMINATION — the cross-set form of
+    :func:`exact_substring_dedup`: every token span of a TRAINING
+    document that also appears in the BENCHMARK corpus is cut from the
+    training document (the benchmark side is never modified). This is
+    the published decontamination standard at its strongest
+    granularity: doc-level n-gram checks (X31
+    ``contamination_check``) FLAG a contaminated document — wasting
+    the clean 95% of a long document that quotes one test item — while
+    this SURGICALLY removes the quoted span and keeps the rest.
+
+    Same window-cover argument as X96 (a shared run >= W is exactly a
+    union of shared W-windows), same gaps-and-islands span merge, same
+    complement reassembly — the 'repeated' predicate becomes one
+    semi-join of the train windows against the benchmark's DISTINCT
+    window set. The benchmark window set is eval-suite-sized (tiny
+    next to the corpus at 100 TB), so the semi-join broadcasts; the
+    train side pays the same O(tokens × W) window bytes as X96.
+    Returns the X96 row contract over TRAIN docs: (id, clean_text,
+    n_tokens_kept, n_tokens_removed), one row per train doc, a
+    fully-quoted doc keeping its row with clean_text = ''. Registered
+    ``decontaminate_docs`` hash-matches the cross-set windowed/island
+    DuckDB oracle on the X31 benchmark carve-out split."""
+    W = int(window_tokens)
+    if W < 2:
+        raise ValueError("window_tokens must be >= 2")
+    toks = train.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    ).localCheckpoint(eager=True)
+    bench_wins = (
+        _token_windows(
+            benchmark.select(
+                F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+            ),
+            id_col,
+            W,
+        )
+        .select("win")
+        .distinct()
+    )
+    hits = _token_windows(toks, id_col, W).join(
+        F.broadcast(bench_wins), "win", "left_semi"
+    )
+    return _cut_spans(toks, hits, id_col, W)
 
 
 def simhash_fingerprints(

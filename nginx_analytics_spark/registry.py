@@ -66,27 +66,28 @@ _ORACLES: dict[str, str] = {}
 # 1 never-recorded newcomer + the 34-name r12 cohort; the remaining
 # ~15 rows of a 50-row budget fall on r13 family heads chosen for
 # FAMILY BREADTH so no operator family's freshest row predates r14
-# (due set = 41 = 7 newcomers + the 34-name r12 cohort; 41 + 9 heads
+# (due set = 43 = 9 newcomers + the 34-name r12 cohort; 43 + 7 heads
 # = the 50-row budget):
-#   * positions 1-7: the seven newcomers, no driver row yet —
+#   * positions 1-9: the nine newcomers, no driver row yet —
 #     jaccard_pairs_prefix_capped (the X92 stop-shingle cap, r14
 #     verdict item 3), incremental_jaccard_prefix (X94, the exact
 #     cross-set prefix join), incremental_jaccard_prefix_probe
 #     (X94's at-rest headline — the exact indexed probe), the two
 #     X95 paragraph-granularity dedup modes, X96 ExactSubstr
-#     span-granularity dedup, and X97 incremental paragraph dedup
-#     (the seen-store loop);
-#   * positions 8-16: the r12 cohort's expensive deferred heads, in
+#     span-granularity dedup, X97 incremental paragraph dedup
+#     (the seen-store loop), X98 span-level decontamination, and
+#     X99 the stop-shingle cap tuner report;
+#   * positions 10-18: the r12 cohort's expensive deferred heads, in
 #     the order the r14 verdict pre-committed (last round's designated
 #     spill head: the pair/roundtrip/iterative shapes, then the
 #     iterative trainers);
-#   * positions 17-41: the rest of the r12 cohort, alphabetical;
-#   * positions 42-50: 9 r13 family heads — TPC-H join/agg shapes,
+#   * positions 19-43: the rest of the r12 cohort, alphabetical;
+#   * positions 44-50: 7 r13 family heads — TPC-H join/agg shapes,
 #     the reference parse/anomaly pair, the exact dedup-pair plan,
 #     text-quality heads, the ANN exact probe, the sketch rollup
 #     (temperature sampling, minhash_lsh_pairs, session_windows,
-#     ann_pq_topk, ann_ivf_indexed and brand_size_revenue moved to
-#     the spill head — their families' freshest
+#     ann_pq_topk, ann_ivf_indexed, brand_size_revenue, zscore_anomaly
+#     and doc_quality moved to the spill head — their families' freshest
 #     rows are covered by r14 rows or by r12-due cohort members:
 #     weighted_sample_docs r14, minhash_dedup_pairs due at position 6,
 #     windowed_events r14, ann_pq_indexed_refined due in the cohort);
@@ -104,7 +105,9 @@ _CHECK_FIRST = [
     "boilerplate_strip_docs",
     "exact_substring_dedup_docs",
     "incremental_paragraph_dedup_docs",
-    # --- positions 8-16: r12 cohort, expensive deferred heads ---
+    "decontaminate_docs",
+    "prefix_cap_report",
+    # --- positions 10-18: r12 cohort, expensive deferred heads ---
     "minhash_dedup_pairs",
     "embedding_ingest_roundtrip",
     "stream_stream_join",
@@ -114,7 +117,7 @@ _CHECK_FIRST = [
     "traffic_forecast",
     "training_handoff",
     "incremental_index_near_dups",
-    # --- positions 17-41: the rest of the r12 cohort ---
+    # --- positions 19-43: the rest of the r12 cohort ---
     "ann_pq_indexed_refined",
     "approx_distinct_users",
     "cohort_retention",
@@ -140,13 +143,11 @@ _CHECK_FIRST = [
     "traffic_cube",
     "user_sessions",
     "volume_shipping",
-    # --- positions 42-50: 9 r13 family heads (breadth-first) ---
+    # --- positions 44-50: 7 r13 family heads (breadth-first) ---
     "pricing_summary",
     "min_cost_supplier",
-    "zscore_anomaly",
     "parse_enrich",
     "exact_jaccard_pairs",
-    "doc_quality",
     "token_stats",
     "ann_cosine_topk",
     "sketch_distinct_users_7d",
@@ -158,6 +159,8 @@ _CHECK_FIRST = [
     "ann_pq_topk",
     "ann_ivf_indexed",
     "brand_size_revenue",
+    "zscore_anomaly",
+    "doc_quality",
     "dedup_clusters",
     "dedup_ingest_roundtrip",
     "embedding_dedup_pairs",

@@ -712,6 +712,41 @@ def incremental_jaccard_prefix_probe_q(
     )
 
 
+# X99 cap tuner: the candidate caps swept by the registered report
+# (fixture shingle df tops out ~7 at sf0.01, ~30 at sf0.1 — the sweep
+# straddles both so light/heavy both move at every SF).
+_CAPS = (2, 3, 4, 8, 16, 32)
+_T_CAND = JACCARD_THRESHOLD - 0.5e-6
+_CAP_REPORT_SQL = f"""
+    WITH s AS ({{shingles}}),
+    g0 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
+    dfc AS (SELECT g, count(*) AS df FROM g0 GROUP BY g),
+    o AS (SELECT g0.doc_id, g0.g, dfc.df,
+          row_number() OVER (PARTITION BY g0.doc_id
+                             ORDER BY dfc.df ASC, g0.g ASC) AS pos,
+          g0.n - ceil({_T_CAND!r} * g0.n - 1e-9) + 1 AS plen
+          FROM g0 JOIN dfc USING (g)),
+    p AS (SELECT doc_id, g, df FROM o WHERE pos <= plen),
+    caps(cap) AS (VALUES {", ".join(f"({c})" for c in _CAPS)}),
+    per_g AS (SELECT g, count(*) AS occ, any_value(df) AS df
+              FROM p GROUP BY g),
+    light AS (SELECT cap, CAST(sum(occ*(occ-1))/2 AS BIGINT) AS light_rows
+              FROM caps, per_g WHERE df <= cap GROUP BY cap),
+    per_doc AS (SELECT doc_id, max(df) AS mx FROM p GROUP BY doc_id),
+    heavy AS (SELECT cap, count(*) AS heavy_docs
+              FROM caps, per_doc WHERE mx > cap GROUP BY cap)
+    SELECT c.cap::BIGINT AS cap,
+           coalesce(l.light_rows, 0)::BIGINT AS light_rows,
+           coalesce(h.heavy_docs, 0)::BIGINT AS heavy_docs,
+           CAST(coalesce(h.heavy_docs,0)*(coalesce(h.heavy_docs,0)-1)/2
+                AS BIGINT) AS heavy_rows,
+           CAST(coalesce(l.light_rows,0)
+                + coalesce(h.heavy_docs,0)*(coalesce(h.heavy_docs,0)-1)/2
+                AS BIGINT) AS total_rows
+    FROM caps c LEFT JOIN light l USING (cap) LEFT JOIN heavy h USING (cap)
+"""
+
+
 # X95 paragraph decomposition, shared by both modes' oracles. The
 # synthetic fixture text has no newline structure, so the registered
 # queries segment on a frequent token (production uses sep="\n"); at
@@ -753,6 +788,23 @@ _PARA_DF_SQL = _PARA_SQL_BASE.format(
     "(PARTITION BY para) AS df FROM p",
     keep="df <= 2",
 )
+
+
+@query(
+    "prefix_cap_report", _CAP_REPORT_SQL.format(shingles=_SHINGLES_SQL)
+)
+def prefix_cap_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99: the stop-shingle cap tuner — for each candidate max_df it
+    computes EXACTLY the candidate-stage volumes the capped X92 plan
+    would generate (light per-shingle join mass, the boilerplate-
+    dominated tail |H|, its direct product, and the total to minimize)
+    from one pass over the join's own prefix frame. The df 'skew
+    report' made actionable, and itself driver-verified: same
+    arithmetic in the DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.suggest_max_df(
+        docs, list(_CAPS), threshold=JACCARD_THRESHOLD, round_to=6
+    )
 
 
 @query("paragraph_dedup_docs", _PARA_FIRST_SQL)
@@ -1181,6 +1233,71 @@ from nginx_analytics_spark.operators.curation import (  # noqa: E402
     BENCH_FRACTION,
     CONTAM_N,
 )
+
+
+_DECONTAM_SQL = f"""
+    WITH t0 AS (
+        SELECT doc_id, string_split(text,' ') AS toks,
+               {portable_frac_sql("doc_id", 7)} AS frac
+        FROM documents
+    ),
+    t AS (SELECT doc_id, toks FROM t0 WHERE frac >= {BENCH_FRACTION}),
+    bw AS (
+        SELECT DISTINCT array_to_string(toks[i+1:i+{_SUBSTR_W}],' ') AS win
+        FROM (SELECT toks FROM t0 WHERE frac < {BENCH_FRACTION}) b,
+             LATERAL (SELECT unnest(generate_series(0, len(toks)-{_SUBSTR_W})) AS i)
+        WHERE len(toks) >= {_SUBSTR_W}
+    ),
+    w AS (SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+{_SUBSTR_W}],' ') AS win
+          FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks)-{_SUBSTR_W})) AS i)
+          WHERE len(toks) >= {_SUBSTR_W}),
+    hit AS (SELECT w.doc_id, w.pos, w.pos + {_SUBSTR_W} - 1 AS e
+            FROM w SEMI JOIN bw USING (win)),
+    isl0 AS (SELECT doc_id, pos, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pmax
+             FROM hit),
+    isl1 AS (SELECT doc_id, pos, e,
+             sum(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+             FROM isl0),
+    ivs AS (SELECT doc_id, min(pos) AS s, max(e) AS e
+            FROM isl1 GROUP BY doc_id, isl),
+    tok AS (SELECT doc_id, idx, toks[idx+1] AS tk FROM t,
+            LATERAL (SELECT unnest(generate_series(0, len(toks)-1)) AS idx)),
+    keep AS (SELECT tok.doc_id, idx, tk FROM tok
+             WHERE NOT EXISTS (SELECT 1 FROM ivs
+                               WHERE ivs.doc_id = tok.doc_id
+                                 AND idx BETWEEN ivs.s AND ivs.e)),
+    agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) AS clean_text,
+                   count(*) AS n_kept FROM keep GROUP BY doc_id)
+    SELECT t2.doc_id, coalesce(a.clean_text,'') AS clean_text,
+           coalesce(a.n_kept,0)::BIGINT AS n_tokens_kept,
+           (len(t2.toks) - coalesce(a.n_kept,0))::BIGINT AS n_tokens_removed
+    FROM t t2 LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("decontaminate_docs", _DECONTAM_SQL)
+def decontaminate_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98: span-level eval decontamination over the X31 carve-out —
+    every token span of a training document that also appears in the
+    deterministic 5% benchmark slice is cut from the training
+    document, benchmark untouched: where contamination_check FLAGS a
+    document (wasting its clean remainder), this surgically removes
+    the quoted span and keeps the rest. Benchmark window set is
+    broadcast (eval-suite-sized); the train side pays X96's window
+    bytes. Hash-matched against the cross-set windowed/island DuckDB
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    frac = sampling.portable_frac("doc_id", salt=7)
+    bench = docs.filter(frac < BENCH_FRACTION)
+    train = docs.filter(frac >= BENCH_FRACTION)
+    return dedup.exact_substring_decontaminate(
+        train, bench, window_tokens=_SUBSTR_W
+    )
+
 
 
 @query(

@@ -623,6 +623,84 @@ def test_incremental_paragraph_dedup_lifecycle(spark, tmp_path):
     assert dedup.reconcile_paraseen_store(spark, grown, store)["missing"] == 0
 
 
+def test_exact_substring_decontaminate_semantics(spark):
+    """X98 on hand-built docs, W=10: a training doc quoting a 25-token
+    benchmark passage mid-document loses exactly the quote (one merged
+    span) and keeps its own prose; a fully-quoted training doc empties
+    (row kept); a passage repeated WITHIN the training set but absent
+    from the benchmark is untouched — the cross-set predicate, the
+    difference from X96; the benchmark side is never in the output."""
+    quote = " ".join(f"q{i}" for i in range(25))
+    bench = spark.createDataFrame(
+        [(900, f"bench intro {quote} bench outro")],
+        "doc_id long, text string",
+    )
+    train_dup = " ".join(f"t{i}" for i in range(15))
+    train = spark.createDataFrame(
+        [
+            (1, f"my own words {quote} more own words"),
+            (2, quote),
+            (3, f"{train_dup} tail3"),
+            (4, f"{train_dup} tail4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in dedup.exact_substring_decontaminate(
+            train, bench, window_tokens=10
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # train rows only, all of them
+    assert out[1] == ("my own words more own words", 6, 25)
+    assert out[2] == ("", 0, 25)
+    # within-train repeat, absent from benchmark: untouched by X98
+    assert out[3] == (f"{train_dup} tail3", 16, 0)
+    assert out[4] == (f"{train_dup} tail4", 16, 0)
+    with pytest.raises(ValueError, match="window_tokens"):
+        dedup.exact_substring_decontaminate(train, bench, window_tokens=1)
+
+
+def test_suggest_max_df_report(spark):
+    """X99 on the boilerplate-skewed fixture: the report's volumes are
+    the capped plan's real candidate arithmetic — heavy_docs at a cap
+    below the boiler df is exactly the boilerplate-dominated tail,
+    light_rows is monotone non-decreasing in cap, heavy_docs monotone
+    non-increasing, total = light + C(heavy,2), and at cap >= max df
+    the heavy side vanishes (the report converges to the uncapped join
+    volume). Refusals for empty/invalid caps and t<=0."""
+    boiler = [f"bp{i:02d}" for i in range(12)]
+    rows = [(i, " ".join(boiler + [f"x{i}_{j}" for j in range(20)]))
+            for i in range(20)]
+    rows.append((200, " ".join(boiler)))
+    rows.append((201, " ".join(boiler + ["q1"])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {
+        r.cap: (r.light_rows, r.heavy_docs, r.heavy_rows, r.total_rows)
+        for r in dedup.suggest_max_df(
+            docs, [1, 5, 50], threshold=0.6, round_to=6
+        ).collect()
+    }
+    assert set(rep) == {1, 5, 50}
+    for cap, (lr, hd, hr, tr) in rep.items():
+        assert hr == hd * (hd - 1) // 2 and tr == lr + hr
+    # boiler shingles have df=22 > 5: docs 200/201 are the only ones
+    # whose PREFIX reaches them (the 20 padded docs' prefixes stay in
+    # their df-1 uniques)
+    assert rep[5][1] == 2
+    # cap=50 >= max df: nothing capped, heavy side gone
+    assert rep[50][1] == 0 and rep[50][2] == 0
+    # monotone: more cap -> more light mass, fewer heavy docs
+    assert rep[1][0] <= rep[5][0] <= rep[50][0]
+    assert rep[1][1] >= rep[5][1] >= rep[50][1]
+    with pytest.raises(ValueError, match="caps"):
+        dedup.suggest_max_df(docs, [])
+    with pytest.raises(ValueError, match="caps"):
+        dedup.suggest_max_df(docs, [0, 4])
+    with pytest.raises(ValueError, match="threshold > 0"):
+        dedup.suggest_max_df(docs, [4], threshold=0.0)
+
+
 def test_simhash_order_insensitive_and_selective(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     reordered = " ".join(reversed(base.split(" ")))  # same bag of tokens
