@@ -1171,7 +1171,12 @@ def suggest_max_df(
         .filter(F.col("df") <= F.col("cap"))
         .groupBy("cap")
         .agg(
-            (F.sum(F.col("occ") * (F.col("occ") - 1)) / 2)
+            # integer halving, not /2 via double: occ*(occ-1) is always
+            # even, so per-row `div 2` is exact — float division would
+            # silently lose precision past 2^53 (and diverge from the
+            # DuckDB oracle's integer arithmetic) at the corpus sizes
+            # this tuner is pitched for (r15 ADVICE).
+            F.expr("sum((occ * (occ - 1)) div 2)")
             .cast("bigint")
             .alias("light_rows")
         )
@@ -1193,9 +1198,7 @@ def suggest_max_df(
         )
         .withColumn(
             "heavy_rows",
-            (F.col("heavy_docs") * (F.col("heavy_docs") - 1) / 2).cast(
-                "bigint"
-            ),
+            F.expr("(heavy_docs * (heavy_docs - 1)) div 2").cast("bigint"),
         )
         .withColumn(
             "total_rows", (F.col("light_rows") + F.col("heavy_rows")).cast("bigint")
@@ -1506,6 +1509,7 @@ def exact_substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     window_tokens: int = 50,
+    hash_keys: bool = True,
 ) -> DataFrame:
     """X96: EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better" — the ExactSubstr
@@ -1535,12 +1539,19 @@ def exact_substring_dedup(
     clean_text = ''. Output text is single-space token-joined
     (tokenization is whitespace split — the module's convention).
 
-    Scale: the window rows carry ~W tokens of payload each, so the
-    repeated-window shuffle moves O(corpus tokens × W) bytes — the
-    honest cost of exactness (the paper's suffix array is likewise
-    bytes-linear); W is the knob (longer = fewer, more selective
-    spans) and hash-prefixing the group key is the known bytes
-    optimization, traded away for exactness and oracle portability.
+    Scale: with ``hash_keys`` (the default) each window row carries an
+    8-byte ``xxhash64`` of the W-token window — the string is built
+    transiently INSIDE the projection expression and never reaches the
+    exploded rows, so the repeated-window shuffle moves O(corpus
+    tokens × 8) bytes instead of O(corpus tokens × W·avg_token) — a
+    measured ~W× byte cut (SCALING.md r16). The cost is the standard
+    64-bit-key caveat the module already accepts for X97's seen store
+    and the frozen prefix index: a cross-doc collision (≈ n²/2⁶⁵ for n
+    distinct windows) marks a unique span repeated and over-removes
+    it; ``hash_keys=False`` restores the exact string-keyed shuffle
+    (O(tokens × W) bytes), and the two paths' row-for-row equality is
+    property-pinned on the planted-span fixtures. W remains the
+    selectivity knob (longer = fewer, more selective spans).
     Reference: none — the reference has no corpus pipeline; semantics
     follow the published ExactSubstr pass."""
     W = int(window_tokens)
@@ -1549,7 +1560,7 @@ def exact_substring_dedup(
     toks = docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
     ).localCheckpoint(eager=True)  # windows + reassembly + sizes
-    wins = _token_windows(toks, id_col, W)
+    wins = _token_windows(toks, id_col, W, hash_keys=hash_keys)
     repeated = (
         wins.groupBy("win")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -1560,10 +1571,21 @@ def exact_substring_dedup(
     return _cut_spans(toks, hits, id_col, W)
 
 
-def _token_windows(toks: DataFrame, id_col: str, W: int) -> DataFrame:
+def _token_windows(
+    toks: DataFrame, id_col: str, W: int, hash_keys: bool = False
+) -> DataFrame:
     """(id, pos, win): every stride-1 W-token window of each doc's
     token array, generated as one transform(sequence)/slice expression
-    then a single explode (docs shorter than W yield none)."""
+    then a single explode (docs shorter than W yield none). With
+    ``hash_keys`` the ``win`` column is the window's ``xxhash64``
+    (long) instead of its string: the concat happens inside the
+    projection and only 8 bytes per window survive into the exploded
+    rows — the shuffle-bytes knob X96/X98 document."""
+
+    def _win(i):
+        s = F.concat_ws(" ", F.slice("toks", i + 1, W))
+        return F.xxhash64(s) if hash_keys else s
+
     return (
         toks.filter(F.size("toks") >= W)
         .select(
@@ -1572,10 +1594,7 @@ def _token_windows(toks: DataFrame, id_col: str, W: int) -> DataFrame:
                 F.transform(
                     F.sequence(F.lit(0), F.size("toks") - W),
                     lambda i: F.struct(
-                        i.alias("pos"),
-                        F.concat_ws(
-                            " ", F.slice("toks", i + 1, W)
-                        ).alias("win"),
+                        i.alias("pos"), _win(i).alias("win")
                     ),
                 )
             ).alias("w"),
@@ -1650,6 +1669,7 @@ def exact_substring_decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     window_tokens: int = 50,
+    hash_keys: bool = True,
 ) -> DataFrame:
     """X98: span-level EVAL DECONTAMINATION — the cross-set form of
     :func:`exact_substring_dedup`: every token span of a TRAINING
@@ -1666,8 +1686,12 @@ def exact_substring_decontaminate(
     complement reassembly — the 'repeated' predicate becomes one
     semi-join of the train windows against the benchmark's DISTINCT
     window set. The benchmark window set is eval-suite-sized (tiny
-    next to the corpus at 100 TB), so the semi-join broadcasts; the
-    train side pays the same O(tokens × W) window bytes as X96.
+    next to the corpus at 100 TB), so the semi-join broadcasts; with
+    ``hash_keys`` (default) both sides carry 8-byte ``xxhash64`` keys
+    — the broadcast set and the train-side rows shrink ~W× (same
+    collision caveat and string-path escape hatch as X96; a collision
+    here over-cuts a clean train span with probability ≈
+    |bench|·|train|/2⁶⁴).
     Returns the X96 row contract over TRAIN docs: (id, clean_text,
     n_tokens_kept, n_tokens_removed), one row per train doc, a
     fully-quoted doc keeping its row with clean_text = ''. Registered
@@ -1686,11 +1710,12 @@ def exact_substring_decontaminate(
             ),
             id_col,
             W,
+            hash_keys=hash_keys,
         )
         .select("win")
         .distinct()
     )
-    hits = _token_windows(toks, id_col, W).join(
+    hits = _token_windows(toks, id_col, W, hash_keys=hash_keys).join(
         F.broadcast(bench_wins), "win", "left_semi"
     )
     return _cut_spans(toks, hits, id_col, W)

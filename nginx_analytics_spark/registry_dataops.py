@@ -730,7 +730,7 @@ _CAP_REPORT_SQL = f"""
     caps(cap) AS (VALUES {", ".join(f"({c})" for c in _CAPS)}),
     per_g AS (SELECT g, count(*) AS occ, any_value(df) AS df
               FROM p GROUP BY g),
-    light AS (SELECT cap, CAST(sum(occ*(occ-1))/2 AS BIGINT) AS light_rows
+    light AS (SELECT cap, CAST(sum((occ*(occ-1))//2) AS BIGINT) AS light_rows
               FROM caps, per_g WHERE df <= cap GROUP BY cap),
     per_doc AS (SELECT doc_id, max(df) AS mx FROM p GROUP BY doc_id),
     heavy AS (SELECT cap, count(*) AS heavy_docs
@@ -738,10 +738,10 @@ _CAP_REPORT_SQL = f"""
     SELECT c.cap::BIGINT AS cap,
            coalesce(l.light_rows, 0)::BIGINT AS light_rows,
            coalesce(h.heavy_docs, 0)::BIGINT AS heavy_docs,
-           CAST(coalesce(h.heavy_docs,0)*(coalesce(h.heavy_docs,0)-1)/2
+           CAST((coalesce(h.heavy_docs,0)*(coalesce(h.heavy_docs,0)-1))//2
                 AS BIGINT) AS heavy_rows,
            CAST(coalesce(l.light_rows,0)
-                + coalesce(h.heavy_docs,0)*(coalesce(h.heavy_docs,0)-1)/2
+                + (coalesce(h.heavy_docs,0)*(coalesce(h.heavy_docs,0)-1))//2
                 AS BIGINT) AS total_rows
     FROM caps c LEFT JOIN light l USING (cap) LEFT JOIN heavy h USING (cap)
 """

@@ -14,8 +14,16 @@
 # the driver wrote after the builder's last commit.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-git add -A -- bench_full.json BENCH_r*.json CORRECTNESS_r*.json \
-    VERDICT.md ADVICE.md 2>/dev/null || true
+# Add each pathspec individually: the always-present artifacts must
+# surface real git errors (held index.lock, permissions) instead of
+# being silenced into a false "nothing to do" (r15 ADVICE); only the
+# legitimately-optional pathspecs (round-numbered globs / files that
+# may not exist yet this round) get the || true escape, and only for
+# the "did not match any files" case which git reports on stderr.
+git add -A -- bench_full.json
+for optional in 'BENCH_r*.json' 'CORRECTNESS_r*.json' VERDICT.md ADVICE.md; do
+    git add -A -- "$optional" || true
+done
 if git diff --cached --quiet; then
     echo "round_close: artifacts already committed, nothing to do"
 else

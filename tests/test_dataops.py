@@ -552,6 +552,56 @@ def test_exact_substring_dedup_semantics(spark):
         dedup.exact_substring_dedup(docs, window_tokens=1)
 
 
+def test_exact_substring_hash_keys_equals_string_path(spark):
+    """X96/X98 r16: the hashed-window-key shuffle (8-byte xxhash64
+    keys, the ~W× byte cut) must be row-for-row identical to the exact
+    string-keyed path on the planted-span fixtures — within-corpus
+    repeats, cross-doc shared runs, sub-W docs, full-doc wipes, and
+    the cross-set decontamination split. Also pins against real data:
+    sf0.001 documents through both paths."""
+    run = " ".join(f"r{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a0 a1 a2 {run} a3 a4"),
+            (2, f"b0 {run} b1"),
+            (3, "c0 c1 c2 c3 c4 c5"),
+            (4, " ".join(f"d{i}" for i in range(12))),
+            (5, " ".join(f"d{i}" for i in range(12))),
+        ],
+        "doc_id long, text string",
+    )
+
+    def rows(df):
+        return sorted(
+            (r.doc_id, r.clean_text, r.n_tokens_kept, r.n_tokens_removed)
+            for r in df.collect()
+        )
+
+    for w in (5, 10):
+        assert rows(
+            dedup.exact_substring_dedup(docs, window_tokens=w, hash_keys=True)
+        ) == rows(
+            dedup.exact_substring_dedup(docs, window_tokens=w, hash_keys=False)
+        )
+    real = spark.read.parquet(f"{SF}/documents.parquet")
+    assert rows(
+        dedup.exact_substring_dedup(real, window_tokens=20, hash_keys=True)
+    ) == rows(
+        dedup.exact_substring_dedup(real, window_tokens=20, hash_keys=False)
+    )
+    train = docs.filter(F.col("doc_id") != 2)
+    bench = docs.filter(F.col("doc_id") == 2)
+    assert rows(
+        dedup.exact_substring_decontaminate(
+            train, bench, window_tokens=10, hash_keys=True
+        )
+    ) == rows(
+        dedup.exact_substring_decontaminate(
+            train, bench, window_tokens=10, hash_keys=False
+        )
+    )
+
+
 def test_incremental_paragraph_dedup_lifecycle(spark, tmp_path):
     """X97: cross-batch keep-first — corpus-seen paragraphs cut, novel
     paragraphs kept once within the batch; update_store=True advances
@@ -699,6 +749,28 @@ def test_suggest_max_df_report(spark):
         dedup.suggest_max_df(docs, [0, 4])
     with pytest.raises(ValueError, match="threshold > 0"):
         dedup.suggest_max_df(docs, [4], threshold=0.0)
+
+
+def test_suggest_max_df_integer_halving(spark):
+    """r15 ADVICE regression: the C(occ,2) sums must use integer
+    halving (`div 2`), never float `/2` — at 100TB-corpus candidate
+    volumes the product exceeds 2^53 and double division silently
+    rounds (ulp=512 near 2^61), diverging from the DuckDB oracle's
+    integer arithmetic. Pins the exact expression the aggregation now
+    uses on an occ where the old double path provably loses low bits."""
+    occ = 2**31 + 3
+    exact = (occ * (occ - 1)) // 2  # = 2^61 + 5*2^30 + 3, needs 62 bits
+    df = spark.createDataFrame([(occ,)], "occ bigint")
+    got = df.select(
+        F.expr("sum((occ * (occ - 1)) div 2)").cast("bigint").alias("v")
+    ).collect()[0].v
+    assert got == exact
+    old = df.select(
+        (F.sum(F.col("occ") * (F.col("occ") - 1)) / 2)
+        .cast("bigint")
+        .alias("v")
+    ).collect()[0].v
+    assert old != exact  # the replaced path demonstrably rounds
 
 
 def test_simhash_order_insensitive_and_selective(spark):
