@@ -1214,6 +1214,7 @@ def paragraph_dedup(
     mode: str = "first",
     max_df: int | None = None,
     min_chars: int = 1,
+    hash_keys: bool = True,
 ) -> DataFrame:
     """X95: SUB-document exact dedup — the paragraph/line-granularity
     pass every large-scale curation pipeline runs BETWEEN exact
@@ -1240,15 +1241,23 @@ def paragraph_dedup(
     downstream decides whether to drop it; this operator never loses
     rows).
 
-    Scale shape: one explode, one aggregation keyed by the paragraph
-    STRING (exact — no hash-collision caveat; the map-side partial
-    combine absorbs the boilerplate skew for mode="df", and
-    mode="first"'s min-struct agg is likewise combine-friendly — no
-    window over a hot paragraph key), one join back, one per-doc
-    reassembly agg. At 100 TB the shuffle carries distinct paragraphs
-    once plus (paragraph, doc) pairs — hash-prefixing the key is the
-    known bytes optimization, traded away here for exactness and
-    engine portability (the DuckDB oracle groups by the same string).
+    Scale shape: one explode, one aggregation, one join back, one
+    per-doc reassembly agg. With ``hash_keys`` (the default, r15
+    verdict item 4) the aggregation and the join-back key on
+    ``xxhash64(para)`` — the hot boilerplate paragraph is both the
+    skew AND the bytes of this plan, and an 8-byte long where a nav
+    bar/footer string used to ride cuts the agg-side shuffle and makes
+    every join-key compare a long compare; the paragraph STRING rides
+    only as the reassembly payload on the (id, pos) rows, which must
+    carry it anyway. Cost is the module's standing 64-bit-key caveat
+    (X97's seen store hashes the very same paragraphs to the very same
+    8-byte keys): a cross-paragraph collision cuts a unique paragraph,
+    odds ≈ n²/2⁶⁵; ``hash_keys=False`` restores the exact
+    string-keyed plan, and the two paths' equality is pinned on the
+    skewed-boilerplate fixture. The map-side partial combine absorbs
+    the boilerplate skew for mode="df", and mode="first"'s min-struct
+    agg is likewise combine-friendly — no window over a hot paragraph
+    key.
 
     Reference: none — the reference has no corpus pipeline; semantics
     follow the published CCNet/Dolma passes. Registered
@@ -1272,18 +1281,21 @@ def paragraph_dedup(
         .select(F.col(id_col), "pos", F.trim(F.col("rawp")).alias("para"))
         .filter(F.length("para") >= min_chars)
     )
+    key = "__hp" if hash_keys else "para"
+    if hash_keys:
+        paras = paras.withColumn("__hp", F.xxhash64("para"))
     if mode == "first":
-        firsts = paras.groupBy("para").agg(
+        firsts = paras.groupBy(key).agg(
             F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
         )
-        kept = paras.join(firsts, "para").filter(
+        kept = paras.join(firsts, key).filter(
             F.struct(F.col(id_col), F.col("pos")) == F.col("__first")
         )
     else:
-        dfs = paras.groupBy("para").agg(
+        dfs = paras.groupBy(key).agg(
             F.count_distinct(F.col(id_col)).alias("__df")
         )
-        kept = paras.join(dfs, "para").filter(F.col("__df") <= max_df)
+        kept = paras.join(dfs, key).filter(F.col("__df") <= max_df)
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -552,6 +552,38 @@ def test_exact_substring_dedup_semantics(spark):
         dedup.exact_substring_dedup(docs, window_tokens=1)
 
 
+def test_paragraph_dedup_hash_keys_equals_string_path(spark):
+    """X95 r16: the xxhash64 agg/join-back key must be row-for-row
+    identical to the exact string-keyed plan on the skewed fixture the
+    optimization targets — one boilerplate paragraph repeated in every
+    doc (the hot key), plus unique and cross-doc-shared paragraphs,
+    both modes, plus sf0.001 real docs segmented on a frequent token."""
+    boiler = "cookie banner all rights reserved"
+    rows = [
+        (i, f"unique {i} alpha\n{boiler}\nshared tail" if i % 2 else
+            f"{boiler}\nunique {i} beta")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def rows_of(df):
+        return sorted(
+            (r.doc_id, r.clean_text, r.n_kept, r.n_removed)
+            for r in df.collect()
+        )
+
+    for kw in (dict(mode="first"), dict(mode="df", max_df=2)):
+        assert rows_of(
+            dedup.paragraph_dedup(docs, hash_keys=True, **kw)
+        ) == rows_of(dedup.paragraph_dedup(docs, hash_keys=False, **kw))
+    real = spark.read.parquet(f"{SF}/documents.parquet")
+    assert rows_of(
+        dedup.paragraph_dedup(real, sep=" the ", mode="first", hash_keys=True)
+    ) == rows_of(
+        dedup.paragraph_dedup(real, sep=" the ", mode="first", hash_keys=False)
+    )
+
+
 def test_exact_substring_hash_keys_equals_string_path(spark):
     """X96/X98 r16: the hashed-window-key shuffle (8-byte xxhash64
     keys, the ~W× byte cut) must be row-for-row identical to the exact
