@@ -153,3 +153,62 @@ def dedup_clusters(
         cluster.alias("cluster_id"),
         (cluster != F.col(id_col)).alias("is_duplicate"),
     )
+
+
+def quality_survivors(
+    assign: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """X100: QUALITY-AWARE survivor selection — production curation
+    keeps the BEST-QUALITY member of each near-dup cluster, not the
+    min-id one (the replicas of a page differ in boilerplate, OCR
+    noise, truncation; min-id keeps whichever crawl landed first).
+    Composes the engine's existing pieces: ``assign`` is
+    :func:`dedup_clusters`'s (id, cluster_id) output (X30), ``quality``
+    any per-doc score frame — the X26 rubric or the X81 calibrated
+    classifier probability.
+
+    Survivor per cluster = argmax(quality), ties broken by MIN id
+    (deterministic, partition-invariant, and equal to the min-id
+    survivor wherever quality does not discriminate — so this is a
+    strict refinement of :func:`dedup_clusters`' drop rule). Returns
+    (id, cluster_id, quality, is_duplicate) for every assigned doc;
+    ``filter(~is_duplicate)`` is the curated corpus.
+
+    Scale shape: one id-keyed join, then ONE combine-friendly
+    max-of-struct aggregation per cluster — (quality, -id) so max
+    realizes argmax-with-min-id-ties — broadcast-or-shuffle joined
+    back on the cluster key. No window over a hot cluster key: the
+    boilerplate mega-cluster that makes window-ranking skew-bound is
+    exactly where a partial-aggregating max stays flat. (Ids are
+    nonnegative by the module's convention; the negation tie-break
+    would overflow only on LONG_MIN ids.)
+
+    Reference: none — the reference has no corpus pipeline; the
+    keep-best-quality rule is the published curation standard (e.g.
+    Gopher/MassiveText and RefinedWeb keep highest-quality replicas
+    after fuzzy dedup)."""
+    j = assign.select(F.col(id_col), F.col(cluster_col)).join(
+        quality.select(F.col(id_col), F.col(quality_col)), id_col
+    )
+    best = (
+        j.groupBy(cluster_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(quality_col).alias("q"),
+                    (-F.col(id_col)).alias("negid"),
+                )
+            ).alias("__b")
+        )
+        .select(cluster_col, (-F.col("__b.negid")).alias("__surv"))
+    )
+    return j.join(best, cluster_col).select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.col(quality_col),
+        (F.col(id_col) != F.col("__surv")).alias("is_duplicate"),
+    )

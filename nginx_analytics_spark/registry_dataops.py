@@ -1179,10 +1179,12 @@ def incremental_index_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
-@query(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE s AS ({_SHINGLES_SQL}),
+# Shared transitive-closure CTE chain (the X30 oracle): exact
+# word-shingle Jaccard pairs -> symmetric edges -> recursive reach ->
+# min-id component per doc. Reused verbatim by dedup_clusters and the
+# X100 quality-survivor oracle so the two queries' cluster assignments
+# are definitionally identical.
+_CLOSURE_CTES = f"""s AS ({_SHINGLES_SQL}),
     p AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                {R6_SQL.format(x="len(list_intersect(a.sh, b.sh))::DOUBLE"
@@ -1203,7 +1205,13 @@ def incremental_index_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame
     comp AS (
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         FROM r GROUP BY src
-    )
+    )"""
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_CLOSURE_CTES}
     SELECT d.doc_id,
            coalesce(c.cluster_id, d.doc_id) AS cluster_id,
            coalesce(c.cluster_id, d.doc_id) != d.doc_id AS is_duplicate
@@ -2715,6 +2723,53 @@ def quality_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.quality_weighted_sample(
         q, "quality", "doc_id", target_frac=0.5, beta=2.0, salt=9
     ).select("doc_id", "quality", "rate")
+
+
+@query(
+    "quality_survivors",
+    f"""
+    WITH RECURSIVE {_CLOSURE_CTES},
+    {_QUALITY_RUBRIC_CTES},
+    assign AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    q AS (
+        SELECT doc_id, {R6_SQL.format(x=_QUALITY_EXPR_SQL)} AS quality
+        FROM m
+    ),
+    rk AS (
+        SELECT a.doc_id, a.cluster_id, q.quality,
+               row_number() OVER (PARTITION BY a.cluster_id
+                                  ORDER BY q.quality DESC, a.doc_id ASC)
+                   AS rn
+        FROM assign a JOIN q USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, quality, (rn != 1) AS is_duplicate FROM rk
+    """,
+)
+def quality_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100: quality-aware survivor selection (r15 verdict item 6) —
+    the composition production curation actually runs: X30's near-dup
+    clusters (exact word-shingle Jaccard pairs -> distributed connected
+    components) keep their BEST-QUALITY member per the SQL-twinned X26
+    rubric, min-id only as the tie-break. The Spark side is one
+    combine-friendly max-of-struct agg per cluster (argmax realized as
+    max(quality, -id)) — no window over a hot cluster key; the oracle
+    is the window twin (row_number over cluster ordered quality DESC,
+    id ASC), so the argmax-vs-window equivalence is exactly what the
+    hash verifies. Both sides rank on the SAME r6-rounded quality, so
+    ties resolve identically by construction. Verification-tier oracle
+    (recursive-CTE closure); the Spark loop is the scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        dedup.exact_jaccard_pairs(docs, threshold=0.0, round_to=None)
+        .select("id_a", "id_b", r6(F.col("jaccard")).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    assign = graph.dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    quality = text.quality_score(docs).select("doc_id", "quality")
+    return graph.quality_survivors(assign, quality)
 
 
 @query(

@@ -92,6 +92,7 @@ def dedup_batch_against_corpus(
     text_col: str = "text",
     threshold: float = 0.6,
     fs=None,
+    quality_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """Steps 1-3 for one batch: returns the NOVEL docs (same schema as
     ``batch``). Pure function over (batch, at-rest state) — the
@@ -99,7 +100,20 @@ def dedup_batch_against_corpus(
     driver-side index-metadata seam (here and on the loop entries
     below) — local disk by default, see
     :mod:`~nginx_analytics_spark.operators.index_fs`; the parquet row
-    I/O goes through Spark's own Hadoop FileSystem regardless."""
+    I/O goes through Spark's own Hadoop FileSystem regardless.
+
+    ``quality_fn`` (X100, r15 verdict item 6) upgrades the
+    WITHIN-BATCH near-dup drop from min-id-greedy to quality-aware:
+    given ``quality_fn(batch) -> (id_col, 'quality')`` (pass
+    ``text.quality_score`` for the X26 rubric or an X81 classifier
+    scorer), the batch's near-dup pairs resolve into connected
+    components and each cluster keeps its argmax-quality member
+    (min-id tie-break) — the curation-standard keep-best rule instead
+    of keep-first-crawled. Batch-shaped cost: components + scoring run
+    over one micro-batch. The AGAINST-CORPUS step stays first-come-
+    wins by design: already-admitted corpus docs are not re-litigated
+    (replacing at-rest survivors would mean corpus rewrites inside the
+    ingest loop; run an offline `quality_survivors` pass for that)."""
     from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
     fs = fs or LOCAL_FS
@@ -111,10 +125,26 @@ def dedup_batch_against_corpus(
     b = b.localCheckpoint(eager=True)  # consumed by pairs + anti-joins
 
     # within-batch near-dups: drop the greater id of each passing pair
+    # (or, with quality_fn, everything but each cluster's best-quality
+    # member — X100)
     pairs = dedup.minhash_dedup_pairs(
         b, id_col=id_col, text_col=text_col, threshold=threshold
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if quality_fn is None:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        from nginx_analytics_spark.operators import graph
+
+        assign = graph.connected_components(
+            pairs, src="id_a", dst="id_b"
+        ).select(
+            F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+        )
+        losers = (
+            graph.quality_survivors(assign, quality_fn(b), id_col=id_col)
+            .filter("is_duplicate")
+            .select(id_col)
+        )
     b = b.join(losers, id_col, "left_anti")
 
     if fs.isfile(dedup.lsh_index_meta_path(index_path)):
@@ -512,6 +542,7 @@ def process_batch(
     lock_held: bool = False,
     lock_timeout_s: float = 0.0,
     telemetry: dict | None = None,
+    quality_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> tuple[int, int]:
     """One micro-batch of the loop (exposed for retry tests and batch
     backfills): dedup, admit, append. Returns (n_in, n_novel).
@@ -597,7 +628,7 @@ def process_batch(
             novel = dedup_batch_against_corpus(
                 spark, batch, corpus_dir, index_path,
                 id_col=id_col, text_col=text_col, threshold=threshold,
-                fs=fs,
+                fs=fs, quality_fn=quality_fn,
             ).localCheckpoint(eager=True)  # for corpus write + append
             n_in = batch.count()
             n_novel = novel.count()
@@ -645,6 +676,7 @@ def start_dedup_ingest(
     fs=None,
     lock_held: bool = False,
     lock_timeout_s: float = 0.0,
+    quality_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> StreamingQuery:
     """Run the continuous dedup-ingest loop over a streaming DataFrame of
     documents. ``on_batch(batch_id, n_in, n_novel, lock_wait_s)``
@@ -655,7 +687,9 @@ def start_dedup_ingest(
     out-of-band compactor is contending for the index — without the
     field that contention masquerades as a slow batch, r8 verdict item
     6). ``compact_every=N`` folds X82 per-band index compaction into
-    every Nth batch — see :func:`process_batch`."""
+    every Nth batch — see :func:`process_batch`. ``quality_fn`` makes
+    the within-batch drop quality-aware (X100) — see
+    :func:`dedup_batch_against_corpus`."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         tele: dict = {}
@@ -665,7 +699,7 @@ def start_dedup_ingest(
             exactly_once=exactly_once, compact_every=compact_every,
             max_files_per_band=max_files_per_band, fs=fs,
             lock_held=lock_held, lock_timeout_s=lock_timeout_s,
-            telemetry=tele,
+            telemetry=tele, quality_fn=quality_fn,
         )
         if on_batch is not None:
             on_batch(batch_id, n_in, n_novel, tele.get("lock_wait_s", 0.0))

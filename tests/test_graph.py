@@ -94,3 +94,35 @@ def test_dedup_clusters_filter_is_the_deduped_corpus(spark):
     assign = graph.dedup_clusters(docs, pairs)
     survivors = assign.filter(~F.col("is_duplicate")).select("doc_id")
     assert sorted(r["doc_id"] for r in survivors.collect()) == [0, 3, 4]
+
+
+def test_quality_survivors_argmax_and_tiebreak(spark):
+    """X100: each cluster keeps its argmax-quality member; equal
+    quality falls back to min id (so it strictly refines the min-id
+    rule); singleton clusters are never duplicates; quality rides into
+    the output."""
+    docs = spark.createDataFrame([(i,) for i in range(7)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], ["id_a", "id_b"]
+    )
+    assign = graph.dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    quality = spark.createDataFrame(
+        # cluster {0,1,2}: 2 wins on quality; cluster {3,4}: tie -> 3;
+        # singletons 5, 6 survive regardless of score
+        [(0, 0.2), (1, 0.5), (2, 0.9), (3, 0.7), (4, 0.7),
+         (5, 0.1), (6, 0.8)],
+        "doc_id long, quality double",
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.quality, r.is_duplicate)
+        for r in graph.quality_survivors(assign, quality).collect()
+    }
+    assert out == {
+        0: (0, 0.2, True),
+        1: (0, 0.5, True),
+        2: (0, 0.9, False),   # best quality survives, not min id
+        3: (3, 0.7, False),   # tie -> min id
+        4: (3, 0.7, True),
+        5: (5, 0.1, False),
+        6: (6, 0.8, False),
+    }

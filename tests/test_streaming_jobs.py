@@ -1657,3 +1657,58 @@ def test_compact_index_prune_partial_pass_prunes_only_rewritten(
     rows = dedup.read_lsh_index_rows(spark, idx)
     assert rows.filter("doc_id % 2 = 1").count() == 0
     assert rows.filter("doc_id % 2 = 0").count() > 0
+
+
+def test_dedup_ingest_quality_survivor_option(spark, tmp_path):
+    """X100 in the X80 loop (r15 verdict item 6): with quality_fn the
+    within-batch near-dup drop keeps each cluster's BEST-QUALITY
+    member — here the GREATER-id replica, exactly the doc the default
+    min-id greedy pass drops — and the kept doc is what lands in the
+    corpus; the against-corpus step stays first-come-wins."""
+    from nginx_analytics_spark.operators import text
+    from nginx_analytics_spark.streaming.dedup_ingest import (
+        dedup_batch_against_corpus,
+        process_batch,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rich = base + " " + " ".join(f"extra{i}" for i in range(10))
+    batch = spark.createDataFrame(
+        [(1, base), (2, rich),
+         (7, "standalone unrelated text about parquet row group stats")],
+        "doc_id long, text string",
+    )
+    # sanity: 2 really is the higher-quality replica under the rubric
+    q = {r.doc_id: r.quality for r in text.quality_score(batch).collect()}
+    assert q[2] > q[1]
+
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    # default greedy: min id survives the pair
+    got = sorted(r.doc_id for r in dedup_batch_against_corpus(
+        spark, batch, corpus, idx
+    ).collect())
+    assert got == [1, 7]
+    # quality-aware: the higher-quality (greater-id) replica survives
+    got = sorted(r.doc_id for r in dedup_batch_against_corpus(
+        spark, batch, corpus, idx, quality_fn=text.quality_score
+    ).collect())
+    assert got == [2, 7]
+
+    # end-to-end through process_batch: the survivor is what's admitted
+    n_in, n_novel = process_batch(
+        spark, batch, 0, corpus, idx, quality_fn=text.quality_score
+    )
+    assert (n_in, n_novel) == (3, 2)
+    import pyspark.sql.functions as F
+    admitted = sorted(
+        r.doc_id for r in spark.read.parquet(corpus).collect()
+    )
+    assert admitted == [2, 7]
+    # next batch: a replay of doc 1 now near-dup-matches the AT-REST
+    # corpus (first-come-wins there — no re-litigation of survivors)
+    n_in, n_novel = process_batch(
+        spark,
+        spark.createDataFrame([(11, base)], "doc_id long, text string"),
+        1, corpus, idx, quality_fn=text.quality_score,
+    )
+    assert (n_in, n_novel) == (1, 0)
