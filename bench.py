@@ -911,6 +911,178 @@ def run_embedding_ingest_throughput(
     return out
 
 
+def run_paragraph_dedup_sustained(
+    sf_dir: str,
+    cpus: int,
+    n_batches: int = 100,
+    sep: str = " the ",
+) -> dict:
+    """Opt-in 100-batch horizon for the X97 incremental paragraph
+    dedup loop (r15 verdict item 5, the X85 protocol): sf0.1 documents
+    in ~n_docs/n_batches-doc batches through
+    ``incremental_paragraph_dedup`` against the growing at-rest
+    seen-paragraph store, starting from an EMPTY store (worst case:
+    every batch's novel keys append). Expected: flat per-batch walls —
+    the per-batch plan is segmentation + one 8-byte-key anti-join
+    whose store side grows only by distinct novel paragraphs, and the
+    novel append scales with the batch. Store row counts sampled every
+    10 batches (outside the timed span) give the growth curve the
+    walls are read against."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nginx_analytics_spark.operators import dedup
+    from nginx_analytics_spark.session import get_spark
+    from nginx_analytics_spark.sources import load_table
+
+    spark = get_spark(
+        app_name="nginx_analytics_bench_para_sustained",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    work = tempfile.mkdtemp(prefix="nas_bench_para_sustained_")
+    try:
+        store = f"{work}/paraseen"
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
+        n_docs = docs.count()
+        dedup.write_paraseen_store(docs.limit(0), store, sep=sep)
+        walls: list[float] = []
+        store_rows: list[int] = []
+        removed_total = kept_total = 0
+        t0 = time.monotonic()
+        for k in range(n_batches):
+            batch = docs.filter(
+                F.crc32(F.col("doc_id").cast("string")) % n_batches == k
+            )
+            tb = time.monotonic()
+            out = dedup.incremental_paragraph_dedup(
+                spark, batch, store, sep=sep
+            )
+            # consume like a real loop would (write-shaped action)
+            agg = out.agg(
+                F.sum("n_kept").alias("k"), F.sum("n_removed").alias("r")
+            ).collect()[0]
+            walls.append(round(time.monotonic() - tb, 3))
+            kept_total += int(agg.k or 0)
+            removed_total += int(agg.r or 0)
+            if (k + 1) % 10 == 0:
+                store_rows.append(spark.read.parquet(store).count())
+        sec = time.monotonic() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    return {
+        "docs_in": n_docs,
+        "n_batches": n_batches,
+        "sec": round(sec, 3),
+        "paras_kept": kept_total,
+        "paras_removed": removed_total,
+        "batch_walls_sec": walls,
+        "store_rows_every_10": store_rows,
+    }
+
+
+def run_prefix_probe_sustained(
+    sf_dir: str,
+    cpus: int,
+    n_batches: int = 100,
+    compact_every: int = 10,
+    max_files_per_band: int = 8,
+    threshold: float = 0.6,
+) -> dict:
+    """Opt-in 100-batch horizon for the X94 at-rest prefix index loop
+    (r15 verdict item 5): half of sf0.1 documents bootstrap the corpus
+    + frozen-order prefix index; the other half arrives in n_batches
+    batches, each probed EXACTLY against the indexed corpus
+    (``incremental_jaccard_prefix_probe``), appended to the corpus
+    store, signed into the index (``append_prefix_index``), with
+    ``compact_prefix_index`` every compact_every batches — the X82
+    cadence inside the loop that owns the appends. Expected: flat
+    per-batch walls (the probe signs only the batch and band-joins the
+    directory-pruned index; the corpus text scan is semi-join-pruned
+    to candidates) and a bounded index-file sawtooth; what grows
+    honestly is the at-rest index, tracked per batch."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nginx_analytics_spark.operators import dedup
+    from nginx_analytics_spark.session import get_spark
+    from nginx_analytics_spark.sources import load_table
+
+    spark = get_spark(
+        app_name="nginx_analytics_bench_prefix_sustained",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    work = tempfile.mkdtemp(prefix="nas_bench_prefix_sustained_")
+    try:
+        corpus_dir, idx = f"{work}/corpus", f"{work}/idx"
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
+        bucket = F.crc32(F.col("doc_id").cast("string")) % (2 * n_batches)
+        base = docs.filter(bucket % 2 == 0)
+        base.write.mode("overwrite").parquet(corpus_dir)
+        dedup.write_prefix_index(base, idx, threshold=threshold)
+        n_base = base.count()
+
+        def _index_files() -> int:
+            return sum(
+                1
+                for root, _, files in os.walk(idx)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        walls: list[float] = []
+        idx_files: list[int] = []
+        pairs_total = probed_total = 0
+        t0 = time.monotonic()
+        for k in range(n_batches):
+            batch = docs.filter(bucket == 2 * k + 1).localCheckpoint(
+                eager=True
+            )  # pin batch membership before the corpus append below
+            corpus = spark.read.parquet(corpus_dir)
+            tb = time.monotonic()
+            pairs_total += dedup.incremental_jaccard_prefix_probe(
+                spark, batch, corpus, idx, threshold=threshold
+            ).count()
+            batch.write.mode("append").parquet(corpus_dir)
+            dedup.append_prefix_index(batch, idx)
+            if (k + 1) % compact_every == 0:
+                dedup.compact_prefix_index(
+                    spark, idx, max_files_per_band=max_files_per_band
+                )
+            walls.append(round(time.monotonic() - tb, 3))
+            probed_total += batch.count()
+            idx_files.append(_index_files())
+        sec = time.monotonic() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    return {
+        "corpus_bootstrap_docs": n_base,
+        "docs_probed": probed_total,
+        "pairs_found": pairs_total,
+        "n_batches": n_batches,
+        "compact_every": compact_every,
+        "max_files_per_band": max_files_per_band,
+        "sec": round(sec, 3),
+        "batch_walls_sec": walls,
+        "index_files": idx_files,
+    }
+
+
 def run_corpus_grown(sf_dir: str, cpus: int, grow: int = 10) -> dict:
     """Child-process entry (r8 verdict item 5): the at-rest corpus
     query group measured against a ~``grow``x documents table — the
@@ -1254,6 +1426,17 @@ def main() -> None:
                 sf_dir, cpus, n_batches=100, replicate=10,
                 compact_every=10, track_files=True,
             )))
+        elif sys.argv[2] == "paragraph_dedup_sustained":
+            # opt-in (r16, r15 verdict item 5): 100-batch horizon for
+            # the X97 incremental paragraph dedup loop — per-batch wall
+            # vs the growing seen-paragraph store; SCALING.md payload
+            print(json.dumps(run_paragraph_dedup_sustained(sf_dir, cpus)))
+        elif sys.argv[2] == "prefix_probe_sustained":
+            # opt-in (r16, r15 verdict item 5): 100-batch horizon for
+            # the X94 indexed exact prefix probe — probe + corpus append
+            # + index append with the in-loop X82 compaction cadence;
+            # SCALING.md payload
+            print(json.dumps(run_prefix_probe_sustained(sf_dir, cpus)))
         elif sys.argv[2] == "dedup_ingest_sustained_manifest":
             # opt-in (r10 verdict item 5): the same 100-batch sustained
             # probe through the ManifestIndexFS seam — closes the

@@ -59,100 +59,36 @@ _ORACLES: dict[str, str] = {}
 # row from the PREVIOUS round — re-checking them adds wall time, not
 # record. A doc-lint test pins every listed name to a registered query.
 #
-# Round 15 (executing the r14 verdict item 1 rotation). Freshness going
-# in (computed over CORRECTNESS_r1..r14): 50 names r14, 49 names r13,
-# 34 names last green r12 — exactly the set the r14 verdict
-# pre-committed — zero older, ZERO reds anywhere. The due set is 35 =
-# 1 never-recorded newcomer + the 34-name r12 cohort; the remaining
-# ~15 rows of a 50-row budget fall on r13 family heads chosen for
-# FAMILY BREADTH so no operator family's freshest row predates r14
-# (due set = 43 = 9 newcomers + the 34-name r12 cohort; 43 + 7 heads
-# = the 50-row budget):
-#   * positions 1-9: the nine newcomers, no driver row yet —
-#     jaccard_pairs_prefix_capped (the X92 stop-shingle cap, r14
-#     verdict item 3), incremental_jaccard_prefix (X94, the exact
-#     cross-set prefix join), incremental_jaccard_prefix_probe
-#     (X94's at-rest headline — the exact indexed probe), the two
-#     X95 paragraph-granularity dedup modes, X96 ExactSubstr
-#     span-granularity dedup, X97 incremental paragraph dedup
-#     (the seen-store loop), X98 span-level decontamination, and
-#     X99 the stop-shingle cap tuner report;
-#   * positions 10-18: the r12 cohort's expensive deferred heads, in
-#     the order the r14 verdict pre-committed (last round's designated
-#     spill head: the pair/roundtrip/iterative shapes, then the
-#     iterative trainers);
-#   * positions 19-43: the rest of the r12 cohort, alphabetical;
-#   * positions 44-50: 7 r13 family heads — TPC-H join/agg shapes,
-#     the reference parse/anomaly pair, the exact dedup-pair plan,
-#     text-quality heads, the ANN exact probe, the sketch rollup
-#     (temperature sampling, minhash_lsh_pairs, session_windows,
-#     ann_pq_topk, ann_ivf_indexed, brand_size_revenue, zscore_anomaly
-#     and doc_quality moved to the spill head — their families' freshest
-#     rows are covered by r14 rows or by r12-due cohort members:
-#     weighted_sample_docs r14, minhash_dedup_pairs due at position 6,
-#     windowed_events r14, ann_pq_indexed_refined due in the cohort);
-#   * positions 51+: the DESIGNATED r15 SPILL = the remaining 34 r13
-#     names, expensive/iterative shapes first — any budget beyond ~50
-#     lands on them in this order, and they lead r16's due set
-#     otherwise. Every spilled name stays oracle-verified at both
-#     pytest tiers every round.
+# Round 16 (executing the r15 verdict item 1 rotation). Freshness going
+# in (computed over CORRECTNESS_r1..r15): 50 names r15, 50 names r14,
+# 42 names last green r13 — the registry's own designated r15 spill
+# list, exactly — zero older, ZERO reds anywhere. (The r15 verdict's
+# prose said "34 r13-stale"; the recomputed histogram says 42 — the
+# list below IS the measured cohort.) The due set is 43 = 1 newcomer
+# (quality_survivors, X100 — no driver row yet) + the 42-name r13
+# cohort; the remaining ~7 rows of a 50-row budget fall on r14 family
+# heads chosen for FAMILY BREADTH so no operator family's freshest row
+# predates r15 (43 + 7 heads = the 50-row budget):
+#   * position 1: the newcomer quality_survivors (X100 quality-aware
+#     survivor selection, r15 verdict item 6);
+#   * positions 2-43: the r13 cohort in the order the r15 verdict
+#     pre-committed (expensive pair/roundtrip/iterative shapes first,
+#     then alphabetical);
+#   * positions 44-50: 7 r14 family heads — streaming roundtrip
+#     (anomaly_job_roundtrip), ML serving (rt_model_predictions),
+#     multimodal (multimodal_features), sketch rollup
+#     (theta_user_overlap), banded at-rest incremental
+#     (incremental_near_dups_probe), TPC-H join/agg (market_share),
+#     tokenizer apply (bpe_tokens);
+#   * positions 51+: the DESIGNATED r16 SPILL = the remaining 43 r14
+#     names, expensive/roundtrip shapes first then alphabetical — any
+#     budget beyond ~50 lands on them in this order, and they lead
+#     r17's due set otherwise. Every spilled name stays oracle-verified
+#     at both pytest tiers every round.
 _CHECK_FIRST = [
-    # --- positions 1-5: new this round, no driver row yet ---
-    "jaccard_pairs_prefix_capped",
-    "incremental_jaccard_prefix",
-    "incremental_jaccard_prefix_probe",
-    "paragraph_dedup_docs",
-    "boilerplate_strip_docs",
-    "exact_substring_dedup_docs",
-    "incremental_paragraph_dedup_docs",
-    "decontaminate_docs",
-    "prefix_cap_report",
-    # --- positions 10-18: r12 cohort, expensive deferred heads ---
-    "minhash_dedup_pairs",
-    "embedding_ingest_roundtrip",
-    "stream_stream_join",
-    "pii_redaction",
-    "scd2_user_plans",
-    "bpe_merges",
-    "traffic_forecast",
-    "training_handoff",
-    "incremental_index_near_dups",
-    # --- positions 19-43: the rest of the r12 cohort ---
-    "ann_pq_indexed_refined",
-    "approx_distinct_users",
-    "cohort_retention",
-    "conversion_funnel",
-    "corpus_report_incremental",
-    "customer_order_distribution",
-    "daily_event_matrix",
-    "doc_logprob",
-    "forecast_revenue",
-    "grouped_split_users",
-    "heavy_tokens",
-    "large_volume_customers",
-    "order_priority_check",
-    "priority_shipping",
-    "product_profit",
-    "promo_revenue",
-    "purchase_and_error_users",
-    "returned_items",
-    "small_quantity_revenue",
-    "stratified_sample_events",
-    "supplier_part_counts",
-    "top_supplier",
-    "traffic_cube",
-    "user_sessions",
-    "volume_shipping",
-    # --- positions 44-50: 7 r13 family heads (breadth-first) ---
-    "pricing_summary",
-    "min_cost_supplier",
-    "parse_enrich",
-    "exact_jaccard_pairs",
-    "token_stats",
-    "ann_cosine_topk",
-    "sketch_distinct_users_7d",
-    # --- positions 51+: the designated r15 spill (r13 cohort rest) ---
-    # expensive pair/roundtrip/iterative shapes first
+    # --- position 1: new this round, no driver row yet ---
+    "quality_survivors",
+    # --- positions 2-43: the r13 cohort (r15's designated spill) ---
     "temperature_sample_docs",
     "minhash_lsh_pairs",
     "session_windows",
@@ -167,7 +103,6 @@ _CHECK_FIRST = [
     "quality_classifier_scores",
     "contamination_check",
     "bpe_pair_counts",
-    # then the remaining r13 names, alphabetical
     "ann_pq_indexed_residual",
     "ann_pq_indexed_residual_refined",
     "ann_pq_topk_refined",
@@ -196,17 +131,71 @@ _CHECK_FIRST = [
     "value_deciles",
     "value_trends",
     "waiting_suppliers",
-]
-# Expensive queries holding a FRESH green row (r14) — re-checking them
-# within the same budget would only displace due rows, so they sit
-# last, after the r14-green middle. (The five are the costliest
-# r14-fresh names in BENCH_r14's per-query walls.)
-_CHECK_LAST = [
+    # --- positions 44-50: 7 r14 family heads (breadth-first) ---
+    "anomaly_job_roundtrip",
+    "rt_model_predictions",
+    "multimodal_features",
+    "theta_user_overlap",
+    "incremental_near_dups_probe",
+    "market_share",
+    "bpe_tokens",
+    # --- positions 51+: the designated r16 spill (r14 cohort rest) ---
+    # expensive pair/roundtrip/iterative shapes first
     "jaccard_pairs_prefix",
     "simhash_near_dup",
     "curate_corpus",
     "stateful_key_profiles",
     "incremental_embedding_near_dups_probe",
+    "incremental_embedding_near_dups",
+    "incremental_near_dups",
+    "streaming_ingest_roundtrip",
+    "rt_scoring_roundtrip",
+    "exact_dedup_events",
+    # then the remaining r14 names, alphabetical
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_indexed",
+    "asof_last_purchase",
+    "bpe_tokens_pretrained",
+    "clean_corpus",
+    "cms_user_counts_7d",
+    "data_expectations",
+    "doc_fingerprint",
+    "embedding_lsh_pairs",
+    "frame_features",
+    "incremental_new_docs",
+    "kll_latency_percentiles_7d",
+    "local_supplier_volume",
+    "ngram_jaccard_pairs",
+    "pack_chunks",
+    "per_source_sample",
+    "predict_features",
+    "purchase_window_counts",
+    "repetition_stats",
+    "rolling_7d_avg",
+    "salted_ip_stats",
+    "salted_user_join",
+    "shard_manifest",
+    "shipping_priority",
+    "sliding_windowed_events",
+    "stream_stream_left_join",
+    "tfidf_top_terms",
+    "top_endpoints_bounded",
+    "traffic_rollup",
+    "value_rank_profile",
+    "weighted_sample_docs",
+    "windowed_events",
+]
+# Expensive queries holding a FRESH green row (r15) — re-checking them
+# within the same budget would only displace due rows, so they sit
+# last, after the r15-green middle. (The five are the costliest
+# r15-fresh names in the committed r15 bench_full per-query walls.)
+_CHECK_LAST = [
+    "jaccard_pairs_prefix_capped",
+    "incremental_jaccard_prefix_probe",
+    "incremental_jaccard_prefix",
+    "exact_jaccard_pairs",
+    "prefix_cap_report",
 ]
 
 
