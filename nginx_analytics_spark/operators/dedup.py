@@ -1675,6 +1675,175 @@ def _cut_spans(
     )
 
 
+WINSEEN_META = "_winseen_meta.json"
+
+
+def winseen_meta_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{WINSEEN_META}"
+
+
+def read_winseen_meta(path: str, fs=None) -> dict:
+    """Load the seen-window store's parameter sidecar
+    (FileNotFoundError on a pre-sidecar/foreign dir)."""
+    from nginx_analytics_spark.operators.index_fs import read_json_sidecar
+
+    return read_json_sidecar(path, WINSEEN_META, fs=fs)
+
+
+def _winseen_check(path: str, want: dict, fs=None) -> None:
+    from nginx_analytics_spark.operators.index_fs import read_json_sidecar
+
+    try:
+        have = read_json_sidecar(path, WINSEEN_META, fs=fs)
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"seen-window store at {path!r} has no {WINSEEN_META} "
+            "sidecar — create it with write_winseen_store (probing a "
+            "store of unknown window width silently loses recall)"
+        ) from e
+    if have != want:
+        raise ValueError(
+            f"seen-window store at {path!r} was built under different "
+            f"parameters: sidecar {have}, caller {want} — a mismatched "
+            "window width slides different windows and the semi-join "
+            "silently stops cutting"
+        )
+
+
+def write_winseen_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 50,
+    fs=None,
+) -> None:
+    """Materialize the corpus's SEEN-WINDOW set at rest: distinct
+    xxhash64 keys of every stride-1 W-token window, one bigint column
+    — the state the X101 incremental span-dedup loop semi-joins each
+    batch against. 8 bytes per distinct window (the hash-key shuffle
+    form X96 already defaults to), so the store is O(corpus tokens) ×
+    8 bytes bounded above — the honest at-rest price of span-exact
+    incremental dedup, and the same 64-bit-key trust X97's paragraph
+    store carries. A ``_winseen_meta.json`` sidecar pins window_tokens
+    — a store slid at a different W would silently stop cutting."""
+    from nginx_analytics_spark.operators.index_fs import write_json_sidecar
+
+    W = int(window_tokens)
+    if W < 2:
+        raise ValueError("window_tokens must be >= 2")
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    )
+    (
+        _token_windows(toks, id_col, W, hash_keys=True)
+        .select(F.col("win").alias("h"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    write_json_sidecar(
+        path, WINSEEN_META, {"window_tokens": W}, fs=fs
+    )
+
+
+def reconcile_winseen_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fs=None,
+) -> dict:
+    """X91's discipline for the seen-window store: a corpus window
+    missing from the store is a PERMANENT span-dedup blind spot (its
+    future repeats pass the semi-join uncut forever). One anti-join
+    detects; the missing keys append. Returns {"missing", "appended"}.
+    Orphan keys are harmless (they only cut text that genuinely
+    occurred before) and are left in place — the set is monotone by
+    design, like X97's."""
+    from nginx_analytics_spark.operators.index_fs import read_json_sidecar
+
+    meta = read_json_sidecar(path, WINSEEN_META, fs=fs)
+    W = int(meta["window_tokens"])
+    have = spark.read.parquet(path)
+    toks = corpus.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    )
+    missing = (
+        _token_windows(toks, id_col, W, hash_keys=True)
+        .select(F.col("win").alias("h"))
+        .distinct()
+        .join(have, "h", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n = missing.count()
+    if n:
+        missing.write.mode("append").parquet(path)
+    return {"missing": int(n), "appended": int(n)}
+
+
+def incremental_exact_substring_dedup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 50,
+    update_store: bool = True,
+    fs=None,
+) -> DataFrame:
+    """X101: INCREMENTAL span-level dedup — X96's machinery run the
+    way a streaming ingest runs it, completing the incremental at-rest
+    trilogy's last granularity tier (X43 exact-doc ledger, X97
+    paragraph seen-store, now W-token spans): every token span of a
+    batch document that already occurred in the ingested corpus is cut
+    from the batch document, via one semi-join of the batch's 8-byte
+    window keys against the at-rest seen-window store. Semantics are
+    KEEP-FIRST across batches (the at-rest copy survives; the arriving
+    repeat is cut) — the streaming-shaped counterpart of ExactSubstr's
+    batch-global remove-all-occurrences, which needs the whole corpus
+    in one pass by definition (Lee et al. 2022 run it offline; a
+    curation loop runs THIS). Within-batch repeats are deliberately
+    not cut here — compose :func:`exact_substring_dedup` over the
+    batch first, exactly as the X80 loop composes within-batch then
+    against-corpus dedup.
+
+    Per-batch cost scales with the batch's token count and the store
+    anti-/semi-joins (8-byte keys), never with re-reading corpus text.
+    ``update_store=True`` appends the batch's NOVEL window keys from
+    its ORIGINAL (pre-cut) text — the store is a monotone set, so
+    at-least-once replays are harmless and future repeats of even a
+    cut span stay cut. The store read is eagerly pinned BEFORE the
+    append (the X97 lazy-read footgun: a lazy semi-join would see the
+    batch's own keys as "seen" and cut every window). Returns X96's
+    row contract: (id, clean_text, n_tokens_kept, n_tokens_removed),
+    one row per batch doc."""
+    W = int(window_tokens)
+    _winseen_check(path, {"window_tokens": W}, fs=fs)
+    toks = new_docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    ).localCheckpoint(eager=True)  # windows + reassembly + sizes
+    wins = _token_windows(toks, id_col, W, hash_keys=True).localCheckpoint(
+        eager=True
+    )  # consumed by the hits semi-join AND the novel append
+    seen = spark.read.parquet(path)
+    # EAGER: the returned plan must read the store's PRE-append state
+    hits = wins.join(
+        seen.withColumnRenamed("h", "win"), "win", "left_semi"
+    ).localCheckpoint(eager=True)
+    out = _cut_spans(toks, hits, id_col, W)
+    if update_store:
+        (
+            wins.select(F.col("win").alias("h"))
+            .distinct()
+            .join(seen, "h", "left_anti")
+            .write.mode("append")
+            .parquet(path)
+        )
+    return out
+
+
 def exact_substring_decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

@@ -64,31 +64,34 @@ _ORACLES: dict[str, str] = {}
 # 42 names last green r13 — the registry's own designated r15 spill
 # list, exactly — zero older, ZERO reds anywhere. (The r15 verdict's
 # prose said "34 r13-stale"; the recomputed histogram says 42 — the
-# list below IS the measured cohort.) The due set is 43 = 1 newcomer
-# (quality_survivors, X100 — no driver row yet) + the 42-name r13
-# cohort; the remaining ~7 rows of a 50-row budget fall on r14 family
-# heads chosen for FAMILY BREADTH so no operator family's freshest row
-# predates r15 (43 + 7 heads = the 50-row budget):
-#   * position 1: the newcomer quality_survivors (X100 quality-aware
-#     survivor selection, r15 verdict item 6);
-#   * positions 2-43: the r13 cohort in the order the r15 verdict
+# list below IS the measured cohort.) The due set is 44 = 2 newcomers
+# (quality_survivors X100, incremental_exact_substring_docs X101 — no
+# driver row yet) + the 42-name r13 cohort; the remaining ~6 rows of a
+# 50-row budget fall on r14 family heads chosen for FAMILY BREADTH so
+# no operator family's freshest row predates r15 (44 + 6 checked heads
+# ≈ the 50-row budget; 7 heads are listed — the last spills first):
+#   * positions 1-2: the newcomers — quality_survivors (X100
+#     quality-aware survivor selection, r15 verdict item 6) and
+#     incremental_exact_substring_docs (X101 seen-window span loop);
+#   * positions 3-44: the r13 cohort in the order the r15 verdict
 #     pre-committed (expensive pair/roundtrip/iterative shapes first,
 #     then alphabetical);
-#   * positions 44-50: 7 r14 family heads — streaming roundtrip
+#   * positions 45-51: 7 r14 family heads — streaming roundtrip
 #     (anomaly_job_roundtrip), ML serving (rt_model_predictions),
 #     multimodal (multimodal_features), sketch rollup
 #     (theta_user_overlap), banded at-rest incremental
 #     (incremental_near_dups_probe), TPC-H join/agg (market_share),
 #     tokenizer apply (bpe_tokens);
-#   * positions 51+: the DESIGNATED r16 SPILL = the remaining 43 r14
+#   * positions 52+: the DESIGNATED r16 SPILL = the remaining 43 r14
 #     names, expensive/roundtrip shapes first then alphabetical — any
 #     budget beyond ~50 lands on them in this order, and they lead
 #     r17's due set otherwise. Every spilled name stays oracle-verified
 #     at both pytest tiers every round.
 _CHECK_FIRST = [
-    # --- position 1: new this round, no driver row yet ---
+    # --- positions 1-2: new this round, no driver row yet ---
     "quality_survivors",
-    # --- positions 2-43: the r13 cohort (r15's designated spill) ---
+    "incremental_exact_substring_docs",
+    # --- positions 3-44: the r13 cohort (r15's designated spill) ---
     "temperature_sample_docs",
     "minhash_lsh_pairs",
     "session_windows",
@@ -131,7 +134,7 @@ _CHECK_FIRST = [
     "value_deciles",
     "value_trends",
     "waiting_suppliers",
-    # --- positions 44-50: 7 r14 family heads (breadth-first) ---
+    # --- positions 45-51: 7 r14 family heads (breadth-first) ---
     "anomaly_job_roundtrip",
     "rt_model_predictions",
     "multimodal_features",
@@ -139,7 +142,7 @@ _CHECK_FIRST = [
     "incremental_near_dups_probe",
     "market_share",
     "bpe_tokens",
-    # --- positions 51+: the designated r16 spill (r14 cohort rest) ---
+    # --- positions 52+: the designated r16 spill (r14 cohort rest) ---
     # expensive pair/roundtrip/iterative shapes first
     "jaccard_pairs_prefix",
     "simhash_near_dup",

@@ -964,6 +964,86 @@ def incremental_paragraph_dedup_docs_q(
     )
 
 
+_WINSEEN_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+               {portable_frac_sql("doc_id", _INCR_SALT)} >= {_INCR_NEW_FRAC}
+                   AS is_new
+               FROM documents),
+    w AS (SELECT doc_id, is_new, i AS pos,
+                 array_to_string(toks[i+1:i+{_SUBSTR_W}],' ') AS win
+          FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks)-{_SUBSTR_W})) AS i)
+          WHERE len(toks) >= {_SUBSTR_W}),
+    corp AS (SELECT DISTINCT win FROM w WHERE NOT is_new),
+    hit AS (SELECT w.doc_id, w.pos, w.pos + {_SUBSTR_W} - 1 AS e
+            FROM w SEMI JOIN corp USING (win) WHERE w.is_new),
+    isl0 AS (SELECT doc_id, pos, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pmax
+             FROM hit),
+    isl1 AS (SELECT doc_id, pos, e,
+             sum(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+             FROM isl0),
+    ivs AS (SELECT doc_id, min(pos) AS s, max(e) AS e
+            FROM isl1 GROUP BY doc_id, isl),
+    tok AS (SELECT doc_id, idx, toks[idx+1] AS tk FROM t,
+            LATERAL (SELECT unnest(generate_series(0, len(toks)-1)) AS idx)
+            WHERE is_new),
+    keep AS (SELECT tok.doc_id, idx, tk FROM tok
+             WHERE NOT EXISTS (SELECT 1 FROM ivs
+                               WHERE ivs.doc_id = tok.doc_id
+                                 AND idx BETWEEN ivs.s AND ivs.e)),
+    agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) AS clean_text,
+                   count(*) AS n_kept FROM keep GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(a.clean_text,'') AS clean_text,
+           coalesce(a.n_kept,0)::BIGINT AS n_tokens_kept,
+           (len(t.toks) - coalesce(a.n_kept,0))::BIGINT
+               AS n_tokens_removed
+    FROM t LEFT JOIN agg a USING (doc_id)
+    WHERE t.is_new
+"""
+
+
+def _staged_winseen_store(corpus: DataFrame, sf_dir: str) -> str:
+    """Stage (or reuse) the X101 seen-window store over the corpus
+    slice (mechanics: :func:`_staged_index`)."""
+
+    def build(idx: str) -> None:
+        dedup.write_winseen_store(corpus, idx, window_tokens=_SUBSTR_W)
+
+    return _staged_index(
+        sf_dir,
+        "documents",
+        f"{sf_dir}|winseen-v1|w{_SUBSTR_W}|salt{_INCR_SALT}|nf{_INCR_NEW_FRAC}",
+        dedup.read_winseen_meta,
+        build,
+    )
+
+
+@query("incremental_exact_substring_docs", _WINSEEN_SQL)
+def incremental_exact_substring_docs_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X101: span-level dedup extended ACROSS batches — the
+    incremental trilogy's last granularity tier (X43 exact-doc, X97
+    paragraph, now W-token spans): every batch span already present in
+    the ingested corpus is cut via one semi-join of the batch's 8-byte
+    window keys against the at-rest seen-window store (staged once per
+    fixture; the recurring probe never re-reads corpus text).
+    Keep-first across batches — the streaming-shaped counterpart of
+    X96's batch-global remove-all-occurrences. update_store=False
+    here: the driver runs the query repeatedly and the comparison must
+    be idempotent; the ingest call site flips it on. Oracle: the X96
+    windowed/island machinery with the repeated-predicate replaced by
+    a semi-join against the corpus slice's distinct window set."""
+    new_docs, corpus = _incr_split(spark, sf_dir)
+    store = _staged_winseen_store(corpus, sf_dir)
+    return dedup.incremental_exact_substring_dedup(
+        spark, new_docs, store, window_tokens=_SUBSTR_W, update_store=False
+    )
+
+
 @query("incremental_near_dups_probe")  # pure-LSH probe: recall is banding
 # odds (property-tested >= the 16x2 banding curve), so no exact SQL twin —
 # rows-only driver check, precision-1 by construction (exact verify stage).

@@ -2467,3 +2467,89 @@ def test_srp_background_collision_budget_check(spark, tmp_path):
         similarity.append_srp_index(
             emb, str(tmp_path / "strict"), n_planes=32, bands=8, strict=True
         )
+
+
+def test_incremental_exact_substring_lifecycle(spark, tmp_path):
+    """X101: cross-batch keep-first at SPAN granularity — spans seen
+    in the corpus store are cut from batch docs (merged into maximal
+    spans, surrounding unique text kept); update_store=True advances
+    the store so the NEXT batch's repeat of a novel span is cut (the
+    lazy-read footgun pin: the batch's own windows must not suppress
+    the batch itself); update_store=False leaves the store
+    byte-identical; within-batch repeats are NOT cut (compose X96
+    first, by contract); sidecar W mismatch and a bare dir refuse
+    loudly; reconcile detects and closes a planted blind spot."""
+    run = " ".join(f"r{i}" for i in range(15))
+    corpus = spark.createDataFrame(
+        [(1, f"c0 c1 {run} c2"), (2, "plain old corpus text here")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "winseen")
+    dedup.write_winseen_store(corpus, store, window_tokens=10)
+
+    novel = " ".join(f"n{i}" for i in range(15))
+    b1 = spark.createDataFrame(
+        [(10, f"a0 a1 {run} a2 a3"),          # corpus-seen span: cut
+         (11, f"b0 {novel} b1"),              # novel span: kept
+         (12, f"d0 {novel} d1")],             # within-batch repeat: kept
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in dedup.incremental_exact_substring_dedup(
+            spark, b1, store, window_tokens=10
+        ).collect()
+    }
+    assert out[10] == ("a0 a1 a2 a3", 4, 15)
+    assert out[11] == (f"b0 {novel} b1", 17, 0)
+    assert out[12] == (f"d0 {novel} d1", 17, 0)  # not cut within batch
+    # the store advanced: a later batch repeating the novel span is cut
+    b2 = spark.createDataFrame(
+        [(20, f"z0 {novel} z1")], "doc_id long, text string"
+    )
+    r = dedup.incremental_exact_substring_dedup(
+        spark, b2, store, window_tokens=10
+    ).collect()[0]
+    assert (r.clean_text, r.n_tokens_kept, r.n_tokens_removed) == (
+        "z0 z1", 2, 15
+    )
+    # update_store=False: same answer twice, store untouched
+    n_before = spark.read.parquet(store).count()
+    b3 = spark.createDataFrame(
+        [(30, " ".join(f"e{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    for _ in range(2):
+        r = dedup.incremental_exact_substring_dedup(
+            spark, b3, store, window_tokens=10, update_store=False
+        ).collect()[0]
+        assert r.n_tokens_removed == 0
+    assert spark.read.parquet(store).count() == n_before
+    # loud refusals
+    with pytest.raises(ValueError, match="different\\s+parameters"):
+        dedup.incremental_exact_substring_dedup(
+            spark, b3, store, window_tokens=20
+        )
+    bare = str(tmp_path / "bare")
+    corpus.write.parquet(bare)
+    with pytest.raises(ValueError, match="no _winseen_meta.json"):
+        dedup.incremental_exact_substring_dedup(
+            spark, b3, bare, window_tokens=10
+        )
+    # reconcile: a corpus doc that bypassed the store is a blind spot
+    late = " ".join(f"l{i}" for i in range(15))
+    grown = corpus.unionByName(
+        spark.createDataFrame(
+            [(3, f"g0 {late} g1")], "doc_id long, text string"
+        )
+    )
+    rep = dedup.reconcile_winseen_store(spark, grown, store)
+    assert rep["missing"] > 0 and rep["appended"] == rep["missing"]
+    b4 = spark.createDataFrame(
+        [(40, f"q0 {late} q1")], "doc_id long, text string"
+    )
+    r = dedup.incremental_exact_substring_dedup(
+        spark, b4, store, window_tokens=10, update_store=False
+    ).collect()[0]
+    assert (r.clean_text, r.n_tokens_removed) == ("q0 q1", 15)
+    assert dedup.reconcile_winseen_store(spark, grown, store)["missing"] == 0
