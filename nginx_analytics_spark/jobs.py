@@ -361,6 +361,17 @@ def _build_parser():
         ),
     )
     di.add_argument(
+        "--quality-survivor",
+        action="store_true",
+        help=(
+            "X100: resolve WITHIN-BATCH near-dup clusters by keeping "
+            "the best-quality member (X26 rubric score, min-id "
+            "tie-break) instead of the min-id greedy drop; the "
+            "against-corpus step stays first-come-wins (already-"
+            "admitted docs are not re-litigated)"
+        ),
+    )
+    di.add_argument(
         "--lock-timeout",
         type=float,
         default=0.0,
@@ -767,6 +778,11 @@ def main(argv: list[str] | None = None) -> int:
             reader = reader.option(
                 "maxFilesPerTrigger", str(args.max_files_per_trigger)
             )
+        _quality_fn = None
+        if args.quality_survivor:
+            from nginx_analytics_spark.operators.text import quality_score
+
+            _quality_fn = quality_score
         # Hold the index's single-compactor mutex for the STREAM's
         # whole lifetime, not just each micro-batch (r8 review): an
         # offline `jobs compact-index` racing this loop then loses even
@@ -808,6 +824,7 @@ def main(argv: list[str] | None = None) -> int:
                 compact_every=args.compact_every,
                 max_files_per_band=args.max_files_per_band,
                 lock_timeout_s=args.lock_timeout,
+                quality_fn=_quality_fn,
                 on_batch=lambda bid, n_in, n_novel, lock_wait: print(
                     f"batch {bid}: {n_in} in, {n_novel} admitted, "
                     f"lock_wait={lock_wait:.3f}s",

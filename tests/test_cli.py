@@ -305,6 +305,36 @@ def test_cli_dedup_ingest(spark, tmp_path):
     assert dedup.read_lsh_index_meta(f"{tmp_path}/idx")["num_hashes"] == 32
 
 
+def test_cli_dedup_ingest_quality_survivor(spark, tmp_path):
+    """X100 CLI: --quality-survivor flips the within-batch near-dup
+    drop to keep-best-quality — the richer (greater-id) replica is the
+    one admitted, where the default greedy pass admits the min id."""
+    import pandas as pd
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rich = base + " " + " ".join(f"extra{i}" for i in range(10))
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": [base, rich]}).to_parquet(
+        src / "b.parquet"
+    )
+    rc = jobs.main(
+        [
+            "dedup-ingest",
+            "--source", str(src),
+            "--corpus", f"{tmp_path}/corpus",
+            "--index", f"{tmp_path}/idx",
+            "--checkpoint", f"{tmp_path}/ckpt",
+            "--quality-survivor",
+        ]
+    )
+    assert rc == 0
+    got = [
+        r.doc_id for r in spark.read.parquet(f"{tmp_path}/corpus").collect()
+    ]
+    assert got == [2]
+
+
 def test_cli_embedding_dedup_ingest(spark, tmp_path):
     """X85 CLI: one job drives the streaming embedding dedup-ingest
     loop over a parquet dir; bit-identical vectors are suppressed and
