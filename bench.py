@@ -253,6 +253,8 @@ BENCH_GROUPS: dict[str, list[str]] = {
         "incremental_paragraph_dedup_docs",
         "decontaminate_docs",
         "prefix_cap_report",
+        "quality_survivors",
+        "incremental_exact_substring_docs",
     ],
     # temporal/behavioral/sampling/ANN shapes
     "analytics": [
