@@ -28,9 +28,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_eventlog(path: str) -> list[dict]:
-    """Stage rows from one event-log file (uncompressed JSON lines)."""
+    """Stage rows from one event-log file (uncompressed JSON lines).
+    Spark 4 rolling logs are a DIRECTORY of events_* part files."""
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.startswith("events_")
+        )
+    else:
+        parts = [path]
     stages: dict[int, dict] = {}
     jobs: dict[int, dict] = {}
+    for part in parts:
+        _parse_one(part, stages, jobs)
+    for j in jobs.values():
+        for sid in j["stages"]:
+            if sid in stages:
+                stages[sid].setdefault("job_desc", j["desc"])
+    return [stages[k] for k in sorted(stages)]
+
+
+def _parse_one(path: str, stages: dict, jobs: dict) -> None:
     with open(path) as f:
         for line in f:
             try:
