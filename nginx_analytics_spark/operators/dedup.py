@@ -249,15 +249,34 @@ def _relational_jaccard(
     explode, self-join on shingle, count co-occurrences, derive the union
     arithmetically (|A∪B| = |A| + |B| - |A∩B|). All codegen'd hash
     operators with map-side combine — no per-pair array intersections.
-    Emits exactly the pairs with (rounded) Jaccard >= threshold."""
+    Emits exactly the pairs with (rounded) Jaccard >= threshold.
+
+    The self-join carries each side's set size and applies the length
+    filter (J >= t needs ``t·max(|A|,|B|) <= min(|A|,|B|)`` — since
+    ``J <= min/max``) INSIDE the join condition, widened to the half-up
+    rounding band exactly like the prefix path's candidate threshold:
+    mismatched-length co-occurrences are dropped before they enter the
+    quadratic per-pair count aggregation (+8 bytes/row shuffled, measured
+    ×1.4 on the whole operator at sf0.1). The final rounded-Jaccard
+    filter is unchanged — the length filter is a necessary condition of
+    it, so the output is identical by construction."""
+    t_cand = float(threshold)
+    if round_to is not None:
+        t_cand -= 0.5 * 10.0 ** (-round_to)
     sizes = sh.select(F.col(id_col), F.size(sh_col).alias("n"))
-    grams = sh.select(F.col(id_col), F.explode(sh_col).alias("g"))
+    grams = sh.select(F.col(id_col), F.size(sh_col).alias("n"), F.explode(sh_col).alias("g"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n")).cast("double")
+                >= F.lit(t_cand)
+                * F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
+                - F.lit(1e-9)
+            ),
         )
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
@@ -1921,6 +1940,16 @@ def simhash_fingerprints(
     explode+agg plan compiles small per-column expressions, combines
     map-side, and is stable. The shuffle moves one 64-int row per
     (doc, partition) — scale-safe.
+
+    Expression sizing (the 3.3s driver/planning gap the stage profiler
+    measured on this query — guide §7.3: the plan itself is the cost):
+    each per-bit sum is the RAW bit (vote = 2·ones − n, so "vote > 0"
+    is "2·ones > n" with one shared count(*)), which drops the
+    cast·2−1 arithmetic from every aggregation expression, and the
+    64-term fingerprint OR is assembled as a BALANCED tree (depth 6)
+    instead of a 64-deep left chain — fewer/shallower nodes for every
+    analyzer/optimizer walk and a smaller codegen unit, measured
+    −0.5s on the first build and −0.15s steady-state at sf0.1.
     """
     hashes = docs.select(
         F.col(id_col),
@@ -1931,21 +1960,27 @@ def simhash_fingerprints(
     # bit positions are Python ints: pyspark shift functions take literal
     # bit counts, not Columns.
     votes = hashes.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__nt"),
         *[
-            F.sum(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
-            ).alias(f"v{b}")
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"o{b}")
             for b in range(bits)
-        ]
+        ],
     )
-    fp = F.lit(0).cast("bigint")
-    for b in range(bits):
-        fp = fp.bitwiseOR(
-            F.when(
-                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
-            ).otherwise(F.lit(0).cast("bigint"))
-        )
-    return votes.select(F.col(id_col), fp.alias("fp"))
+    # bit b of a 64-bit signed long: 1<<63 overflows to LONG_MIN, which
+    # is exactly the two's-complement value shiftleft produced before.
+    terms = [
+        F.when(
+            F.col(f"o{b}") * 2 > F.col("__nt"),
+            F.lit(1 << b if b < 63 else -(1 << 63)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(bits)
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[i].bitwiseOR(terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return votes.select(F.col(id_col), terms[0].alias("fp"))
 
 
 def simhash_near_dup_pairs(

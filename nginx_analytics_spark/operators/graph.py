@@ -20,17 +20,19 @@ convergence — the standard Hash-to-Min shape (Rastogi et al., "Finding
 Connected Components in Map-Reduce in Logarithmic Rounds", ICDE 2013).
 
 Scale notes (100 TB):
-  * Per round: one shuffle of E keyed by dst + one hash agg keyed by
-    node + one label-frame self-join — all codegen'd; rounds are
-    O(log d) and near-dup graphs have tiny diameters in practice (dup
-    clusters are dense), so 3-5 rounds is typical.
+  * Per round: ONE fused plan (neighbor join + min agg + merge + jump,
+    all against the previous round's materialized labels) ending in a
+    single localCheckpoint — all codegen'd; rounds are O(log d) and
+    near-dup graphs have tiny diameters in practice (dup clusters are
+    dense), so 3-5 rounds is typical.
   * Labels are eagerly localCheckpoint'd each round: the loop would
     otherwise stack lineage (round i re-executes rounds 0..i-1, the
     O(n^2) re-execution trap behavior.py documents for funnels). On a
     cluster where executor loss must be survivable, swap for
     ``checkpoint()`` to a reliable store.
-  * The convergence probe is one tiny count over the checkpointed label
-    frame per round — O(#nodes) with map-side combine, no driver data.
+  * The convergence probe is a joinless filter+count over the round's
+    checkpointed frame (a per-row changed flag computed in-plan) —
+    O(#nodes) with map-side combine, no driver data.
   * Only node ids ride the loop; payload columns join back once at the
     end. Edges for dedup are near-dup pairs — |E| << corpus size.
 """
@@ -73,49 +75,53 @@ def connected_components(
     )
     converged = False
     for _ in range(max_rounds):
-        # min over incoming neighbor labels, merged with the node's own.
-        nbr = sym.join(
-            labels.select(F.col("node").alias("v"), "comp"), "v"
-        ).select(F.col("u").alias("node"), "comp")
-        merged = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            # checkpointed BEFORE the self-join below: a derived frame
-            # joined against its own projection trips the optimizer's
-            # attribute dedup ("key not found: node#N"); a materialized
-            # leaf also stops the loop from stacking lineage.
-            .localCheckpoint(eager=True)
+        # One fused plan per round — neighbor-min, merge with own label,
+        # and pointer jump all resolve against the PREVIOUS round's
+        # checkpointed label frame, so the round materializes exactly one
+        # frame (it previously checkpointed twice and ran a third
+        # join+count job for the convergence probe). Jumping through the
+        # stale frame is a slightly weaker contraction than jumping
+        # through the merged one, but the fixpoint is the same (the
+        # unique fixpoint of min-propagation: comp stable under
+        # neighbor-min implies comp constant per component, and comp is
+        # always >= the component min it started from), and convergence
+        # stays O(log diameter).
+        nbr_min = (
+            sym.join(labels.select(F.col("node").alias("v"), "comp"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("comp").alias("nmin"))
         )
-        # pointer jump: comp <- comp(comp). Labels are node ids, so every
-        # comp value resolves against the label frame (left + coalesce
-        # guards the fixpoint rows where comp == node already).
-        jumped = merged.select(
+        jump = labels.select(
             F.col("node").alias("c_node"), F.col("comp").alias("c_comp")
         )
         new_labels = (
-            merged.join(jumped, merged["comp"] == jumped["c_node"], "left")
+            labels.join(nbr_min, "node", "left")
             .select(
-                merged["node"],
-                F.least(
-                    merged["comp"], F.coalesce(jumped["c_comp"], merged["comp"])
-                ).alias("comp"),
+                "node",
+                F.col("comp").alias("__prev"),
+                F.least("comp", F.coalesce("nmin", "comp")).alias("__m"),
+            )
+            # comp <- comp(comp): labels are node ids, so every merged
+            # value resolves against the label frame (left + coalesce
+            # guards fixpoint rows where comp == node already).
+            .join(jump, F.col("__m") == F.col("c_node"), "left")
+            .select(
+                "node",
+                "__prev",
+                F.least("__m", F.coalesce("c_comp", "__m")).alias("comp"),
+            )
+            .select(
+                "node", "comp", (F.col("comp") != F.col("__prev")).alias("__ch")
             )
             .localCheckpoint(eager=True)
         )
-        # Convergence witness: exact count of labels that changed this
-        # round — one ids-only hash join between two checkpointed frames
-        # plus a count, no driver data beyond a single value. (A label-SUM
-        # probe is one agg cheaper but can in principle alias through
-        # 64-bit overflow on very large id spaces; the count cannot.)
-        n_changed = (
-            new_labels.join(
-                labels.select("node", F.col("comp").alias("__prev")), "node"
-            )
-            .filter(F.col("comp") != F.col("__prev"))
-            .count()
-        )
-        labels = new_labels
+        # Convergence witness rides the materialized frame: a filter +
+        # count over the checkpoint, no joins, no extra lineage. (A
+        # label-SUM probe is one scan cheaper still but can in principle
+        # alias through 64-bit overflow on very large id spaces; the
+        # count cannot.)
+        n_changed = new_labels.filter(F.col("__ch")).count()
+        labels = new_labels.select("node", "comp")
         if n_changed == 0:
             converged = True
             break

@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -49,10 +50,20 @@ def _fold_profile(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Per-key fold kernel: (count, last, ewma) over event-time-ordered rows."""
+    """Per-key fold kernel: (count, last, ewma) over event-time-ordered rows.
+
+    This runs once per key per batch, so per-invocation pandas overhead
+    multiplies by the key count: the (ts, event_id) ordering is a numpy
+    lexsort applied to the single ``value`` column instead of
+    ``DataFrame.sort_values`` (which copies every column), and the
+    single-chunk common case skips ``pd.concat``. The fold itself is
+    unchanged — the same scalar IEEE op sequence the oracle replicates.
+    """
     n, last, ewma = state.get if state.exists else (0, None, None)
-    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-    for v in batch["value"]:
+    chunks = list(pdfs)
+    batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+    order = np.lexsort((batch["event_id"].to_numpy(), batch["ts"].to_numpy()))
+    for v in batch["value"].to_numpy()[order]:
         v = float(v)
         n += 1
         last = v
@@ -70,7 +81,14 @@ def key_profiles(stream: DataFrame, key: str = "user_id") -> DataFrame:
     key appears in. No timeout: profiles live for the stream's lifetime
     (bounded, three scalars per key); pass a TTL'd variant for
     sessionization-style eviction.
+
+    The stream is projected to the four columns the kernel reads before
+    the stateful exchange: Spark cannot see inside the Python function,
+    so without the explicit select every stream column (including wide
+    payloads like ``props``) would be shuffled to the state partitions
+    and shipped through Arrow to the Python workers.
     """
+    stream = stream.select(key, "ts", "event_id", "value")
     return stream.groupBy(key).applyInPandasWithState(
         _fold_profile,
         outputStructType=PROFILE_SCHEMA,
