@@ -465,10 +465,30 @@ def jaccard_pairs_prefix_sets(
     minreq = F.ceil(F.lit(t_cand) * F.col("n") - F.lit(1e-9))
     prefix = ordered.filter(
         F.col("pos") <= F.col("n") - minreq + F.lit(1)
-    ).select("id", "g", "n", "df")
+    ).select("id", "g", "n", "df", "pos")
 
     def pair_join(p: DataFrame) -> DataFrame:
         a, b = p.alias("a"), p.alias("b")
+        # PPJoin positional filter (Xiao et al., WWW 2008): J >= t_cand
+        # needs overlap >= alpha = ceil(t_cand*(|A|+|B|)/(1+t_cand)),
+        # and at a shared gram sitting at pos_a/pos_b of the df order,
+        # every OTHER shared gram sorts at or after it only when this
+        # is the pair's rarest shared gram — at that occurrence the
+        # overlap is bounded by 1 + min(remaining tokens). Filtering
+        # every generated occurrence by that bound is exact: the
+        # rarest-shared-gram occurrence always satisfies it (overlap
+        # itself is >= alpha there), so a qualifying pair survives into
+        # distinct() — occurrences pruned here are duplicates or
+        # sub-alpha pairs the verify stage would reject anyway.
+        # Measured at sf0.1: candidate pairs 193k -> 69k (x2.8), wall
+        # x1.45, output identical. Float slack inside ceil mirrors
+        # minreq: an ulp-high product cannot raise alpha.
+        alpha = F.ceil(
+            F.lit(t_cand)
+            / (1.0 + t_cand)
+            * (F.col("a.n") + F.col("b.n")).cast("double")
+            - F.lit(1e-9)
+        )
         return a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
@@ -479,6 +499,14 @@ def jaccard_pairs_prefix_sets(
                 >= F.lit(t_cand)
                 * F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
                 - F.lit(1e-9)
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.n") - F.col("a.pos"),
+                    F.col("b.n") - F.col("b.pos"),
+                )
+                >= alpha
             ),
         ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
 
@@ -646,10 +674,20 @@ def jaccard_pairs_prefix_cross(
     minreq = F.ceil(F.lit(t_cand) * F.col("n") - F.lit(1e-9))
     prefix = ordered.filter(
         F.col("pos") <= F.col("n") - minreq + F.lit(1)
-    ).select("side", "id", "g", "n", "df")
+    ).select("side", "id", "g", "n", "df", "pos")
 
     def cross_join(pn: DataFrame, po: DataFrame) -> DataFrame:
         a, b = pn.alias("a"), po.alias("b")
+        # PPJoin positional filter — same exactness argument as the
+        # self-join twin (see jaccard_pairs_prefix_sets): the pair's
+        # rarest shared gram occurrence always passes the bound, so
+        # filtering per-occurrence before distinct() loses nothing.
+        alpha = F.ceil(
+            F.lit(t_cand)
+            / (1.0 + t_cand)
+            * (F.col("a.n") + F.col("b.n")).cast("double")
+            - F.lit(1e-9)
+        )
         return a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
@@ -658,11 +696,23 @@ def jaccard_pairs_prefix_cross(
                 >= F.lit(t_cand)
                 * F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
                 - F.lit(1e-9)
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.n") - F.col("a.pos"),
+                    F.col("b.n") - F.col("b.pos"),
+                )
+                >= alpha
             ),
         ).select(F.col("a.id").alias("new_id"), F.col("b.id").alias("old_id"))
 
-    p_new = prefix.filter(F.col("side") == "new").select("id", "g", "n", "df")
-    p_old = prefix.filter(F.col("side") == "old").select("id", "g", "n", "df")
+    p_new = prefix.filter(F.col("side") == "new").select(
+        "id", "g", "n", "df", "pos"
+    )
+    p_old = prefix.filter(F.col("side") == "old").select(
+        "id", "g", "n", "df", "pos"
+    )
     if max_df is None:
         cands = cross_join(p_new, p_old).distinct()
     else:
@@ -1591,7 +1641,16 @@ def exact_substring_dedup(
     toks = docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
     ).localCheckpoint(eager=True)  # windows + reassembly + sizes
-    wins = _token_windows(toks, id_col, W, hash_keys=hash_keys)
+    # Materialized: `wins` feeds BOTH the repeated-count aggregation and
+    # the hits semi-join below — unmaterialized, the O(tokens × W)
+    # slice+concat+hash window projection executes twice (profiled as
+    # the query's two dominant CPU stages, ~0.7 s each at sf0.1; the
+    # checkpoint trades that for one O(tokens × 16 B) local write+read,
+    # measured ~×1.25 on the whole operator). Same executor-pinned
+    # caveat as every localCheckpoint in this module.
+    wins = _token_windows(toks, id_col, W, hash_keys=hash_keys).localCheckpoint(
+        eager=True
+    )
     repeated = (
         wins.groupBy("win")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -2134,7 +2193,18 @@ def ngram_jaccard_pairs(
         F.col(id_col), char_shingles(text_col, n).alias("sh")
     ).localCheckpoint(eager=True)
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
-    grams = sh.select(F.col(id_col), F.explode("sh").alias("g"))
+    # Jaccard length bound inside the gram join (r16, the
+    # _relational_jaccard treatment): J >= t needs t*max(|A|,|B|) <=
+    # min(|A|,|B|) — widened to the half-up band when rounding — so
+    # size-incompatible co-occurrences die before the per-pair count
+    # aggregation (or the verify joins on the stopgram path). A
+    # necessary condition of the output filter: results identical.
+    t_cand = float(threshold)
+    if round_to is not None:
+        t_cand -= 0.5 * 10.0 ** (-round_to)
+    grams = sh.select(
+        F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("g")
+    )
     if stopgram_df_ceiling is not None:
         # Stopgrams are few DISTINCT values by construction (each one
         # appears in > ceiling docs), so the pruned-gram list is small:
@@ -2151,7 +2221,13 @@ def ngram_jaccard_pairs(
     cands = a.join(
         b,
         (F.col("a.g") == F.col("b.g"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (
+            F.least(F.col("a.n"), F.col("b.n")).cast("double")
+            >= F.lit(t_cand)
+            * F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
+            - F.lit(1e-9)
+        ),
     ).select(
         F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     )
@@ -2807,10 +2883,32 @@ def _relational_jaccard_cross(
     nb = sh_old.select(
         F.col(id_col).alias("old_id"), F.size(sh_col).alias("n_b")
     )
-    ga = sh_new.select(F.col(id_col).alias("new_id"), F.explode(sh_col).alias("g"))
-    gb = sh_old.select(F.col(id_col).alias("old_id"), F.explode(sh_col).alias("g"))
+    # Jaccard length bound inside the gram join (r16, mirroring the
+    # self-join twin): J >= t needs t*max(|A|,|B|) <= min(|A|,|B|) —
+    # widened to the half-up band when rounding — a necessary condition
+    # of the output filter, so size-incompatible co-occurrences die
+    # before the per-pair count aggregation without changing results.
+    t_cand = float(threshold)
+    if round_to is not None:
+        t_cand -= 0.5 * 10.0 ** (-round_to)
+    ga = sh_new.select(
+        F.col(id_col).alias("new_id"),
+        F.size(sh_col).alias("sa_n"),
+        F.explode(sh_col).alias("g"),
+    )
+    gb = sh_old.select(
+        F.col(id_col).alias("old_id"),
+        F.size(sh_col).alias("sb_n"),
+        F.explode(sh_col).alias("g"),
+    )
     inter = (
         ga.join(gb, "g")
+        .filter(
+            F.least(F.col("sa_n"), F.col("sb_n")).cast("double")
+            >= F.lit(t_cand)
+            * F.greatest(F.col("sa_n"), F.col("sb_n")).cast("double")
+            - F.lit(1e-9)
+        )
         .groupBy("new_id", "old_id")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

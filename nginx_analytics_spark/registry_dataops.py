@@ -123,15 +123,15 @@ def minhash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is covered independently by the full-recall property test
     (tests/test_dataops.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(
-        docs,
-        threshold=0.0,  # threshold applied on r6 below
-        round_to=None,
-        exact_net=True,
+    # threshold/round_to pushed INTO the operator (r16): with exact_net
+    # the output is exactly the relational net — half_up(j, 6) filtered
+    # at >= t in-plan is definitionally the r6+filter previously applied
+    # here (LSH-verified ∩ net ⊆ net, so the union is the net either
+    # way), and the in-plan threshold engages the Jaccard length bound
+    # inside the net's co-occurrence join.
+    return dedup.minhash_dedup_pairs(
+        docs, threshold=JACCARD_THRESHOLD, round_to=6, exact_net=True
     )
-    return pairs.select(
-        "id_a", "id_b", r6(F.col("jaccard")).alias("jaccard")
-    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 @query("minhash_lsh_pairs")  # pure-LSH scale path — recall-tested, rows-only
@@ -147,12 +147,13 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dataops.py; on the fixture the two plans emit identical
     pairs with probability ~1-1e-3 per round."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(
-        docs, threshold=0.0, round_to=None, exact_net=False
+    # threshold/round_to pushed INTO the operator (r16): candidate
+    # generation (signatures + banding) is threshold-independent, and
+    # half_up(j, 6) >= t on each verified candidate in-plan is
+    # definitionally the r6+filter previously applied here.
+    return dedup.minhash_dedup_pairs(
+        docs, threshold=JACCARD_THRESHOLD, round_to=6, exact_net=False
     )
-    return pairs.select(
-        "id_a", "id_b", r6(F.col("jaccard")).alias("jaccard")
-    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 @query(
@@ -173,10 +174,13 @@ def exact_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     — recall 1 by construction, no banding odds. The verification twin of
     minhash_dedup_pairs and the plan the exact_net option unions in."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.exact_jaccard_pairs(docs, threshold=0.0, round_to=None)
-    return pairs.select(
-        "id_a", "id_b", r6(F.col("jaccard")).alias("jaccard")
-    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # threshold/round_to pushed INTO the operator (r16): its output —
+    # half_up(j, 6) filtered at >= t — is definitionally the r6+filter
+    # this query previously applied outside, and the in-plan threshold
+    # lets the Jaccard length bound prune the co-occurrence join.
+    return dedup.exact_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, round_to=6
+    )
 
 
 @query(
@@ -634,13 +638,15 @@ def incremental_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_dedup_pairs (oracle) vs minhash_lsh_pairs (bench)."""
     new_docs, corpus = _incr_split(spark, sf_dir)
     index_path = _staged_lsh_index(corpus, sf_dir)
-    pairs = dedup.incremental_near_dups(
+    # threshold/round_to pushed INTO the operator (r16): with exact_net
+    # the output is exactly the cross relational net (verified ⊆ net),
+    # and half_up(j, 6) >= t in-plan is definitionally the r6+filter
+    # previously applied here; the in-plan threshold engages the cross
+    # net's Jaccard length bound.
+    return dedup.incremental_near_dups(
         spark, new_docs, corpus, index_path,
-        threshold=0.0, round_to=None, exact_net=True,
+        threshold=JACCARD_THRESHOLD, round_to=6, exact_net=True,
     )
-    return pairs.select(
-        "new_id", "old_id", r6(F.col("jaccard")).alias("jaccard")
-    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 @query("incremental_jaccard_prefix", _INCR_NEAR_DUPS_SQL)
@@ -1250,13 +1256,15 @@ def incremental_index_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame
     correctness gate for the maintenance path."""
     new_docs, corpus = _incr_split(spark, sf_dir)
     index_path = _staged_lsh_index(corpus, sf_dir, split=True)
-    pairs = dedup.incremental_near_dups(
+    # threshold/round_to pushed INTO the operator (r16): with exact_net
+    # the output is exactly the cross relational net (verified ⊆ net),
+    # and half_up(j, 6) >= t in-plan is definitionally the r6+filter
+    # previously applied here; the in-plan threshold engages the cross
+    # net's Jaccard length bound.
+    return dedup.incremental_near_dups(
         spark, new_docs, corpus, index_path,
-        threshold=0.0, round_to=None, exact_net=True,
+        threshold=JACCARD_THRESHOLD, round_to=6, exact_net=True,
     )
-    return pairs.select(
-        "new_id", "old_id", r6(F.col("jaccard")).alias("jaccard")
-    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 # Shared transitive-closure CTE chain (the X30 oracle): exact
@@ -1308,10 +1316,12 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure over the identical pair set — exponentially-sized reach set,
     verification-tier only; the Spark loop is the scale path."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = (
-        dedup.exact_jaccard_pairs(docs, threshold=0.0, round_to=None)
-        .select("id_a", "id_b", r6(F.col("jaccard")).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # Same pair set, computed with the threshold IN the operator (r16):
+    # half_up(j, 6) >= t inside _relational_jaccard is definitionally
+    # the r6+filter previously applied here, and the in-plan threshold
+    # engages the Jaccard length bound inside the co-occurrence join.
+    pairs = dedup.exact_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, round_to=6
     )
     return graph.dedup_clusters(docs, pairs)
 
@@ -2842,10 +2852,10 @@ def quality_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties resolve identically by construction. Verification-tier oracle
     (recursive-CTE closure); the Spark loop is the scale path."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = (
-        dedup.exact_jaccard_pairs(docs, threshold=0.0, round_to=None)
-        .select("id_a", "id_b", r6(F.col("jaccard")).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # Same pair set with the threshold IN the operator (r16) — see
+    # dedup_clusters_q; the length bound prunes the co-occurrence join.
+    pairs = dedup.exact_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, round_to=6
     )
     assign = graph.dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
     quality = text.quality_score(docs).select("doc_id", "quality")
@@ -2909,12 +2919,13 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _NGRAM_SAMPLE
     )
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, n=_NGRAM_N, threshold=0.0, round_to=None
+    # threshold/round_to pushed INTO the operator (r16): half_up(j, 6)
+    # filtered at >= t inside the plan is definitionally the r6+filter
+    # previously applied here, and the in-plan threshold engages the
+    # Jaccard length bound inside the gram self-join.
+    return dedup.ngram_jaccard_pairs(
+        docs, n=_NGRAM_N, threshold=_NGRAM_THRESHOLD, round_to=6
     )
-    return pairs.select(
-        "id_a", "id_b", r6(F.col("jaccard")).alias("jaccard")
-    ).filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
 
 
 @query(

@@ -42,6 +42,18 @@ _BASE_CONF = {
         "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
     ),
     "spark.ui.enabled": "false",
+    # PySpark 4 wraps every DataFrame/Column API call to capture the
+    # Python call site for error context — a stack walk plus up to three
+    # extra py4j round trips (origin set, conf read, origin clear) PER
+    # CALL. Profiled at ~25-35% of DataFrame build time on the
+    # column-heavy operators (64-column simhash aggregation, the z-score
+    # chain); pure driver-side latency at any cluster size. Disabled:
+    # errors lose the "was added in file:line" Python frame, nothing
+    # else. Flip to true when debugging a query interactively
+    # (SPARK_GRAFT_DF_DEBUG=true re-enables it without a code edit).
+    "spark.python.sql.dataFrameDebugging.enabled": os.environ.get(
+        "SPARK_GRAFT_DF_DEBUG", "false"
+    ),
 }
 
 

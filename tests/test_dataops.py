@@ -203,6 +203,63 @@ def test_jaccard_pairs_prefix_rounding_knife_edge(spark):
     assert got == exact
 
 
+def test_jaccard_pairs_prefix_positional_filter_boundary(spark):
+    """r16 optimization regression: the PPJoin positional filter
+    (overlap <= 1 + min(n-pos) at each shared prefix occurrence, vs
+    alpha = ceil(t(|A|+|B|)/(1+t))) prunes candidate occurrences but
+    must never lose a qualifying pair. Two adversarial fixtures at
+    t=0.5, round_to=None:
+
+    * (1,2): A = 2 uniques + 8 shared (n=10), B = the 8 shared (n=8),
+      J = 0.8. alpha = 6; the shared grams sit at A-prefix positions
+      3..6 / B-prefix 1..4, so the 4th shared occurrence's bound is
+      1 + min(4,4) = 5 < 6 — PRUNED — while the rarest occurrence
+      (bound 8) survives. The pair must be emitted.
+    * (3,4): A = 5 uniques + 5 shared (n=10), B = the 5 shared (n=5),
+      J = exactly 0.5. The ONLY shared occurrence inside both prefixes
+      is s1 at A-pos 6 / B-pos 1, whose bound 1 + min(4,4) = 5 equals
+      alpha = 5 EXACTLY — any off-by-one tightening of the filter
+      (dropping the +1, ceil slack sign flip) loses the pair here.
+
+    Both the self-join and the cross-set twins are pinned against the
+    exhaustive relational plan."""
+    sh_a1 = [f"p{i}" for i in range(2)] + [f"s{i:02d}" for i in range(8)]
+    sh_b1 = [f"s{i:02d}" for i in range(8)]
+    sh_a2 = [f"q{i}" for i in range(5)] + [f"t{i:02d}" for i in range(5)]
+    sh_b2 = [f"t{i:02d}" for i in range(5)]
+    rows = [(1, sh_a1), (2, sh_b1), (3, sh_a2), (4, sh_b2)]
+    sh = spark.createDataFrame(rows, "doc_id long, sh array<string>")
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup._relational_jaccard(
+            sh, "doc_id", "sh", 0.5, None
+        ).collect()
+    }
+    assert {(p[0], p[1]) for p in exact} == {(1, 2), (3, 4)}
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_pairs_prefix_sets(
+            sh, "doc_id", "sh", threshold=0.5, round_to=None
+        ).collect()
+    }
+    assert got == exact
+    # cross-set twin: new = the larger docs, old = the subset docs
+    new_docs = spark.createDataFrame(
+        [(1, " ".join(sh_a1)), (3, " ".join(sh_a2))], "doc_id long, text string"
+    )
+    old_docs = spark.createDataFrame(
+        [(2, " ".join(sh_b1)), (4, " ".join(sh_b2))], "doc_id long, text string"
+    )
+    # shingle_n=1 makes word_shingles the identity on these token sets
+    cross = {
+        (r.new_id, r.old_id)
+        for r in dedup.jaccard_pairs_prefix_cross(
+            new_docs, old_docs, threshold=0.5, shingle_n=1, round_to=None
+        ).collect()
+    }
+    assert cross == {(1, 2), (3, 4)}
+
+
 def test_jaccard_pairs_prefix_max_df_exact_on_skewed_fixture(spark):
     """r14 verdict item 3: the max_df stop-shingle cap keeps EXACT
     equality with the exhaustive plan on a boilerplate-skewed corpus —
