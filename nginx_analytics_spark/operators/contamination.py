@@ -65,23 +65,50 @@ def contamination_check(
     n-grams; ``n_overlap`` how many of them appear anywhere in the
     benchmark; ``contaminated`` is the conventional any-collision flag.
     """
-    bench_set = F.broadcast(benchmark_ngrams(bench, text_col, n, hashed))
+    # One pass over train (r16): the gram rows carry the doc's array
+    # size, LEFT-join the broadcast benchmark set with a hit marker, and
+    # a single per-doc aggregation emits n_grams AND n_overlap — the
+    # previous shape re-scanned train for n_grams and joined the two
+    # per-doc frames back on id_col (a join Catalyst's size estimates
+    # sometimes planned as a sort-merge, two extra Exchanges on the
+    # 100 TB side). explode_outer + min(size) replicate size()'s NULL
+    # semantics for NULL-text docs; count(hit) replicates the inner
+    # join + coalesce(0) overlap count row-for-row.
+    bench_set = F.broadcast(
+        benchmark_ngrams(bench, text_col, n, hashed).withColumn(
+            "__hit", F.lit(1)
+        )
+    )
+    # The array is materialized in its OWN projection first: size() and
+    # explode_outer() then both read the column reference. Fusing them
+    # into one select leaves the size(word_shingles(...)) expression in
+    # the project ABOVE the Generate, re-running the whole shingling HOF
+    # once per exploded gram row — O(tokens²) per doc, measured ×10 on
+    # the operator at sf0.1.
     tg = train.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("g")
+        F.col(id_col), word_shingles(text_col, n).alias("__sh")
+    ).select(
+        F.col(id_col),
+        F.size("__sh").alias("__ng"),
+        F.explode_outer("__sh").alias("g"),
     )
     if hashed:
-        tg = tg.select(id_col, F.xxhash64("g").alias("g"))
-    overlap = (
-        tg.join(bench_set, "g")
+        tg = tg.select(
+            id_col,
+            "__ng",
+            F.when(F.col("g").isNotNull(), F.xxhash64("g")).alias("g"),
+        )
+    return (
+        tg.join(bench_set, "g", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    base = train.select(
-        F.col(id_col), F.size(word_shingles(text_col, n)).alias("n_grams")
-    )
-    return base.join(overlap, id_col, "left").select(
-        id_col,
-        "n_grams",
-        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-        (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        .agg(
+            F.min("__ng").alias("n_grams"),
+            F.count("__hit").alias("n_overlap"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_overlap",
+            (F.col("n_overlap") > 0).alias("contaminated"),
+        )
     )

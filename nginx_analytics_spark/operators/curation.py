@@ -31,9 +31,14 @@ def curate_documents(
     frac = sampling.portable_frac("doc_id", salt=7)
     bench = docs.filter(frac < bench_fraction)
     train = docs.filter(frac >= bench_fraction)
-    cont = contamination.contamination_check(train, bench, n=contam_n).select(
-        "doc_id", "contaminated"
-    )
+    # hashed=True (r16): both sides of the overlap join carry 8-byte
+    # xxhash64 keys instead of ~contam_n-word gram strings — broadcast
+    # set and probe rows shrink ~6x, measured x1.35 on the gate at
+    # sf0.1 with identical output (collision odds |bench|x|train|/2^64,
+    # the caveat the dedup module already accepts for hash keys).
+    cont = contamination.contamination_check(
+        train, bench, n=contam_n, hashed=True
+    ).select("doc_id", "contaminated")
     return (
         cleaned.join(rep, "doc_id")
         .join(cont, "doc_id")

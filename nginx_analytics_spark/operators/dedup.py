@@ -908,6 +908,12 @@ def _prefix_keys_sets(
         df0.asc(), F.col("band_hash").asc(), F.col("g").asc()
     )
     minreq = F.ceil(F.lit(float(t_cand)) * F.col("n") - F.lit(1e-9))
+    # n and pos ride along (format frozen-df-v2, r16): 8 bytes/row that
+    # let a probe run the Jaccard length bound AND the PPJoin positional
+    # filter at the CANDIDATE stage — before the distinct, the corpus
+    # text scan, and the per-pair array_intersect. pos is the shingle's
+    # rank under the doc's own frozen order (doc-local, so
+    # write-then-append still equals rebuild row-for-row).
     return (
         grams.withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.col("n") - minreq + F.lit(1))
@@ -917,6 +923,8 @@ def _prefix_keys_sets(
             .cast("int")
             .alias("band_idx"),
             "band_hash",
+            "n",
+            "pos",
         )
     )
 
@@ -958,7 +966,7 @@ def write_prefix_index(
             "id_col": id_col,
             "shingle_n": shingle_n,
             "threshold": float(threshold),
-            "order": "frozen-df-v1",
+            "order": "frozen-df-v2",
             "bands": PREFIX_INDEX_BANDS,
             "freq": freq,
         },
@@ -1014,7 +1022,7 @@ def append_prefix_index(
         {
             "id_col": id_col,
             "shingle_n": shingle_n,
-            "order": "frozen-df-v1",
+            "order": "frozen-df-v2",
             "bands": PREFIX_INDEX_BANDS,
         },
         fs=fs,
@@ -1102,7 +1110,7 @@ def incremental_jaccard_prefix_probe(
         {
             "id_col": id_col,
             "shingle_n": shingle_n,
-            "order": "frozen-df-v1",
+            "order": "frozen-df-v2",
             "bands": PREFIX_INDEX_BANDS,
         },
         fs=fs,
@@ -1126,12 +1134,47 @@ def incremental_jaccard_prefix_probe(
     batch_keys = _prefix_keys_sets(
         new_sh, "new_id", "sh_a", t_cand,
         _prefix_freq_frame(spark, have["freq"]),
+    ).select(
+        "new_id", "band_idx", "band_hash",
+        F.col("n").alias("n_new"), F.col("pos").alias("pos_new"),
     )
-    idx = read_lsh_index_rows(spark, index_path, fs=fs).withColumnRenamed(
-        have["id_col"], "old_id"
+    idx = (
+        read_lsh_index_rows(spark, index_path, fs=fs)
+        .withColumnRenamed(have["id_col"], "old_id")
+        .withColumnRenamed("n", "n_old")
+        .withColumnRenamed("pos", "pos_old")
+    )
+    # Candidate-stage pruning off the v2 index payload (r16): the
+    # Jaccard length bound and the PPJoin positional filter run ON THE
+    # BAND JOIN, before the distinct, the corpus text scan, and the
+    # per-pair array_intersect. Both are necessary conditions of
+    # J >= t_cand at the pair's rarest shared shingle under the frozen
+    # order (the exactness argument on jaccard_pairs_prefix_sets, which
+    # holds for ANY shared total order), so recall stays 1.
+    alpha = F.ceil(
+        F.lit(t_cand)
+        / (1.0 + t_cand)
+        * (F.col("n_new") + F.col("n_old")).cast("double")
+        - F.lit(1e-9)
     )
     cands = (
         batch_keys.join(idx, ["band_idx", "band_hash"])
+        .filter(
+            (
+                F.least(F.col("n_new"), F.col("n_old")).cast("double")
+                >= F.lit(t_cand)
+                * F.greatest(F.col("n_new"), F.col("n_old")).cast("double")
+                - F.lit(1e-9)
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("n_new") - F.col("pos_new"),
+                    F.col("n_old") - F.col("pos_old"),
+                )
+                >= alpha
+            )
+        )
         .select("new_id", "old_id")
         .distinct()
         # collision-volume-sized, consumed by the corpus prune AND the

@@ -260,6 +260,36 @@ def test_jaccard_pairs_prefix_positional_filter_boundary(spark):
     assert cross == {(1, 2), (3, 4)}
 
 
+def test_prefix_probe_positional_filter_boundary(spark, tmp_path):
+    """r16: the at-rest probe applies the same length + positional
+    filters at the BAND-JOIN stage off the v2 index payload (n, pos) —
+    same adversarial fixtures as the live twin's boundary test,
+    including the pair whose lone shared prefix occurrence sits exactly
+    at alpha. The probe must emit both pairs."""
+    sh_a1 = [f"p{i}" for i in range(2)] + [f"s{i:02d}" for i in range(8)]
+    sh_b1 = [f"s{i:02d}" for i in range(8)]
+    sh_a2 = [f"q{i}" for i in range(5)] + [f"t{i:02d}" for i in range(5)]
+    sh_b2 = [f"t{i:02d}" for i in range(5)]
+    new_docs = spark.createDataFrame(
+        [(1, " ".join(sh_a1)), (3, " ".join(sh_a2))], "doc_id long, text string"
+    )
+    old_docs = spark.createDataFrame(
+        [(2, " ".join(sh_b1)), (4, " ".join(sh_b2))], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "pfx_idx")
+    dedup.write_prefix_index(
+        old_docs, idx, threshold=0.5, shingle_n=1
+    )
+    got = {
+        (r.new_id, r.old_id)
+        for r in dedup.incremental_jaccard_prefix_probe(
+            spark, new_docs, old_docs, idx,
+            threshold=0.5, shingle_n=1, round_to=None,
+        ).collect()
+    }
+    assert got == {(1, 2), (3, 4)}
+
+
 def test_jaccard_pairs_prefix_max_df_exact_on_skewed_fixture(spark):
     """r14 verdict item 3: the max_df stop-shingle cap keeps EXACT
     equality with the exhaustive plan on a boilerplate-skewed corpus —
