@@ -122,7 +122,7 @@ def minhash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate via banding odds (the r2 fragility note). The pure-LSH operator
     is covered independently by the full-recall property test
     (tests/test_dataops.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     # threshold/round_to pushed INTO the operator (r16): with exact_net
     # the output is exactly the relational net — half_up(j, 6) filtered
     # at >= t in-plan is definitionally the r6+filter previously applied
@@ -173,7 +173,7 @@ def exact_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse plan (explode shingles, co-occurrence count, arithmetic union)
     — recall 1 by construction, no banding odds. The verification twin of
     minhash_dedup_pairs and the plan the exact_net option unions in."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     # threshold/round_to pushed INTO the operator (r16): its output —
     # half_up(j, 6) filtered at >= t — is definitionally the r6+filter
     # this query previously applied outside, and the in-plan threshold
@@ -1315,7 +1315,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_duplicate). The oracle is a DuckDB recursive-CTE transitive
     closure over the identical pair set — exponentially-sized reach set,
     verification-tier only; the Spark loop is the scale path."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     # Same pair set, computed with the threshold IN the operator (r16):
     # half_up(j, 6) >= t inside _relational_jaccard is definitionally
     # the r6+filter previously applied here, and the in-plan threshold
@@ -1528,7 +1528,7 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X41: top-50 adjacent character-pair frequencies — the argmax
     statistic of the first BPE tokenizer-training merge, as a corpus
     aggregation (one scan, |alphabet|^2-bounded shuffle)."""
-    return text.char_pair_counts(load_table(spark, sf_dir, "documents"), k=50)
+    return text.char_pair_counts(load_table(spark, sf_dir, "documents", fanout=True), k=50)
 
 
 @query(
@@ -1841,7 +1841,7 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X33: Gopher-style repetition quality gates — most-frequent-bigram
     share and duplicate-trigram share per document, with the boilerplate
     flag. Explode + two-level codegen'd hash agg per gram size."""
-    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+    return text.repetition_stats(load_table(spark, sf_dir, "documents", fanout=True))
 
 
 PACK_BUDGET = 512  # tokens per context window in the packing plan
@@ -2621,7 +2621,7 @@ def _lang_case_sql() -> str:
 )
 def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (argmax with fixed tie order)."""
-    return text.language_id(load_table(spark, sf_dir, "documents"))
+    return text.language_id(load_table(spark, sf_dir, "documents", fanout=True))
 
 
 _QUALITY_SQL = (
@@ -2753,7 +2753,7 @@ _QUALITY_EXPR_SQL = (
 )
 def doc_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length/diversity/punctuation/stopword quality rubric."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     t = text.tokens("text")
     n_tokens = F.size(t)
     n_chars = F.length("text")
@@ -2815,7 +2815,7 @@ def quality_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     X81 calibrated ``quality_prob`` instead — ``jobs handoff
     --quality-sample``; this registry entry uses the deterministic
     rubric weight so the oracle can replicate the weights exactly.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     q = text.quality_score(docs).select("doc_id", "quality")
     return sampling.quality_weighted_sample(
         q, "quality", "doc_id", target_frac=0.5, beta=2.0, salt=9
@@ -2858,7 +2858,7 @@ def quality_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash verifies. Both sides rank on the SAME r6-rounded quality, so
     ties resolve identically by construction. Verification-tier oracle
     (recursive-CTE closure); the Spark loop is the scale path."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     # Same pair set with the threshold IN the operator (r16) — see
     # dedup_clusters_q; the length bound prunes the co-occurrence join.
     pairs = dedup.exact_jaccard_pairs(
@@ -2923,7 +2923,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-boundary edits word shingles miss). Pairwise compare is
     verification-scale by construction; the 100 TB path routes the same
     shingles through the MinHash-LSH bands."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = load_table(spark, sf_dir, "documents", fanout=True).filter(
         F.col("doc_id") < _NGRAM_SAMPLE
     )
     # threshold/round_to pushed INTO the operator (r16): half_up(j, 6)

@@ -61,7 +61,9 @@ def _ns_timestamp_columns(path: str) -> list[str]:
     return out
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(
+    spark: SparkSession, path: str, fanout: bool = False
+) -> DataFrame:
     """Parquet scan with ns-timestamp normalization.
 
     Scale note: range predicates on a normalized ns column cannot reach the
@@ -69,6 +71,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     pruning is lost — acceptable for the fixtures only. Production tables
     written by this engine store TIMESTAMP(MICROS) (see sources.warehouse),
     where timestamp pushdown and date-partition pruning work natively.
+
+    ``fanout=True`` opts this scan into the scale-adaptive small-scan
+    fan-out (see :func:`_fan_out_small_scan`) — callers whose scan stage
+    does heavy per-row CPU (shingling, window generation, scoring, regex)
+    set it; scan-bound aggregations and queries that immediately
+    re-exchange on a key must not.
     """
     ns_cols = _ns_timestamp_columns(path)
     if ns_cols:
@@ -78,12 +86,97 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         # div (integer division) keeps full precision on epoch-nanos;
         # a float division would round at the 2^53 mantissa boundary.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if fanout:
+        df = _fan_out_small_scan(spark, df, path)
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table from ``{sf_dir}/{name}.parquet``."""
-    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+# Floor below which a table is a broadcast-sized dim (region/nation/
+# supplier/part): fanning those out buys nothing and costs an exchange.
+_FANOUT_MIN_BYTES = 256 << 10
+
+_SIZE_UNITS = {"k": 10, "m": 20, "g": 30, "t": 40}
+
+
+def _size_bytes(s: str) -> int:
+    """Spark size-string ("128m", "134217728b", "1g") to bytes; falls back
+    to the maxPartitionBytes default on anything unparseable."""
+    try:
+        v = s.strip().lower().rstrip("b")
+        if v and v[-1] in _SIZE_UNITS:
+            return int(v[:-1]) << _SIZE_UNITS[v[-1]]
+        return int(v)
+    except (ValueError, IndexError):
+        return 128 << 20
+
+
+def _fan_out_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scale-adaptive scan fan-out (optimization guide §2.5 "input skew:
+    one huge unsplittable file ... repartition immediately after the read",
+    §2.6 idle capacity).
+
+    A parquet file smaller than ``spark.sql.files.maxPartitionBytes`` with
+    a single row group scans as ONE task, so every per-row-heavy operator
+    downstream (shingling, window generation, quality scoring, regex
+    redaction) serializes its whole scan-stage CPU onto one core while the
+    other N-1 idle — measured at 1.0-1.3 s of the corpus queries' wall at
+    sf0.1 on local[32] (see OPTIMIZATION_r16.md wave 5). The fix is the
+    guide's: a round-robin repartition immediately after the read, applied
+    ONLY when the scan's natural split count (file bytes / maxPartitionBytes,
+    Spark's own split arithmetic) is below the cluster's default parallelism.
+    At 100 TB the split count dwarfs any core count, the rule never fires,
+    and every "this operator adds no keyed shuffle" scale invariant stands
+    unchanged (the plan tests assert those invariants on hashpartitioning /
+    rangepartitioning exchanges, which this never adds). Results are
+    partitioning-invariant by the engine's standing contract: the oracle
+    harness already exercises every query under a different layout
+    (local[8]/8 shuffle partitions) than the bench (local[32]/32).
+
+    Opt-in per call site (measured, wave 5): it pays exactly where the
+    scan stage is CPU-bound and is pure overhead where the scan feeds a
+    cheap aggregation (pricing_summary-style scan-aggs read ~0.7 s WORSE
+    with a blanket fan-out) or an immediate keyed exchange (user_sessions'
+    window repartitions by user_id anyway).
+
+    ``SPARK_GRAFT_SCAN_FANOUT=off`` disables the rule globally
+    (measurement / debugging); it is never required for correctness.
+    """
+    if os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "auto") == "off":
+        return df
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        # Non-local storage (hdfs://, s3a://): big-data territory where the
+        # natural split count is the parallelism story; never fan out.
+        return df
+    if size < _FANOUT_MIN_BYTES:
+        return df
+    max_split = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    target = spark.sparkContext.defaultParallelism
+    if (size + max_split - 1) // max_split >= target:
+        return df
+    return df.repartition(target)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+) -> DataFrame:
+    """Load one fixture table from ``{sf_dir}/{name}.parquet``.
+
+    ``fanout=True``: see :func:`read_parquet` — for callers whose scan
+    stage is per-row-CPU-bound."""
+    return read_parquet(
+        spark, os.path.join(sf_dir, f"{name}.parquet"), fanout=fanout
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
