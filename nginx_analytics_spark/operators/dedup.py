@@ -150,6 +150,8 @@ def minhash_dedup_pairs(
     num_hashes: int = NUM_HASHES,
     round_to: int | None = 6,
     exact_net: bool = False,
+    shingles_df: DataFrame | None = None,
+    signatures_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH candidates + exact Jaccard verify.
 
@@ -175,6 +177,17 @@ def minhash_dedup_pairs(
     net's gram self-join costs Σ_g df(g)² — cheap on discriminative word
     3-shingles, but the pure-LSH path (exact_net=False) is the 100 TB
     default.
+
+    ``shingles_df`` / ``signatures_df`` (r16, guide §1.2 "don't compute
+    things twice"): a caller that ALSO needs the batch's shingles or
+    minhash signatures (the X80 ingest loop signs the same batch for the
+    within-batch pass, the at-rest probe, and the index append) passes
+    its already-materialized (id, shingles) / (id, signature) frames
+    here and this function skips recomputing them. The frames MUST be
+    the same construction (``word_shingles(text, shingle_n)`` /
+    :func:`signatures_from_shingles` at ``num_hashes``) and should be
+    eagerly checkpointed by the caller — they are consumed by multiple
+    joins below.
     """
     # localCheckpoint: shingles/signatures are consumed by BOTH sides of
     # the candidate self-join and again by the verify joins — without
@@ -188,30 +201,26 @@ def minhash_dedup_pairs(
     # to access non-existent accumulator" from the DAGScheduler event loop,
     # seen in the r1 bench log). Eager runs the checkpoint under its own
     # job, so consuming executions only ever read finished blocks.
-    sh = docs.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
-    ).localCheckpoint(eager=True)
+    if shingles_df is not None:
+        sh = shingles_df.select(
+            F.col(id_col), F.col("shingles")
+        )
+    else:
+        sh = docs.select(
+            F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+        ).localCheckpoint(eager=True)
     # Signature via explode + k min-aggregates, NOT k array_min(transform)
     # HOF passes: higher-order functions always run on the interpreted
     # expression path (no codegen), whose JIT inlining degrades sharply in
     # long sessions as expression call sites go megamorphic — observed as
     # 5-25x run-to-run variance. The hash-agg formulation is fully
     # codegen'd and combines map-side (one row per doc per partition).
-    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
-    sigs = (
-        exploded.groupBy(id_col)
-        .agg(
-            *[
-                F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
-                for i in range(num_hashes)
-            ]
-        )
-        .select(
-            id_col,
-            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    if signatures_df is not None:
+        sigs = signatures_df
+    else:
+        sigs = signatures_from_shingles(
+            sh, id_col, "shingles", num_hashes
+        ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, id_col)
     if exact_net:
         # The exact relational frame IS the verified similarity for every
@@ -2401,6 +2410,7 @@ def write_lsh_index(
     num_hashes: int = NUM_HASHES,
     rows_per_band: int = ROWS_PER_BAND,
     fs=None,
+    keys: DataFrame | None = None,
 ) -> None:
     """Materialize the corpus's LSH index: (id, band_idx, band_hash) rows,
     partitioned by band_idx and sorted by band_hash within each band —
@@ -2425,20 +2435,27 @@ def write_lsh_index(
     manifest-pointer port) gets the row writes/reads/compaction
     delegated to it wholesale; the default local layout is the
     partitioned directory tree (index_fs.banded_index_write — shared
-    with the X84 SRP index since r11)."""
+    with the X84 SRP index since r11).
+
+    ``keys`` (r16): an already-signed (id, band_idx, band_hash) frame —
+    callers that signed the batch once for probe+append (the X80 loop)
+    pass it so the bootstrap write does not sign a second time. Caller
+    contract: built with THIS call's declared parameters (which the
+    sidecar then records)."""
     from nginx_analytics_spark.operators.index_fs import (
         banded_index_write,
         write_json_sidecar,
     )
 
-    sh = docs.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
-    )
-    keys = banded_signature_keys(
-        signatures_from_shingles(sh, id_col, "shingles", num_hashes),
-        id_col,
-        rows_per_band=rows_per_band,
-    )
+    if keys is None:
+        sh = docs.select(
+            F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+        )
+        keys = banded_signature_keys(
+            signatures_from_shingles(sh, id_col, "shingles", num_hashes),
+            id_col,
+            rows_per_band=rows_per_band,
+        )
     banded_index_write(keys, path, fs=fs)
     meta = {
         "id_col": id_col,
@@ -2478,6 +2495,7 @@ def append_lsh_index(
     num_hashes: int = NUM_HASHES,
     rows_per_band: int = ROWS_PER_BAND,
     fs=None,
+    keys: DataFrame | None = None,
 ) -> None:
     """X79: fold a new batch into an at-rest LSH index WITHOUT touching
     the existing corpus signatures — the index-maintenance half of the
@@ -2496,7 +2514,15 @@ def append_lsh_index(
     The ``_lsh_meta.json`` sidecar is validated FIRST: appending keys
     signed with different parameters would silently poison the index.
     Content invariant (property-tested): write(A) then append(B) holds
-    exactly the same rows as write(A ∪ B) — only file layout differs."""
+    exactly the same rows as write(A ∪ B) — only file layout differs.
+
+    ``keys`` (r16): an already-signed (id, band_idx, band_hash) frame
+    for EXACTLY these docs — the X80 loop signs each batch once and
+    hands the novel subset's keys here instead of paying a third
+    signing. The sidecar validation above still runs against the
+    declared parameters; the caller owns the keys-match-params
+    contract (property-tested: append with precomputed keys holds the
+    same rows as append without)."""
     _check_lsh_index_meta(
         path,
         {
@@ -2507,14 +2533,15 @@ def append_lsh_index(
         },
         fs=fs,
     )
-    sh = docs.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
-    )
-    keys = banded_signature_keys(
-        signatures_from_shingles(sh, id_col, "shingles", num_hashes),
-        id_col,
-        rows_per_band=rows_per_band,
-    )
+    if keys is None:
+        sh = docs.select(
+            F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+        )
+        keys = banded_signature_keys(
+            signatures_from_shingles(sh, id_col, "shingles", num_hashes),
+            id_col,
+            rows_per_band=rows_per_band,
+        )
     from nginx_analytics_spark.operators.index_fs import banded_index_write
 
     banded_index_write(keys, path, fs=fs, mode="append")
@@ -2982,6 +3009,8 @@ def incremental_near_dups(
     round_to: int | None = 6,
     exact_net: bool = False,
     fs=None,
+    new_shingles: DataFrame | None = None,
+    new_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs (new_id, old_id, jaccard) of an incoming batch
     against an indexed corpus, WITHOUT re-signing the corpus:
@@ -3002,7 +3031,15 @@ def incremental_near_dups(
     validated against this call's signing parameters FIRST: a probe
     with mismatched (shingle_n, num_hashes, rows_per_band, id_col)
     hashes into disjoint buckets and would return an empty/near-empty
-    result with no error — the worst failure mode for a dedup gate."""
+    result with no error — the worst failure mode for a dedup gate.
+
+    ``new_shingles`` / ``new_keys`` (r16): callers that already signed
+    the batch (the X80 loop's within-batch pass) hand the materialized
+    (id, shingles) frame and/or the (id, band_idx, band_hash) key frame
+    in, and the probe skips re-shingling/re-signing. The caller owns
+    the contract that they were built with THIS call's declared
+    (shingle_n, num_hashes, rows_per_band) — the sidecar validation
+    above still guards the declared params against the index."""
     _check_lsh_index_meta(
         index_path,
         {
@@ -3013,14 +3050,19 @@ def incremental_near_dups(
         },
         fs=fs,
     )
-    new_sh = new_docs.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
-    ).localCheckpoint(eager=True)  # consumed by sign AND verify
-    new_keys = banded_signature_keys(
-        signatures_from_shingles(new_sh, id_col, "shingles", num_hashes),
-        id_col,
-        rows_per_band=rows_per_band,
-    ).withColumnRenamed(id_col, "new_id")
+    if new_shingles is not None:
+        new_sh = new_shingles.select(F.col(id_col), F.col("shingles"))
+    else:
+        new_sh = new_docs.select(
+            F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+        ).localCheckpoint(eager=True)  # consumed by sign AND verify
+    if new_keys is None:
+        new_keys = banded_signature_keys(
+            signatures_from_shingles(new_sh, id_col, "shingles", num_hashes),
+            id_col,
+            rows_per_band=rows_per_band,
+        )
+    new_keys = new_keys.withColumnRenamed(id_col, "new_id")
     idx = read_lsh_index_rows(spark, index_path, fs=fs).withColumnRenamed(
         id_col, "old_id"
     )

@@ -625,6 +625,7 @@ def write_srp_index(
     seed: int = 42,
     strict: bool = False,
     fs=None,
+    keys: DataFrame | None = None,
 ) -> None:
     """Materialize the embedding corpus's SRP index AT REST: (id,
     band_idx, band_hash) rows, partitioned by band_idx and sorted by
@@ -644,9 +645,10 @@ def write_srp_index(
         write_json_sidecar,
     )
 
-    keys = srp_band_keys(
-        emb, id_col, vec_col, n_planes, bands, dim, seed, strict=strict
-    )
+    if keys is None:
+        keys = srp_band_keys(
+            emb, id_col, vec_col, n_planes, bands, dim, seed, strict=strict
+        )
     banded_index_write(keys, path, fs=fs)
     meta = {
         "id_col": id_col,
@@ -711,6 +713,7 @@ def append_srp_index(
     seed: int | None = None,
     strict: bool = False,
     fs=None,
+    keys: DataFrame | None = None,
 ) -> None:
     """Fold a new batch into an existing SRP index WITHOUT re-signing
     the corpus: sign only the batch, append into the same band
@@ -731,15 +734,23 @@ def append_srp_index(
     embedding ingest loop reclaims the file population with
     :func:`compact_srp_index` (the X82 per-band compaction, shared
     with the text index), exactly as ``append_lsh_index`` points at
-    ``compact_lsh_index``."""
+    ``compact_lsh_index``.
+
+    ``keys`` (r16): an already-signed (id, band_idx, band_hash) frame
+    for exactly these rows — the X85 loop signs each batch once and
+    hands the novel subset here, skipping a second signing matmul.
+    The sidecar resolution/validation above still runs; the caller
+    owns the keys-match-sidecar contract."""
     n_planes, bands, dim, seed = _resolve_srp_params(
         path, id_col, n_planes, bands, dim, seed, fs=fs
     )
     from nginx_analytics_spark.operators.index_fs import banded_index_write
 
-    keys = srp_band_keys(
-        new_emb, id_col, vec_col, n_planes, bands, dim, seed, strict=strict
-    )
+    if keys is None:
+        keys = srp_band_keys(
+            new_emb, id_col, vec_col, n_planes, bands, dim, seed,
+            strict=strict,
+        )
     banded_index_write(keys, path, fs=fs, mode="append")
 
 
@@ -828,6 +839,7 @@ def incremental_embedding_near_dups(
     round_to: int | None = 6,
     exact_net: bool = False,
     fs=None,
+    new_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs (new_id, old_id, cosine) of an incoming
     embedding batch against an indexed corpus, WITHOUT re-signing the
@@ -855,16 +867,25 @@ def incremental_embedding_near_dups(
     Signing parameters default to the SIDECAR'S recorded values (r14
     ADVICE, same contract as :func:`append_srp_index`): the probe must
     sign the batch exactly as the index was signed, so the index is
-    the authority; pass values explicitly only to assert a config."""
+    the authority; pass values explicitly only to assert a config.
+
+    ``new_keys`` (r16): a caller that already signed the batch (the X85
+    loop signs once per micro-batch for probe AND append) passes its
+    (id_col, band_idx, band_hash) frame and the probe skips the signing
+    matmul. Caller contract: built by :func:`srp_band_keys` under this
+    index's sidecar parameters."""
     n_planes, bands, dim, seed = _resolve_srp_params(
         index_path, id_col, n_planes, bands, dim, seed, fs=fs
     )
     new_v = new_emb.select(
         F.col(id_col).alias("new_id"), as_double(vec_col).alias("nv")
     ).localCheckpoint(eager=True)  # consumed by sign AND verify AND net
-    new_keys = srp_band_keys(
-        new_v, "new_id", "nv", n_planes, bands, dim, seed
-    )
+    if new_keys is None:
+        new_keys = srp_band_keys(
+            new_v, "new_id", "nv", n_planes, bands, dim, seed
+        )
+    else:
+        new_keys = new_keys.withColumnRenamed(id_col, "new_id")
     idx = read_srp_index_rows(spark, index_path, fs=fs).withColumnRenamed(
         id_col, "old_id"
     )

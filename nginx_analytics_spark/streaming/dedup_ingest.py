@@ -93,6 +93,7 @@ def dedup_batch_against_corpus(
     threshold: float = 0.6,
     fs=None,
     quality_fn: Callable[[DataFrame], DataFrame] | None = None,
+    return_keys: bool = False,
 ) -> DataFrame:
     """Steps 1-3 for one batch: returns the NOVEL docs (same schema as
     ``batch``). Pure function over (batch, at-rest state) — the
@@ -101,6 +102,17 @@ def dedup_batch_against_corpus(
     below) — local disk by default, see
     :mod:`~nginx_analytics_spark.operators.index_fs`; the parquet row
     I/O goes through Spark's own Hadoop FileSystem regardless.
+
+    Sign once, consume thrice (r16, guide §1.2): the batch's shingles
+    and minhash signatures are materialized ONCE here and shared by
+    the within-batch pair pass AND the against-corpus probe (both
+    previously re-shingled and re-signed the same rows); with
+    ``return_keys=True`` the return value is ``(novel, keys)`` where
+    ``keys`` is the batch's (id, band_idx, band_hash) frame — the loop
+    hands the novel subset of it to the index append/bootstrap, saving
+    the third signing. All three consumers use the loop's single
+    signing-parameter set (the module defaults the sidecar records),
+    so sharing cannot disagree with the per-call validation.
 
     ``quality_fn`` (X100, r15 verdict item 6) upgrades the
     WITHIN-BATCH near-dup drop from min-id-greedy to quality-aware:
@@ -124,11 +136,24 @@ def dedup_batch_against_corpus(
     ).drop("_norm")
     b = b.localCheckpoint(eager=True)  # consumed by pairs + anti-joins
 
+    # the ONE signing of this batch (see docstring): shingles and
+    # signatures are eagerly materialized and every downstream consumer
+    # (pair self-join, verify joins, index band-join, index append)
+    # reads these frames instead of re-deriving them from text
+    sh = b.select(
+        F.col(id_col), dedup.word_shingles(text_col).alias("shingles")
+    ).localCheckpoint(eager=True)
+    sigs = dedup.signatures_from_shingles(sh, id_col).localCheckpoint(
+        eager=True
+    )
+    keys = dedup.banded_signature_keys(sigs, id_col)
+
     # within-batch near-dups: drop the greater id of each passing pair
     # (or, with quality_fn, everything but each cluster's best-quality
     # member — X100)
     pairs = dedup.minhash_dedup_pairs(
-        b, id_col=id_col, text_col=text_col, threshold=threshold
+        b, id_col=id_col, text_col=text_col, threshold=threshold,
+        shingles_df=sh, signatures_df=sigs,
     )
     if quality_fn is None:
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
@@ -153,10 +178,11 @@ def dedup_batch_against_corpus(
             spark, b, corpus, index_path,
             id_col=id_col, text_col=text_col,
             threshold=threshold, exact_net=False, fs=fs,
+            new_shingles=sh, new_keys=keys,
         )
         dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
         b = b.join(dup_ids, id_col, "left_anti")
-    return b
+    return (b, keys) if return_keys else b
 
 
 def compact_corpus(
@@ -623,14 +649,17 @@ def process_batch(
             # band (bounded-recall window) while waiting for the next
             # compaction cycle. The mutex is already held above.
             dedup._recover_lsh_compaction_locked(index_path, fs)
-        n_in = n_novel = 0
-        if batch.head(1):
-            novel = dedup_batch_against_corpus(
+        # one count() both empties-gates and feeds telemetry (the prior
+        # head(1) + count() pair scanned the micro-batch source twice)
+        n_in = batch.count()
+        n_novel = 0
+        if n_in:
+            novel, keys = dedup_batch_against_corpus(
                 spark, batch, corpus_dir, index_path,
                 id_col=id_col, text_col=text_col, threshold=threshold,
-                fs=fs, quality_fn=quality_fn,
-            ).localCheckpoint(eager=True)  # for corpus write + append
-            n_in = batch.count()
+                fs=fs, quality_fn=quality_fn, return_keys=True,
+            )
+            novel = novel.localCheckpoint(eager=True)  # write + append
             n_novel = novel.count()
         if n_novel:
             if exactly_once:
@@ -638,15 +667,21 @@ def process_batch(
                 novel.write.mode("overwrite").parquet(dest)
             else:
                 novel.write.mode("append").parquet(corpus_dir)
+            # the batch was signed exactly once (dedup_batch_against_
+            # corpus); the index append/bootstrap reuses the novel
+            # subset of those keys instead of a second/third signing
+            novel_keys = keys.join(
+                novel.select(id_col), id_col, "left_semi"
+            )
             if fs.isfile(dedup.lsh_index_meta_path(index_path)):
                 dedup.append_lsh_index(
                     novel, index_path, id_col=id_col, text_col=text_col,
-                    fs=fs,
+                    fs=fs, keys=novel_keys,
                 )
             else:
                 dedup.write_lsh_index(
                     novel, index_path, id_col=id_col, text_col=text_col,
-                    fs=fs,
+                    fs=fs, keys=novel_keys,
                 )
         if (
             compact_every

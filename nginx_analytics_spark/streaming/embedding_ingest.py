@@ -72,6 +72,7 @@ def dedup_embedding_batch_against_corpus(
     dim: int = 64,
     seed: int = 42,
     fs=None,
+    return_keys: bool = False,
 ) -> DataFrame:
     """Steps 1-3 for one batch: returns the NOVEL rows (same schema as
     ``batch``). Pure function over (batch, at-rest state) — the
@@ -79,13 +80,28 @@ def dedup_embedding_batch_against_corpus(
     is 0.85, the regime embedding dup detection actually operates in
     (hyperplane_lsh_pairs' selectivity note) — near-identical vectors,
     not the fixture's hard 0.4 recall-stress setting; callers pass the
-    production value for their embedding space."""
+    production value for their embedding space.
+
+    Sign once (r16, guide §1.2): the batch's SRP band keys are
+    materialized ONCE here and shared by the against-corpus probe;
+    ``return_keys=True`` returns ``(novel, keys)`` so the loop hands
+    the novel subset to the index append/bootstrap too — previously
+    the probe and the append each re-ran the signing matmul over the
+    same rows. (The within-batch pair pass keeps its own banding: it
+    needs the vectors alongside the keys for the in-bucket BLAS
+    verify, a different row shape.)"""
     from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
     fs = fs or LOCAL_FS
     b = dedup.exact_dedup(
         batch, keys=[vec_col], order_col=id_col
     ).localCheckpoint(eager=True)  # consumed by pairs + anti-joins
+
+    # the ONE signing of this batch: (id, band_idx, band_hash), shared
+    # by the probe's band join and the loop's index append
+    keys = similarity.srp_band_keys(
+        b, id_col, vec_col, n_planes, bands, dim, seed
+    ).localCheckpoint(eager=True)
 
     # within-batch near-dups: drop the greater id of each passing pair
     pairs = similarity.hyperplane_lsh_pairs(
@@ -101,10 +117,11 @@ def dedup_embedding_batch_against_corpus(
             spark, b, corpus, index_path,
             threshold=threshold, id_col=id_col, vec_col=vec_col,
             n_planes=n_planes, bands=bands, dim=dim, seed=seed, fs=fs,
+            new_keys=keys,
         )
         dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
         b = b.join(dup_ids, id_col, "left_anti")
-    return b
+    return (b, keys) if return_keys else b
 
 
 def process_embedding_batch(
@@ -160,15 +177,18 @@ def process_embedding_batch(
             # the recovery body is modality-agnostic (band dirs only),
             # shared with the text index. The mutex is held above.
             dedup._recover_lsh_compaction_locked(index_path, fs)
-        n_in = n_novel = 0
-        if batch.head(1):
-            novel = dedup_embedding_batch_against_corpus(
+        # one count() both empties-gates and feeds telemetry (the prior
+        # head(1) + count() pair scanned the micro-batch source twice)
+        n_in = batch.count()
+        n_novel = 0
+        if n_in:
+            novel, keys = dedup_embedding_batch_against_corpus(
                 spark, batch, corpus_dir, index_path,
                 id_col=id_col, vec_col=vec_col, threshold=threshold,
                 n_planes=n_planes, bands=bands, dim=dim, seed=seed,
-                fs=fs,
-            ).localCheckpoint(eager=True)  # for corpus write + append
-            n_in = batch.count()
+                fs=fs, return_keys=True,
+            )
+            novel = novel.localCheckpoint(eager=True)  # write + append
             n_novel = novel.count()
         if n_novel:
             if exactly_once:
@@ -176,10 +196,19 @@ def process_embedding_batch(
                 novel.write.mode("overwrite").parquet(dest)
             else:
                 novel.write.mode("append").parquet(corpus_dir)
+            # the batch was signed exactly once; the index append/
+            # bootstrap reuses the novel subset of those keys
+            novel_keys = keys.join(
+                novel.select(id_col), id_col, "left_semi"
+            )
             if fs.isfile(similarity.srp_index_meta_path(index_path)):
-                similarity.append_srp_index(novel, index_path, **srp_kw)
+                similarity.append_srp_index(
+                    novel, index_path, keys=novel_keys, **srp_kw
+                )
             else:
-                similarity.write_srp_index(novel, index_path, **srp_kw)
+                similarity.write_srp_index(
+                    novel, index_path, keys=novel_keys, **srp_kw
+                )
         if (
             compact_every
             and (batch_id + 1) % compact_every == 0

@@ -2125,6 +2125,48 @@ def test_append_lsh_index_equals_rebuild(spark, tmp_path):
         dedup.append_lsh_index(b, inc, shingle_n=5)
 
 
+def test_append_lsh_index_precomputed_keys_equals_plain(spark, tmp_path):
+    """r16 sign-once seam: write/append handed an already-signed
+    (id, band_idx, band_hash) frame (the X80 loop's single per-batch
+    signing) hold EXACTLY the rows the self-signing path holds — and
+    the same for a probe given precomputed ``new_keys``/``new_shingles``
+    (row-identical near-dup hits)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(400)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def keys_of(df):
+        sh = df.select("doc_id", dedup.word_shingles("text").alias("shingles"))
+        return dedup.banded_signature_keys(
+            dedup.signatures_from_shingles(sh, "doc_id"), "doc_id"
+        )
+
+    pre, plain = f"{tmp_path}/pre", f"{tmp_path}/plain"
+    dedup.write_lsh_index(a, pre, keys=keys_of(a))
+    dedup.append_lsh_index(b, pre, keys=keys_of(b))
+    dedup.write_lsh_index(a, plain)
+    dedup.append_lsh_index(b, plain)
+    key = lambda p: {  # noqa: E731
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(p).collect()
+    }
+    assert key(pre) == key(plain)
+
+    # probe with precomputed shingles+keys == self-signing probe
+    sh_b = b.select(
+        "doc_id", dedup.word_shingles("text").alias("shingles")
+    ).localCheckpoint(eager=True)
+    hits_pre = dedup.incremental_near_dups(
+        spark, b, a, plain, threshold=0.2,
+        new_shingles=sh_b, new_keys=keys_of(b),
+    )
+    hits_plain = dedup.incremental_near_dups(spark, b, a, plain, threshold=0.2)
+    rows = lambda df: sorted(  # noqa: E731
+        (r.new_id, r.old_id, r.jaccard) for r in df.collect()
+    )
+    assert rows(hits_pre) == rows(hits_plain)
+
+
 def test_append_then_reprobe_loop(spark, tmp_path):
     """The X79 operational loop: batch1 probes and is APPENDED; batch2
     must then near-dup against batch1's docs through the index, without
