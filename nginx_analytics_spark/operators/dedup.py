@@ -96,14 +96,30 @@ def lsh_candidate_pairs(
     id_col: str,
     sig_col: str = "signature",
     rows_per_band: int = ROWS_PER_BAND,
+    threshold: float | None = None,
+    round_to: int | None = 6,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: ids sharing ≥1 band of their signature.
 
     posexplode the signature into (band_idx, band_hash) keys and self-join on
     them — the standard near-linear LSH plan. Returns distinct (id_a, id_b)
     with id_a < id_b. Only (id, band) rides the shuffle.
+
+    When ``sigs`` carries the shingle-set size ``n``
+    (:func:`signatures_from_shingles` emits it) and ``threshold`` is
+    given, the Jaccard length bound — J >= t requires
+    t·max(|A|,|B|) <= min(|A|,|B|), widened to the half-up rounding band
+    like every exact path — rides the self-join condition (r16): a
+    mismatched-size collision dies in the join instead of surviving to
+    the distinct and the two shingle-array verify joins. Necessary
+    condition of the verify filter ⇒ the final pair set is unchanged.
     """
     n = rows_per_band
+    extra = (
+        ["n"]
+        if threshold is not None and threshold > 0.0 and "n" in sigs.columns
+        else []
+    )
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -117,15 +133,25 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("band_idx", "band_hash"),
+        *extra,
     )
     a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if extra:
+        t_cand = float(threshold)
+        if round_to is not None:
+            t_cand -= 0.5 * 10.0 ** (-round_to)
+        cond = cond & (
+            F.least(F.col("a.n"), F.col("b.n")).cast("double")
+            >= F.lit(t_cand)
+            * F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
         )
+    return (
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -221,7 +247,9 @@ def minhash_dedup_pairs(
         sigs = signatures_from_shingles(
             sh, id_col, "shingles", num_hashes
         ).localCheckpoint(eager=True)
-    cands = lsh_candidate_pairs(sigs, id_col)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, threshold=threshold, round_to=round_to
+    )
     if exact_net:
         # The exact relational frame IS the verified similarity for every
         # pair sharing a shingle — a superset of any LSH candidate set.
@@ -2331,10 +2359,16 @@ def signatures_from_shingles(
     sh_col: str = "shingles",
     num_hashes: int = NUM_HASHES,
 ) -> DataFrame:
-    """(id, signature array<bigint>) from a (id, distinct-shingle-array)
+    """(id, signature array<bigint>, n) from a (id, distinct-shingle-array)
     frame — the same explode + k min-aggregate formulation as
     minhash_dedup_pairs (codegen'd, map-side combined; see the HOF note
-    there)."""
+    there). ``n`` = the shingle-set size, computed for free inside the
+    same aggregation (r16): it rides the banded index rows (format
+    banded-v2) so probes can apply the Jaccard length bound AT THE BAND
+    JOIN — J >= t requires t·max(|A|,|B|) <= min(|A|,|B|) — killing
+    mismatched-size candidates before the distinct + exact-verify
+    stages, exactly the (n, pos) payload trick the X94 prefix index
+    landed in wave 4."""
     exploded = sh.select(F.col(id_col), F.explode(sh_col).alias("s"))
     return (
         exploded.groupBy(id_col)
@@ -2342,13 +2376,15 @@ def signatures_from_shingles(
             *[
                 F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
                 for i in range(num_hashes)
-            ]
+            ],
+            F.count(F.lit(1)).alias("n"),
         )
         .select(
             id_col,
             F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
                 "signature"
             ),
+            "n",
         )
     )
 
@@ -2359,9 +2395,13 @@ def banded_signature_keys(
     sig_col: str = "signature",
     rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
-    """(id, band_idx, band_hash) — the LSH bucket keys of each signature
-    (the same banding expression lsh_candidate_pairs self-joins on)."""
+    """(id, band_idx, band_hash[, n]) — the LSH bucket keys of each
+    signature (the same banding expression lsh_candidate_pairs
+    self-joins on). When ``sigs`` carries the shingle-set size ``n``
+    (:func:`signatures_from_shingles` emits it), every key row carries
+    it too — the banded-v2 payload the probe's length bound reads."""
     n = rows_per_band
+    extra = ["n"] if "n" in sigs.columns else []
     return sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -2377,10 +2417,20 @@ def banded_signature_keys(
                 ),
             )
         ).alias("band_idx", "band_hash"),
+        *extra,
     )
 
 
 LSH_INDEX_META = "_lsh_meta.json"
+
+# At-rest row format of the text LSH index. banded-v2 (r16) adds the
+# doc's shingle-set size ``n`` to every (id, band_idx, band_hash) row
+# (+8 bytes/row) so probes apply the Jaccard length bound AT THE BAND
+# JOIN — the same payload move as the X94 prefix index's (n, pos) v2.
+# The format rides the sidecar: a probe/append against a pre-v2 index
+# fails the parameter check LOUDLY with a rebuild instruction instead
+# of mixing schemas inside band directories.
+LSH_INDEX_FORMAT = "banded-v2"
 
 
 def lsh_index_meta_path(path: str) -> str:
@@ -2462,6 +2512,7 @@ def write_lsh_index(
         "shingle_n": shingle_n,
         "num_hashes": num_hashes,
         "rows_per_band": rows_per_band,
+        "format": LSH_INDEX_FORMAT,
     }
     write_json_sidecar(path, LSH_INDEX_META, meta, fs=fs)
 
@@ -2482,7 +2533,9 @@ def _check_lsh_index_meta(index_path: str, want: dict, fs=None) -> None:
         raise ValueError(
             f"LSH index parameter mismatch at {index_path!r}: index was "
             f"built with {have}, probe called with {want} — signatures are "
-            "incompatible and the band join would silently miss near-dups"
+            "incompatible and the band join would silently miss near-dups. "
+            "(A missing/differing 'format' means the index predates the "
+            "banded-v2 row layout — rebuild it with write_lsh_index.)"
         )
 
 
@@ -2530,6 +2583,7 @@ def append_lsh_index(
             "shingle_n": shingle_n,
             "num_hashes": num_hashes,
             "rows_per_band": rows_per_band,
+            "format": LSH_INDEX_FORMAT,
         },
         fs=fs,
     )
@@ -3047,6 +3101,7 @@ def incremental_near_dups(
             "shingle_n": shingle_n,
             "num_hashes": num_hashes,
             "rows_per_band": rows_per_band,
+            "format": LSH_INDEX_FORMAT,
         },
         fs=fs,
     )
@@ -3062,14 +3117,35 @@ def incremental_near_dups(
             id_col,
             rows_per_band=rows_per_band,
         )
-    new_keys = new_keys.withColumnRenamed(id_col, "new_id")
-    idx = read_lsh_index_rows(spark, index_path, fs=fs).withColumnRenamed(
-        id_col, "old_id"
+    new_keys = new_keys.withColumnRenamed(id_col, "new_id").withColumnRenamed(
+        "n", "new_n"
     )
+    idx = (
+        read_lsh_index_rows(spark, index_path, fs=fs)
+        .withColumnRenamed(id_col, "old_id")
+        .withColumnRenamed("n", "old_n")
+    )
+    pre = new_keys.join(idx, ["band_idx", "band_hash"]).filter(
+        F.col("new_id") != F.col("old_id")
+    )
+    # Jaccard length bound at the band join (banded-v2, r16): both sides
+    # carry their shingle-set size, so a collision whose sizes already
+    # preclude J >= t dies here — before the distinct and the exact
+    # verify (the probe's dominant stage). Widened to the half-up
+    # rounding band like every exact path; necessary condition of the
+    # final filter ⇒ hits unchanged. Conditional on the columns so a
+    # caller-supplied sizeless key frame still probes correctly.
+    if "new_n" in pre.columns and "old_n" in pre.columns and threshold > 0.0:
+        t_cand = float(threshold)
+        if round_to is not None:
+            t_cand -= 0.5 * 10.0 ** (-round_to)
+        pre = pre.filter(
+            F.least(F.col("new_n"), F.col("old_n")).cast("double")
+            >= F.lit(t_cand)
+            * F.greatest(F.col("new_n"), F.col("old_n")).cast("double")
+        )
     cands = (
-        new_keys.join(idx, ["band_idx", "band_hash"])
-        .filter(F.col("new_id") != F.col("old_id"))
-        .select("new_id", "old_id")
+        pre.select("new_id", "old_id")
         .distinct()
         # collision-volume-sized and consumed TWICE (the semi-join prune
         # below and the verify join) — checkpoint so the batch signing

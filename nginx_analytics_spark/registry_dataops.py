@@ -549,8 +549,10 @@ def _staged_lsh_index(
     return _staged_index(
         sf_dir,
         "documents",
+        # LSH_INDEX_FORMAT in the key: a staged pre-v2 index (no size
+        # payload) must rebuild, not get probed into a loud meta error
         f"{sf_dir}|{kind}|n3|h{dedup.NUM_HASHES}|r{dedup.ROWS_PER_BAND}"
-        f"|salt{_INCR_SALT}|nf{_INCR_NEW_FRAC}",
+        f"|salt{_INCR_SALT}|nf{_INCR_NEW_FRAC}|{dedup.LSH_INDEX_FORMAT}",
         dedup.read_lsh_index_meta,
         build,
     )
