@@ -1485,7 +1485,7 @@ def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle) and runs the generic operator over it: per-class counts
     on the original text, typed-token redaction in fixed order. The
     regex set is Java/RE2-portable by construction (operators/pii.py)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=True)
     uid = F.col("user_id").cast("string")
     raw = F.concat(
         F.lit("user u"), uid,
@@ -2124,7 +2124,11 @@ _SRP_SEED = 42
 def _incr_split_emb(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(new_batch, corpus) — the X84 embedding twin of the X69 fixture
     split: the trailing ~10% of the portable hash space plays the
-    incoming batch."""
+    incoming batch. (Scan fan-out was TRIED here r16 — the corpus-side
+    verify profiles as a 0.9 s single-task stage — and measured
+    inconclusive-to-worse over 5 interleaved arms: the extra exchange
+    ahead of the batch-side checkpoint eats the parallel-verify gain at
+    this batch/corpus shape. Left unfanned; see OPTIMIZATION_r16.md.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     frac = sampling.portable_frac("vec_id", salt=_INCR_SALT)
     return emb.filter(frac >= _INCR_NEW_FRAC), emb.filter(frac < _INCR_NEW_FRAC)

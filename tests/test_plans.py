@@ -127,9 +127,17 @@ def test_pack_chunks_single_window_exchange(spark):
 
 
 def test_pii_redaction_shuffle_free(spark):
-    """PII redaction is a pure map — no exchange anywhere."""
+    """PII redaction is a pure map — no KEYED exchange anywhere (the
+    scale invariant: nothing groups, joins, or sorts). The one exchange
+    allowed is the r16 scale-adaptive scan fan-out — a RoundRobin
+    repartition of the single-split local fixture scan that never fires
+    at scale (sources/readers._fan_out_small_scan; measured ×2.5 on the
+    regex stage at sf0.1)."""
     p = plan_of(registry.queries()["pii_redaction"](spark, SF))
-    assert "Exchange" not in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert n_nodes(p, "Exchange") <= 1  # the fan-out only
+    assert "Join" not in p
 
 
 def test_temperature_sample_broadcasts_rates(spark):
