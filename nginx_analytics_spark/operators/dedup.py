@@ -76,8 +76,20 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     lambda (a let-binding): naively inlining ``split(text)`` into every
     ``element_at`` re-tokenizes the row ~3x per shingle — hundreds of array
     allocations per row — which measured ~50x slower on the 5k-doc fixture.
+
+    Driver-side, the built tree is memoized per (column name, n) — this
+    is the hottest expression builder in the engine (every jaccard /
+    minhash / prefix / contamination path calls it, some twice) and its
+    HOF lambdas cost ~a dozen py4j round trips each to construct; see
+    :mod:`nginx_analytics_spark.functions.exprcache`.
     """
-    t = F.col(text) if isinstance(text, str) else text
+    if isinstance(text, str):
+        from nginx_analytics_spark.functions.exprcache import cached_column
+
+        return cached_column(
+            ("word_shingles", text, n), lambda: word_shingles(F.col(text), n)
+        )
+    t = text
 
     def build(w: Column) -> Column:
         idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
@@ -1756,18 +1768,22 @@ def _token_windows(
         s = F.concat_ws(" ", F.slice("toks", i + 1, W))
         return F.xxhash64(s) if hash_keys else s
 
+    from nginx_analytics_spark.functions.exprcache import cached_column
+
+    # the window-array tree binds only the fixed "toks" name and the
+    # (W, hash_keys) constants — memoized per those (driver build cost)
+    wins_arr = cached_column(
+        ("token_windows", W, hash_keys),
+        lambda: F.transform(
+            F.sequence(F.lit(0), F.size("toks") - W),
+            lambda i: F.struct(i.alias("pos"), _win(i).alias("win")),
+        ),
+    )
     return (
         toks.filter(F.size("toks") >= W)
         .select(
             F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - W),
-                    lambda i: F.struct(
-                        i.alias("pos"), _win(i).alias("win")
-                    ),
-                )
-            ).alias("w"),
+            F.explode(wins_arr).alias("w"),
         )
         .select(
             F.col(id_col), F.col("w.pos").alias("pos"), F.col("w.win").alias("win")
@@ -1806,10 +1822,16 @@ def _cut_spans(
         .groupBy(id_col)
         .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
     )
-    kept_idx = F.filter(
-        F.sequence(F.lit(0), F.size("toks") - 1),
-        lambda i: ~F.exists(
-            "ivs", lambda iv: (i >= iv["s"]) & (i <= iv["e"])
+    from nginx_analytics_spark.functions.exprcache import cached_column
+
+    # fixed "toks"/"ivs" names, no parameters — one tree per process
+    kept_idx = cached_column(
+        ("cut_spans_kept_idx",),
+        lambda: F.filter(
+            F.sequence(F.lit(0), F.size("toks") - 1),
+            lambda i: ~F.exists(
+                "ivs", lambda iv: (i >= iv["s"]) & (i <= iv["e"])
+            ),
         ),
     )
     return (

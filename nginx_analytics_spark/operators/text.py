@@ -392,8 +392,16 @@ def word_ngrams(text: Column | str, n: int) -> Column:
     dedups for set-Jaccard) — repetition measurement needs every
     occurrence. Documents shorter than ``n`` tokens yield an empty array.
     Same single-bind ``transform`` trick as word_shingles (tokenize once
-    per row, not once per gram)."""
-    t = F.col(text) if isinstance(text, str) else text
+    per row, not once per gram) — and the same driver-side tree memo
+    (functions.exprcache): the HOF lambdas dominate the BUILD cost of
+    repetition_stats and the curation composites."""
+    if isinstance(text, str):
+        from nginx_analytics_spark.functions.exprcache import cached_column
+
+        return cached_column(
+            ("word_ngrams", text, n), lambda: word_ngrams(F.col(text), n)
+        )
+    t = text
 
     def build(w: Column) -> Column:
         idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
@@ -472,12 +480,25 @@ def repetition_stats(
             1,
         )
 
+    from nginx_analytics_spark.functions.exprcache import cached_column
+
     bi = word_ngrams(text_col, 2)
     tri = word_ngrams(text_col, 3)
+    # the run-length tree is five nested HOF lambdas — by far the most
+    # expensive Column BUILD in the registry (~0.3 s of py4j round trips
+    # per construction); memoized per text column (functions.exprcache)
+    max_bg = (
+        cached_column(
+            ("repetition_max_bg", text_col),
+            lambda: _max_multiplicity(F.array_sort(word_ngrams(text_col, 2))),
+        )
+        if isinstance(text_col, str)
+        else _max_multiplicity(F.array_sort(bi))
+    )
     stats = docs.select(
         F.col(id_col),
         F.size(bi).alias("tot_bg"),
-        _max_multiplicity(F.array_sort(bi)).alias("max_bg"),
+        max_bg.alias("max_bg"),
         F.size(F.array_distinct(tri)).alias("dist_tg"),
         F.size(tri).alias("tot_tg"),
     )
@@ -517,17 +538,25 @@ def char_pair_counts(
     (map-side combine), and the global top-k LIMIT sorts an
     already-aggregated frame of at most |alphabet|² rows.
     """
-    chars = F.split(F.col(text_col), "")
-    pairs_arr = F.element_at(
-        F.transform(
-            F.array(chars),
-            lambda cc: F.transform(
-                F.sequence(F.lit(1), F.size(cc) - 1),
-                lambda i: F.concat(F.element_at(cc, i), F.element_at(cc, i + 1)),
+    from nginx_analytics_spark.functions.exprcache import cached_column
+
+    def _pairs_arr() -> Column:
+        chars = F.split(F.col(text_col), "")
+        return F.element_at(
+            F.transform(
+                F.array(chars),
+                lambda cc: F.transform(
+                    F.sequence(F.lit(1), F.size(cc) - 1),
+                    lambda i: F.concat(
+                        F.element_at(cc, i), F.element_at(cc, i + 1)
+                    ),
+                ),
             ),
-        ),
-        1,
-    )
+            1,
+        )
+
+    # two nested HOF lambdas — tree memoized per text column
+    pairs_arr = cached_column(("char_pairs_arr", text_col), _pairs_arr)
     pairs = (
         docs.filter(F.length(text_col) >= 2)
         .select(F.explode(pairs_arr).alias("pair"))
