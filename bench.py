@@ -1579,7 +1579,11 @@ def main() -> None:
     print(full_line, flush=True)  # line 1: full detail
     with open(os.path.join(here, "bench_full.json"), "w") as f:
         f.write(full_line + "\n")
-    # LAST line: compact, < 1 KB, survives any tail truncation
+    # LAST line: compact, survives any tail truncation. Carries the
+    # per-query seconds map (r16 verdict item 2): the driver parses THIS
+    # line, and without "queries" its per-query round-over-round deltas
+    # and 8-vs-32 scaling ratios were empty two rounds running. Additive
+    # only — every pre-existing key is unchanged; ~4 KB with 122 queries.
     print(
         json.dumps(
             {
@@ -1588,6 +1592,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "queries": {n: round(s, 3) for n, s in timings.items()},
                 "groups": group_totals,
                 "ingest_events_per_sec": ingest["events_per_sec"],
                 "dedup_ingest_docs_per_sec": dedup_ingest["docs_per_sec"],

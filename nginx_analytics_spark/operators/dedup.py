@@ -161,6 +161,7 @@ def lsh_candidate_pairs(
             F.least(F.col("a.n"), F.col("b.n")).cast("double")
             >= F.lit(t_cand)
             * F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
+            - F.lit(1e-9)  # same float-slop guard as _relational_jaccard
         )
     return (
         a.join(b, cond)
@@ -190,6 +191,7 @@ def minhash_dedup_pairs(
     exact_net: bool = False,
     shingles_df: DataFrame | None = None,
     signatures_df: DataFrame | None = None,
+    broadcast_verify: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH candidates + exact Jaccard verify.
 
@@ -226,6 +228,11 @@ def minhash_dedup_pairs(
     :func:`signatures_from_shingles` at ``num_hashes``) and should be
     eagerly checkpointed by the caller — they are consumed by multiple
     joins below.
+
+    ``broadcast_verify`` (r17): batch-shaped callers (``docs`` is one
+    micro-batch) flip this to run the two verify joins as broadcast
+    builds — zero exchanges instead of two shuffles. Off by default:
+    corpus-wide callers' candidate sets scale with collision volume.
     """
     # localCheckpoint: shingles/signatures are consumed by BOTH sides of
     # the candidate self-join and again by the verify joins — without
@@ -279,6 +286,26 @@ def minhash_dedup_pairs(
     j = jaccard(F.col("sa.shingles"), F.col("sb.shingles"))
     if round_to is not None:
         j = half_up(j, round_to)
+    if broadcast_verify:
+        # Batch-shaped callers only (the X80 within-batch pass, r17):
+        # docs is ONE micro-batch, so the SHINGLE frame is batch-bounded
+        # and both verify joins become broadcast builds of IT — zero
+        # exchanges instead of two shuffles per batch, with the
+        # candidate pairs always on the stream side (never broadcast:
+        # even within a batch their count is quadratic in collisions).
+        # NOT the corpus-wide default, where nothing here is small.
+        return (
+            cands.join(
+                F.broadcast(sh.alias("sa")),
+                cands.id_a == F.col(f"sa.{id_col}"),
+            )
+            .join(
+                F.broadcast(sh.alias("sb")),
+                cands.id_b == F.col(f"sb.{id_col}"),
+            )
+            .select("id_a", "id_b", j.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
     return (
         cands.join(sh.alias("sa"), cands.id_a == F.col(f"sa.{id_col}"))
         .join(sh.alias("sb"), cands.id_b == F.col(f"sb.{id_col}"))
@@ -1207,7 +1234,11 @@ def incremental_jaccard_prefix_probe(
         - F.lit(1e-9)
     )
     cands = (
-        batch_keys.join(idx, ["band_idx", "band_hash"])
+        # BROADCAST the batch keys (r17, guide §3.1): the index side is
+        # corpus-sized and was shuffled by this join on every probe; the
+        # batch-side prefix rows are batch-sized by contract, so the
+        # index now streams through its scan with no exchange.
+        F.broadcast(batch_keys).join(idx, ["band_idx", "band_hash"])
         .filter(
             (
                 F.least(F.col("n_new"), F.col("n_old")).cast("double")
@@ -1245,6 +1276,10 @@ def incremental_jaccard_prefix_probe(
     if round_to is not None:
         j = half_up(j, round_to)
     return (
+        # the batch-shingle side broadcasts (batch-sized by contract);
+        # the join to the pruned corpus shingles stays planner-chosen —
+        # candidate volume scales with corpus x batch collision rates
+        # (r17, see incremental_near_dups)
         cands.join(F.broadcast(new_sh), "new_id")
         .join(old_sh, "old_id")
         # the length filter, applied where both sizes are free — a
@@ -3147,7 +3182,13 @@ def incremental_near_dups(
         .withColumnRenamed(id_col, "old_id")
         .withColumnRenamed("n", "old_n")
     )
-    pre = new_keys.join(idx, ["band_idx", "band_hash"]).filter(
+    # BROADCAST the batch keys (r17, guide §3.1): the index side is
+    # CORPUS-sized and was being shuffled by this join on every probe —
+    # the exact cost the at-rest index exists to avoid. The batch-side
+    # key frame is batch-sized by the loop's contract (the same
+    # declaration that broadcasts `cands` below), so the index now
+    # streams through its scan with no exchange.
+    pre = F.broadcast(new_keys).join(idx, ["band_idx", "band_hash"]).filter(
         F.col("new_id") != F.col("old_id")
     )
     # Jaccard length bound at the band join (banded-v2, r16): both sides
@@ -3165,6 +3206,7 @@ def incremental_near_dups(
             F.least(F.col("new_n"), F.col("old_n")).cast("double")
             >= F.lit(t_cand)
             * F.greatest(F.col("new_n"), F.col("old_n")).cast("double")
+            - F.lit(1e-9)  # same float-slop guard as _relational_jaccard
         )
     cands = (
         pre.select("new_id", "old_id")
@@ -3188,8 +3230,16 @@ def incremental_near_dups(
     j = jaccard(F.col("sa.shingles"), F.col("sb.shingles"))
     if round_to is not None:
         j = half_up(j, round_to)
+    # The first verify join broadcasts the BATCH shingles (batch-sized
+    # by contract — one exchange gone); the join to the pruned corpus
+    # shingles stays planner-chosen, because candidate volume scales
+    # with corpus x batch collision rates and carries array payloads —
+    # not a frame to force-broadcast (r17, measured on the SRP twin).
     verified = (
-        cands.join(new_sh.alias("sa"), cands.new_id == F.col(f"sa.{id_col}"))
+        cands.join(
+            F.broadcast(new_sh.alias("sa")),
+            cands.new_id == F.col(f"sa.{id_col}"),
+        )
         .join(old_sh.alias("sb"), cands.old_id == F.col(f"sb.{id_col}"))
         .select("new_id", "old_id", j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

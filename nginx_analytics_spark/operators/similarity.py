@@ -403,8 +403,49 @@ def hyperplane_lsh_pairs(
                 )
         return pd.concat(out, ignore_index=True)
 
-    hits = banded.groupBy("band_idx", "band_val").applyInPandas(
-        verify, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
+    # One pandas invocation PER ARROW BATCH, not per bucket (r17, guide
+    # §4): applyInPandas calls the kernel once per (band_idx, band_val)
+    # GROUP, and at micro-batch shapes (the X85 loop: ~2k vectors into
+    # 8x256-value bands) that is thousands of per-group pandas
+    # machineries per batch — measured as ~20 s of executor time per
+    # 2k-row micro-batch doing ~nothing. The rows are instead hash-
+    # partitioned and sorted by the SAME keys, and a streaming
+    # mapInPandas walks buckets off the sorted batches (buffering at
+    # most one bucket across Arrow-batch boundaries — the standing
+    # "one bucket fits one executor" contract, unchanged). Each bucket
+    # hits the IDENTICAL kernel on identical operands, so every pair's
+    # cosine is bit-identical to the applyInPandas formulation.
+    def verify_stream(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            bi = pdf["band_idx"].to_numpy()
+            bv = pdf["band_val"].to_numpy()
+            change = (
+                np.flatnonzero((bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1])) + 1
+            )
+            bounds = [0, *change.tolist(), len(pdf)]
+            for s, e in zip(bounds[:-2], bounds[1:-1]):
+                out = verify(pdf.iloc[s:e])
+                if len(out):
+                    yield out
+            pending = pdf.iloc[bounds[-2] :]
+        if pending is not None:
+            out = verify(pending)
+            if len(out):
+                yield out
+
+    hits = (
+        banded.repartition("band_idx", "band_val")
+        .sortWithinPartitions("band_idx", "band_val")
+        .mapInPandas(
+            verify_stream,
+            schema=f"id_a {id_type}, id_b {id_type}, cosine double",
+        )
     )
     # Dedup across bands. A pair found in several buckets scored the same
     # fixed-operand BLAS dot everywhere, so max == every observation; the
@@ -879,7 +920,14 @@ def incremental_embedding_near_dups(
     )
     new_v = new_emb.select(
         F.col(id_col).alias("new_id"), as_double(vec_col).alias("nv")
-    ).localCheckpoint(eager=True)  # consumed by sign AND verify AND net
+    )
+    if new_keys is None or exact_net:
+        # consumed by sign AND verify (AND net): materialize once. With
+        # caller-supplied keys and no net, the verify broadcast below is
+        # the ONE consumer — its build reads the caller's checkpointed
+        # batch directly, so the extra materialization job is skipped
+        # (r17, one fewer job per X85 micro-batch).
+        new_v = new_v.localCheckpoint(eager=True)
     if new_keys is None:
         new_keys = srp_band_keys(
             new_v, "new_id", "nv", n_planes, bands, dim, seed
@@ -890,7 +938,11 @@ def incremental_embedding_near_dups(
         id_col, "old_id"
     )
     cands = (
-        new_keys.join(idx, ["band_idx", "band_hash"])
+        # BROADCAST the batch keys (r17, guide §3.1): the index side is
+        # corpus-sized and was shuffled by this join on every probe; the
+        # batch-side keys are batch-sized by contract, so the index now
+        # streams through its scan with no exchange.
+        F.broadcast(new_keys).join(idx, ["band_idx", "band_hash"])
         .filter(F.col("new_id") != F.col("old_id"))
         .select("new_id", "old_id")
         .distinct()
@@ -905,11 +957,26 @@ def incremental_embedding_near_dups(
     # semi-join by declaration — the corpus side streams through one
     # scan, never sorts/shuffles (plan-audited r11: AQE left this one
     # as a sort-merge join without the hint).
-    old_v = corpus_emb.join(
+    pruned_old = corpus_emb.join(
         F.broadcast(cands.select(F.col("old_id").alias(id_col)).distinct()),
         id_col,
         "left_semi",
-    ).select(F.col(id_col).alias("old_id"), as_double(vec_col).alias("ov"))
+    )
+    # fan the pruned rows out when the corpus scan has fewer natural
+    # splits than cores — the Arrow cosine verify otherwise serializes
+    # onto them; no-op at scale (r17, the X80 probes' twin rule — the
+    # r16 attempt fanned the WHOLE scan ahead of the batch checkpoint
+    # and lost; this exchanges only the collision-sized pruned set)
+    if (
+        corpus_emb.rdd.getNumPartitions()
+        < spark.sparkContext.defaultParallelism
+    ):
+        pruned_old = pruned_old.repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    old_v = pruned_old.select(
+        F.col(id_col).alias("old_id"), as_double(vec_col).alias("ov")
+    )
 
     def score(pairs: DataFrame) -> DataFrame:
         c = (
@@ -923,6 +990,13 @@ def incremental_embedding_near_dups(
             F.col("cosine") >= threshold
         )
 
+    # The first verify join broadcasts the BATCH vectors (batch-sized by
+    # contract); the join to the pruned corpus vectors stays planner-
+    # chosen — candidate volume scales with corpus x batch at the SRP
+    # background-collision rate, so neither side of THAT join may be
+    # force-broadcast (r17: an attempt to broadcast the joined
+    # cands x vectors frame hit ~0.5 GB per batch by corpus growth and
+    # collapsed the loop into GC).
     verified = score(
         cands.join(F.broadcast(new_v), "new_id").join(old_v, "old_id")
     )

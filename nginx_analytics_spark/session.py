@@ -25,6 +25,13 @@ _BASE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # parallelismFirst stays at Spark's default (true), MEASURED r17:
+    # false (the production-docs suggestion — coalesce to advisory SIZE)
+    # serialized every CPU-heavy low-shuffle-byte reduce stage at bench
+    # scale (prefix-family windows x2 worse, interleaved A/B) because
+    # AQE sizes by bytes and cannot see per-row CPU. At 100 TB initial
+    # partitions exceed the advisory size anyway, so flipping it buys
+    # nothing there either.
     # Arrow for any pandas-UDF / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Parquet: vectorized reader + pushdown are on by default; keep

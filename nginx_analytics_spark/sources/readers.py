@@ -145,9 +145,13 @@ def _fan_out_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFr
         return df
     try:
         if os.path.isdir(path):
+            # os.walk, not listdir (r16 ADVICE): a partitioned dataset
+            # nests its files under key=value dirs, and a top-level-only
+            # sum read 0 — silently never fanning such layouts out.
             size = sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
                 if f.endswith(".parquet")
             )
         else:

@@ -129,31 +129,42 @@ def dedup_batch_against_corpus(
     from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
     fs = fs or LOCAL_FS
-    b = dedup.exact_dedup(
-        batch.withColumn("_norm", dedup.normalize_text(text_col)),
-        keys=["_norm"],
-        order_col=id_col,
-    ).drop("_norm")
-    b = b.localCheckpoint(eager=True)  # consumed by pairs + anti-joins
-
+    sc = spark.sparkContext
+    sc.setJobDescription("X80: dedup+shingle batch")
+    # ONE fused materialization of survivors + their shingles (r17: the
+    # separate b / sh checkpoints were two sequential jobs per batch;
+    # the shingle HOF now rides the dedup checkpoint's projection and
+    # both views below read the same in-memory blocks)
+    frame = (
+        dedup.exact_dedup(
+            batch.withColumn("_norm", dedup.normalize_text(text_col)),
+            keys=["_norm"],
+            order_col=id_col,
+        )
+        .drop("_norm")
+        .withColumn("shingles", dedup.word_shingles(text_col))
+        .localCheckpoint(eager=True)
+    )
+    b = frame.drop("shingles")  # consumed by pairs + anti-joins
     # the ONE signing of this batch (see docstring): shingles and
-    # signatures are eagerly materialized and every downstream consumer
+    # signatures are materialized once and every downstream consumer
     # (pair self-join, verify joins, index band-join, index append)
     # reads these frames instead of re-deriving them from text
-    sh = b.select(
-        F.col(id_col), dedup.word_shingles(text_col).alias("shingles")
-    ).localCheckpoint(eager=True)
+    sh = frame.select(F.col(id_col), F.col("shingles"))
+    sc.setJobDescription("X80: sign batch")
     sigs = dedup.signatures_from_shingles(sh, id_col).localCheckpoint(
         eager=True
     )
+    sc.setJobDescription(None)
     keys = dedup.banded_signature_keys(sigs, id_col)
 
     # within-batch near-dups: drop the greater id of each passing pair
     # (or, with quality_fn, everything but each cluster's best-quality
-    # member — X100)
+    # member — X100). broadcast_verify: the batch-bounded frames turn
+    # the verify joins into broadcast builds (r17, zero exchanges).
     pairs = dedup.minhash_dedup_pairs(
         b, id_col=id_col, text_col=text_col, threshold=threshold,
-        shingles_df=sh, signatures_df=sigs,
+        shingles_df=sh, signatures_df=sigs, broadcast_verify=True,
     )
     if quality_fn is None:
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
@@ -170,9 +181,12 @@ def dedup_batch_against_corpus(
             .filter("is_duplicate")
             .select(id_col)
         )
-    b = b.join(losers, id_col, "left_anti")
+    # loser/dup id sets are batch-bounded: broadcast anti-joins keep the
+    # survivor frame on the stream side with no exchange (r17)
+    b = b.join(F.broadcast(losers), id_col, "left_anti")
 
     if fs.isfile(dedup.lsh_index_meta_path(index_path)):
+        sc.setJobDescription("X80: probe at-rest index")
         corpus = read_corpus(spark, corpus_dir)
         hits = dedup.incremental_near_dups(
             spark, b, corpus, index_path,
@@ -180,8 +194,9 @@ def dedup_batch_against_corpus(
             threshold=threshold, exact_net=False, fs=fs,
             new_shingles=sh, new_keys=keys,
         )
+        sc.setJobDescription(None)
         dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
-        b = b.join(dup_ids, id_col, "left_anti")
+        b = b.join(F.broadcast(dup_ids), id_col, "left_anti")
     return (b, keys) if return_keys else b
 
 
@@ -651,7 +666,10 @@ def process_batch(
             dedup._recover_lsh_compaction_locked(index_path, fs)
         # one count() both empties-gates and feeds telemetry (the prior
         # head(1) + count() pair scanned the micro-batch source twice)
+        sc = spark.sparkContext
+        sc.setJobDescription("X80: source count")
         n_in = batch.count()
+        sc.setJobDescription(None)
         n_novel = 0
         if n_in:
             novel, keys = dedup_batch_against_corpus(
@@ -659,9 +677,12 @@ def process_batch(
                 id_col=id_col, text_col=text_col, threshold=threshold,
                 fs=fs, quality_fn=quality_fn, return_keys=True,
             )
+            sc.setJobDescription("X80: novel materialize")
             novel = novel.localCheckpoint(eager=True)  # write + append
             n_novel = novel.count()
+            sc.setJobDescription(None)
         if n_novel:
+            sc.setJobDescription("X80: corpus write")
             if exactly_once:
                 dest = os.path.join(corpus_dir, f"ingest_batch={batch_id}")
                 novel.write.mode("overwrite").parquet(dest)
@@ -670,8 +691,11 @@ def process_batch(
             # the batch was signed exactly once (dedup_batch_against_
             # corpus); the index append/bootstrap reuses the novel
             # subset of those keys instead of a second/third signing
+            sc.setJobDescription("X80: index append")
+            # novel ids are batch-bounded: broadcast the semi-join so
+            # the key frame streams with no exchange (r17)
             novel_keys = keys.join(
-                novel.select(id_col), id_col, "left_semi"
+                F.broadcast(novel.select(id_col)), id_col, "left_semi"
             )
             if fs.isfile(dedup.lsh_index_meta_path(index_path)):
                 dedup.append_lsh_index(
@@ -683,6 +707,7 @@ def process_batch(
                     novel, index_path, id_col=id_col, text_col=text_col,
                     fs=fs, keys=novel_keys,
                 )
+            sc.setJobDescription(None)
         if (
             compact_every
             and (batch_id + 1) % compact_every == 0

@@ -93,25 +93,32 @@ def dedup_embedding_batch_against_corpus(
     from nginx_analytics_spark.operators.index_fs import LOCAL_FS
 
     fs = fs or LOCAL_FS
+    sc = spark.sparkContext
+    sc.setJobDescription("X85: dedup batch")
     b = dedup.exact_dedup(
         batch, keys=[vec_col], order_col=id_col
     ).localCheckpoint(eager=True)  # consumed by pairs + anti-joins
 
     # the ONE signing of this batch: (id, band_idx, band_hash), shared
     # by the probe's band join and the loop's index append
+    sc.setJobDescription("X85: sign batch")
     keys = similarity.srp_band_keys(
         b, id_col, vec_col, n_planes, bands, dim, seed
     ).localCheckpoint(eager=True)
+    sc.setJobDescription(None)
 
     # within-batch near-dups: drop the greater id of each passing pair
     pairs = similarity.hyperplane_lsh_pairs(
         b, threshold=threshold, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, bands=bands, dim=dim, seed=seed,
     )
+    # loser/dup id sets are batch-bounded: broadcast anti-joins keep the
+    # survivor frame on the stream side with no exchange (r17)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    b = b.join(losers, id_col, "left_anti")
+    b = b.join(F.broadcast(losers), id_col, "left_anti")
 
     if fs.isfile(similarity.srp_index_meta_path(index_path)):
+        sc.setJobDescription("X85: probe at-rest index")
         corpus = read_corpus(spark, corpus_dir)
         hits = similarity.incremental_embedding_near_dups(
             spark, b, corpus, index_path,
@@ -119,8 +126,9 @@ def dedup_embedding_batch_against_corpus(
             n_planes=n_planes, bands=bands, dim=dim, seed=seed, fs=fs,
             new_keys=keys,
         )
+        sc.setJobDescription(None)
         dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
-        b = b.join(dup_ids, id_col, "left_anti")
+        b = b.join(F.broadcast(dup_ids), id_col, "left_anti")
     return (b, keys) if return_keys else b
 
 
@@ -179,7 +187,10 @@ def process_embedding_batch(
             dedup._recover_lsh_compaction_locked(index_path, fs)
         # one count() both empties-gates and feeds telemetry (the prior
         # head(1) + count() pair scanned the micro-batch source twice)
+        sc = spark.sparkContext
+        sc.setJobDescription("X85: source count")
         n_in = batch.count()
+        sc.setJobDescription(None)
         n_novel = 0
         if n_in:
             novel, keys = dedup_embedding_batch_against_corpus(
@@ -188,19 +199,24 @@ def process_embedding_batch(
                 n_planes=n_planes, bands=bands, dim=dim, seed=seed,
                 fs=fs, return_keys=True,
             )
+            sc.setJobDescription("X85: novel materialize")
             novel = novel.localCheckpoint(eager=True)  # write + append
             n_novel = novel.count()
+            sc.setJobDescription(None)
         if n_novel:
+            sc.setJobDescription("X85: corpus write")
             if exactly_once:
                 dest = os.path.join(corpus_dir, f"ingest_batch={batch_id}")
                 novel.write.mode("overwrite").parquet(dest)
             else:
                 novel.write.mode("append").parquet(corpus_dir)
             # the batch was signed exactly once; the index append/
-            # bootstrap reuses the novel subset of those keys
+            # bootstrap reuses the novel subset of those keys (novel ids
+            # are batch-bounded — broadcast the semi-join, r17)
             novel_keys = keys.join(
-                novel.select(id_col), id_col, "left_semi"
+                F.broadcast(novel.select(id_col)), id_col, "left_semi"
             )
+            sc.setJobDescription("X85: index append")
             if fs.isfile(similarity.srp_index_meta_path(index_path)):
                 similarity.append_srp_index(
                     novel, index_path, keys=novel_keys, **srp_kw
@@ -209,6 +225,7 @@ def process_embedding_batch(
                 similarity.write_srp_index(
                     novel, index_path, keys=novel_keys, **srp_kw
                 )
+            sc.setJobDescription(None)
         if (
             compact_every
             and (batch_id + 1) % compact_every == 0
