@@ -1034,7 +1034,7 @@ def write_prefix_index(
         docs, id_col, text_col, shingle_n, threshold - PREFIX_ROUND_SLACK,
         _prefix_freq_frame(docs.sparkSession, freq),
     )
-    banded_index_write(keys, path, fs=fs)
+    banded_index_write(keys, path, fs=fs, bands=PREFIX_INDEX_BANDS)
     write_json_sidecar(
         path,
         PREFIX_INDEX_META,
@@ -1110,7 +1110,9 @@ def append_prefix_index(
         float(have["threshold"]) - PREFIX_ROUND_SLACK,
         _prefix_freq_frame(docs.sparkSession, have["freq"]),
     )
-    banded_index_write(keys, path, fs=fs, mode="append")
+    banded_index_write(
+        keys, path, fs=fs, mode="append", bands=PREFIX_INDEX_BANDS
+    )
 
 
 def compact_prefix_index(
@@ -2563,7 +2565,7 @@ def write_lsh_index(
             id_col,
             rows_per_band=rows_per_band,
         )
-    banded_index_write(keys, path, fs=fs)
+    banded_index_write(keys, path, fs=fs, bands=num_hashes // rows_per_band)
     meta = {
         "id_col": id_col,
         "shingle_n": shingle_n,
@@ -2655,7 +2657,10 @@ def append_lsh_index(
         )
     from nginx_analytics_spark.operators.index_fs import banded_index_write
 
-    banded_index_write(keys, path, fs=fs, mode="append")
+    banded_index_write(
+        keys, path, fs=fs, mode="append",
+        bands=num_hashes // rows_per_band,
+    )
 
 
 def read_lsh_index_rows(spark: SparkSession, path: str, fs=None) -> DataFrame:

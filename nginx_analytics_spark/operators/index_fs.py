@@ -512,14 +512,24 @@ LOCAL_FS = LocalIndexFS()
 # ---------------------------------------------------------------------------
 
 
-def banded_index_write(keys, path: str, fs=None, mode: str = "overwrite") -> None:
+def banded_index_write(
+    keys, path: str, fs=None, mode: str = "overwrite", bands: int | None = None
+) -> None:
     """Land ``(.., band_idx, band_hash)`` rows in the at-rest
     banded-index layout. A seam exposing the ``store_*`` family
     (ManifestIndexFS) gets the write delegated wholesale; the default
     local layout is the partitioned directory tree — repartitioned by
     band, sorted by band_hash within each band (directory pruning per
     band, Parquet min/max row-group pruning per file), one sorted file
-    per touched band per write."""
+    per touched band per write.
+
+    ``bands`` (r17): the band count, when the caller knows it. A hash
+    repartition on ``band_idx`` can never occupy more tasks than there
+    are distinct bands, so partitioning into the session default
+    (shuffle.partitions) just schedules empty tasks — at ANY scale;
+    passing the true count drops them. Layout is unchanged (partitionBy
+    still splits one file per band; each file still arrives
+    band_hash-sorted)."""
     fs = fs or LOCAL_FS
     mode = mode.lower()
     if mode not in ("overwrite", "append"):
@@ -536,9 +546,13 @@ def banded_index_write(keys, path: str, fs=None, mode: str = "overwrite") -> Non
     if mode == "append" and hasattr(fs, "store_append"):
         fs.store_append(keys, path)
         return
+    parted = (
+        keys.repartition(bands, "band_idx")
+        if bands
+        else keys.repartition("band_idx")
+    )
     (
-        keys.repartition("band_idx")
-        .sortWithinPartitions("band_hash")
+        parted.sortWithinPartitions("band_hash")
         .write.mode(mode)
         .partitionBy("band_idx")
         .parquet(path)

@@ -690,7 +690,7 @@ def write_srp_index(
         keys = srp_band_keys(
             emb, id_col, vec_col, n_planes, bands, dim, seed, strict=strict
         )
-    banded_index_write(keys, path, fs=fs)
+    banded_index_write(keys, path, fs=fs, bands=bands)
     meta = {
         "id_col": id_col,
         "n_planes": n_planes,
@@ -792,7 +792,7 @@ def append_srp_index(
             new_emb, id_col, vec_col, n_planes, bands, dim, seed,
             strict=strict,
         )
-    banded_index_write(keys, path, fs=fs, mode="append")
+    banded_index_write(keys, path, fs=fs, mode="append", bands=bands)
 
 
 def compact_srp_index(

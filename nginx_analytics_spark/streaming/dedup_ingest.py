@@ -167,7 +167,9 @@ def dedup_batch_against_corpus(
         shingles_df=sh, signatures_df=sigs, broadcast_verify=True,
     )
     if quality_fn is None:
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        # no .distinct(): the anti-join below ignores duplicate keys,
+        # and the dedup was one more shuffle + job per batch (r17)
+        losers = pairs.select(F.col("id_b").alias(id_col))
     else:
         from nginx_analytics_spark.operators import graph
 
@@ -195,7 +197,7 @@ def dedup_batch_against_corpus(
             new_shingles=sh, new_keys=keys,
         )
         sc.setJobDescription(None)
-        dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
+        dup_ids = hits.select(F.col("new_id").alias(id_col))
         b = b.join(F.broadcast(dup_ids), id_col, "left_anti")
     return (b, keys) if return_keys else b
 

@@ -113,8 +113,10 @@ def dedup_embedding_batch_against_corpus(
         n_planes=n_planes, bands=bands, dim=dim, seed=seed,
     )
     # loser/dup id sets are batch-bounded: broadcast anti-joins keep the
-    # survivor frame on the stream side with no exchange (r17)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # survivor frame on the stream side with no exchange; no .distinct()
+    # — the anti-join ignores duplicate keys and the dedup was one more
+    # shuffle + job per batch (r17)
+    losers = pairs.select(F.col("id_b").alias(id_col))
     b = b.join(F.broadcast(losers), id_col, "left_anti")
 
     if fs.isfile(similarity.srp_index_meta_path(index_path)):
@@ -127,7 +129,7 @@ def dedup_embedding_batch_against_corpus(
             new_keys=keys,
         )
         sc.setJobDescription(None)
-        dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
+        dup_ids = hits.select(F.col("new_id").alias(id_col))
         b = b.join(F.broadcast(dup_ids), id_col, "left_anti")
     return (b, keys) if return_keys else b
 
