@@ -23,10 +23,14 @@ X69/X79/X80). The reference has no corpus pipeline at all; this is the
 engine extension a 100 TB training-data deployment needs.
 
 Delivery semantics: the default corpus append is at-least-once (a batch
-that fails between the corpus write and the index append replays and
-may re-append; its docs then band-match THEMSELVES in the replayed
-probe — self-matches are excluded by id inequality, so replay does not
-self-suppress, but duplicates can land). ``exactly_once=True`` composes
+that fails with one of the two per-batch writes done — they run
+OVERLAPPED since r17, so either the corpus write or the index append
+may land first — replays and may re-append; its docs then band-match
+THEMSELVES in the replayed probe — self-matches are excluded by id
+inequality, so replay does not self-suppress, but duplicates can land.
+An index-append-ahead crash additionally leaves orphan band keys whose
+ids the probe's corpus verify drops — benign, reported by
+:func:`reconcile_index`). ``exactly_once=True`` composes
 the X73 per-batch-directory overwrite trick: each batch's admissions
 land under ``ingest_batch=<id>`` with OVERWRITE semantics, so a retried
 batch (same epoch id — the foreachBatch contract) REPLACES its own
@@ -684,32 +688,58 @@ def process_batch(
             n_novel = novel.count()
             sc.setJobDescription(None)
         if n_novel:
-            sc.setJobDescription("X80: corpus write")
-            if exactly_once:
-                dest = os.path.join(corpus_dir, f"ingest_batch={batch_id}")
-                novel.write.mode("overwrite").parquet(dest)
-            else:
-                novel.write.mode("append").parquet(corpus_dir)
-            # the batch was signed exactly once (dedup_batch_against_
-            # corpus); the index append/bootstrap reuses the novel
-            # subset of those keys instead of a second/third signing
-            sc.setJobDescription("X80: index append")
-            # novel ids are batch-bounded: broadcast the semi-join so
-            # the key frame streams with no exchange (r17)
-            novel_keys = keys.join(
-                F.broadcast(novel.select(id_col)), id_col, "left_semi"
-            )
-            if fs.isfile(dedup.lsh_index_meta_path(index_path)):
-                dedup.append_lsh_index(
-                    novel, index_path, id_col=id_col, text_col=text_col,
-                    fs=fs, keys=novel_keys,
+            # Corpus write and index append are independent jobs over the
+            # CHECKPOINTED novel frame — overlap them in two driver
+            # threads (guide §2.6) so the scheduling-bound tail of one
+            # back-fills the other. Crash discipline: both complete
+            # before this batch's streaming commit; a crash between them
+            # can now leave EITHER side ahead — index-ahead leaves
+            # orphan band keys the probe's corpus verify drops (benign,
+            # reconcile_index reports them), corpus-ahead leaves
+            # missing-from-index rows (the pre-existing direction —
+            # repairable, see reconcile_index). Delivery stays
+            # at-least-once either way; replay self-matches are excluded
+            # by id inequality exactly as before.
+            def _corpus_write() -> None:
+                sc.setJobDescription("X80: corpus write")  # thread-local
+                if exactly_once:
+                    dest = os.path.join(
+                        corpus_dir, f"ingest_batch={batch_id}"
+                    )
+                    novel.write.mode("overwrite").parquet(dest)
+                else:
+                    novel.write.mode("append").parquet(corpus_dir)
+
+            def _index_append() -> None:
+                # the batch was signed exactly once (dedup_batch_
+                # against_corpus); the index append/bootstrap reuses the
+                # novel subset of those keys instead of a second/third
+                # signing. novel ids are batch-bounded: broadcast the
+                # semi-join so the key frame streams with no exchange.
+                sc.setJobDescription("X80: index append")
+                novel_keys = keys.join(
+                    F.broadcast(novel.select(id_col)), id_col, "left_semi"
                 )
-            else:
-                dedup.write_lsh_index(
-                    novel, index_path, id_col=id_col, text_col=text_col,
-                    fs=fs, keys=novel_keys,
-                )
-            sc.setJobDescription(None)
+                if fs.isfile(dedup.lsh_index_meta_path(index_path)):
+                    dedup.append_lsh_index(
+                        novel, index_path, id_col=id_col,
+                        text_col=text_col, fs=fs, keys=novel_keys,
+                    )
+                else:
+                    dedup.write_lsh_index(
+                        novel, index_path, id_col=id_col,
+                        text_col=text_col, fs=fs, keys=novel_keys,
+                    )
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(_corpus_write),
+                    pool.submit(_index_append),
+                ]
+                for f in futs:
+                    f.result()  # propagate either failure -> batch retry
         if (
             compact_every
             and (batch_id + 1) % compact_every == 0

@@ -206,28 +206,47 @@ def process_embedding_batch(
             n_novel = novel.count()
             sc.setJobDescription(None)
         if n_novel:
-            sc.setJobDescription("X85: corpus write")
-            if exactly_once:
-                dest = os.path.join(corpus_dir, f"ingest_batch={batch_id}")
-                novel.write.mode("overwrite").parquet(dest)
-            else:
-                novel.write.mode("append").parquet(corpus_dir)
-            # the batch was signed exactly once; the index append/
-            # bootstrap reuses the novel subset of those keys (novel ids
-            # are batch-bounded — broadcast the semi-join, r17)
-            novel_keys = keys.join(
-                F.broadcast(novel.select(id_col)), id_col, "left_semi"
-            )
-            sc.setJobDescription("X85: index append")
-            if fs.isfile(similarity.srp_index_meta_path(index_path)):
-                similarity.append_srp_index(
-                    novel, index_path, keys=novel_keys, **srp_kw
+            # Overlap the two independent writes over the checkpointed
+            # novel frame (guide §2.6) — crash-order analysis on the
+            # text loop's process_batch applies verbatim (index-ahead
+            # leaves benign orphans, corpus-ahead the repairable
+            # missing-from-index direction; at-least-once either way).
+            def _corpus_write() -> None:
+                sc.setJobDescription("X85: corpus write")  # thread-local
+                if exactly_once:
+                    dest = os.path.join(
+                        corpus_dir, f"ingest_batch={batch_id}"
+                    )
+                    novel.write.mode("overwrite").parquet(dest)
+                else:
+                    novel.write.mode("append").parquet(corpus_dir)
+
+            def _index_append() -> None:
+                # the batch was signed exactly once; the index append/
+                # bootstrap reuses the novel subset of those keys
+                # (novel ids are batch-bounded — broadcast the semi-join)
+                sc.setJobDescription("X85: index append")
+                novel_keys = keys.join(
+                    F.broadcast(novel.select(id_col)), id_col, "left_semi"
                 )
-            else:
-                similarity.write_srp_index(
-                    novel, index_path, keys=novel_keys, **srp_kw
-                )
-            sc.setJobDescription(None)
+                if fs.isfile(similarity.srp_index_meta_path(index_path)):
+                    similarity.append_srp_index(
+                        novel, index_path, keys=novel_keys, **srp_kw
+                    )
+                else:
+                    similarity.write_srp_index(
+                        novel, index_path, keys=novel_keys, **srp_kw
+                    )
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(_corpus_write),
+                    pool.submit(_index_append),
+                ]
+                for f in futs:
+                    f.result()  # propagate either failure -> batch retry
         if (
             compact_every
             and (batch_id + 1) % compact_every == 0
